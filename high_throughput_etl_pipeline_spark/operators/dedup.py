@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data dedup at 100 TB is shuffle-dominated; every operator here is
+designed around ONE key insight: never materialize all-pairs.  Pairs only
+exist after a *blocking* step (LSH band, simhash prefix, or explicit block
+key) whose buckets are small.
+
+Hash family: all pseudo-random hashes derive from md5 (low 60 bits via
+``conv(substr(md5(x),18,15),16,10)``) — deterministic, engine-portable
+(same value in Spark and DuckDB/ANSI SQL), no seed state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- shared helpers ------------------------------------------------------
+
+
+def _norm(col) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def md5_64(col) -> F.Column:
+    """Low-60-bit integer hash of a string column (portable SQL)."""
+    return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(col, n: int = 3) -> F.Column:
+    """Word n-gram shingles of normalized text (distinct set).
+
+    Built with higher-order functions (transform over index sequence +
+    slice + concat_ws) — stays in codegen, no UDF.
+    """
+    words = F.split(_norm(col), " ")
+    k = F.size(words) - F.lit(n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(k >= 1, sh).otherwise(empty))
+
+
+# -- exact dedup (hash-groupBy) ------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents.
+
+    Output: fingerprint, dup_count, keep_id (min id), member ids.  The
+    groupBy on the md5 fingerprint is the scalable primitive: the shuffle
+    key is 16 bytes regardless of document size.
+    """
+    fp = F.md5(_norm(F.col(text_col))).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep-first exact dedup: one row per distinct normalized text."""
+    w_fp = F.md5(_norm(F.col(text_col)))
+    keep = (
+        df.select(F.col(id_col), w_fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# -- MinHash + LSH --------------------------------------------------------
+
+
+def minhash_signature(col, num_hashes: int = 16, shingle_n: int = 3) -> F.Column:
+    """MinHash signature: array of ``num_hashes`` mins over shingle hashes.
+
+    h_i(s) = md5_64(i || ':' || s); min over the shingle set per i.  All
+    higher-order functions — the signature computation is a narrow map.
+    """
+    shingles = word_shingles(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 18, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified by estimated
+    Jaccard (signature agreement rate).
+
+    Plan shape (the 100 TB shape):
+      1. narrow map: signature per doc
+      2. explode to ``bands`` rows/doc, band hash = md5(band values)
+      3. self-join per (band_id, band_hash) bucket — ONLY bucket-mates pair
+      4. pair-level verify: fraction of agreeing signature positions
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    ).filter(F.size("_sig") > 0)
+
+    banded = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "_sig", "band.band_id", "band.band_hash")
+
+    left = banded.select(
+        F.col("band_id"), F.col("band_hash"),
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band_id"), F.col("band_hash"),
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    est = (agree / F.lit(float(num_hashes))).cast("double")
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+def simhash64(col, n_bits: int = 32) -> F.Column:
+    """SimHash over whitespace tokens (default 32 bits to keep the
+    bit-expansion cheap; 64 works identically).
+
+    Per token: h = md5_64(token); bit j votes +1 if set else -1; the
+    simhash bit j is 1 iff the vote sum > 0.  Expressed with aggregate()
+    over tokens per bit — still a narrow projection per document.
+    """
+    toks = F.split(_norm(col), " ")
+    hashes = F.transform(toks, lambda t: F.conv(
+        F.substring(F.md5(t), 18, 15), 16, 10).cast("bigint"))
+    # bit positions are plan-time constants: unroll the loop in Python so
+    # shift amounts stay literals (required by shiftright/shiftleft).
+    # NB: the merge lambda must take exactly (acc, h) — pyspark binds a
+    # lambda variable per declared parameter — so j is captured via a
+    # closure-making helper, not a default arg.
+    def vote_at(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for j in range(n_bits):
+        out = out + F.when(vote_at(j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking: top ``prefix_bits`` of the simhash — docs within small
+    Hamming distance usually share the prefix (single-probe variant; add
+    rotations for recall).  Verify with bit_count(xor).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col), n_bits).alias("_sh")
+    ).withColumn("_block", F.shiftright("_sh", n_bits - prefix_bits))
+    a = sh.select(
+        F.col("_block"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("_block"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    return (
+        a.join(b, on="_block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- n-gram Jaccard (blocked all-pairs verify) ------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a block.
+
+    The block join bounds the pair count; use minhash_near_duplicates for
+    candidate generation when no natural block key exists.  Returns
+    (id_a, id_b, jaccard).
+    """
+    sets = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_set"),
+    )
+    a = sets.select(
+        *block_cols, F.col("_id").alias("id_a"), F.col("_set").alias("set_a")
+    )
+    b = sets.select(
+        *block_cols, F.col("_id").alias("id_b"), F.col("_set").alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round((inter / F.greatest(union, F.lit(1))).cast("double"), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,255 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the exact baseline (a broadcast-join + window
+— fine whenever |queries| is small).  The scale paths are:
+
+- **LSH (random hyperplanes)**: sign-projection buckets; queries only pair
+  with same-bucket vectors.  Hyperplanes are deterministic literals so the
+  plan is reproducible (and oracle-checkable).
+- **IVF**: k-means coarse quantizer (pyspark.ml), probe the nearest
+  ``nprobe`` centroids.  Centroid assignment is a narrow map after a tiny
+  broadcast; the candidate set shrinks ~nlist/nprobe-fold.
+
+All dot products run as ``aggregate(zip_with(...))`` higher-order
+expressions — JVM-side, no Python.  At 100 TB the embedding table is
+bucketed by the LSH/IVF key so repeated queries never reshuffle it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    # cast operands (not the product) so float32 inputs multiply in f64 —
+    # keeps results bit-comparable with engines computing over DOUBLE[]
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize: cosine becomes a plain dot product downstream."""
+    n = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: (x / n).cast("double"))
+    return df.withColumn("_unit", unit)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, embedding).  Plan: broadcast queries, one pass
+    over vectors, per-query top-k via window.  Ties broken by id for
+    determinism; similarity rounded to 6 dp so results are stable across
+    engines/summation orders.
+    """
+    v = with_unit_vectors(vectors, vec_col).select(
+        F.col(id_col), F.col("_unit").alias("_vu")
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(query_id_col), F.col("_unit").alias("_qu")
+    )
+    scored = v.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(_dot(F.col("_vu"), F.col("_qu")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-projection bucket id: bit i = 1 iff dot(v, plane_i) > 0."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) > 0, 1 << i)
+        .otherwise(0)
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    With 2^n_planes buckets the candidate set shrinks ~2^n_planes-fold;
+    at 100 TB, write the vector table bucketed/partitioned by `_bucket` so
+    a query probe reads one partition (partition pruning on the join key).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    v = with_unit_vectors(vectors, vec_col).select(
+        F.col(id_col),
+        F.col("_unit").alias("_vu"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(query_id_col),
+        F.col("_unit").alias("_qu"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = v.join(F.broadcast(q), on="_bucket").select(
+        query_id_col,
+        id_col,
+        F.round(_dot(F.col("_vu"), F.col("_qu")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat: k-means coarse quantizer, probe nprobe nearest lists.
+
+    Training samples to the driver only ``nlist``-scale statistics; the
+    assignment pass is a broadcast of nlist centroids.  Approximate —
+    oracle-checked rows-only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+    ]
+    centers_df = vectors.sparkSession.createDataFrame(
+        centers, "list_id INT, center ARRAY<DOUBLE>"
+    )
+
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # assign each vector to its nearest list (broadcast nlist centroids)
+    v_assigned = (
+        vectors.crossJoin(F.broadcast(centers_df))
+        .withColumn("_d2", dist2(F.col(vec_col), F.col("center")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_d2", "list_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "list_id")
+    )
+    # each query probes its nprobe nearest lists
+    q_probes = (
+        queries.crossJoin(F.broadcast(centers_df))
+        .withColumn("_d2", dist2(F.col(vec_col), F.col("center")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy("_d2", "list_id")
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, F.col(vec_col).alias("_qvec"), "list_id")
+    )
+    vu = with_unit_vectors(v_assigned, vec_col).select(
+        id_col, "list_id", F.col("_unit").alias("_vu")
+    )
+    qu = with_unit_vectors(
+        q_probes.withColumnRenamed("_qvec", vec_col), vec_col
+    ).select(query_id_col, "list_id", F.col("_unit").alias("_qu"))
+    scored = vu.join(F.broadcast(qu), on="list_id").select(
+        query_id_col,
+        id_col,
+        F.round(_dot(F.col("_vu"), F.col("_qu")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH self-join.
+
+    Same bucket → candidate; exact cosine verify; id_a < id_b.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    v = with_unit_vectors(vectors, vec_col).select(
+        F.col(id_col),
+        F.col("_unit"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a = v.select(
+        "_bucket", F.col(id_col).alias("id_a"), F.col("_unit").alias("ua")
+    )
+    b = v.select(
+        "_bucket", F.col(id_col).alias("id_b"), F.col("_unit").alias("ub")
+    )
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,162 @@
+"""Orchestrated batch pipeline runner (SURVEY.md §3.1, §2.6 ST5/ST7).
+
+The reference's control plane is S3→SQS→Lambda→DynamoDB→EventBridge→Step
+Functions→Glue (DEVELOPER_GUIDE.md:83-122) with the state machine
+UpdateStatusProcessing → StartGlueJob → UpdateStatusCompleted/Failed
+(terraform/modules/step_functions/main.tf:49-228).  Collapsed here into a
+single driver loop over DataFrame operations:
+
+    discover → validate/quarantine → track (idempotent) → batch →
+    claim (CAS) → transform+write per manifest (with retry) →
+    status flip → execution report
+
+Each stage is the operator documented in its own module; this file only
+sequences them, mirroring the Step Functions definition.
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_throughput_etl_pipeline_spark.ingest import process_manifest
+from high_throughput_etl_pipeline_spark.operators.batching import (
+    MAX_FILES_PER_MANIFEST,
+    assign_batches,
+)
+from high_throughput_etl_pipeline_spark.operators.validation import (
+    quarantine,
+    valid_files,
+    validate_files,
+)
+from high_throughput_etl_pipeline_spark.state.manifest import build_manifest_docs
+from high_throughput_etl_pipeline_spark.state.tracker import FileStateTracker
+
+MAX_RETRIES = 2  # SFN: Lambda 2 retries, backoff 2.0 (step_functions/main.tf)
+BACKOFF_SECONDS = 1.0
+
+
+@dataclass
+class RunResult:
+    files_seen: int = 0
+    files_quarantined: int = 0
+    files_tracked: int = 0
+    manifests_created: int = 0
+    manifests_succeeded: int = 0
+    manifests_failed: int = 0
+    records_written: int = 0
+    errors: list[str] = field(default_factory=list)
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        output_dir: str,
+        quarantine_dir: str | None = None,
+        batch_size: int = MAX_FILES_PER_MANIFEST,
+    ):
+        self.spark = spark
+        self.tracker = FileStateTracker(spark, state_path)
+        self.output_dir = output_dir
+        self.quarantine_dir = quarantine_dir
+        self.batch_size = batch_size
+
+    def run(
+        self,
+        file_listing: DataFrame,
+        today: str | None = None,
+        flush_orphans: bool = True,
+        schema=None,
+    ) -> RunResult:
+        """One full pipeline pass over a file listing
+        (columns: file_path, file_size_mb)."""
+        res = RunResult()
+        res.files_seen = file_listing.count()
+
+        validated = validate_files(file_listing)
+        bad = quarantine(validated)
+        res.files_quarantined = bad.count()
+        if self.quarantine_dir and res.files_quarantined:
+            bad.write.mode("append").parquet(self.quarantine_dir)
+
+        res.files_tracked = self.tracker.track_files(valid_files(validated))
+
+        # batching: full batches for today's dates; orphan flush (ST2)
+        # lets stale dates go out partial at threshold 1.
+        pending = self.tracker.state().filter(
+            F.col("status").startswith("pending")
+        )
+        if today is None:
+            today = self.spark.sql(
+                "SELECT date_format(current_date(), 'yyyy-MM-dd')"
+            ).collect()[0][0]
+        current = assign_batches(
+            pending.filter(F.col("date_prefix") >= today),
+            batch_size=self.batch_size,
+            allow_partial=False,
+        )
+        parts = [current]
+        if flush_orphans:
+            parts.append(
+                assign_batches(
+                    pending.filter(F.col("date_prefix") < today),
+                    batch_size=self.batch_size,
+                    allow_partial=True,
+                )
+            )
+        batched = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        manifests = build_manifest_docs(batched).collect()
+        res.manifests_created = len(manifests)
+        if not manifests:
+            return res
+
+        claims = batched.select("date_prefix", "batch_id", "file_key").join(
+            build_manifest_docs(batched).select(
+                "date_prefix", "batch_id", "manifest_path"
+            ),
+            on=["date_prefix", "batch_id"],
+        ).select("date_prefix", "file_key", "manifest_path")
+        self.tracker.claim_files(claims)
+
+        for m in manifests:
+            ok, err = self._process_with_retry(
+                list(m["file_paths"]), m["date_prefix"], schema
+            )
+            if ok is not None:
+                res.records_written += ok
+                res.manifests_succeeded += 1
+                self.tracker.update_status_for_manifest(
+                    m["manifest_path"], "completed"
+                )
+            else:
+                res.manifests_failed += 1
+                res.errors.append(err or "unknown")
+                self.tracker.update_status_for_manifest(
+                    m["manifest_path"], "failed", error_message=(err or "")[:1000]
+                )
+        return res
+
+    def _process_with_retry(
+        self, paths: list[str], date_prefix: str, schema
+    ) -> tuple[int | None, str | None]:
+        delay = BACKOFF_SECONDS
+        last_err = None
+        for attempt in range(MAX_RETRIES + 1):
+            try:
+                n = process_manifest(
+                    self.spark, paths, self.output_dir,
+                    date_prefix=date_prefix, schema=schema,
+                )
+                return n, None
+            except Exception:
+                last_err = traceback.format_exc()
+                if attempt < MAX_RETRIES:
+                    time.sleep(delay)
+                    delay *= 2.0
+        return None, last_err

@@ -1,0 +1,78 @@
+"""Metrics time-series profile (SURVEY.md §2.4 A6-A10, §2.5 W1).
+
+The reference's metrics CLI (metrics-app/analyze_metrics.py:15-175) loops
+hour partitions of a DynamoDB table driver-side and computes statistics in
+Python.  Here the whole profile is ONE distributed aggregation pass plus a
+tiny rollup — at 100 TB of metrics the hour loop would never finish; a
+groupBy does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def size_profile(metrics: DataFrame, size_col: str = "size_mb") -> DataFrame:
+    """A6/A7 — mean/median/min/max/stddev + P50/P95/P99 of file sizes."""
+    c = F.col(size_col)
+    return metrics.agg(
+        F.count("*").alias("file_count"),
+        F.round(F.sum(c), 4).alias("total_mb"),
+        F.round(F.avg(c), 4).alias("mean_mb"),
+        F.round(F.expr(f"percentile({size_col}, 0.5)"), 4).alias("median_mb"),
+        F.round(F.min(c), 4).alias("min_mb"),
+        F.round(F.max(c), 4).alias("max_mb"),
+        F.round(F.stddev_samp(c), 4).alias("stddev_mb"),
+        F.round(F.expr(f"percentile({size_col}, 0.95)"), 4).alias("p95_mb"),
+        F.round(F.expr(f"percentile({size_col}, 0.99)"), 4).alias("p99_mb"),
+    )
+
+
+def velocity(metrics: DataFrame, hours_observed: float) -> DataFrame:
+    """A8 — files/hour, files/sec, GB/hour, TB/day projections
+    (analyze_metrics.py:104-106): post-aggregation arithmetic."""
+    agg = metrics.agg(
+        F.count("*").alias("files"),
+        F.sum("size_gb").alias("total_gb"),
+    )
+    h = F.lit(float(hours_observed))
+    return agg.select(
+        F.col("files"),
+        F.round(F.col("files") / h, 2).alias("files_per_hour"),
+        F.round(F.col("files") / h / 3600.0, 4).alias("files_per_sec"),
+        F.round(F.col("total_gb") / h, 4).alias("gb_per_hour"),
+        F.round(F.col("total_gb") / h * 24 / 1024.0, 4).alias("tb_per_day"),
+    )
+
+
+def hourly_breakdown(metrics: DataFrame) -> DataFrame:
+    """A10 — per-date_hour count/volume table (analyze_metrics.py:151-160)."""
+    return (
+        metrics.groupBy("date_hour")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.round(F.sum("size_mb"), 4).alias("volume_mb"),
+        )
+        .orderBy("date_hour")
+    )
+
+
+def peak_hour(metrics: DataFrame) -> DataFrame:
+    """A9/W1 — argmax hour by file count (analyze_metrics.py:109-110).
+
+    max_by keeps it a single aggregation (no window, no second shuffle);
+    ties broken by date_hour for determinism.
+    """
+    per_hour = metrics.groupBy("date_hour").agg(
+        F.count("*").alias("file_count"),
+        F.round(F.sum("size_mb"), 4).alias("volume_mb"),
+    )
+    return per_hour.agg(
+        F.expr(
+            "max_by(named_struct("
+            "'date_hour', date_hour, 'file_count', file_count, "
+            "'volume_mb', volume_mb), "
+            "named_struct('c', file_count, 'h', date_hour))"
+        ).alias("peak")
+    ).select("peak.*")

@@ -1,0 +1,1112 @@
+"""Query registry: every SURVEY.md §2 operator as a named (Spark, oracle) pair.
+
+``QUERIES[name](spark, sf_dir) -> DataFrame`` is the engine's implementation;
+``ORACLES[name]`` is equivalent ANSI SQL for DuckDB over the same parquet
+tables (views: region nation customer supplier part orders lineitem events
+documents embeddings).  Conventions that make hash-comparison stable:
+
+- every aggregate/computed column is aliased identically on both sides
+- every floating-point output is ``round(x, n)`` on both sides
+- every LIMIT has a fully deterministic ORDER BY (ties broken by a key)
+- counts are BIGINT on both sides (DuckDB HUGEINT sums are cast down)
+- md5-derived integers use the low-60-bit hex slice, portable to any
+  engine: Spark ``conv(substr(md5(x),18,15),16,10)`` ≡ DuckDB
+  ``('0x'||substr(md5(x),18,15))::BIGINT``
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from high_throughput_etl_pipeline_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    md5_64,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from high_throughput_etl_pipeline_spark.operators.multimodal import (
+    extract_features,
+    make_media_table,
+)
+from high_throughput_etl_pipeline_spark.operators.similarity import (
+    _dot,
+    embedding_near_duplicates,
+    hyperplanes,
+    ivf_topk,
+)
+from high_throughput_etl_pipeline_spark.operators.text import (
+    BPE_PIECE_RE,
+    LANG_STOPWORDS,
+    detect_language,
+    fingerprint,
+    quality_features,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+        # type for.  Read nanos as long, truncate to micros (exactly what
+        # DuckDB does), interpret in UTC.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-§2.5): aggregations, joins, windows, sorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2)                                   AS sum_qty,
+           round(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                       AS sum_charge,
+           round(AVG(l_quantity), 4)                                   AS avg_qty,
+           round(AVG(l_extendedprice), 4)                              AS avg_price,
+           round(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 grouped rollup — the flagship scan+agg (map-side combine,
+    4-group output; shuffle is 4 rows per partition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-joins + grouped agg + deterministic top-k (O1/O3).
+    customer is the small side → broadcast."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            li.l_orderkey.alias("o_orderkey"),
+            F.date_format(o.o_orderdate, "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join: facts shuffle-join on keys, all dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "events_daily_rollup",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           COUNT(*)                 AS events,
+           round(SUM(value), 4)     AS total_value,
+           COUNT(DISTINCT user_id)  AS unique_users
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    ORDER BY date
+    """,
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — the Athena daily-summary shape (Athena.sql:114-123) on events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"))
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .orderBy("date")
+    )
+
+
+@query(
+    "events_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                          AS n,
+           round(AVG(value), 4)              AS avg_value,
+           round(MIN(value), 4)              AS min_value,
+           round(MAX(value), 4)              AS max_value,
+           round(stddev_samp(value), 4)      AS stddev_value,
+           round(quantile_cont(value, 0.5), 4) AS median_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A6 — statistical profile per group (analyze_metrics.py:86-94)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_percentiles",
+    oracle="""
+    SELECT round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    """,
+)
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — P50/P95/P99 (analyze_metrics.py:97-100); exact interpolated
+    percentile so the oracle matches bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "events_peak_hour",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS date_hour,
+           COUNT(*) AS file_count,
+           round(SUM(value), 4) AS volume
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d-%H')
+    ORDER BY file_count DESC, date_hour
+    LIMIT 1
+    """,
+)
+def events_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W1 — argmax hour (analyze_metrics.py:109-110)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("date_hour"))
+        .agg(
+            F.count("*").alias("file_count"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .orderBy(F.desc("file_count"), "date_hour")
+        .limit(1)
+    )
+
+
+@query(
+    "events_hourly_breakdown",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS date_hour,
+           COUNT(*) AS file_count,
+           round(SUM(value), 4) AS volume
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d-%H')
+    ORDER BY date_hour
+    """,
+)
+def events_hourly_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — per-hour breakdown table (analyze_metrics.py:151-160)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("date_hour"))
+        .agg(
+            F.count("*").alias("file_count"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .orderBy("date_hour")
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(*) AS order_count,
+           round(SUM(o.o_totalprice), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + O1/O3 — grouped join + deterministic top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "distinct_event_types",
+    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O2 — sorted distinct key set (builder.py:867-920)."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct().orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "orders_batching",
+    oracle="""
+    WITH numbered AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT CAST(floor((rn - 1) / 100.0) AS BIGINT) AS batch_id,
+           COUNT(*) AS file_count,
+           MIN(o_orderkey) AS first_key,
+           MAX(o_orderkey) AS last_key
+    FROM numbered
+    GROUP BY 1
+    ORDER BY batch_id
+    """,
+)
+def orders_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — fixed-size chunked batching as a window op
+    (builder.py:1029-1070 driver loop → row_number/floor)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_id", F.floor((F.col("rn") - 1) / 100.0))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+@query(
+    "status_shard_roundtrip",
+    oracle="""
+    WITH sharded AS (
+        SELECT c_name,
+               ('0x' || substr(md5(c_name), 18, 15))::BIGINT % 10 AS shard_id
+        FROM customer
+    ), tagged AS (
+        SELECT c_name, shard_id,
+               'pending#' || shard_id AS status
+        FROM sharded
+    )
+    SELECT split_part(status, '#', 1) AS status_base,
+           CAST(split_part(status, '#', 2) AS INT) AS shard_back,
+           COUNT(*) AS n
+    FROM tagged
+    GROUP BY 1, 2
+    ORDER BY status_base, shard_back
+    """,
+)
+def status_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8 — md5 write-shard + `status#shard` build/split round trip
+    (builder.py:97-121); the skew-spreading pattern as columns."""
+    c = _t(spark, sf_dir, "customer")
+    shard = F.pmod(md5_64(F.col("c_name")), F.lit(10))
+    tagged = c.withColumn(
+        "status", F.concat_ws("#", F.lit("pending"), shard.cast("string"))
+    )
+    return (
+        tagged.select(
+            F.substring_index("status", "#", 1).alias("status_base"),
+            F.substring_index("status", "#", -1).cast("int").alias("shard_back"),
+        )
+        .groupBy("status_base", "shard_back")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status_base", "shard_back")
+    )
+
+
+@query(
+    "file_date_extraction",
+    oracle="""
+    WITH keys AS (
+        SELECT 'pipeline/input/' || strftime(ts, '%Y-%m-%d') || '-evt'
+               || event_id || '.ndjson' AS file_key
+        FROM events
+    )
+    SELECT regexp_extract(file_key, '(\\d{4}-\\d{2}-\\d{2})', 1) AS date_prefix,
+           COUNT(*) AS n
+    FROM keys
+    GROUP BY 1
+    ORDER BY date_prefix
+    """,
+)
+def file_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — YYYY-MM-DD extraction from file keys (builder.py:596-618)."""
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select(
+        F.concat(
+            F.lit("pipeline/input/"),
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.lit("-evt"),
+            F.col("event_id").cast("string"),
+            F.lit(".ndjson"),
+        ).alias("file_key")
+    )
+    return (
+        keys.select(
+            F.regexp_extract("file_key", r"(\d{4}-\d{2}-\d{2})", 1).alias(
+                "date_prefix"
+            )
+        )
+        .groupBy("date_prefix")
+        .agg(F.count("*").alias("n"))
+        .orderBy("date_prefix")
+    )
+
+
+@query(
+    "events_unit_metrics",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           CAST(strftime(ts, '%Y') AS INT) AS year,
+           CAST(strftime(ts, '%m') AS INT) AS month,
+           CAST(strftime(ts, '%d') AS INT) AS day,
+           SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_bytes,
+           round(SUM(CAST(floor(value * 1000000) AS BIGINT)) / (1024.0 * 1024.0), 4)
+               AS sum_mb,
+           round(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                 / (1024.0 * 1024.0 * 1024.0), 6) AS sum_gb
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    ORDER BY date
+    """,
+)
+def events_unit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9-P11 — bytes→MB/GB conversions + date components
+    (metrics_collector_lambda.py:47-71)."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("value") * 1000000).cast("bigint")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            b.alias("bytes"),
+        )
+        .groupBy("date", "year", "month", "day")
+        .agg(
+            F.sum("bytes").alias("sum_bytes"),
+            F.round(F.sum("bytes") / (1024.0 * 1024.0), 4).alias("sum_mb"),
+            F.round(F.sum("bytes") / (1024.0 * 1024.0 * 1024.0), 6).alias(
+                "sum_gb"
+            ),
+        )
+        .orderBy("date")
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — left-anti join (the idempotent-insert pattern,
+    builder.py:645-653)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "machinery_customer_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'MACHINERY'
+    )
+    ORDER BY o.o_orderkey
+    LIMIT 50
+    """,
+)
+def machinery_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — key-lookup semi-join (batch_status_updater.py:120-159)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "doc_word_counts",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def doc_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — explode + aggregate (the CROSS JOIN UNNEST shape,
+    Athena.sql:174-176)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "validation_split",
+    oracle="""
+    WITH files AS (
+        SELECT 'input/' || strftime(ts, '%Y-%m-%d') || '-' || event_id
+               || (CASE WHEN event_id % 19 = 0 THEN '.json' ELSE '.ndjson' END)
+               AS file_path,
+               value / 10.0 AS file_size_mb
+        FROM events
+    )
+    SELECT CASE
+             WHEN file_path NOT LIKE '%.ndjson' THEN 'invalid_extension'
+             WHEN file_size_mb NOT BETWEEN 1.75 AND 5.25 THEN 'size_out_of_range'
+             ELSE 'valid'
+           END AS verdict,
+           COUNT(*) AS n
+    FROM files
+    GROUP BY 1
+    ORDER BY verdict
+    """,
+)
+def validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/S8 — extension + size-window validation with quarantine
+    reasons (builder.py:542-567), as one grouped projection."""
+    ev = _t(spark, sf_dir, "events")
+    files = ev.select(
+        F.concat(
+            F.lit("input/"),
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.lit("-"),
+            F.col("event_id").cast("string"),
+            F.when(F.col("event_id") % 19 == 0, F.lit(".json")).otherwise(
+                F.lit(".ndjson")
+            ),
+        ).alias("file_path"),
+        (F.col("value") / 10.0).alias("file_size_mb"),
+    )
+    verdict = (
+        F.when(~F.col("file_path").endswith(".ndjson"), "invalid_extension")
+        .when(
+            ~F.col("file_size_mb").between(1.75, 5.25), "size_out_of_range"
+        )
+        .otherwise("valid")
+    )
+    return (
+        files.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n"))
+        .orderBy("verdict")
+    )
+
+
+@query(
+    "nation_all_string",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+           CAST(n_name AS VARCHAR)      AS n_name,
+           CAST(n_regionkey AS VARCHAR) AS n_regionkey
+    FROM nation
+    ORDER BY CAST(n_nationkey AS INT)
+    """,
+)
+def nation_all_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — the cast-all-to-string storage semantic
+    (glue_batch_job.py:161-168) on a whole table."""
+    from high_throughput_etl_pipeline_spark.functions.scalar import (
+        cast_all_to_string,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    return cast_all_to_string(n).orderBy(F.col("n_nationkey").cast("int"))
+
+
+@query(
+    "metrics_size_profile",
+    oracle="""
+    SELECT COUNT(*)                                  AS file_count,
+           round(SUM(value), 4)                      AS total_mb,
+           round(AVG(value), 4)                      AS mean_mb,
+           round(quantile_cont(value, 0.5), 4)       AS median_mb,
+           round(MIN(value), 4)                      AS min_mb,
+           round(MAX(value), 4)                      AS max_mb,
+           round(stddev_samp(value), 4)              AS stddev_mb,
+           round(quantile_cont(value, 0.95), 4)      AS p95_mb,
+           round(quantile_cont(value, 0.99), 4)      AS p99_mb
+    FROM events
+    """,
+)
+def metrics_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 — the full metrics statistical profile
+    (analyze_metrics.py:86-100) in ONE aggregation pass."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import size_profile
+
+    ev = _t(spark, sf_dir, "events").withColumn("size_mb", F.col("value"))
+    return size_profile(ev, "size_mb")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS docs,
+           SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+           SUM(len(regexp_extract_all(text, '{BPE_PIECE_RE}'))) AS total_bpe_pieces,
+           round(AVG(length(text)), 4) AS avg_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias(
+                "total_tokens"
+            ),
+            F.sum(F.regexp_count("text", F.lit(BPE_PIECE_RE))).alias(
+                "total_bpe_pieces"
+            ),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = "|".join(LANG_STOPWORDS[lang])
+    return f"len(regexp_extract_all(lower(text), '\\b({words})\\b'))"
+
+
+@query(
+    "text_lang_detect",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS labeled_lang,
+               {_lang_hits_sql("en")} AS s_en,
+               {_lang_hits_sql("de")} AS s_de,
+               {_lang_hits_sql("fr")} AS s_fr,
+               {_lang_hits_sql("es")} AS s_es
+        FROM documents
+    ), best AS (
+        SELECT labeled_lang,
+               CASE
+                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es'
+               END AS predicted_lang
+        FROM scored
+    )
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+    FROM best
+    GROUP BY 1, 2
+    ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def text_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword n-gram hits, deterministic argmax)
+    cross-tabbed against the labeled lang."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            detect_language(F.lower(F.col("text"))).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+@query(
+    "text_quality_by_source",
+    oracle="""
+    WITH feats AS (
+        SELECT source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(len(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1), 4) AS digit_ratio,
+               round(len(regexp_extract_all(lower(text),
+                     '\\b(the|and|of|to|a|in|is|that)\\b'))
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     4) AS stopword_ratio
+        FROM documents
+    ), scored AS (
+        SELECT source,
+               round(0.25 * least(n_tokens / 100.0, 1.0)
+                   + 0.25 * (1.0 - least(punct_ratio * 5, 1.0))
+                   + 0.25 * (1.0 - least(digit_ratio * 5, 1.0))
+                   + 0.25 * least(stopword_ratio * 4, 1.0), 4) AS quality_score
+        FROM feats
+    )
+    SELECT source,
+           round(AVG(quality_score), 4) AS avg_quality,
+           CAST(SUM(CASE WHEN quality_score < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_quality_docs
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/digit/stopword features → bounded
+    score; the cheap-filter stage ahead of dedup/training."""
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(d)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(
+                F.when(F.col("quality_score") < 0.35, 1).otherwise(0)
+            ).cast("bigint").alias("low_quality_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT COUNT(*) AS docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+               AS distinct_fingerprints
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over casefolded, space-collapsed text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("docs"),
+        F.countDistinct(fingerprint(F.col("text"))).alias(
+            "distinct_fingerprints"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (training-data operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           COUNT(*) AS dup_count,
+           MIN(doc_id) AS keep_id
+    FROM fp
+    GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on the 16-byte fingerprint —
+    shuffle key is constant-size regardless of document size."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        exact_duplicates(d)
+        .select("fingerprint", "dup_count", "keep_id")
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               CAST(floor(n_chars / 64.0) AS BIGINT) AS len_bucket,
+               list_distinct([
+                   array_to_string(words[i:i+1], ' ')
+                   for i in range(1, len(words))
+               ]) AS shingles
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   string_split_regex(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ') AS words
+            FROM documents
+        )
+        WHERE len(words) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles))
+                 / greatest(len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles, b.shingles)), 1),
+                 4) AS jaccard
+    FROM docs a
+    JOIN docs b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shingles, b.shingles))
+                / greatest(len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles)), 1),
+                4) >= 0.05
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, blocked by (lang, length-bucket) so
+    the pair count is bounded (never all-pairs)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 64.0)
+    )
+    return jaccard_pairs(
+        d,
+        block_cols=["lang", "len_bucket"],
+        shingle_n=2,
+        threshold=0.05,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, v.vec_id,
+               round(list_dot_product(v.ev, q.qv)
+                     / (sqrt(list_dot_product(v.ev, v.ev))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM v CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, one pass over vectors,
+    per-query window top-k.  Ties broken by vec_id; cosine rounded 6 dp."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    dot = _dot(F.col("embedding"), F.col("qv"))
+    na = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    nb = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(dot / (na * nb), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _planes_sql_literal() -> list[str]:
+    planes = hyperplanes(64, 8, seed=42)
+    return ["[" + ", ".join(f"{x!r}" for x in p) + "]" for p in planes]
+
+
+def _embedding_neardup_oracle() -> str:
+    planes = _planes_sql_literal()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev,
+               {bucket_terms} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.ev, b.ev)
+                 / (sqrt(list_dot_product(a.ev, a.ev))
+                    * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.ev, b.ev)
+                / (sqrt(list_dot_product(a.ev, a.ev))
+                   * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@query("embedding_near_dup", oracle=_embedding_neardup_oracle())
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH self-join;
+    deterministic hyperplanes → reproducible, oracle-checkable plan."""
+    e = _t(spark, sf_dir, "embeddings")
+    planes = hyperplanes(64, 8, seed=42)
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        lsh_bucket,
+    )
+
+    v = e.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    a = v.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id_a"),
+        F.col("ev").alias("ea"),
+    )
+    b = v.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id_b"),
+        F.col("ev").alias("eb"),
+    )
+    dot = _dot(F.col("ea"), F.col("eb"))
+    na = F.sqrt(_dot(F.col("ea"), F.col("ea")))
+    nb = F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check; no oracle entry)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (banded signatures)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.25
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 6 within prefix blocks)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        d, n_bits=32, max_hamming=6, prefix_bits=6
+    ).orderBy("id_a", "id_b")
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means coarse quantizer, nprobe=4)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=5, nlist=8, nprobe=4).orderBy("query_id", "rank")
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: media table → Arrow-batched feature
+    extraction (deterministic fake decoder; real decoder is a drop-in)."""
+    d = _t(spark, sf_dir, "documents")
+    media = make_media_table(d)
+    feats = extract_features(media, feat_dim=8, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "feat_dim",
+        "decode_ok",
+        F.round(
+            F.aggregate(
+                "features",
+                F.lit(0.0).cast("double"),
+                lambda a, x: a + x.cast("double"),
+            ),
+            6,
+        ).alias("feat_sum"),
+    ).orderBy("media_id")
