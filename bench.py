@@ -1,0 +1,120 @@
+"""Benchmark harness: headline queries + NDJSON→Parquet ingest throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline suite.  The ingest
+entry mirrors the reference's core job (NDJSON→all-string Parquet,
+BASELINE.md single-worker rows) so round-over-round numbers are
+comparable to the published baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from high_throughput_etl_pipeline_spark.queries import QUERIES
+from high_throughput_etl_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "events_daily_rollup",
+    "events_type_stats",
+    "events_hourly_breakdown",
+    "metrics_size_profile",
+    "top_customers_by_revenue",
+    "doc_word_counts",
+    "text_quality_by_source",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "knn_bruteforce",
+    "embedding_near_dup",
+]
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_ingest(spark, work: str) -> tuple[float, int]:
+    """NDJSON→all-string-Parquet wall clock (the reference's core job).
+
+    Exports events to NDJSON once (not timed), then times
+    read.json → metadata cols → cast-all-string → parquet write.
+    """
+    from high_throughput_etl_pipeline_spark.ingest import process_manifest
+    from high_throughput_etl_pipeline_spark.queries import _t
+
+    nd_dir = os.path.join(work, "ndjson")
+    (_t(spark, SF_DIR, "events").coalesce(8).write.mode("overwrite").json(nd_dir))
+    paths = [
+        os.path.join(nd_dir, f)
+        for f in os.listdir(nd_dir)
+        if f.endswith(".json")
+    ]
+    out = os.path.join(work, "ingest_out")
+    t0 = time.time()
+    n = process_manifest(spark, paths, out, date_prefix="2024-01-01")
+    return time.time() - t0, n
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once with a trivial action (not timed per-query)
+    spark.range(1000).count()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        n = QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    work = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        ingest_sec, ingest_rows = bench_ingest(spark, work)
+        timings["ingest_ndjson_to_parquet"] = round(ingest_sec, 3)
+        print(
+            f"# ingest_ndjson_to_parquet: {ingest_sec:.3f}s ({ingest_rows} rows)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -81,28 +81,22 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # -- MinHash + LSH --------------------------------------------------------
 
 
-def minhash_signature(col, num_hashes: int = 16, shingle_n: int = 3) -> F.Column:
+def minhash_signature(shingles_col, num_hashes: int = 16) -> F.Column:
     """MinHash signature: array of ``num_hashes`` mins over shingle hashes.
 
-    h_i(s) = md5_64(i || ':' || s); min over the shingle set per i.  All
-    higher-order functions — the signature computation is a narrow map.
+    ``shingles_col`` must be a MATERIALIZED array column (a real column via
+    withColumn, not an inline expression) — otherwise Catalyst re-evaluates
+    the whole shingling pipeline once per hash lane.  h_i(s) =
+    xxhash64(i, s): native JVM hash, one pass per lane, no string hex.
     """
-    shingles = word_shingles(col, shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.conv(
-                    F.substring(
-                        F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 18, 15
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        ),
-    )
+    def lane(i: int) -> F.Column:
+        # single-arg lambda (pyspark binds one lambda var per declared
+        # parameter; a default arg would become the array-index variable)
+        return F.array_min(
+            F.transform(shingles_col, lambda s: F.xxhash64(F.lit(i), s))
+        )
+
+    return F.array(*[lane(i) for i in range(num_hashes)])
 
 
 def minhash_near_duplicates(
@@ -126,14 +120,24 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
-    ).filter(F.size("_sig") > 0)
+    sigs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
+        )
+        .filter(F.size("_shingles") > 0)
+        .select(
+            "_id", minhash_signature(F.col("_shingles"), num_hashes).alias("_sig")
+        )
+    )
+    # signatures are tiny (num_hashes longs/doc) but the band self-join can
+    # explode quadratically inside hot buckets — keep band rows NARROW
+    # (id + band key only) and attach signatures back by id AFTER the pair
+    # dedup, so the wide arrays never ride through the quadratic shuffle.
+    sigs = sigs.persist()
 
     banded = sigs.select(
         "_id",
-        "_sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -151,21 +155,28 @@ def minhash_near_duplicates(
                 ),
             )
         ).alias("band"),
-    ).select("_id", "_sig", "band.band_id", "band.band_hash")
+    ).select("_id", "band.band_id", "band.band_hash")
 
     left = banded.select(
-        F.col("band_id"), F.col("band_hash"),
-        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
+        "band_id", "band_hash", F.col("_id").alias("id_a")
     )
     right = banded.select(
-        F.col("band_id"), F.col("band_hash"),
-        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"),
+        "band_id", "band_hash", F.col("_id").alias("id_b")
     )
     pairs = (
         left.join(right, on=["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        pairs.join(
+            sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")),
+            on="id_a",
+        ).join(
+            sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")),
+            on="id_b",
+        )
     )
     agree = F.size(
         F.filter(
@@ -193,8 +204,7 @@ def simhash64(col, n_bits: int = 32) -> F.Column:
     over tokens per bit — still a narrow projection per document.
     """
     toks = F.split(_norm(col), " ")
-    hashes = F.transform(toks, lambda t: F.conv(
-        F.substring(F.md5(t), 18, 15), 16, 10).cast("bigint"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # bit positions are plan-time constants: unroll the loop in Python so
     # shift amounts stay literals (required by shiftright/shiftleft).
     # NB: the merge lambda must take exactly (acc, h) — pyspark binds a
@@ -211,8 +221,10 @@ def simhash64(col, n_bits: int = 32) -> F.Column:
         )
 
     out = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
     for j in range(n_bits):
-        out = out + F.when(vote_at(j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+        # shiftleft, not a python literal: 1 << 63 overflows signed long
+        out = out + F.when(vote_at(j) > 0, F.shiftleft(one, j)).otherwise(
             F.lit(0).cast("bigint")
         )
     return out

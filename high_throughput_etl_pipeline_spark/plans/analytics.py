@@ -78,15 +78,18 @@ ORDER BY job_info.start_time DESC
 CORRELATION = """
 SELECT l.report_id                                  AS lambda_report_id,
        g.report_id                                  AS glue_report_id,
-       t.manifest_path                              AS manifest_path,
+       l.manifest_path                              AS manifest_path,
        l.execution_metrics.start_time               AS lambda_start,
        g.job_info.start_time                        AS glue_start,
        g.processing_summary.records_processed       AS records_processed,
        g.processing_summary.status                  AS glue_status
-FROM lambda_reports l
-LATERAL VIEW explode(l.manifests) t AS manifest_path
+FROM (
+    SELECT lr.*, t.manifest_path
+    FROM lambda_reports lr
+    LATERAL VIEW explode(lr.manifests) t AS manifest_path
+) l
 JOIN glue_reports g
-  ON g.processing_summary.manifest_processed = t.manifest_path
+  ON g.processing_summary.manifest_processed = l.manifest_path
 ORDER BY lambda_start DESC
 """
 

@@ -1072,10 +1072,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 6 within prefix blocks)."""
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 3, 12-bit prefix block)."""
     d = _t(spark, sf_dir, "documents")
     return simhash_near_duplicates(
-        d, n_bits=32, max_hamming=6, prefix_bits=6
+        d, n_bits=64, max_hamming=3, prefix_bits=12
     ).orderBy("id_a", "id_b")
 
 

