@@ -1110,3 +1110,392 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("feat_sum"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 2: P6/P13/P17, A8, U1, O2, W1, and an oracle-checkable
+# md5-based MinHash (the fast xxhash64 variant stays for bench; this one
+# proves LSH correctness value-for-value against DuckDB)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s3_path_parse",
+    oracle="""
+    WITH uris AS (
+        SELECT 's3://bucket-' || (o_orderkey % 4) || '/input/'
+               || strftime(o_orderdate, '%Y-%m-%d') || '/order-' || o_orderkey
+               || '.ndjson' AS uri
+        FROM orders
+    ), parsed AS (
+        SELECT split_part(replace(uri, 's3://', ''), '/', 1) AS bucket,
+               regexp_replace(replace(uri, 's3://', ''), '^[^/]+/', '') AS key,
+               split_part(uri, '/', -1) AS file_name
+        FROM uris
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(file_name) AS first_file,
+           MIN(key) AS first_key
+    FROM parsed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def s3_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — s3://bucket/key parse + filename extraction
+    (glue_batch_job.py:211-215, builder.py:996-1004)."""
+    from high_throughput_etl_pipeline_spark.functions.scalar import (
+        file_name_of,
+        parse_s3_path,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    uris = o.select(
+        F.concat(
+            F.lit("s3://bucket-"),
+            (F.col("o_orderkey") % 4).cast("string"),
+            F.lit("/input/"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit("/order-"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(".ndjson"),
+        ).alias("uri")
+    )
+    bucket, key = parse_s3_path(F.col("uri"))
+    parsed = uris.select(
+        bucket.alias("bucket"),
+        key.alias("key"),
+        file_name_of(F.col("uri")).alias("file_name"),
+    )
+    return (
+        parsed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("file_name").alias("first_file"),
+            F.min("key").alias("first_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "events_props_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           round(AVG(CAST(props->>'k' AS INT)), 4) AS avg_k,
+           MIN(CAST(props->>'k' AS INT)) AS min_k,
+           MAX(CAST(props->>'k' AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 analog — JSON field access on a string column (the engine's
+    NDJSON heritage: get_json_object stays JVM-side)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "derive_run_status",
+    oracle="""
+    WITH runs AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS date,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS errors_count,
+               CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS processed_count
+        FROM events
+        GROUP BY strftime(ts, '%Y-%m-%d')
+    )
+    SELECT date, errors_count, processed_count,
+           CASE WHEN errors_count = 0 THEN 'success'
+                WHEN processed_count > 0 THEN 'partial_success'
+                ELSE 'failed' END AS status
+    FROM runs
+    ORDER BY date
+    """,
+)
+def derive_run_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 — success/partial_success/failed derivation (builder.py:316)."""
+    from high_throughput_etl_pipeline_spark.functions.scalar import derive_status
+
+    ev = _t(spark, sf_dir, "events")
+    runs = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errors_count"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("processed_count"),
+    )
+    return runs.select(
+        "date",
+        "errors_count",
+        "processed_count",
+        derive_status(F.col("errors_count"), F.col("processed_count")).alias(
+            "status"
+        ),
+    ).orderBy("date")
+
+
+@query(
+    "ingest_velocity",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS files, SUM(value) / 1024.0 AS total_gb
+        FROM events
+    )
+    SELECT files,
+           round(files / 720.0, 2) AS files_per_hour,
+           round(files / 720.0 / 3600.0, 4) AS files_per_sec,
+           round(total_gb / 720.0, 4) AS gb_per_hour,
+           round(total_gb / 720.0 * 24 / 1024.0, 4) AS tb_per_day
+    FROM agg
+    """,
+)
+def ingest_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — files/hour, GB/hour, TB/day projections
+    (analyze_metrics.py:104-106); events span 30 days = 720 h."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import velocity
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "size_gb", F.col("value") / 1024.0
+    )
+    return velocity(ev, hours_observed=720.0)
+
+
+@query(
+    "union_report_sources",
+    oracle="""
+    SELECT src, CAST(n AS BIGINT) AS n FROM (
+        SELECT 'orders' AS src, COUNT(*) AS n FROM orders
+        UNION ALL
+        SELECT 'lineitem' AS src, COUNT(*) AS n FROM lineitem
+        UNION ALL
+        SELECT 'events' AS src, COUNT(*) AS n FROM events
+    )
+    ORDER BY src
+    """,
+)
+def union_report_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — multi-source union (the implicit union of a multi-file read,
+    glue_batch_job.py:147-151) as an explicit unionByName."""
+    parts = [
+        _t(spark, sf_dir, "orders").agg(F.count("*").alias("n")).select(
+            F.lit("orders").alias("src"), "n"
+        ),
+        _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n")).select(
+            F.lit("lineitem").alias("src"), "n"
+        ),
+        _t(spark, sf_dir, "events").agg(F.count("*").alias("n")).select(
+            F.lit("events").alias("src"), "n"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("src")
+
+
+@query(
+    "sorted_distinct_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 25
+    """,
+)
+def sorted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3 — sorted distinct key list with limit (builder.py:915)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(25)
+    )
+
+
+@query(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT n_name AS nation, c_custkey, c_acctbal, rnk FROM (
+        SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal,
+               CAST(row_number() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY c.c_acctbal DESC, c.c_custkey
+               ) AS INT) AS rnk
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    WHERE rnk <= 3
+    ORDER BY nation, rnk
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — top-k per group via ranking window (the peak-hour pattern
+    generalized; analyze_metrics.py:110)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("nation", "rnk")
+    )
+
+
+_MINHASH_MD5_ORACLE = """
+WITH docs AS (
+    SELECT doc_id,
+           string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               for i in range(1, len(words) - 1)
+           ]) AS shingles
+    FROM docs
+    WHERE len(words) >= 3
+), sig AS (
+    SELECT doc_id,
+           [list_min([
+               ('0x' || substr(md5(h || ':' || s), 18, 15))::BIGINT
+               for s in shingles
+           ]) for h in range(0, 8)] AS sig
+    FROM sh
+), bands AS (
+    SELECT doc_id, b,
+           md5(array_to_string(
+               [CAST(x AS VARCHAR) for x in sig[b*2+1:b*2+2]], ',')) AS band_hash
+    FROM sig, (SELECT unnest(range(0, 4)) AS b)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+), scored AS (
+    SELECT p.id_a, p.id_b,
+           round(len([i for i in range(1, 9) if sa.sig[i] = sb.sig[i]]) / 8.0,
+                 4) AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, est_jaccard
+FROM scored
+WHERE est_jaccard >= 0.25
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the portable md5 hash family — value-for-value
+    oracle-checkable (8 hashes, 4 bands, 3-gram shingles, threshold 0.25).
+
+    The engine's production variant (dedup_minhash_lsh) uses xxhash64 for
+    ~5x cheaper signatures; this query pins the LSH algebra itself —
+    banding, candidate generation, signature-agreement estimate — against
+    an independent engine.
+    """
+    d = _t(spark, sf_dir, "documents")
+    from high_throughput_etl_pipeline_spark.operators.dedup import word_shingles
+
+    num_hashes, bands, rows_per_band = 8, 4, 2
+    sh = d.select(
+        F.col("doc_id").alias("_id"),
+        word_shingles(F.col("text"), 3).alias("_shingles"),
+    ).filter(F.size("_shingles") > 0)
+
+    def lane(i: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("_shingles"),
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(i)), F.lit(":"), s)), 18, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        )
+
+    sigs = sh.select(
+        "_id", F.array(*[lane(i) for i in range(num_hashes)]).alias("_sig")
+    ).persist()
+
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("_sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_hash")
+
+    pairs = (
+        banded.select("band_id", "band_hash", F.col("_id").alias("id_a"))
+        .join(
+            banded.select("band_id", "band_hash", F.col("_id").alias("id_b")),
+            on=["band_id", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")),
+            on="id_a",
+        )
+        .join(
+            sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")),
+            on="id_b",
+        )
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    )
+    return (
+        pairs.withColumn(
+            "est_jaccard", F.round((agree / F.lit(8.0)).cast("double"), 4)
+        )
+        .filter(F.col("est_jaccard") >= 0.25)
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,65 @@
+"""Structured Streaming ingest tests (ST1-ST6): availableNow drain,
+all-string output, event-time dating, exactly-once restart."""
+
+from __future__ import annotations
+
+import json
+
+from high_throughput_etl_pipeline_spark.streaming import start_ingest_stream
+
+SCHEMA = "id BIGINT, kind STRING"
+
+
+def _write_files(d, n_files=6, rows=30):
+    for i in range(n_files):
+        date = "2026-08-11" if i % 2 else "2026-08-12"
+        with open(d / f"{date}-s{i:02d}.ndjson", "w") as f:
+            for j in range(rows):
+                f.write(json.dumps({"id": i * 1000 + j, "kind": "k"}) + "\n")
+
+
+def test_stream_drain_and_exactly_once(spark, tmp_path):
+    ind = tmp_path / "in"
+    ind.mkdir()
+    _write_files(ind)
+    out, ckpt, state = (
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), str(tmp_path / "state")
+    )
+    q = start_ingest_stream(
+        spark, str(ind), out, ckpt, schema=SCHEMA, state_path=state,
+        max_files_per_trigger=4, available_now=True,
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == 6 * 30
+    assert {str(r[0]) for r in df.select("_date").distinct().collect()} == {
+        "2026-08-11", "2026-08-12",
+    }
+    # all data columns string
+    assert all(
+        f.dataType.simpleString() == "string"
+        for f in df.schema.fields
+        if f.name != "_date"
+    )
+    # restart on same checkpoint: no duplicates
+    q2 = start_ingest_stream(
+        spark, str(ind), out, ckpt, schema=SCHEMA, state_path=state,
+        max_files_per_trigger=4, available_now=True,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 6 * 30
+
+    # late file arrives → only the new file is processed
+    with open(ind / "2026-08-10-late.ndjson", "w") as f:
+        for j in range(10):
+            f.write(json.dumps({"id": 9000 + j, "kind": "late"}) + "\n")
+    q3 = start_ingest_stream(
+        spark, str(ind), out, ckpt, schema=SCHEMA, state_path=state,
+        max_files_per_trigger=4, available_now=True,
+    )
+    q3.awaitTermination(60)
+    df = spark.read.parquet(out)
+    assert df.count() == 6 * 30 + 10
+    assert {str(r[0]) for r in df.select("_date").distinct().collect()} == {
+        "2026-08-10", "2026-08-11", "2026-08-12",
+    }
