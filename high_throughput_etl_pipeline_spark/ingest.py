@@ -47,6 +47,7 @@ def process_manifest(
     output_dir: str,
     date_prefix: str | None = None,
     schema=None,
+    compact: bool = False,
 ) -> int:
     """Run one manifest end-to-end; returns records written.
 
@@ -59,6 +60,12 @@ def process_manifest(
         manifest if isinstance(manifest, list) else resolve_manifest(manifest)
     )
     raw = read_ndjson(spark, paths, schema=schema)
+    # estimate row size from a plain copy FIRST: the sampling action would
+    # otherwise consume the observation below and report a partial count
+    from high_throughput_etl_pipeline_spark.sources.parquet_sink import (
+        estimate_avg_row_bytes,
+    )
+    avg_row = estimate_avg_row_bytes(transform(raw))
     obs = Observation("ingest")
     shaped = transform(raw).observe(obs, F.count(F.lit(1)).alias("rows"))
     if date_prefix is None:
@@ -71,5 +78,8 @@ def process_manifest(
         )
     else:
         shaped = shaped.withColumn("_date", F.lit(date_prefix))
-    write_date_partitioned_parquet(shaped, output_dir, date_col="_date")
+    write_date_partitioned_parquet(
+        shaped, output_dir, date_col="_date",
+        avg_row_bytes=avg_row, compact=compact,
+    )
     return int(obs.get["rows"])

@@ -3,10 +3,16 @@
 The reference wrote `merged-parquet-{date}` dirs with a hand-rolled
 ``coalesce(max(records/1024/128, 1))`` that mistakes record count for KB
 (glue_batch_job.py:186-191; bug documented in the reference's own
-PARQUET-SIZE-AND-TIMING-ANALYSIS.md:56-74).  This sink fixes that with a
-sampled-bytes estimator + ``spark.sql.files.maxRecordsPerFile`` so Spark
-enforces the target per task — no driver-side coalesce that would
-serialize the write through few tasks at 100 TB.
+PARQUET-SIZE-AND-TIMING-ANALYSIS.md:56-74) — and a coalesce that early
+also collapses PARSE parallelism, since the narrow plan runs read→write
+in one stage.  This sink does it Spark-natively:
+
+- default (fast path): no shuffle; ``maxRecordsPerFile`` caps monster
+  files; small files are possible when upstream parallelism is high.
+- ``compact=True``: an AQE ``rebalance`` hint inserts an adaptive shuffle
+  sized by ``advisoryPartitionSizeInBytes`` — parse stays fully parallel
+  (unlike coalesce) and output lands near the target size.  Worth the
+  shuffle when downstream read amplification matters (the 100 TB case).
 """
 
 from __future__ import annotations
@@ -16,14 +22,17 @@ from pyspark.sql import functions as F
 
 TARGET_FILE_MB = 128
 # NDJSON→snappy-parquet compression observed 5-7x in the reference
-# (PARQUET-SIZE-AND-TIMING-ANALYSIS.md:39-52); we estimate bytes from the
-# JSON rendering of sampled rows and assume the mid ratio.
-_ASSUMED_COMPRESSION = 6.0
+# (PARQUET-SIZE-AND-TIMING-ANALYSIS.md:39-52); all-string output lands
+# nearer 3-4x, so we assume the low end when sizing records per file.
+_ASSUMED_COMPRESSION = 4.0
 _SAMPLE_ROWS = 1_000
 
 
 def estimate_avg_row_bytes(df: DataFrame, sample_rows: int = _SAMPLE_ROWS) -> float:
-    """Average serialized row size from a bounded sample (never full scan)."""
+    """Average serialized row size from a bounded sample (never a full
+    scan).  NOTE: this runs an action — callers using ``observe()`` on the
+    same plan must estimate from a plain copy BEFORE attaching the
+    observation, or the sample action consumes the metric."""
     sampled = (
         df.limit(sample_rows)
         .select(F.length(F.to_json(F.struct(*df.columns))).alias("sz"))
@@ -40,6 +49,8 @@ def write_date_partitioned_parquet(
     date_col: str | None = None,
     target_file_mb: int = TARGET_FILE_MB,
     mode: str = "append",
+    avg_row_bytes: float | None = None,
+    compact: bool = False,
 ) -> None:
     """Write Snappy parquet, ~target_file_mb files.
 
@@ -47,9 +58,21 @@ def write_date_partitioned_parquet(
     partition pruning for free (improves on the reference's bare
     `merged-parquet-YYYY-MM-DD` dir naming, glue_batch_job.py:170-178).
     """
-    avg_row = estimate_avg_row_bytes(df)
+    if avg_row_bytes is None:
+        avg_row_bytes = estimate_avg_row_bytes(df)
     target_bytes = target_file_mb * 1024 * 1024
-    max_records = max(int(target_bytes * _ASSUMED_COMPRESSION / avg_row), 1_000)
+    max_records = max(
+        int(target_bytes * _ASSUMED_COMPRESSION / avg_row_bytes), 1_000
+    )
+    if compact:
+        spark = df.sparkSession
+        # advisory size is in shuffle-bytes domain; scale by the assumed
+        # parquet compression so output files land near the target
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(int(target_bytes * _ASSUMED_COMPRESSION / 2)),
+        )
+        df = df.hint("rebalance", date_col) if date_col else df.hint("rebalance")
     writer = (
         df.write.mode(mode)
         .option("compression", "snappy")
