@@ -31,19 +31,53 @@ def resolve_manifest(manifest: dict | str) -> list[str]:
     return paths
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def read_ndjson(
     spark: SparkSession,
     paths: list[str] | str,
     schema=None,
     sampling_ratio: float | None = None,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """S1 — N NDJSON files → one DataFrame (glue_batch_job.py:147-159).
 
     multiLine=False: one JSON object per line, splittable, parallel parse.
+    ``keep_corrupt=True`` (requires an explicit schema) adds a
+    ``_corrupt_record`` column holding unparseable lines — the row-level
+    analog of the reference's file-level quarantine: callers filter it
+    into a quarantine sink instead of failing the batch.
     """
     reader = spark.read
     if schema is not None:
+        if keep_corrupt:
+            schema = f"{schema}, {CORRUPT_COL} STRING" if isinstance(
+                schema, str
+            ) else schema.add(CORRUPT_COL, "string")
+            reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
         reader = reader.schema(schema)
     elif sampling_ratio is not None:
         reader = reader.option("samplingRatio", str(sampling_ratio))
     return reader.json(paths, multiLine=False)
+
+
+def split_corrupt(df: DataFrame):
+    """(good_rows, corrupt_rows) from a keep_corrupt read.
+
+    Caches the parsed frame: Spark refuses a query that reads ONLY the
+    corrupt column from a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    and both branches scan once this way anyway.
+    """
+    from pyspark.sql import functions as F
+
+    # input_file_name() must be captured before the cache boundary —
+    # cached rows have no file context
+    df = df.withColumn("_source_file", F.input_file_name()).cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(
+        CORRUPT_COL, "_source_file"
+    )
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        CORRUPT_COL, "_source_file"
+    )
+    return good, bad

@@ -87,3 +87,29 @@ def test_transform_single_pass_plan(spark, ndjson_dir):
     shaped = transform(read_ndjson(spark, paths))
     plan = shaped._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" not in plan
+
+
+def test_corrupt_record_routing(spark, tmp_path):
+    """Row-level quarantine: malformed lines land in _corrupt_record
+    instead of failing the batch (the reference could only quarantine
+    whole files)."""
+    from high_throughput_etl_pipeline_spark.sources.ndjson import (
+        read_ndjson,
+        split_corrupt,
+    )
+
+    p = tmp_path / "2026-08-12-mixed.ndjson"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": 3, "v":\n'
+    )
+    df = read_ndjson(
+        spark, [str(p)], schema="id BIGINT, v STRING", keep_corrupt=True
+    )
+    good, bad = split_corrupt(df)
+    assert good.count() == 2
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 2
+    assert all(r["_source_file"].endswith(".ndjson") for r in bad.collect())
