@@ -1499,3 +1499,57 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "est_jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ), ids AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM ids
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), batch mode — the
+    oracle for the stateful streaming operator in streaming/sessionize.py.
+    One shuffle on user_id; both window passes share the partitioning."""
+    from high_throughput_etl_pipeline_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_batch(ev, gap_minutes=30.0)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")
