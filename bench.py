@@ -40,9 +40,12 @@ HEADLINE = [
     "text_quality_by_source",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_jaccard_pairs",
     "knn_bruteforce",
     "embedding_near_dup",
+    "user_sessions",
+    "top_customers_per_nation",
 ]
 
 

@@ -195,6 +195,12 @@ def minhash_near_duplicates(
 # -- SimHash ---------------------------------------------------------------
 
 
+def _sql(col) -> str:
+    """SQL text of a column reference (plain names only — simhash builds
+    a SQL expr string and needs the column's name inside it)."""
+    return col if isinstance(col, str) else col._jc.toString()
+
+
 def simhash64(col, n_bits: int = 32) -> F.Column:
     """SimHash over whitespace tokens (default 32 bits to keep the
     bit-expansion cheap; 64 works identically).
@@ -203,31 +209,37 @@ def simhash64(col, n_bits: int = 32) -> F.Column:
     simhash bit j is 1 iff the vote sum > 0.  Expressed with aggregate()
     over tokens per bit — still a narrow projection per document.
     """
-    toks = F.split(_norm(col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit positions are plan-time constants: unroll the loop in Python so
-    # shift amounts stay literals (required by shiftright/shiftleft).
-    # NB: the merge lambda must take exactly (acc, h) — pyspark binds a
-    # lambda variable per declared parameter — so j is captured via a
-    # closure-making helper, not a default arg.
-    def vote_at(j: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
+    # Single pass over the token array with an array<int> vote accumulator
+    # (one aggregate, not n_bits of them — n_bits separate aggregates each
+    # re-walk the array and blow up the codegen size ~10x).  Written as a
+    # SQL expr because SQL shiftright/shiftleft accept column shift
+    # amounts, unlike the pyspark wrappers.
+    norm_sql = (
+        f"regexp_replace(lower(trim({_sql(col)})), '\\\\s+', ' ')"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+            zip_with(
+                aggregate(
+                    transform(split({norm_sql}, ' '), t -> xxhash64(t)),
+                    array_repeat(0, {n_bits}),
+                    (acc, h) -> zip_with(
+                        acc,
+                        transform(sequence(0, {n_bits - 1}),
+                                  j -> CASE WHEN (h >> j) & 1 = 1
+                                            THEN 1 ELSE -1 END),
+                        (a, b) -> a + b)
+                ),
+                sequence(0, {n_bits - 1}),
+                (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j),
+                             CAST(0 AS BIGINT))
+            ),
+            CAST(0 AS BIGINT),
+            (acc2, x) -> acc2 | x
         )
-
-    out = F.lit(0).cast("bigint")
-    one = F.lit(1).cast("bigint")
-    for j in range(n_bits):
-        # shiftleft, not a python literal: 1 << 63 overflows signed long
-        out = out + F.when(vote_at(j) > 0, F.shiftleft(one, j)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return out
+        """
+    )
 
 
 def simhash_near_duplicates(
@@ -244,9 +256,14 @@ def simhash_near_duplicates(
     Hamming distance usually share the prefix (single-probe variant; add
     rotations for recall).  Verify with bit_count(xor).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col), n_bits).alias("_sh")
-    ).withColumn("_block", F.shiftright("_sh", n_bits - prefix_bits))
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            simhash64(F.col(text_col), n_bits).alias("_sh"),
+        )
+        .withColumn("_block", F.shiftright("_sh", n_bits - prefix_bits))
+        .persist()  # block column + both self-join sides reuse the hash
+    )
     a = sh.select(
         F.col("_block"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
     )

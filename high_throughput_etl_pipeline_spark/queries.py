@@ -51,12 +51,15 @@ ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the caller may own the session (the driver does): pin UTC so
+    # date_format over timestamps matches the naive values DuckDB sees,
+    # regardless of the host session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
         # type for.  Read nanos as long, truncate to micros (exactly what
         # DuckDB does), interpret in UTC.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
