@@ -1556,3 +1556,90 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("user_id", "session_start")
+
+
+_DATAPREP_ORACLE = """
+WITH feats AS (
+    SELECT doc_id, text,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(len(regexp_extract_all(text, '[0-9]'))
+                 / greatest(length(text), 1), 4) AS digit_ratio,
+           round(len(regexp_extract_all(lower(text),
+                 '\\b(the|and|of|to|a|in|is|that)\\b'))
+                 / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                 4) AS stopword_ratio
+    FROM documents
+), scored AS (
+    SELECT doc_id, text,
+           round(0.25 * least(n_tokens / 100.0, 1.0)
+               + 0.25 * (1.0 - least(punct_ratio * 5, 1.0))
+               + 0.25 * (1.0 - least(digit_ratio * 5, 1.0))
+               + 0.25 * least(stopword_ratio * 4, 1.0), 4) AS quality_score
+    FROM feats
+), kept AS (
+    SELECT doc_id, text, quality_score FROM scored WHERE quality_score >= 0.3
+), keepers AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM kept
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+), docs AS (
+    SELECT doc_id,
+           string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               for i in range(1, len(words) - 1)
+           ]) AS shingles
+    FROM docs
+    WHERE len(words) >= 3
+), sig AS (
+    SELECT doc_id,
+           [list_min([
+               ('0x' || substr(md5(h || ':' || s), 18, 15))::BIGINT
+               for s in shingles
+           ]) for h in range(0, 8)] AS sig
+    FROM sh
+), bands AS (
+    SELECT doc_id, b,
+           md5(array_to_string(
+               [CAST(x AS VARCHAR) for x in sig[b*2+1:b*2+2]], ',')) AS band_hash
+    FROM sig, (SELECT unnest(range(0, 4)) AS b)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+), near_dup AS (
+    SELECT p.id_a, p.id_b
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    WHERE round(len([i for i in range(1, 9) if sa.sig[i] = sb.sig[i]]) / 8.0,
+                4) >= 0.25
+), losers AS (
+    SELECT DISTINCT id_b AS doc_id FROM near_dup
+)
+SELECT k.doc_id, s.quality_score
+FROM keepers k
+JOIN kept s ON s.doc_id = k.doc_id
+WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY k.doc_id
+"""
+
+
+@query("dataprep_corpus", oracle=_DATAPREP_ORACLE)
+def dataprep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep flagship: quality filter → exact
+    dedup (keep-first) → MinHash-LSH near-dup removal (portable md5
+    family, pairs computed over the full table), one declarative plan."""
+    from high_throughput_etl_pipeline_spark.plans.dataprep import prepare_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
+    survivors = prepare_corpus(d, min_quality=0.3, near_dup_pairs=pairs)
+    return survivors.select("doc_id", "quality_score").orderBy("doc_id")

@@ -1,0 +1,73 @@
+"""Physical-plan regressions: the 100 TB design rules, asserted.
+
+These tests pin the plan shapes that matter at scale: filters reach the
+parquet scan, projection prunes columns, dimension joins broadcast, and
+no accidental cartesian products appear.  A refactor that silently turns
+a broadcast into a shuffle or drops a pushdown fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from high_throughput_etl_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    df.collect()  # finalize the adaptive plan before reading it
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # the shipdate filter reaches the parquet reader
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
+    # projection pruning: only the needed 7 columns are read (the
+    # FileScan bracket list is complete; ReadSchema gets truncated)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_q5_joins_broadcast(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_broadcasts_filtered_dim(spark):
+    plan = _plan(spark, "q3_top_revenue_orders")
+    assert "BroadcastHashJoin" in plan
+    # segment filter applied before the join (scan-level, not post-join)
+    assert re.search(
+        r"PushedFilters: \[.*EqualTo\(c_mktsegment,BUILDING\)", plan
+    )
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = _plan(spark, "knn_bruteforce")
+    # the query-vector side must broadcast: a shuffle of the big vector
+    # table against 3 query rows would be the classic scale bug
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_band_join_is_keyed(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    # candidate generation joins on (band_id, band_hash) — never cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = _plan(spark, "user_sessions")
+    # both window passes and the session aggregation share one user_id
+    # exchange; date bucketing must not add extra wide shuffles
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"too many shuffles ({n_exchanges}):\n{plan[:2000]}"
