@@ -1643,3 +1643,50 @@ def dataprep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
     survivors = prepare_corpus(d, min_quality=0.3, near_dup_pairs=pairs)
     return survivors.select("doc_id", "quality_score").orderBy("doc_id")
+
+
+@query(
+    "purchase_attribution_asof",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS viewed_ts,
+           CASE WHEN v.ts IS NULL THEN NULL
+                ELSE CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(v.ts)) AS BIGINT) END AS gap_seconds
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY event_id
+    """,
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks, composed union+window): each
+    purchase attributed to the user's most recent prior view.  Checked
+    against DuckDB's NATIVE ASOF JOIN — independent implementations,
+    identical semantics."""
+    from high_throughput_etl_pipeline_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join_backward(p, v, on=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("viewed_ts"),
+        F.when(
+            F.col("asof_ts").isNull(), F.lit(None).cast("bigint")
+        ).otherwise(
+            F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")
+        ).alias("gap_seconds"),
+    ).orderBy("event_id")
