@@ -60,12 +60,14 @@ class PipelineRunner:
         output_dir: str,
         quarantine_dir: str | None = None,
         batch_size: int = MAX_FILES_PER_MANIFEST,
+        reports_dir: str | None = None,
     ):
         self.spark = spark
         self.tracker = FileStateTracker(spark, state_path)
         self.output_dir = output_dir
         self.quarantine_dir = quarantine_dir
         self.batch_size = batch_size
+        self.reports_dir = reports_dir
 
     def run(
         self,
@@ -125,6 +127,7 @@ class PipelineRunner:
         self.tracker.claim_files(claims)
 
         for m in manifests:
+            started = time.time()
             ok, err = self._process_with_retry(
                 list(m["file_paths"]), m["date_prefix"], schema
             )
@@ -140,7 +143,33 @@ class PipelineRunner:
                 self.tracker.update_status_for_manifest(
                     m["manifest_path"], "failed", error_message=(err or "")[:1000]
                 )
+            if self.reports_dir:
+                self._write_run_report(m, ok, err, started)
         return res
+
+    def _write_run_report(self, m, ok, err, started: float) -> None:
+        """§3.1 step 7 — per-manifest execution report (glue_batch_job.py
+        :218-299), queryable via register_report_views + plans/analytics."""
+        from datetime import datetime, timezone
+
+        from high_throughput_etl_pipeline_spark.sources.reports import (
+            build_run_report,
+            write_report,
+        )
+
+        ended = time.time()
+        iso = lambda t: datetime.fromtimestamp(t, tz=timezone.utc).isoformat()
+        report = build_run_report(
+            self.spark,
+            manifest_path=m["manifest_path"],
+            records_processed=ok or 0,
+            parquet_files_created=0,
+            errors=[err] if err else [],
+            started_at=iso(started),
+            ended_at=iso(ended),
+            duration_seconds=ended - started,
+        )
+        write_report(report, self.reports_dir)
 
     def _process_with_retry(
         self, paths: list[str], date_prefix: str, schema

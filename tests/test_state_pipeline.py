@@ -110,3 +110,28 @@ def test_pipeline_end_to_end(spark, ndjson_dir, tmp_path):
 
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 6 * 20
+
+
+def test_pipeline_writes_reports(spark, ndjson_dir, tmp_path):
+    """§3.1 step 7: per-manifest execution reports land in reports_dir and
+    are queryable through the Athena-parity analytics layer."""
+    from high_throughput_etl_pipeline_spark.plans import analytics
+    from high_throughput_etl_pipeline_spark.sources.reports import (
+        register_report_views,
+    )
+
+    _, paths = ndjson_dir
+    runner = PipelineRunner(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        batch_size=4,
+        reports_dir=str(tmp_path / "reports"),
+    )
+    res = runner.run(_listing(spark, [(p, 3.5) for p in paths]), today="2026-08-12")
+    assert res.manifests_succeeded == 2
+    register_report_views(spark, glue_reports_path=str(tmp_path / "reports"))
+    perf = analytics.run(spark, "glue_performance").collect()
+    assert len(perf) == 2
+    assert all(r["status"] == "success" for r in perf)
+    assert sum(r["records_processed"] for r in perf) == res.records_written
