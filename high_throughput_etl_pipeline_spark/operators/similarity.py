@@ -109,12 +109,20 @@ def lsh_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH bucket(s).
 
     With 2^n_planes buckets the candidate set shrinks ~2^n_planes-fold;
     at 100 TB, write the vector table bucketed/partitioned by `_bucket` so
     a query probe reads one partition (partition pruning on the join key).
+
+    ``n_probes`` > 1 enables multi-probe: each query also searches the
+    buckets at Hamming distance 1 (one hyperplane flipped), trading
+    n_probes× candidate volume for recall — the standard LSH recall knob
+    that avoids adding hash tables (memory) or reducing planes
+    (precision).  n_probes caps at n_planes+1 (the bucket itself plus
+    every single-bit flip).
     """
     planes = hyperplanes(dim, n_planes, seed)
     v = with_unit_vectors(vectors, vec_col).select(
@@ -127,6 +135,17 @@ def lsh_topk(
         F.col("_unit").alias("_qu"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
+    n_probes = max(1, min(n_probes, n_planes + 1))
+    if n_probes > 1:
+        # probe 0 = own bucket; probe i = bucket with plane (i-1) flipped
+        flips = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_probes - 1)
+            ],
+        )
+        q = q.withColumn("_bucket", F.explode(flips))
     scored = v.join(F.broadcast(q), on="_bucket").select(
         query_id_col,
         id_col,

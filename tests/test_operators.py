@@ -150,3 +150,36 @@ def test_multimodal_plumbing(spark, docs):
     assert resized["width"] == 224
     with pytest.raises(NotImplementedError):
         extract_features(media, fake=False)
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    import numpy as np
+
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    qs = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(vecs, qs, k=5).collect()
+    }
+
+    def recall(n_probes):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_topk(
+                vecs, qs, k=5, n_planes=8, dim=64, n_probes=n_probes
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r5 = recall(1), recall(5)
+    assert r5 >= r1  # more probes never lose candidates
+    assert r5 > 0.2  # and find a nontrivial share of the exact top-k
