@@ -1690,3 +1690,45 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")
         ).alias("gap_seconds"),
     ).orderBy("event_id")
+
+
+@query(
+    "error_context_rangejoin",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), a AS (
+        SELECT user_id, ts FROM events WHERE event_type <> 'error'
+    )
+    SELECT e.event_id, e.user_id,
+           COUNT(a.ts) AS nearby_events
+    FROM e
+    JOIN a ON a.user_id = e.user_id
+          AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+                  - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 300
+    GROUP BY e.event_id, e.user_id
+    ORDER BY e.event_id
+    """,
+)
+def error_context_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: for each error event, count the same user's
+    other events within ±5 minutes.  The bin trick turns a nested-loop
+    time-window join into an equi-join on (user, bin) — the oracle is the
+    plain inequality join DuckDB can afford at this scale."""
+    from high_throughput_etl_pipeline_spark.operators.rangejoin import (
+        events_within_window,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    activity = ev.filter(F.col("event_type") != "error").select("user_id", "ts")
+    pairs = events_within_window(
+        errors, activity, on=["user_id"], window_seconds=300
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("nearby_events"))
+        .orderBy("event_id")
+    )

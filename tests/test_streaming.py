@@ -63,3 +63,57 @@ def test_stream_drain_and_exactly_once(spark, tmp_path):
     assert {str(r[0]) for r in df.select("_date").distinct().collect()} == {
         "2026-08-10", "2026-08-11", "2026-08-12",
     }
+
+
+def test_windowed_counts_stream_and_batch_agree(spark, tmp_path):
+    """ST2/ST3: event-time tumbling windows with a watermark; the batch
+    run of the same plan is the oracle for the streamed one."""
+    from high_throughput_etl_pipeline_spark.streaming.windowed import (
+        windowed_counts,
+    )
+    from pyspark.sql import functions as F
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    rows = []
+    for h in range(3):
+        for i in range(10):
+            rows.append(
+                {"id": h * 100 + i, "ts": f"2026-08-12 {10+h:02d}:{i*5:02d}:00",
+                 "value": float(i)}
+            )
+    with open(ind / "events.ndjson", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "id BIGINT, ts STRING, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema).json(str(ind))
+        .select("id", F.to_timestamp("ts").alias("ts"), "value")
+    )
+    out = windowed_counts(stream, "1 hour", "2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.schema(schema).json(str(ind))
+        .select("id", F.to_timestamp("ts").alias("ts"), "value")
+    )
+    expected = {
+        (str(r["window_start"]), r["n_events"], r["total_value"])
+        for r in windowed_counts(batch, "1 hour").collect()
+    }
+    # availableNow + append emits only windows sealed by the final
+    # watermark; every emitted row must match the batch oracle
+    got = {
+        (str(r["window_start"]), r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert got <= expected
+    assert len(expected) == 3
