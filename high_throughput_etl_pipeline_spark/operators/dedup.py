@@ -257,30 +257,57 @@ def simhash_near_duplicates(
     n_bits: int = 32,
     max_hamming: int = 3,
     prefix_bits: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Blocking: top ``prefix_bits`` of the simhash — docs within small
-    Hamming distance usually share the prefix (single-probe variant; add
-    rotations for recall).  Verify with bit_count(xor).
+    Blocking: top ``prefix_bits`` of the simhash.  ``n_tables`` > 1 adds
+    rotation tables — table t blocks on the prefix of the hash rotated by
+    t·(n_bits/n_tables) — so a pair whose differing bits fall inside one
+    prefix still collides in another table (the standard simhash recall
+    scheme: with hamming ≤ k and enough tables, some rotation pushes all
+    differing bits out of the prefix).  Verify with bit_count(xor).
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            simhash64(F.col(text_col), n_bits).alias("_sh"),
-        )
-        .withColumn("_block", F.shiftright("_sh", n_bits - prefix_bits))
-        .persist()  # block column + both self-join sides reuse the hash
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(F.col(text_col), n_bits).alias("_sh"),
+    ).persist()  # rotations + both self-join sides reuse the hash
+
+    step = max(n_bits // max(n_tables, 1), 1)
+    mask = F.lit((1 << n_bits) - 1 if n_bits < 64 else -1).cast("bigint")
+
+    def rotated_block(t: int) -> F.Column:
+        r = (t * step) % n_bits
+        if r == 0:
+            rot = F.col("_sh")
+        else:
+            rot = (
+                F.shiftleft(F.col("_sh"), r).bitwiseAND(mask)
+            ).bitwiseOR(F.shiftrightunsigned(F.col("_sh"), n_bits - r))
+        return F.shiftright(rot, n_bits - prefix_bits)
+
+    banded = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), rotated_block(t).alias("b"))
+                for t in range(max(n_tables, 1))
+            ])
+        ).alias("_tb"),
+    ).select("_id", "_sh", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_block"))
+
+    a = banded.select(
+        "_t", "_block", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
     )
-    a = sh.select(
-        F.col("_block"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
-    )
-    b = sh.select(
-        F.col("_block"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    b = banded.select(
+        "_t", "_block", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
     )
     return (
-        a.join(b, on="_block")
+        a.join(b, on=["_t", "_block"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

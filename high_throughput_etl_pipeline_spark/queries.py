@@ -1732,3 +1732,64 @@ def error_context_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("nearby_events"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive predicates that must ALL reach the
+    parquet scan (range on date, band on discount, bound on quantity) —
+    the pushdown stress test."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q17_small_quantity_parts",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT round(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: join against a per-key aggregate of the same
+    table (the scalar-subquery pattern rewritten as an explicit
+    aggregate+join — Catalyst's own decorrelation strategy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(part_avg, on="l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -183,3 +183,21 @@ def test_lsh_multiprobe_improves_recall(spark):
     r1, r5 = recall(1), recall(5)
     assert r5 >= r1  # more probes never lose candidates
     assert r5 > 0.2  # and find a nontrivial share of the exact top-k
+
+
+def test_simhash_rotation_tables_superset(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(
+            docs, n_bits=32, max_hamming=6, prefix_bits=10, n_tables=1
+        ).collect()
+    }
+    four = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(
+            docs, n_bits=32, max_hamming=6, prefix_bits=10, n_tables=4
+        ).collect()
+    }
+    # more rotation tables only ADD candidate blocks — never lose pairs
+    assert one <= four
