@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL inputs,
+not just fixtures.  Spark round-trips are expensive, so examples are
+bounded and batched — each property collects many generated cases into
+ONE DataFrame and asserts over the whole set."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from high_throughput_etl_pipeline_spark.functions.scalar import (
+    extract_date_prefix,
+    md5_shard,
+    split_status,
+    status_with_shard,
+)
+from high_throughput_etl_pipeline_spark.operators.dedup import word_shingles
+
+# one shared batch size keeps each property to a single Spark job
+_N = 30
+
+
+printable = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(printable, min_size=1, max_size=_N))
+def test_shingle_count_invariant(spark, texts):
+    """#shingles(n=3) == max(0, words-2) before dedup; always ≤ after."""
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    rows = df.select(
+        "text", F.size(word_shingles(F.col("text"), 3)).alias("k")
+    ).collect()
+    for r in rows:
+        words = [w for w in re.split(r"\s+", r["text"].strip().lower()) if w != ""]
+        if r["text"].strip() == "":
+            words = [""]  # split('') yields one empty token, matching Spark
+        expected_max = max(0, len(words) - 2)
+        assert 0 <= r["k"] <= expected_max or (expected_max == 0 and r["k"] == 0)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(printable.filter(bool), st.integers(0, 9)),
+        min_size=1,
+        max_size=_N,
+    )
+)
+def test_status_roundtrip_identity(spark, cases):
+    """split(build(base, shard)) == (base, shard) for shard 0-9 and any
+    printable base without '#'."""
+    cleaned = [(b.replace("#", "x") or "s", s) for b, s in cases]
+    df = spark.createDataFrame(cleaned, "base STRING, shard INT")
+    built = df.select(
+        "base",
+        "shard",
+        status_with_shard(F.col("base"), F.col("shard")).alias("st"),
+    )
+    base_back, shard_back = split_status(F.col("st"))
+    out = built.select(
+        "base", "shard", base_back.alias("b2"), shard_back.alias("s2")
+    ).collect()
+    for r in out:
+        assert r["b2"] == r["base"]
+        assert r["s2"] == r["shard"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(printable.filter(bool), min_size=1, max_size=_N))
+def test_md5_shard_bounds(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k STRING")
+    vals = [r["s"] for r in df.select(md5_shard(F.col("k")).alias("s")).collect()]
+    assert all(0 <= v < 10 for v in vals)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.dates().map(lambda d: d.isoformat()),
+        min_size=1,
+        max_size=_N,
+    )
+)
+def test_date_extraction_finds_embedded_dates(spark, dates):
+    """Any YYYY-MM-DD embedded in a key is extracted verbatim."""
+    df = spark.createDataFrame(
+        [(f"input/{d}-file.ndjson", d) for d in dates], "key STRING, d STRING"
+    )
+    out = df.select(
+        extract_date_prefix(F.col("key"), fallback_today=False).alias("got"),
+        "d",
+    ).collect()
+    for r in out:
+        assert r["got"] == r["d"]
