@@ -105,3 +105,63 @@ def resize_plan(media: DataFrame, width: int, height: int) -> DataFrame:
         .withField("width", F.lit(width))
         .withField("height", F.lit(height)),
     )
+
+
+FRAME_SCHEMA = (
+    "media_id BIGINT, frame_index INT, frame_ts_ms INT, "
+    "features ARRAY<FLOAT>, decode_ok BOOLEAN"
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    fps: float = 1.0,
+    max_frames: int = 16,
+    feat_dim: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame, evenly spaced at ``fps`` over ``meta.duration_ms`` (capped at
+    ``max_frames``).
+
+    The frame GRID is computed JVM-side (explode over a sequence — the
+    row multiplication never touches Python); only the per-frame decode
+    runs in the Arrow-batched stage, and it is stubbed exactly like
+    extract_features.  Swap `_fake_decode` for a real frame grab
+    (pyav seek+decode) without touching the plan.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real video decoding requires pyav (not installed); use fake=True"
+        )
+    interval_ms = int(1000.0 / fps)
+    n_frames = F.least(
+        F.greatest(
+            (F.col("meta.duration_ms") / interval_ms).cast("int"), F.lit(1)
+        ),
+        F.lit(max_frames),
+    )
+    grid = media.select(
+        "media_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
+    ).withColumn("frame_ts_ms", F.col("frame_index") * interval_ms)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_index": pdf["frame_index"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "features": [
+                        _fake_decode(
+                            (p or b"") + int(i).to_bytes(4, "little"), feat_dim
+                        )
+                        for p, i in zip(pdf["payload"], pdf["frame_index"])
+                    ],
+                    "decode_ok": True,
+                }
+            )
+
+    return grid.mapInPandas(batches, schema=FRAME_SCHEMA)

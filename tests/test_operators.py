@@ -201,3 +201,27 @@ def test_simhash_rotation_tables_superset(spark):
     }
     # more rotation tables only ADD candidate blocks — never lose pairs
     assert one <= four
+
+
+def test_frame_sampling_plumbing(spark, docs):
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        make_media_table,
+        sample_frames,
+    )
+
+    media = make_media_table(
+        docs.withColumn("source", F.lit("src")).withColumn(
+            "n_chars", F.length("text")
+        )
+    ).withColumn("meta", F.col("meta").withField("duration_ms", F.lit(5500)))
+    frames = sample_frames(media, fps=1.0, max_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 5.5s at 1 fps capped at 4 frames → 4 frames per item
+    assert all(len(v) == 4 for v in by_media.values())
+    ts = sorted(r["frame_ts_ms"] for r in by_media[0])
+    assert ts == [0, 1000, 2000, 3000]
+    # per-frame features differ (frame index is part of the decode input)
+    f0 = [r["features"] for r in by_media[0]]
+    assert f0[0] != f0[1]
