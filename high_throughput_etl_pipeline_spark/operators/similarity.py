@@ -242,33 +242,65 @@ def ivf_topk(
 
 def embedding_near_duplicates(
     vectors: DataFrame,
-    threshold: float = 0.95,
-    n_planes: int = 8,
+    threshold: float = 0.4,
+    n_tables: int = 6,
+    bits_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH self-join.
+    """Embedding-cosine near-dup pairs via multi-table LSH self-join.
 
-    Same bucket → candidate; exact cosine verify; id_a < id_b.
+    OR-amplified LSH: ``n_tables`` independent hash tables of
+    ``bits_per_table`` sign-projections each; a pair is a candidate if it
+    collides in ANY table (recall grows with tables, candidate volume
+    shrinks with bits — the two standard knobs).  Candidates are verified
+    with the exact cosine; ``id_a < id_b``; cosine rounded 6 dp.
+
+    Scale shape: the self-join key is (table, bucket) on NARROW rows
+    (id + 2 ints — vectors never ride the candidate shuffle); pairs are
+    de-duplicated across tables BEFORE the vectors are re-attached, so
+    each surviving pair computes exactly one cosine.  At 100 TB, raise
+    ``bits_per_table`` so per-bucket candidate sets stay bounded, and
+    persist/bucket the (table, bucket, id) index by its join key.
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    v = with_unit_vectors(vectors, vec_col).select(
-        F.col(id_col),
-        F.col("_unit"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    planes = hyperplanes(dim, n_tables * bits_per_table, seed)
+    ids = vectors.select(F.col(id_col), F.col(vec_col))
+    buckets = F.array(
+        *[
+            lsh_bucket(
+                F.col(vec_col),
+                planes[t * bits_per_table : (t + 1) * bits_per_table],
+            )
+            for t in range(n_tables)
+        ]
     )
-    a = v.select(
-        "_bucket", F.col(id_col).alias("id_a"), F.col("_unit").alias("ua")
+    narrow = ids.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(buckets).alias("_table", "_bucket"),
     )
-    b = v.select(
-        "_bucket", F.col(id_col).alias("id_b"), F.col("_unit").alias("ub")
+    a = narrow.select(
+        "_table", "_bucket", F.col("_id").alias("id_a")
     )
-    return (
-        a.join(b, on="_bucket")
+    b = narrow.select(
+        "_table", "_bucket", F.col("_id").alias("id_b")
+    )
+    pairs = (
+        a.join(b, on=["_table", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    u = with_unit_vectors(vectors, vec_col).select(
+        F.col(id_col), F.col("_unit")
+    )
+    ua = u.select(F.col(id_col).alias("id_a"), F.col("_unit").alias("_ua"))
+    ub = u.select(F.col(id_col).alias("id_b"), F.col("_unit").alias("_ub"))
+    return (
+        pairs.join(ua, on="id_a")
+        .join(ub, on="id_b")
+        .withColumn("cosine", F.round(_dot(F.col("_ua"), F.col("_ub")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

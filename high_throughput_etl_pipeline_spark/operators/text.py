@@ -22,7 +22,9 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "es": ["el", "la", "que", "de", "los", "es", "una"],
 }
 
-_WORD_SPLIT = r"\s+"
+# Explicit ASCII class, not \s: Java regex (Spark) and RE2 (DuckDB oracle)
+# disagree on Unicode whitespace membership for \s.
+_WORD_SPLIT = r"[ \t\n\r]+"
 # BPE-ish token pieces: runs of word chars OR single non-space symbol —
 # a cheap stand-in for subword tokenization with the same column shape.
 BPE_PIECE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"

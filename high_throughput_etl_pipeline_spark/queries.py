@@ -490,10 +490,11 @@ def file_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(strftime(ts, '%Y') AS INT) AS year,
            CAST(strftime(ts, '%m') AS INT) AS month,
            CAST(strftime(ts, '%d') AS INT) AS day,
-           SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_bytes,
-           round(SUM(CAST(floor(value * 1000000) AS BIGINT)) / (1024.0 * 1024.0), 4)
-               AS sum_mb,
-           round(SUM(CAST(floor(value * 1000000) AS BIGINT))
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_bytes,
+           round(CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (1024.0 * 1024.0), 4) AS sum_mb,
+           round(CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
                  / (1024.0 * 1024.0 * 1024.0), 6) AS sum_gb
     FROM events
     GROUP BY 1, 2, 3, 4
@@ -530,15 +531,24 @@ def events_unit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+    )
     ORDER BY c_custkey
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 — left-anti join (the idempotent-insert pattern,
-    builder.py:645-653)."""
+    builder.py:645-653).  Anti-joins against the 2001+ order slice so the
+    result is provably non-empty at every SF (this generator gives every
+    customer at least one order overall, which made the unrestricted
+    anti-join a vacuous 0-row check)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -713,8 +723,11 @@ def metrics_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            COUNT(*) AS docs,
-           SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
-           SUM(len(regexp_extract_all(text, '{BPE_PIECE_RE}'))) AS total_bpe_pieces,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+                    END) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_PIECE_RE}'))) AS BIGINT)
+               AS total_bpe_pieces,
            round(AVG(length(text)), 4) AS avg_chars
     FROM documents
     GROUP BY source
@@ -722,18 +735,23 @@ def metrics_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    """Token counting: whitespace tokens + BPE-ish regex pieces.
+
+    Routed through the text operators (token_count / bpe_token_estimate)
+    so the oracle exercises the actual operator surface.
+    """
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        bpe_token_estimate,
+        token_count,
+    )
+
     d = _t(spark, sf_dir, "documents")
     return (
         d.groupBy("source")
         .agg(
             F.count("*").alias("docs"),
-            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias(
-                "total_tokens"
-            ),
-            F.sum(F.regexp_count("text", F.lit(BPE_PIECE_RE))).alias(
-                "total_bpe_pieces"
-            ),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(bpe_token_estimate(F.col("text"))).alias("total_bpe_pieces"),
             F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
         )
         .orderBy("source")
@@ -992,71 +1010,61 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes_sql_literal() -> list[str]:
-    planes = hyperplanes(64, 8, seed=42)
+# Multi-table LSH parameters shared between the Spark operator and the
+# DuckDB oracle (6 tables × 4 sign-projections; threshold picked so the
+# result is NON-empty at sf0.01 — 37 pairs — and sf0.1, so the oracle
+# actually exercises the pair math).
+_ND_TABLES, _ND_BITS, _ND_THRESHOLD = 6, 4, 0.4
+
+
+def _planes_sql_literal(n_planes: int) -> list[str]:
+    planes = hyperplanes(64, n_planes, seed=42)
     return ["[" + ", ".join(f"{x!r}" for x in p) + "]" for p in planes]
 
 
 def _embedding_neardup_oracle() -> str:
-    planes = _planes_sql_literal()
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(ev, {p}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    planes = _planes_sql_literal(_ND_TABLES * _ND_BITS)
+    buckets = []
+    for t in range(_ND_TABLES):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(ev, {planes[t * _ND_BITS + i]}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(_ND_BITS)
+        )
+        buckets.append(f"({terms}) AS b{t}")
+    collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_ND_TABLES))
     return f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev,
-               {bucket_terms} AS bucket
+               {", ".join(buckets)}
         FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.ev, b.ev)
+                     / (sqrt(list_dot_product(a.ev, a.ev))
+                        * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({collide})
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.ev, b.ev)
-                 / (sqrt(list_dot_product(a.ev, a.ev))
-                    * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
-    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.ev, b.ev)
-                / (sqrt(list_dot_product(a.ev, a.ev))
-                   * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.5
+    SELECT id_a, id_b, cosine FROM scored
+    WHERE cosine >= {_ND_THRESHOLD}
     ORDER BY id_a, id_b
     """
 
 
 @query("embedding_near_dup", oracle=_embedding_neardup_oracle())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH self-join;
-    deterministic hyperplanes → reproducible, oracle-checkable plan."""
+    """Embedding-cosine near-dup via multi-table hyperplane LSH self-join;
+    deterministic hyperplanes → reproducible, oracle-checkable plan.
+    (The oracle's OR-join is the sf0.01 semantic spec; the Spark plan is
+    the scale shape — narrow (table, bucket, id) equi-join, pair-dedup,
+    then one cosine per surviving pair.)"""
     e = _t(spark, sf_dir, "embeddings")
-    planes = hyperplanes(64, 8, seed=42)
-    from high_throughput_etl_pipeline_spark.operators.similarity import (
-        lsh_bucket,
-    )
-
-    v = e.select(
-        "vec_id",
-        F.col("embedding").alias("ev"),
-        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
-    )
-    a = v.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("id_a"),
-        F.col("ev").alias("ea"),
-    )
-    b = v.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("id_b"),
-        F.col("ev").alias("eb"),
-    )
-    dot = _dot(F.col("ea"), F.col("eb"))
-    na = F.sqrt(_dot(F.col("ea"), F.col("ea")))
-    nb = F.sqrt(_dot(F.col("eb"), F.col("eb")))
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (na * nb), 6))
-        .filter(F.col("cosine") >= 0.5)
-        .select("id_a", "id_b", "cosine")
-        .orderBy("id_a", "id_b")
-    )
+    return embedding_near_duplicates(
+        e,
+        threshold=_ND_THRESHOLD,
+        n_tables=_ND_TABLES,
+        bits_per_table=_ND_BITS,
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
