@@ -31,12 +31,14 @@ from high_throughput_etl_pipeline_spark.operators.dedup import (
 from high_throughput_etl_pipeline_spark.operators.multimodal import (
     extract_features,
     make_media_table,
+    sample_frames,
 )
 from high_throughput_etl_pipeline_spark.operators.similarity import (
     _dot,
     embedding_near_duplicates,
     hyperplanes,
     ivf_topk,
+    lsh_topk,
 )
 from high_throughput_etl_pipeline_spark.operators.text import (
     BPE_PIECE_RE,
@@ -1098,6 +1100,102 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(e, q, k=5, nlist=8, nprobe=4).orderBy("query_id", "rank")
+
+
+def _lsh_topk_oracle() -> str:
+    planes = _planes_sql_literal(8)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = "\n        UNION ALL ".join(
+        ["SELECT query_id, qv, bucket FROM q"]
+        + [
+            f"SELECT query_id, qv, xor(bucket, {1 << i}) FROM q"
+            for i in range(3)
+        ]
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev,
+               {bucket} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv, bucket FROM v WHERE vec_id < 3
+    ), probes AS (
+        {probes}
+    ), scored AS (
+        SELECT p.query_id, v.vec_id,
+               round(list_dot_product(v.ev, p.qv)
+                     / (sqrt(list_dot_product(v.ev, v.ev))
+                        * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+        FROM v JOIN probes p ON v.bucket = p.bucket
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("lsh_topk", oracle=_lsh_topk_oracle())
+def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k with multi-probe (own bucket +
+    3 single-bit flips).  Plane literals shared with the DuckDB oracle, so
+    the bucketing, probing, and ranking are value-checked end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(
+        e, q, k=5, n_planes=8, dim=64, seed=42, n_probes=4
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "sample_frames",
+    oracle="""
+    WITH grid AS (
+        SELECT doc_id AS media_id,
+               UNNEST(range(0, LEAST(GREATEST(
+                   CAST(floor(n_chars * 37 / 1000.0) AS INT), 1), 16))) AS f
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(f AS INT) AS frame_index,
+           CAST(f * 1000 AS INT) AS frame_ts_ms,
+           TRUE AS decode_ok
+    FROM grid
+    ORDER BY media_id, frame_index
+    """,
+)
+def sample_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling grid: one row per sampled frame, evenly spaced
+    over duration (1 fps, ≤16 frames).  The JVM-side grid (explode over
+    sequence) is value-checked against the oracle; the per-frame decode
+    columns (md5 fake) are exercised but projected out (covered rows-only
+    by multimodal_features + pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            (F.col("n_chars") * 37).cast("int").alias("duration_ms"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, fps=1.0, max_frames=16)
+    return frames.select(
+        "media_id", "frame_index", "frame_ts_ms", "decode_ok"
+    ).orderBy("media_id", "frame_index")
 
 
 @query("multimodal_features")
