@@ -10,15 +10,24 @@ single driver loop over DataFrame operations:
     claim (CAS) → transform+write per manifest (with retry) →
     status flip → execution report
 
+Failure path (ST7): a manifest that exhausts MAX_RETRIES flips to
+``failed`` AND lands in a dead-letter directory as a JSON document (the
+reference's 3-receive SQS DLQ, terraform/modules/sqs/main.tf:27-66);
+``reprocess_failed()`` drains the DLQ back through the processor
+(reprocess-failed.sh).
+
 Each stage is the operator documented in its own module; this file only
 sequences them, mirroring the Step Functions definition.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import time
 import traceback
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,7 +42,10 @@ from high_throughput_etl_pipeline_spark.operators.validation import (
     valid_files,
     validate_files,
 )
-from high_throughput_etl_pipeline_spark.state.manifest import build_manifest_docs
+from high_throughput_etl_pipeline_spark.state.manifest import (
+    ManifestStore,
+    build_manifest_docs,
+)
 from high_throughput_etl_pipeline_spark.state.tracker import FileStateTracker
 
 MAX_RETRIES = 2  # SFN: Lambda 2 retries, backoff 2.0 (step_functions/main.tf)
@@ -61,13 +73,17 @@ class PipelineRunner:
         quarantine_dir: str | None = None,
         batch_size: int = MAX_FILES_PER_MANIFEST,
         reports_dir: str | None = None,
+        dlq_dir: str | None = None,
+        ttl_days: int | None = None,
     ):
         self.spark = spark
-        self.tracker = FileStateTracker(spark, state_path)
+        self.tracker = FileStateTracker(spark, state_path, ttl_days=ttl_days)
+        self.manifest_store = ManifestStore(spark, state_path + "_manifests")
         self.output_dir = output_dir
         self.quarantine_dir = quarantine_dir
         self.batch_size = batch_size
         self.reports_dir = reports_dir
+        self.dlq_dir = dlq_dir
 
     def run(
         self,
@@ -113,15 +129,17 @@ class PipelineRunner:
                 )
             )
         batched = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        manifests = build_manifest_docs(batched).collect()
+        # one-pass manifest docs: materialize once, then reuse for the
+        # driver-side loop, the meta-record table, AND the claim join
+        docs = build_manifest_docs(batched).localCheckpoint(eager=True)
+        manifests = docs.collect()
         res.manifests_created = len(manifests)
         if not manifests:
             return res
+        self.manifest_store.record(docs)
 
         claims = batched.select("date_prefix", "batch_id", "file_key").join(
-            build_manifest_docs(batched).select(
-                "date_prefix", "batch_id", "manifest_path"
-            ),
+            docs.select("date_prefix", "batch_id", "manifest_path"),
             on=["date_prefix", "batch_id"],
         ).select("date_prefix", "file_key", "manifest_path")
         self.tracker.claim_files(claims)
@@ -134,16 +152,81 @@ class PipelineRunner:
             if ok is not None:
                 res.records_written += ok
                 res.manifests_succeeded += 1
-                self.tracker.update_status_for_manifest(
-                    m["manifest_path"], "completed"
-                )
+                self._flip(m["manifest_path"], "completed")
             else:
                 res.manifests_failed += 1
                 res.errors.append(err or "unknown")
-                self.tracker.update_status_for_manifest(
-                    m["manifest_path"], "failed", error_message=(err or "")[:1000]
-                )
+                self._flip(m["manifest_path"], "failed", (err or "")[:1000])
+                self._write_dlq_entry(m, err)
             if self.reports_dir:
+                self._write_run_report(m, ok, err, started)
+        return res
+
+    def _flip(
+        self, manifest_path: str, status: str, error: str | None = None
+    ) -> None:
+        self.tracker.update_status_for_manifest(
+            manifest_path, status, error_message=error
+        )
+        self.manifest_store.update_status(manifest_path, status, error)
+
+    # -- dead-letter queue (ST7) ---------------------------------------
+
+    def _write_dlq_entry(self, m, err: str | None) -> None:
+        """Park an exhausted manifest in the DLQ as one JSON doc (the SQS
+        dead-letter message shape; queryable via spark.read.json)."""
+        if not self.dlq_dir:
+            return
+        os.makedirs(self.dlq_dir, exist_ok=True)
+        name = m["manifest_path"].replace("/", "__").replace(".json", "")
+        doc = {
+            "manifest_path": m["manifest_path"],
+            "date_prefix": m["date_prefix"],
+            "file_paths": list(m["file_paths"]),
+            "error": (err or "")[:4000],
+            "attempts": MAX_RETRIES + 1,
+            "failed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        with open(os.path.join(self.dlq_dir, name + ".dlq.json"), "w") as f:
+            json.dump(doc, f)
+
+    def dlq_entries(self) -> list[dict]:
+        if not self.dlq_dir or not os.path.isdir(self.dlq_dir):
+            return []
+        out = []
+        for n in sorted(os.listdir(self.dlq_dir)):
+            if n.endswith(".dlq.json"):
+                with open(os.path.join(self.dlq_dir, n)) as f:
+                    doc = json.load(f)
+                doc["_dlq_file"] = os.path.join(self.dlq_dir, n)
+                out.append(doc)
+        return out
+
+    def reprocess_failed(self, schema=None) -> RunResult:
+        """Drain the DLQ (reprocess-failed.sh): re-run each parked
+        manifest; success removes the DLQ doc and flips state to
+        completed, failure leaves it parked with the fresh error."""
+        res = RunResult()
+        for doc in self.dlq_entries():
+            started = time.time()
+            ok, err = self._process_with_retry(
+                doc["file_paths"], doc["date_prefix"], schema
+            )
+            if ok is not None:
+                res.records_written += ok
+                res.manifests_succeeded += 1
+                self._flip(doc["manifest_path"], "completed")
+                os.remove(doc["_dlq_file"])
+            else:
+                res.manifests_failed += 1
+                res.errors.append(err or "unknown")
+                self._flip(doc["manifest_path"], "failed", (err or "")[:1000])
+            if self.reports_dir:
+                m = {
+                    "manifest_path": doc["manifest_path"],
+                    "date_prefix": doc["date_prefix"],
+                    "file_paths": doc["file_paths"],
+                }
                 self._write_run_report(m, ok, err, started)
         return res
 

@@ -52,9 +52,17 @@ def read_ndjson(
     reader = spark.read
     if schema is not None:
         if keep_corrupt:
-            schema = f"{schema}, {CORRUPT_COL} STRING" if isinstance(
-                schema, str
-            ) else schema.add(CORRUPT_COL, "string")
+            if isinstance(schema, str):
+                schema = f"{schema}, {CORRUPT_COL} STRING"
+            else:
+                # copy — StructType.add would mutate the caller's schema,
+                # breaking a second read that reuses the same object
+                from pyspark.sql import types as T
+
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(CORRUPT_COL, T.StringType())]
+                )
             reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
         reader = reader.schema(schema)
     elif sampling_ratio is not None:

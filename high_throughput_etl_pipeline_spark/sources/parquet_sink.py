@@ -81,3 +81,24 @@ def write_date_partitioned_parquet(
     if date_col:
         writer = writer.partitionBy(date_col)
     writer.parquet(out_dir)
+
+
+def read_output(spark, out_dir: str) -> DataFrame:
+    """Read the engine's output table under the schema-drift policy
+    (SURVEY.md §7.3.4).
+
+    **Policy: column-union.**  Two manifests landing in one ``_date``
+    partition may carry different JSON shapes (fields added/removed
+    upstream).  Because the canonical record shape is ALL-STRING
+    (cast_all_to_string), drift is purely column presence/absence — a
+    type-merge conflict is impossible by construction.  Reads therefore
+    union the columns across files (``mergeSchema=true``, overriding the
+    engine-wide ``false`` default that protects unrelated tables), and
+    rows from files missing a column surface it as NULL.
+
+    Scale note: schema merging reads file FOOTERS only (metadata, not
+    data) and runs distributed; cost is bounded by file count, not bytes.
+    Pin an explicit ``.schema(...)`` at 100 TB when the canonical shape is
+    known and skip the footer sweep entirely.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(out_dir)

@@ -34,31 +34,51 @@ from high_throughput_etl_pipeline_spark.functions.scalar import (
     md5_shard,
     split_status,
     status_with_shard,
+    ttl_epoch,
 )
 
 STATE_SCHEMA = (
     "date_prefix STRING, file_key STRING, file_path STRING, "
     "file_size_mb DOUBLE, status STRING, shard_id INT, manifest_path STRING, "
-    "created_at TIMESTAMP, updated_at TIMESTAMP, error_message STRING"
+    "created_at TIMESTAMP, updated_at TIMESTAMP, error_message STRING, "
+    "ttl_epoch BIGINT"
 )
 
 _KEY = ["date_prefix", "file_key"]
 
 
+def _date_from_manifest_path(manifest_path: str) -> str | None:
+    """Extract the YYYY-MM-DD segment from a `manifests/{date}/...` path
+    (P5 pattern) so status flips prune to one date partition."""
+    import re
+
+    m = re.search(r"(\d{4}-\d{2}-\d{2})", manifest_path)
+    return m.group(1) if m else None
+
+
 class FileStateTracker:
     """Single-driver transactional-enough state table over Parquet."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, ttl_days: int | None = None):
         self.spark = spark
         self.path = path
+        self.ttl_days = ttl_days
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- read side -----------------------------------------------------
 
     def state(self) -> DataFrame:
+        """Live state rows.  TTL enforcement is the read-side anti-filter
+        (P14): rows past ``ttl_epoch`` are invisible, exactly like DynamoDB
+        TTL expiry (builder.py:626,677) — physical deletion happens lazily
+        on the next partition rewrite."""
         if not self._exists():
             return self.spark.createDataFrame([], STATE_SCHEMA)
-        return self.spark.read.schema(STATE_SCHEMA).parquet(self.path)
+        df = self.spark.read.schema(STATE_SCHEMA).parquet(self.path)
+        return df.filter(
+            F.col("ttl_epoch").isNull()
+            | (F.col("ttl_epoch") > F.unix_timestamp())
+        )
 
     def _exists(self) -> bool:
         # local/posix check is fine for tests; object stores would list.
@@ -111,6 +131,12 @@ class FileStateTracker:
             .withColumn("created_at", F.current_timestamp())
             .withColumn("updated_at", F.current_timestamp())
             .withColumn("error_message", F.lit(None).cast("string"))
+            .withColumn(
+                "ttl_epoch",
+                ttl_epoch(self.ttl_days)
+                if self.ttl_days is not None
+                else F.lit(None).cast("bigint"),
+            )
         )
         existing = self.state().select(*_KEY)
         fresh = incoming.join(existing, on=_KEY, how="left_anti").select(
@@ -163,13 +189,12 @@ class FileStateTracker:
             )
         )
         touched_dates = [r[0] for r in c.select("date_prefix").distinct().collect()]
-        to_write = updated.filter(F.col("date_prefix").isin(touched_dates)).drop(
-            "_new_manifest", "_claim"
-        )
-        n = to_write.filter(
-            split_status(F.col("status"))[0] == "manifested"
-        ).count()
-        self._overwrite_partitions(to_write)
+        to_write = updated.filter(F.col("date_prefix").isin(touched_dates))
+        # materialize once; count the rows THIS call claimed (not every
+        # manifested row in the touched partitions), then persist
+        to_write = to_write.localCheckpoint(eager=True)
+        n = to_write.filter(F.col("_claim")).count()
+        self._overwrite_partitions(to_write.drop("_new_manifest", "_claim"))
         return n
 
     def update_status_for_manifest(
@@ -181,6 +206,12 @@ class FileStateTracker:
         completed#N / failed#N after the Spark job finishes).
         """
         state = self.state()
+        # prune to the manifest's date partition when the path encodes one
+        # (it always does for engine-built manifests) — the flip then scans
+        # one partition instead of the whole state table
+        date_guess = _date_from_manifest_path(manifest_path)
+        if date_guess is not None:
+            state = state.filter(F.col("date_prefix") == date_guess)
         hit = F.col("manifest_path") == manifest_path
         updated = (
             state.withColumn(

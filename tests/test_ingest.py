@@ -113,3 +113,59 @@ def test_corrupt_record_routing(spark, tmp_path):
     assert {r["id"] for r in good.collect()} == {1, 2}
     assert bad.count() == 2
     assert all(r["_source_file"].endswith(".ndjson") for r in bad.collect())
+
+
+def test_schema_drift_column_union(spark, tmp_path):
+    """§7.3.4 policy: manifests with different JSON shapes writing to one
+    partition → reads union the columns; missing fields surface as NULL.
+    All-string canonicalization makes type conflicts impossible."""
+    from high_throughput_etl_pipeline_spark.sources.parquet_sink import (
+        read_output,
+    )
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    a = str(d / "2026-08-12-a.ndjson")
+    b = str(d / "2026-08-12-b.ndjson")
+    with open(a, "w") as f:
+        for j in range(5):
+            f.write(json.dumps({"id": f"a{j}", "old_field": j}) + "\n")
+    with open(b, "w") as f:
+        for j in range(5):
+            # drifted shape: old_field gone, new_field (+ a nested struct,
+            # which canonicalizes to a string) appeared
+            f.write(
+                json.dumps(
+                    {"id": f"b{j}", "new_field": str(j), "meta": {"k": j}}
+                )
+                + "\n"
+            )
+    out = str(tmp_path / "out")
+    assert process_manifest(spark, [a], out, date_prefix="2026-08-12") == 5
+    assert process_manifest(spark, [b], out, date_prefix="2026-08-12") == 5
+
+    merged = read_output(spark, out)
+    assert {"id", "old_field", "new_field", "meta"} <= set(merged.columns)
+    assert merged.count() == 10
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows["a0"]["old_field"] == "0" and rows["a0"]["new_field"] is None
+    assert rows["b0"]["new_field"] == "0" and rows["b0"]["old_field"] is None
+    # a plain (mergeSchema=false) read of the same dir would drop one
+    # shape's columns — the policy read is the defined behavior
+    for f in merged.schema.fields:
+        if f.name != "_date":
+            assert f.dataType.simpleString() == "string", f.name
+
+
+def test_read_ndjson_does_not_mutate_caller_schema(spark, tmp_path):
+    """keep_corrupt must not mutate the caller's StructType (a reused
+    schema object would grow duplicate _corrupt_record fields)."""
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "x.ndjson")
+    open(p, "w").write('{"id": "1"}\nnot-json\n')
+    schema = T.StructType([T.StructField("id", T.StringType())])
+    for _ in range(2):  # second read re-uses the same object
+        df = read_ndjson(spark, [p], schema=schema, keep_corrupt=True)
+        assert df.columns.count("_corrupt_record") == 1
+    assert len(schema.fields) == 1  # caller's object untouched

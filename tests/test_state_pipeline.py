@@ -36,8 +36,8 @@ def test_track_claim_flip_lifecycle(spark, tmp_path):
         "date_prefix STRING, file_key STRING, manifest_path STRING",
     )
     assert t.claim_files(claims) == 1
-    # claiming again: row no longer pending → CAS loses, 1 stays claimed
-    assert t.claim_files(claims) == 1  # still 1 manifested (no new claim)
+    # claiming again: row no longer pending → CAS loses, nothing claimed
+    assert t.claim_files(claims) == 0
     st = {r["file_key"]: r["status"] for r in t.state().collect()}
     assert st["a.ndjson"].startswith("manifested#")
     assert st["b.ndjson"].startswith("pending#")
@@ -110,6 +110,103 @@ def test_pipeline_end_to_end(spark, ndjson_dir, tmp_path):
 
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 6 * 20
+
+
+def test_ttl_expired_rows_invisible(spark, tmp_path):
+    """P14 read-side enforcement: rows past ttl_epoch vanish from state()
+    (DynamoDB-TTL semantics; physical delete is lazy)."""
+    t = FileStateTracker(spark, str(tmp_path / "state"), ttl_days=7)
+    files = spark.createDataFrame(
+        [("2026-08-12", "live.ndjson", "/in/live.ndjson", 1.0)],
+        "date_prefix STRING, file_name STRING, file_path STRING, file_size_mb DOUBLE",
+    )
+    assert t.track_files(files) == 1
+    # plant an already-expired row directly (as if written days ago)
+    from datetime import datetime
+
+    from high_throughput_etl_pipeline_spark.state.tracker import STATE_SCHEMA
+
+    now = datetime(2026, 8, 1)
+    expired = spark.createDataFrame(
+        [
+            (
+                "2026-08-01", "old.ndjson", "/in/old.ndjson", 1.0,
+                "pending#0", 0, None, now, now, None, 1,  # ttl long past
+            )
+        ],
+        STATE_SCHEMA,
+    )
+    t._append(expired)
+    visible = {r["file_key"] for r in t.state().collect()}
+    assert visible == {"live.ndjson"}
+    assert [r["date_prefix"] for r in t.pending_counts().collect()] == [
+        "2026-08-12"
+    ]
+    # live row carries a real future ttl
+    live = t.state().collect()[0]
+    assert live["ttl_epoch"] is not None and live["ttl_epoch"] > 1
+
+
+def test_dlq_fail_reprocess_cycle(spark, ndjson_dir, tmp_path, monkeypatch):
+    """ST7: manifest exhausts retries → failed + DLQ doc; fixing the input
+    and reprocess_failed() drains the DLQ → completed."""
+    import json as _json
+
+    import high_throughput_etl_pipeline_spark.pipeline as pl
+
+    monkeypatch.setattr(pl, "BACKOFF_SECONDS", 0.01)
+    d, paths = ndjson_dir
+    missing = str(tmp_path / "input" / "2026-08-12-missing.ndjson")
+    runner = PipelineRunner(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        batch_size=5,
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    # 4 current-date files + 1 missing = one full batch of 5 that fails
+    listing = _listing(
+        spark, [(p, 3.5) for p in paths if "2026-08-12" in p] + [(missing, 3.5)]
+    )
+    res = runner.run(listing, today="2026-08-12")
+    assert res.manifests_created == 1
+    assert res.manifests_failed == 1
+    entries = runner.dlq_entries()
+    assert len(entries) == 1
+    assert missing in entries[0]["file_paths"]
+    assert entries[0]["attempts"] == pl.MAX_RETRIES + 1
+    st = {r["file_key"]: r["status"] for r in runner.tracker.state().collect()}
+    assert all(s.startswith("failed#") for s in st.values())
+    mrow = runner.manifest_store.manifests().collect()
+    assert len(mrow) == 1 and mrow[0]["status"] == "failed"
+
+    # repair the input, drain the DLQ
+    with open(missing, "w") as f:
+        for j in range(20):
+            f.write(_json.dumps({"id": f"fix_{j}", "v": j}) + "\n")
+    res2 = runner.reprocess_failed()
+    assert res2.manifests_succeeded == 1
+    assert res2.records_written == 5 * 20
+    assert runner.dlq_entries() == []
+    st = {r["file_key"]: r["status"] for r in runner.tracker.state().collect()}
+    assert all(s.startswith("completed#") for s in st.values())
+    assert runner.manifest_store.manifests().collect()[0]["status"] == "completed"
+
+
+def test_manifest_store_queryable(spark, ndjson_dir, tmp_path):
+    """§1.1: manifests are a first-class queryable state DataFrame."""
+    _, paths = ndjson_dir
+    runner = PipelineRunner(
+        spark, str(tmp_path / "state"), str(tmp_path / "out"), batch_size=4
+    )
+    res = runner.run(_listing(spark, [(p, 3.5) for p in paths]), today="2026-08-12")
+    assert res.manifests_created == 2
+    m = runner.manifest_store.manifests()
+    rows = m.orderBy("date_prefix", "batch_id").collect()
+    assert [r["status"] for r in rows] == ["completed", "completed"]
+    assert sum(r["file_count"] for r in rows) == 6
+    # idempotent: re-recording the same docs inserts nothing
+    assert runner.manifest_store.record(m.drop("status")) == 0
 
 
 def test_pipeline_writes_reports(spark, ndjson_dir, tmp_path):
