@@ -46,6 +46,12 @@ HEADLINE = [
     "embedding_near_dup",
     "user_sessions",
     "top_customers_per_nation",
+    "q6_forecast_revenue",
+    "q17_small_quantity_parts",
+    "purchase_attribution_asof",
+    "error_context_rangejoin",
+    "lsh_topk",
+    "sample_frames",
 ]
 
 
@@ -57,26 +63,38 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_ingest(spark, work: str) -> tuple[float, int]:
+def bench_ingest(spark, work: str) -> tuple[float, int, int]:
     """NDJSON→all-string-Parquet wall clock (the reference's core job).
 
     Exports events to NDJSON once (not timed), then times
     read.json → metadata cols → cast-all-string → parquet write.
+    Returns (seconds, rows, input_bytes) — bytes measured, not estimated,
+    so the GB-rate comparison against BASELINE.md is exact.
     """
+    from pyspark.sql import functions as F
+
     from high_throughput_etl_pipeline_spark.ingest import process_manifest
     from high_throughput_etl_pipeline_spark.queries import _t
 
     nd_dir = os.path.join(work, "ndjson")
-    (_t(spark, SF_DIR, "events").coalesce(8).write.mode("overwrite").json(nd_dir))
+    # replicate events 8x (~100 MB at sf0.1) so the timed job runs long
+    # enough that the s/GB rate reflects throughput, not job-fixed costs —
+    # BASELINE.md's anchors are 1-10 GB runs
+    ev = _t(spark, SF_DIR, "events")
+    big = ev.crossJoin(
+        spark.range(8).select(F.col("id").alias("_replica"))
+    )
+    big.coalesce(16).write.mode("overwrite").json(nd_dir)
     paths = [
         os.path.join(nd_dir, f)
         for f in os.listdir(nd_dir)
         if f.endswith(".json")
     ]
+    nbytes = sum(os.path.getsize(p) for p in paths)
     out = os.path.join(work, "ingest_out")
     t0 = time.time()
     n = process_manifest(spark, paths, out, date_prefix="2024-01-01")
-    return time.time() - t0, n
+    return time.time() - t0, n, nbytes
 
 
 def main() -> None:
@@ -104,10 +122,13 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
-        ingest_sec, ingest_rows = bench_ingest(spark, work)
+        ingest_sec, ingest_rows, ingest_bytes = bench_ingest(spark, work)
         timings["ingest_ndjson_to_parquet"] = round(ingest_sec, 3)
+        gb = ingest_bytes / 1e9
         print(
-            f"# ingest_ndjson_to_parquet: {ingest_sec:.3f}s ({ingest_rows} rows)",
+            f"# ingest_ndjson_to_parquet: {ingest_sec:.3f}s "
+            f"({ingest_rows} rows, {ingest_bytes} bytes = {gb:.4f} GB, "
+            f"{ingest_sec / gb:.1f} s/GB vs BASELINE ~78 s/GB)",
             file=sys.stderr,
         )
     finally:
@@ -122,6 +143,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_label(SF_DIR),
+                "ingest_input_bytes": ingest_bytes,
+                "ingest_sec_per_gb": round(ingest_sec / gb, 2),
             }
         )
     )

@@ -5,9 +5,15 @@ designed around ONE key insight: never materialize all-pairs.  Pairs only
 exist after a *blocking* step (LSH band, simhash prefix, or explicit block
 key) whose buckets are small.
 
-Hash family: all pseudo-random hashes derive from md5 (low 60 bits via
-``conv(substr(md5(x),18,15),16,10)``) — deterministic, engine-portable
-(same value in Spark and DuckDB/ANSI SQL), no seed state.
+Hash families: the ORACLE-portable operators (exact dedup,
+``minhash_signature_md5``/``dedup_minhash_md5``, Jaccard shingles) derive
+every pseudo-random hash from md5 (low 60 bits via
+``conv(substr(md5(x),18,15),16,10)`` — same value in Spark and
+DuckDB/ANSI SQL, no seed state).  The FAST variants
+(``minhash_near_duplicates``, ``simhash64``) use Spark's native
+``xxhash64`` instead — cheaper per token but Spark-specific, which is why
+those operators are rows-only in the driver's correctness gate while the
+md5 family carries the value oracle.
 """
 
 from __future__ import annotations
@@ -203,19 +209,27 @@ def minhash_near_duplicates(
 # -- SimHash ---------------------------------------------------------------
 
 
-def _sql(col) -> str:
-    """SQL text of a column reference (plain names only — simhash builds
-    a SQL expr string and needs the column's name inside it)."""
-    return col if isinstance(col, str) else col._jc.toString()
+def _sql(col: str) -> str:
+    """SQL text of a column reference.  Column NAMES only: simhash builds
+    a SQL expr string, and extracting text from a Column object would need
+    the private ``_jc`` accessor (absent under Spark Connect)."""
+    if not isinstance(col, str):
+        raise TypeError(
+            "simhash64 takes a column NAME (str); Column objects are not "
+            "supported because their SQL text is not accessible through "
+            "any public API (and not under Spark Connect at all)"
+        )
+    return col
 
 
-def simhash64(col, n_bits: int = 32) -> F.Column:
+def simhash64(col: str, n_bits: int = 32) -> F.Column:
     """SimHash over whitespace tokens (default 32 bits to keep the
-    bit-expansion cheap; 64 works identically).
+    bit-expansion cheap; 64 works identically).  ``col`` is a column name.
 
-    Per token: h = md5_64(token); bit j votes +1 if set else -1; the
-    simhash bit j is 1 iff the vote sum > 0.  Expressed with aggregate()
-    over tokens per bit — still a narrow projection per document.
+    Per token: h = xxhash64(token) (Spark-native, NOT the portable md5
+    family — hence rows-only correctness); bit j votes +1 if set else -1;
+    the simhash bit j is 1 iff the vote sum > 0.  One aggregate() pass
+    over the token array — a narrow projection per document.
     """
     # Single pass over the token array with an array<int> vote accumulator
     # (one aggregate, not n_bits of them — n_bits separate aggregates each
@@ -270,7 +284,7 @@ def simhash_near_duplicates(
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
-        simhash64(F.col(text_col), n_bits).alias("_sh"),
+        simhash64(text_col, n_bits).alias("_sh"),
     ).persist()  # rotations + both self-join sides reuse the hash
 
     step = max(n_bits // max(n_tables, 1), 1)
@@ -356,6 +370,103 @@ def jaccard_pairs(
         a.join(b, on=block_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
+            "jaccard",
+            F.round((inter / F.greatest(union, F.lit(1))).cast("double"), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_via_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard, candidates from md5-MinHash LSH banding.
+
+    The 100 TB shape for pair verification when no natural block key
+    exists (or natural blocks go hot — length buckets on natural-language
+    corpora skew badly): candidates come from banded MinHash collisions,
+    so the verify cost tracks the TRUE near-dup density instead of the
+    block-size distribution.  The md5 hash family keeps every stage
+    engine-portable (oracle-checkable value-for-value).
+
+    Plan: shingle sets persist narrow → signature via explode +
+    groupBy-min (codegen, map-side partial mins) → band self-join on
+    16-byte band hashes → pair dedup → ONE exact-Jaccard evaluation per
+    surviving candidate.  Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
+    ).filter(F.size("_shingles") > 0).persist()
+
+    exploded = sh.select(
+        "_id", F.explode("_shingles").alias("_s")
+    )
+    sigs = exploded.groupBy("_id").agg(
+        *[
+            F.min(
+                md5_64(F.concat(F.lit(str(i)), F.lit(":"), F.col("_s")))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
+        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_sig")
+    )
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("_sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_hash")
+    pairs = (
+        banded.select("band_id", "band_hash", F.col("_id").alias("id_a"))
+        .join(
+            banded.select("band_id", "band_hash", F.col("_id").alias("id_b")),
+            on=["band_id", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        pairs.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("set_a")),
+            on="id_a",
+        ).join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("set_b")),
+            on="id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        verified.withColumn(
             "jaccard",
             F.round((inter / F.greatest(union, F.lit(1))).cast("double"), 4),
         )

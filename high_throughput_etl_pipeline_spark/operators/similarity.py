@@ -240,6 +240,36 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: code_i = round(x_i/scale)
+    with scale = max|x|/127 (the standard faiss/SQ8-style storage
+    shrink, 4x smaller than f32).
+
+    Output: id, scale, codes (array<int> in [-127,127]), and
+    ``max_abs_err`` — the per-vector dequantization error bound actually
+    achieved.  Pure Column expressions: a narrow projection, embarrassingly
+    parallel, no shuffle.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # epsilon floor: a zero vector must not divide by zero
+    scale = (F.greatest(amax, F.lit(1e-12)) / F.lit(127.0)).cast("double")
+    codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    dequant = F.zip_with(
+        v, codes, lambda x, c: F.abs(x - c.cast("double") * scale)
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        codes.alias("codes"),
+        F.round(F.array_max(dequant), 6).alias("max_abs_err"),
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.4,

@@ -105,6 +105,107 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 4).cast("double"))
 
 
+def word_bigrams(col) -> F.Column:
+    """Non-distinct word 2-grams (repetition analysis needs multiplicity —
+    word_shingles in dedup.py dedups, this keeps every occurrence)."""
+    words = tokens(col)
+    k = F.size(words) - F.lit(1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(k >= 1, grams).otherwise(empty)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals, per document:
+
+    - ``top_word_frac``   — occurrences of the most frequent word / words
+    - ``dup_word_frac``   — word occurrences beyond each word's first
+    - ``dup_bigram_frac`` — same for 2-grams
+
+    High values mark boilerplate/spam for corpus filtering (the rule
+    family from the Gopher/MassiveText quality heuristics).  Shape:
+    explode → two-level aggregate — linear, shuffle key is (doc, term),
+    no per-doc quadratic work, so it scales like any token count.
+    """
+
+    def fracs(unit_col, out_prefix: str):
+        per_term = (
+            df.select(F.col(id_col), F.explode(unit_col).alias("_term"))
+            .groupBy(id_col, "_term")
+            .agg(F.count("*").alias("_c"))
+        )
+        return per_term.groupBy(id_col).agg(
+            F.sum("_c").alias(f"{out_prefix}_total"),
+            F.max("_c").alias(f"{out_prefix}_top"),
+            F.sum(F.col("_c") - 1).alias(f"{out_prefix}_dups"),
+        )
+
+    c = F.col(text_col)
+    words = fracs(tokens(c), "w")
+    bigrams = fracs(word_bigrams(c), "b")
+    out = words.join(bigrams, on=id_col, how="left")
+    return out.select(
+        F.col(id_col),
+        F.round(F.col("w_top") / F.col("w_total"), 6).alias("top_word_frac"),
+        F.round(F.col("w_dups") / F.col("w_total"), 6).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.col("b_dups") / F.col("b_total"), F.lit(0.0)), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per group by tf-idf (idf = ln(#groups / #groups with
+    term)).  The corpus-vocabulary primitive: explode → (group, term)
+    count → distinct-group count per term → window top-k.
+
+    Scale shape: both aggregates shuffle on (group, term) / term — linear
+    in token count; the window partitions by group.  No driver-side
+    vocabulary."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    n_groups = df.select(group_col).distinct().count()
+    gf = tf.groupBy("term").agg(
+        F.countDistinct("grp").alias("group_freq")
+    )
+    scored = tf.join(gf, on="term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_groups)) / F.col("group_freq")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "tf",
+            "group_freq",
+            "tfidf",
+            "rank",
+        )
+    )
+
+
 def fingerprint(col) -> F.Column:
     """Document fingerprint: md5 of casefolded, whitespace-collapsed text.
 

@@ -377,33 +377,45 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH numbered AS (
         SELECT o_orderkey,
-               row_number() OVER (ORDER BY o_orderkey) AS rn
+               strftime(o_orderdate, '%Y-%m') AS order_month,
+               row_number() OVER (
+                   PARTITION BY strftime(o_orderdate, '%Y-%m')
+                   ORDER BY o_orderkey
+               ) AS rn
         FROM orders
     )
-    SELECT CAST(floor((rn - 1) / 100.0) AS BIGINT) AS batch_id,
+    SELECT order_month,
+           CAST(floor((rn - 1) / 100.0) AS BIGINT) AS batch_id,
            COUNT(*) AS file_count,
            MIN(o_orderkey) AS first_key,
            MAX(o_orderkey) AS last_key
     FROM numbered
-    GROUP BY 1
-    ORDER BY batch_id
+    GROUP BY 1, 2
+    ORDER BY order_month, batch_id
     """,
 )
 def orders_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 — fixed-size chunked batching as a window op
-    (builder.py:1029-1070 driver loop → row_number/floor)."""
+    (builder.py:1029-1070 driver loop → row_number/floor).
+
+    The window is PARTITIONED by order month — the same shape
+    assign_batches uses (partition by date_prefix, operators/batching.py)
+    — so the numbering parallelizes; an unpartitioned row_number would be
+    a single-task sort at scale."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    w = Window.partitionBy("order_month").orderBy("o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("order_month", month)
+        .withColumn("rn", F.row_number().over(w))
         .withColumn("batch_id", F.floor((F.col("rn") - 1) / 100.0))
-        .groupBy("batch_id")
+        .groupBy("order_month", "batch_id")
         .agg(
             F.count("*").alias("file_count"),
             F.min("o_orderkey").alias("first_key"),
             F.max("o_orderkey").alias("last_key"),
         )
-        .orderBy("batch_id")
+        .orderBy("order_month", "batch_id")
     )
 
 
@@ -1221,6 +1233,166 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ), wcounts AS (
+        SELECT doc_id, source, term, count(*) AS c
+        FROM words GROUP BY 1, 2, 3
+    ), wdoc AS (
+        SELECT doc_id, source,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(max(c) AS BIGINT) AS top,
+               CAST(sum(c - 1) AS BIGINT) AS dups
+        FROM wcounts GROUP BY 1, 2
+    ), wlists AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ), bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS term
+        FROM wlists WHERE len(w) >= 2
+    ), bcounts AS (
+        SELECT doc_id, term, count(*) AS c FROM bigrams GROUP BY 1, 2
+    ), bdoc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS btotal,
+               CAST(sum(c - 1) AS BIGINT) AS bdups
+        FROM bcounts GROUP BY 1
+    ), per_doc AS (
+        SELECT w.source,
+               round(CAST(w.top AS DOUBLE) / w.total, 6) AS top_word_frac,
+               round(CAST(w.dups AS DOUBLE) / w.total, 6) AS dup_word_frac,
+               round(coalesce(CAST(b.bdups AS DOUBLE) / b.btotal, 0.0), 6)
+                   AS dup_bigram_frac
+        FROM wdoc w LEFT JOIN bdoc b USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           round(AVG(top_word_frac), 6) AS avg_top_word_frac,
+           round(AVG(dup_word_frac), 6) AS avg_dup_word_frac,
+           round(AVG(dup_bigram_frac), 6) AS avg_dup_bigram_frac
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-word fraction,
+    duplicate word/bigram fractions) aggregated per source."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(d)
+    return (
+        rep.join(d.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("top_word_frac"), 6).alias("avg_top_word_frac"),
+            F.round(F.avg("dup_word_frac"), 6).alias("avg_dup_word_frac"),
+            F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+        SELECT source AS grp,
+               unnest(string_split_regex(trim(lower(text)),
+                                         '[ \\t\\n\\r]+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+        SELECT grp, term, CAST(count(*) AS BIGINT) AS tf
+        FROM terms GROUP BY 1, 2
+    ), gf AS (
+        SELECT term, CAST(count(DISTINCT grp) AS BIGINT) AS group_freq
+        FROM tf GROUP BY 1
+    ), n AS (
+        SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ng FROM documents
+    ), scored AS (
+        SELECT grp, term, tf, group_freq,
+               round(tf * ln(ng / group_freq), 6) AS tfidf
+        FROM tf JOIN gf USING (term) CROSS JOIN n
+    )
+    SELECT grp AS source, term, tf, group_freq, tfidf, rank FROM (
+        SELECT grp, term, tf, group_freq, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY grp ORDER BY tfidf DESC, term
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY source, rank
+    """,
+)
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-5 tf-idf terms per source (idf over the
+    source groups) — fully distributed, no driver-side vocab."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, group_col="source", k=5).orderBy(
+        "source", "rank"
+    )
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), s AS (
+        SELECT vec_id, ev,
+               greatest(list_max(list_transform(ev, x -> abs(x))), 1e-12)
+                   / 127.0 AS scale
+        FROM v
+    ), c AS (
+        SELECT vec_id, scale, ev,
+               list_transform(ev, x -> CAST(round(x / scale) AS INT)) AS codes
+        FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(list_max(list_transform(
+               generate_series(1, len(ev)),
+               i -> abs(ev[i] - codes[i] * scale))), 6) AS max_abs_err
+    FROM c
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + achieved dequant error;
+    codes collapsed to a checksum so the oracle hash stays compact."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda a, c: a + c.cast("bigint")
+        ).alias("code_sum"),
+        "max_abs_err",
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Coverage batch 2: P6/P13/P17, A8, U1, O2, W1, and an oracle-checkable
 # md5-based MinHash (the fast xxhash64 variant stays for bench; this one
@@ -1515,6 +1687,69 @@ FROM scored
 WHERE est_jaccard >= 0.25
 ORDER BY id_a, id_b
 """
+
+
+_JACCARD_MINHASH_ORACLE = """
+WITH docs AS (
+    SELECT doc_id,
+           string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([
+               array_to_string(words[i:i+1], ' ')
+               for i in range(1, len(words))
+           ]) AS shingles
+    FROM docs
+    WHERE len(words) >= 2
+), sig AS (
+    SELECT doc_id,
+           [list_min([
+               ('0x' || substr(md5(h || ':' || s), 18, 15))::BIGINT
+               for s in shingles
+           ]) for h in range(0, 8)] AS sig
+    FROM sh
+), bands AS (
+    SELECT doc_id, b,
+           md5(array_to_string(
+               [CAST(x AS VARCHAR) for x in sig[b*2+1:b*2+2]], ',')) AS band_hash
+    FROM sig, (SELECT unnest(range(0, 4)) AS b)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+), scored AS (
+    SELECT p.id_a, p.id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))
+                 / greatest(len(sa.shingles) + len(sb.shingles)
+                            - len(list_intersect(sa.shingles, sb.shingles)), 1),
+                 4) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard
+FROM scored
+WHERE jaccard >= 0.05
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_jaccard_minhash", oracle=_JACCARD_MINHASH_ORACLE)
+def dedup_jaccard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard verify over md5-MinHash LSH candidates — the scale
+    path for pair verification (candidate volume tracks near-dup density,
+    not block-size skew; see dedup_jaccard_pairs for the blocked form)."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        jaccard_pairs_via_minhash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs_via_minhash(
+        d, num_hashes=8, bands=4, shingle_n=2, threshold=0.05
+    ).orderBy("id_a", "id_b")
 
 
 @query("dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)

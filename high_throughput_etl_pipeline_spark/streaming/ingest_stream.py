@@ -6,8 +6,15 @@ streams→manifests) collapses into ONE streaming query:
 - new-file discovery      = file source (S3/dir listing), the reference's
                             S3 notification + SQS (ST1/S3 source)
 - manifest batching       = ``maxFilesPerTrigger`` (MAX_FILES_PER_MANIFEST)
-- exactly-once            = checkpoint + idempotent parquet sink (ST4); the
-                            reference hand-rolled CAS claims in DynamoDB
+- exactly-once            = checkpoint (no reprocessing of committed
+                            batches) + a PER-BATCH-IDEMPOTENT sink (ST4):
+                            output partitions carry the batch id and each
+                            batch writes with dynamic partition OVERWRITE,
+                            so a replay of an uncommitted batch rewrites
+                            its own partitions instead of appending
+                            duplicates.  (foreachBatch alone is only
+                            at-least-once; a plain append sink would
+                            duplicate rows on replay-after-sink-write.)
 - event-time dating       = date from file name, not arrival (ST3)
 - late data / orphans     = files of old dates simply land in their date
                             partition — partitioned sink makes the
@@ -67,8 +74,20 @@ def start_ingest_stream(
     tracker = FileStateTracker(spark, state_path) if state_path else None
 
     def handle_batch(batch_df, batch_id: int) -> None:
-        # idempotent per-batch: parquet append is replay-safe only with
-        # the checkpoint; state upsert is keyed so replays dedup (ST4).
+        # ST4 idempotency: if a replayed batch was already fully committed
+        # (status flip is the LAST step), skip it outright …
+        if tracker is not None:
+            already = (
+                tracker.state()
+                .filter(
+                    (F.col("manifest_path") == f"stream-batch-{batch_id}")
+                    & F.col("status").startswith("completed")
+                )
+                .limit(1)
+                .count()
+            )
+            if already:
+                return
         if tracker is not None:
             files = (
                 batch_df.select(F.col("_source_file").alias("file_path"))
@@ -81,9 +100,15 @@ def start_ingest_stream(
                 .withColumn("file_size_mb", F.lit(None).cast("double"))
             )
             tracker.track_files(files)
+        # … and the sink itself is idempotent regardless of the tracker:
+        # partitions carry the batch id, and dynamic partition overwrite
+        # makes a replay rewrite `_batch={id}/...` in place (never append
+        # the same rows twice)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            batch_df.write.mode("append")
-            .partitionBy("_date")
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch", "_date")
             .option("compression", "snappy")
             .parquet(output_dir)
         )

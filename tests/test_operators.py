@@ -70,7 +70,7 @@ def test_word_shingles_short_doc(spark):
 
 
 def test_simhash_hamming_zero_for_identical(spark, docs):
-    sh = docs.select("doc_id", simhash64(F.col("text"), 32).alias("sh"))
+    sh = docs.select("doc_id", simhash64("text", 32).alias("sh"))
     vals = {r["doc_id"]: r["sh"] for r in sh.collect()}
     assert vals[0] == vals[2]
     pairs = simhash_near_duplicates(

@@ -35,11 +35,11 @@ def test_stream_drain_and_exactly_once(spark, tmp_path):
     assert {str(r[0]) for r in df.select("_date").distinct().collect()} == {
         "2026-08-11", "2026-08-12",
     }
-    # all data columns string
+    # all data columns string (partition cols _date/_batch excluded)
     assert all(
         f.dataType.simpleString() == "string"
         for f in df.schema.fields
-        if f.name != "_date"
+        if f.name not in ("_date", "_batch")
     )
     # restart on same checkpoint: no duplicates
     q2 = start_ingest_stream(
@@ -63,6 +63,33 @@ def test_stream_drain_and_exactly_once(spark, tmp_path):
     assert {str(r[0]) for r in df.select("_date").distinct().collect()} == {
         "2026-08-10", "2026-08-11", "2026-08-12",
     }
+
+
+def test_stream_replay_after_checkpoint_loss_no_duplicates(spark, tmp_path):
+    """ST4: foreachBatch is at-least-once — simulate replay-after-sink-
+    write by deleting the CHECKPOINT (so every batch re-fires) and
+    re-running.  The per-batch-idempotent sink (batch-scoped dynamic
+    partition overwrite + tracker completed-batch skip) must not
+    duplicate a single row."""
+    import shutil
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    _write_files(ind)
+    out, ckpt, state = (
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), str(tmp_path / "state")
+    )
+    for attempt in range(2):
+        q = start_ingest_stream(
+            spark, str(ind), out, ckpt, schema=SCHEMA, state_path=state,
+            max_files_per_trigger=4, available_now=True,
+        )
+        q.awaitTermination(120)
+        if attempt == 0:
+            shutil.rmtree(ckpt)  # lose every commit → full replay
+    df = spark.read.parquet(out)
+    assert df.count() == 6 * 30
+    assert df.select("id").distinct().count() == 6 * 30
 
 
 def test_windowed_counts_stream_and_batch_agree(spark, tmp_path):
