@@ -1,0 +1,128 @@
+"""Corpus-management operators for training-data pipelines.
+
+The release-engineering half of dataset work (beyond the reference's
+surface, SURVEY.md §7.1 step 8): deterministic split assignment,
+benchmark-contamination detection, and context-window packing.  All pure
+DataFrame ops — the hash family is the portable md5-low-60-bits used
+across the engine, so every operator is value-checkable against an
+independent SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+from high_throughput_etl_pipeline_spark.operators.text import token_count, tokens
+
+_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by keyed hash.
+
+    ``md5(salt:id) mod 10000`` buckets each row; cumulative weight ranges
+    map buckets to split names.  Properties that matter at 100 TB:
+    stateless (no sampling RNG, no shuffle), stable across runs and
+    engines (re-ingesting a doc lands it in the same split forever), and
+    changing one split's weight never reshuffles rows between the OTHER
+    splits (ranges are cumulative).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = F.pmod(
+        md5_64(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(_BUCKETS),
+    )
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    bounds = []
+    for name, w in weights.items():
+        cum += w
+        bounds.append((name, int(round(cum * _BUCKETS))))
+    # build when-chain from the last range backwards so earlier ranges win
+    for name, hi in reversed(bounds):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Flag corpus documents sharing word n-grams with a benchmark set.
+
+    The standard decontamination primitive (n-gram overlap against held-out
+    eval sets): benchmark docs explode to DISTINCT n-gram hashes (a tiny
+    relation — benchmarks are thousands of docs, not billions — so the
+    join side broadcasts); corpus docs explode likewise and the keyed join
+    counts shared n-grams per corpus doc.  Output: (id, shared_ngrams)
+    for contaminated docs only.  Linear in token count; the only shuffle
+    is the per-doc count aggregate.
+    """
+    grams_of = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(_word_ngrams(F.col(text_col), ngram_n))
+        ).alias("_g"),
+    ).select("_id", md5_64(F.col("_g")).alias("_gh"))
+    bench_grams = grams_of(benchmark).select("_gh").distinct()
+    corpus_grams = grams_of(corpus)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), on="_gh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .select(F.col("_id").alias(id_col), "shared_ngrams")
+    )
+
+
+def _word_ngrams(col, n: int) -> F.Column:
+    """Word n-grams (with multiplicity) of whitespace-tokenized text."""
+    words = tokens(col)
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to ~``budget``-token packs (context-window packing).
+
+    Within each ``part_col`` partition, docs are ordered by id and packed
+    by exclusive-prefix-sum bucket: ``pack_id = floor(cumsum_before /
+    budget)``.  A pack may overflow by at most one document (the standard
+    streaming-packing relaxation — exact greedy bin-closing is inherently
+    sequential and not worth a single-task dependency chain).  The window
+    partitions by ``part_col``, so the numbering parallelizes like any
+    grouped window; no global sort.
+    """
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    n_tok = token_count(F.col(text_col))
+    out = df.withColumn("_tokens", n_tok).withColumn(
+        "_cum_before",
+        F.coalesce(
+            F.sum("_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return out.withColumn(
+        "pack_id", F.floor(F.col("_cum_before") / float(budget))
+    ).drop("_cum_before")

@@ -1350,6 +1350,132 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_hash_split",
+    oracle="""
+    WITH b AS (
+        SELECT source, n_chars,
+               ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                               18, 15))::BIGINT % 10000 AS bucket
+        FROM documents
+    ), tagged AS (
+        SELECT source, n_chars,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    WHEN bucket < 10000 THEN 'test' END AS split
+        FROM b
+    )
+    SELECT source, split,
+           COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by portable keyed hash —
+    stable across runs and engines, no RNG state."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+        FROM documents WHERE trim(text) <> ''
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 3, 1)),
+                   i -> array_to_string(words[i:i+3], ' ')))) AS gram
+        FROM w WHERE len(words) >= 4
+    ), bench AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(gram), 18, 15))::BIGINT AS gh
+        FROM g WHERE doc_id % 100 = 7
+    ), corpus AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(gram), 18, 15))::BIGINT AS gh
+        FROM g WHERE doc_id % 100 <> 7
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM corpus c JOIN bench USING (gh)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def benchmark_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination primitive: corpus docs sharing 4-gram hashes with a
+    (deterministic) benchmark slice; benchmark gram set broadcasts."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        benchmark_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 7)
+    corpus = d.filter(F.col("doc_id") % 100 != 7)
+    return benchmark_contamination(corpus, bench, ngram_n=4).orderBy("doc_id")
+
+
+@query(
+    "corpus_token_packing",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+                    END AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(floor(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 500.0) AS BIGINT) AS pack_id
+        FROM t
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def corpus_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: ~500-token packs per source via
+    exclusive-prefix-sum bucketing (window partitioned per source — no
+    global sort; packs may overflow by at most one doc)."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        pack_token_budget,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_token_budget(d, budget=500, part_col="source")
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("_tokens").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@query(
     "embedding_quantization",
     oracle="""
     WITH v AS (

@@ -225,3 +225,83 @@ def test_frame_sampling_plumbing(spark, docs):
     # per-frame features differ (frame index is part of the decode input)
     f0 = [r["features"] for r in by_media[0]]
     assert f0[0] != f0[1]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """Same id → same split across calls; weights roughly honored; and
+    re-weighting val/test never moves rows OUT of train (cumulative
+    ranges)."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import hash_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert a == b
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.85 < frac_train < 0.95
+    # cumulative-range property: train members stay train when the tail
+    # weights change
+    c = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df, weights={"train": 0.9, "val": 0.08, "test": 0.02}
+        ).collect()
+    }
+    for k, v in a.items():
+        if v == "train":
+            assert c[k] == "train"
+
+
+def test_benchmark_contamination_detects_planted_overlap(spark):
+    """A corpus doc embedding a benchmark doc's text must be flagged with
+    at least the benchmark doc's n-gram count; clean docs must not."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        benchmark_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id BIGINT, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "intro words alpha beta gamma delta epsilon zeta outro"),
+            (11, "totally unrelated content with no shared phrases at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    hits = {
+        r["doc_id"]: r["shared_ngrams"]
+        for r in benchmark_contamination(corpus, bench, ngram_n=4).collect()
+    }
+    assert 10 in hits and hits[10] >= 3  # 3 shared 4-grams
+    assert 11 not in hits
+
+
+def test_pack_token_budget_overflow_bound(spark):
+    """Every pack holds ≥1 doc and exceeds the budget by at most one
+    document's tokens; packs are contiguous in id order per partition."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        pack_token_budget,
+    )
+
+    rows = [
+        ("s1", i, "w " * (10 * (i % 7 + 1))) for i in range(40)
+    ] + [("s2", i, "w " * 25) for i in range(40, 60)]
+    df = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    packed = pack_token_budget(df, budget=100, part_col="source").collect()
+    by_pack: dict = {}
+    for r in packed:
+        by_pack.setdefault((r["source"], r["pack_id"]), []).append(r)
+    for (_, _), members in by_pack.items():
+        total = sum(r["_tokens"] for r in members)
+        biggest = max(r["_tokens"] for r in members)
+        assert len(members) >= 1
+        assert total - biggest < 100  # minus any one doc → under budget
+    # contiguity: ids within a partition sorted by pack then id == sorted by id
+    for src in ("s1", "s2"):
+        seq = sorted(
+            (r["pack_id"], r["doc_id"]) for r in packed if r["source"] == src
+        )
+        ids = [d for _, d in seq]
+        assert ids == sorted(ids)
