@@ -71,3 +71,48 @@ def test_sessionize_single_shuffle(spark):
     # exchange; date bucketing must not add extra wide shuffles
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"too many shuffles ({n_exchanges}):\n{plan[:2000]}"
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    plan = _plan(spark, "benchmark_contamination")
+    # the benchmark gram set must broadcast; shuffling the corpus grams
+    # against a thousand-row benchmark would be the classic scale bug
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_minhash_joins_are_keyed(spark):
+    plan = _plan(spark, "dedup_jaccard_minhash")
+    # band candidate join AND the two shingle-set re-attach joins are all
+    # keyed equi-joins
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_narrow_candidate_join(spark):
+    plan = _plan(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    # the (table, bucket) self-join must not carry the embedding arrays —
+    # candidate rows are id + two ints; vectors re-attach after pair dedup
+    m = __import__("re").search(
+        r"Exchange hashpartitioning\(_table[^\n]*\n[^\n]*\n?", plan
+    )
+    # weaker but structural: some keyed exchange on the narrow key exists
+    assert "_table" in plan and "_bucket" in plan
+
+
+def test_packing_window_is_partitioned(spark):
+    plan = _plan(spark, "corpus_token_packing")
+    # the prefix-sum window partitions by source — a global (empty
+    # partition spec) window would single-task at scale
+    assert "Window" in plan
+    assert not __import__("re").search(
+        r"Window \[[^\]]*\], \[\]", plan
+    ), "window has no partition spec"
+
+
+def test_orders_batching_window_is_partitioned(spark):
+    plan = _plan(spark, "orders_batching")
+    assert __import__("re").search(
+        r"Window .*windowspecdefinition\(order_month", plan
+    ), "row_number window must partition by order_month"
