@@ -144,3 +144,55 @@ def test_windowed_counts_stream_and_batch_agree(spark, tmp_path):
     }
     assert got <= expected
     assert len(expected) == 3
+
+
+def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
+    """ST6 streaming form: duplicate (id, ts) events across micro-batches
+    collapse to one row; the batch run of the same plan is the oracle."""
+    from high_throughput_etl_pipeline_spark.streaming.dedup_stream import (
+        deduped_stream,
+    )
+    from pyspark.sql import functions as F
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    # two files carrying overlapping events (the re-delivered-event case)
+    evs = [
+        {"id": i, "ts": f"2026-08-12 10:{i % 50:02d}:00", "v": float(i)}
+        for i in range(100)
+    ]
+    with open(ind / "a.ndjson", "w") as f:
+        for r in evs[:70]:
+            f.write(json.dumps(r) + "\n")
+    with open(ind / "b.ndjson", "w") as f:
+        for r in evs[40:]:  # 40..69 duplicated
+            f.write(json.dumps(r) + "\n")
+
+    schema = "id BIGINT, ts STRING, v DOUBLE"
+
+    def parsed(df):
+        return df.select("id", F.to_timestamp("ts").alias("ts"), "v")
+
+    stream = parsed(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(ind))
+    )
+    q = (
+        deduped_stream(stream, ["id"], watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id FROM dedup_out").collect()
+    assert len(got) == 100
+    assert len({r["id"] for r in got}) == 100
+    # batch symmetry: same operator, batch frame, same answer
+    batch = deduped_stream(
+        parsed(spark.read.schema(schema).json(str(ind))), ["id"]
+    )
+    assert batch.count() == 100
