@@ -1350,6 +1350,77 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_salted_rollup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-salt two-phase aggregation (operators/skew.py) — the
+    hot-key spreading pattern; result must equal the plain GROUP BY (the
+    oracle IS the plain form, so salting is proven value-neutral)."""
+    from high_throughput_etl_pipeline_spark.operators.skew import salted_count
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        salted_count(ev, ["event_type"], n_salts=8)
+        .select("event_type", F.col("count").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)),
+                                         '[ \\t\\n\\r]+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ), total AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(v.c / total.n)), 6) AS avg_logprob
+    FROM toks t JOIN vocab v USING (w) CROSS JOIN total
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document (avg ln p(w)) — the
+    cheap perplexity-style quality signal.  Fully distributed: vocabulary
+    and corpus total stay DataFrames (tiny total broadcasts via cross
+    join); token→vocab is a keyed shuffle join, linear in token count."""
+    from high_throughput_etl_pipeline_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        toks.join(vocab, on="w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "corpus_hash_split",
     oracle="""
     WITH b AS (
