@@ -1350,6 +1350,67 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_column_stats",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           round(CAST(MIN(o_custkey) AS DOUBLE), 4) AS min_val,
+           round(CAST(MAX(o_custkey) AS DOUBLE), 4) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           round(CAST(MIN(o_orderkey) AS DOUBLE), 4),
+           round(CAST(MAX(o_orderkey) AS DOUBLE), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           round(CAST(MIN(o_totalprice) AS DOUBLE), 4),
+           round(CAST(MAX(o_totalprice) AS DOUBLE), 4)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (rows, nulls, NDV, min/max) in
+    ONE pass over the table, unpivoted to a row per column.  Exact NDV
+    here for oracle parity; at 100 TB swap in approx_count_distinct
+    (HyperLogLog — no exact-distinct shuffle) for the same plan shape."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_totalprice"]
+    agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"_nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"_nd_{c}") for c in cols],
+        *[F.min(F.col(c).cast("double")).alias(f"_min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_max_{c}") for c in cols],
+    )
+    stats = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.round(F.col(f"_min_{c}"), 4).alias("min_val"),
+                F.round(F.col(f"_max_{c}"), 4).alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        agg.select(F.explode(stats).alias("s"))
+        .select("s.*")
+        .orderBy("column_name")
+    )
+
+
+@query(
     "events_salted_rollup",
     oracle="""
     SELECT event_type, COUNT(*) AS n

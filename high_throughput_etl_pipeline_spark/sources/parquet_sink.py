@@ -83,6 +83,46 @@ def write_date_partitioned_parquet(
     writer.parquet(out_dir)
 
 
+def compact_partition(
+    spark,
+    out_dir: str,
+    date_value: str,
+    date_col: str = "_date",
+    target_file_mb: int = TARGET_FILE_MB,
+) -> int:
+    """Small-file compaction for ONE date partition (the standard
+    lakehouse maintenance job): read the partition, rewrite it at target
+    file size via AQE rebalance, dynamic-overwrite just that partition.
+
+    Bounded work — one day's slice, never the table.  Returns the row
+    count (rides ``observe`` on the rewrite, no extra pass).  Run it on
+    partitions whose file-count/row-count ratio drifts (high-parallelism
+    streaming appends are the usual cause).
+    """
+    from pyspark.sql import Observation
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    part = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out_dir)
+        .filter(F.col(date_col) == date_value)
+    )
+    obs = Observation(f"compact-{date_value}")
+    part = part.observe(obs, F.count(F.lit(1)).alias("rows"))
+    # the rewrite overwrites the path being read: break lineage first.
+    # The eager checkpoint is also the action that fires the observation.
+    part = part.localCheckpoint(eager=True)
+    write_date_partitioned_parquet(
+        part,
+        out_dir,
+        date_col=date_col,
+        target_file_mb=target_file_mb,
+        mode="overwrite",
+        compact=True,
+    )
+    return int(obs.get["rows"])
+
+
 def read_output(spark, out_dir: str) -> DataFrame:
     """Read the engine's output table under the schema-drift policy
     (SURVEY.md §7.3.4).

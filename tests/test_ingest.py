@@ -169,3 +169,46 @@ def test_read_ndjson_does_not_mutate_caller_schema(spark, tmp_path):
         df = read_ndjson(spark, [p], schema=schema, keep_corrupt=True)
         assert df.columns.count("_corrupt_record") == 1
     assert len(schema.fields) == 1  # caller's object untouched
+
+
+def test_compact_partition_reduces_files(spark, tmp_path):
+    """Lakehouse maintenance: a fragmented date partition compacts to
+    fewer files with identical rows; other partitions untouched."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.sources.parquet_sink import (
+        compact_partition,
+    )
+
+    out = str(tmp_path / "out")
+    df = spark.range(4000).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("2026-08-12").alias("_date"),
+    )
+    # fragment: tiny maxRecordsPerFile + high parallelism
+    (
+        df.repartition(16)
+        .write.mode("append")
+        .option("maxRecordsPerFile", 100)
+        .partitionBy("_date")
+        .parquet(out)
+    )
+    other = spark.range(50).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("2026-08-11").alias("_date"),
+    )
+    other.write.mode("append").partitionBy("_date").parquet(out)
+
+    frag = glob.glob(f"{out}/_date=2026-08-12/*.parquet")
+    assert len(frag) >= 16
+    n = compact_partition(spark, out, "2026-08-12")
+    assert n == 4000
+    compacted = glob.glob(f"{out}/_date=2026-08-12/*.parquet")
+    assert len(compacted) < len(frag)
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("_date") == "2026-08-12").count() == 4000
+    assert back.filter(F.col("_date") == "2026-08-11").count() == 50
+    ids = [r["id"] for r in back.filter(F.col("_date") == "2026-08-12").collect()]
+    assert len(set(ids)) == 4000

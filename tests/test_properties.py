@@ -98,3 +98,49 @@ def test_date_extraction_finds_embedded_dates(spark, dates):
     ).collect()
     for r in out:
         assert r["got"] == r["d"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=_N, unique=True))
+def test_hash_split_partition_property(spark, ids):
+    """Splits partition the input: every row gets exactly one split, and
+    the assignment is a pure function of the id (engine-portable md5)."""
+    import hashlib
+
+    from high_throughput_etl_pipeline_spark.operators.corpus import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+    rows = hash_split(df).collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        # python-side oracle of the same md5-low-60-bit bucket
+        h = hashlib.md5(f"split-v1:{r['doc_id']}".encode()).hexdigest()
+        bucket = int(h[17:32], 16) % 10000
+        expect = "train" if bucket < 9000 else ("val" if bucket < 9500 else "test")
+        assert r["split"] == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(1, 60), min_size=1, max_size=_N),
+    st.integers(20, 200),
+)
+def test_pack_token_budget_properties(spark, sizes, budget):
+    """Packing invariants for arbitrary doc sizes and budgets: every doc
+    packed exactly once; pack ids contiguous from 0; removing any single
+    doc from a pack puts it at or under budget."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        pack_token_budget,
+    )
+
+    rows = [("s", i, "w " * sizes[i]) for i in range(len(sizes))]
+    df = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    packed = pack_token_budget(df, budget=budget, part_col="source").collect()
+    assert len(packed) == len(sizes)
+    packs: dict = {}
+    for r in packed:
+        packs.setdefault(r["pack_id"], []).append(r["_tokens"])
+    assert sorted(packs) == list(range(len(packs)))
+    for members in packs.values():
+        assert sum(members) - max(members) < budget
