@@ -48,6 +48,9 @@ HEADLINE = [
     "top_customers_per_nation",
     "q6_forecast_revenue",
     "q17_small_quantity_parts",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     "purchase_attribution_asof",
     "error_context_rangejoin",
     "lsh_topk",
