@@ -1120,20 +1120,29 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_fingerprints",
     oracle="""
-    SELECT COUNT(*) AS docs,
+    SELECT source,
+           COUNT(*) AS docs,
            COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
                AS distinct_fingerprints
     FROM documents
+    GROUP BY source
+    ORDER BY source
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 over casefolded, space-collapsed text."""
+    """Document fingerprinting: md5 over casefolded, space-collapsed text
+    (per source, so the check carries one row per group rather than a
+    single global pair of counts)."""
     d = _t(spark, sf_dir, "documents")
-    return d.agg(
-        F.count("*").alias("docs"),
-        F.countDistinct(fingerprint(F.col("text"))).alias(
-            "distinct_fingerprints"
-        ),
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct(fingerprint(F.col("text"))).alias(
+                "distinct_fingerprints"
+            ),
+        )
+        .orderBy("source")
     )
 
 

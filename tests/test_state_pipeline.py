@@ -232,3 +232,42 @@ def test_pipeline_writes_reports(spark, ndjson_dir, tmp_path):
     assert len(perf) == 2
     assert all(r["status"] == "success" for r in perf)
     assert sum(r["records_processed"] for r in perf) == res.records_written
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """Generic MERGE: matched rows update, new keys insert, untouched
+    partitions stay byte-identical (partition-bounded work)."""
+    from high_throughput_etl_pipeline_spark.operators.merge import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    schema = "d STRING, k BIGINT, v STRING"
+    base = spark.createDataFrame(
+        [("2026-08-10", 1, "a"), ("2026-08-10", 2, "b"), ("2026-08-11", 3, "c")],
+        schema,
+    )
+    assert merge_upsert(spark, path, base, ["d", "k"], "d", schema=schema) == 3
+
+    updates = spark.createDataFrame(
+        [("2026-08-10", 2, "B2"), ("2026-08-10", 4, "d")], schema
+    )
+    # only the 08-10 partition rewrites: 3 rows written (1 kept + 2 upserts)
+    assert merge_upsert(spark, path, updates, ["d", "k"], "d", schema=schema) == 3
+
+    got = {
+        (r["d"], r["k"]): r["v"]
+        for r in spark.read.schema(schema).parquet(path).collect()
+    }
+    assert got == {
+        ("2026-08-10", 1): "a",   # untouched key
+        ("2026-08-10", 2): "B2",  # matched-update
+        ("2026-08-10", 4): "d",   # not-matched-insert
+        ("2026-08-11", 3): "c",   # untouched partition
+    }
+
+    # idempotency: replaying the same updates changes nothing
+    merge_upsert(spark, path, updates, ["d", "k"], "d", schema=schema)
+    again = {
+        (r["d"], r["k"]): r["v"]
+        for r in spark.read.schema(schema).parquet(path).collect()
+    }
+    assert again == got
