@@ -267,6 +267,148 @@ def ivf_topk(
     )
 
 
+def _lloyd_kmeans(x, k: int, iters: int = 8, seed: int = 42):
+    """Tiny deterministic Lloyd's k-means (numpy) for PQ codebook
+    training on a bounded driver-side sample — the faiss practice:
+    codebooks train on a sample, never the full table."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    sample_rows: int = 10_000,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split ``dim`` into ``m``
+    subspaces, k-means each on a BOUNDED sample (driver-side numpy —
+    deterministic, sample_rows caps the collect)."""
+    import numpy as np
+
+    sub = dim // m
+    sample = np.array(
+        [r[0] for r in vectors.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    books = []
+    for i in range(m):
+        piece = sample[:, i * sub : (i + 1) * sub]
+        books.append(_lloyd_kmeans(piece, ksub, seed=seed + i).tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` sub-codes (nearest sub-centroid per
+    subspace) — 64 floats → m bytes, the classic PQ storage shrink.
+    Pure Column expressions over codebook literals; no shuffle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def code_for(i: int) -> F.Column:
+        piece = F.slice(F.col(vec_col), i * sub + 1, sub)
+        d2s = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        piece,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in codebooks[i]
+            ]
+        )
+        # array_position is 1-based; code is 0-based centroid index
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+    return df.select(
+        F.col(id_col),
+        F.array(*[code_for(i) for i in range(m)]).alias("pq_codes"),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): each query builds
+    its (m × ksub) distance table driver-side (tiny), shipped as a
+    literal; per-vector distance is m table lookups by stored code — no
+    vector arithmetic at scan time, which is the entire point of PQ at
+    100 TB (codes are ~dim/sub bytes and the scan never touches floats).
+    Returns (query_id, vec_id, approx_d2, rank), ascending distance.
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    encoded = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    out = None
+    for qr in q_rows:
+        qv = np.array(qr[vec_col], dtype=np.float64)
+        table = [
+            [
+                float(((qv[i * sub : (i + 1) * sub] - np.array(c)) ** 2).sum())
+                for c in codebooks[i]
+            ]
+            for i in range(m)
+        ]
+        tbl = F.array(
+            *[F.array(*[F.lit(d) for d in row]) for row in table]
+        )
+        scored = encoded.select(
+            F.lit(qr[query_id_col]).alias(query_id_col),
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        tbl,
+                        F.col("pq_codes"),
+                        lambda row, c: F.element_at(row, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("approx_d2"),
+        )
+        out = scored if out is None else out.unionByName(scored)
+    w = Window.partitionBy(query_id_col).orderBy("approx_d2", F.col(id_col))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_d2", "rank")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -305,3 +305,43 @@ def test_pack_token_budget_overflow_bound(spark):
         )
         ids = [d for _, d in seq]
         assert ids == sorted(ids)
+
+
+def test_pq_topk_beats_random_recall(spark):
+    """PQ/ADC sanity: codes are deterministic, and approximate top-5
+    overlaps exact euclidean top-5 well above random chance."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(e, m=8, ksub=16, dim=64)
+    codes = pq_encode(e, books).collect()
+    assert all(len(r["pq_codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["pq_codes"])
+    again = {r["vec_id"]: r["pq_codes"] for r in pq_encode(e, books).collect()}
+    assert all(again[r["vec_id"]] == r["pq_codes"] for r in codes)
+
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_topk(e, q, books, k=5)
+    got = {
+        (r["query_id"], r["vec_id"]) for r in approx.collect()
+    }
+    # exact euclidean top-5 via numpy
+    import numpy as np
+
+    rows = e.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = 0
+    for qid in range(3):
+        qv = V[ids == qid][0]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        top = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+        hits += sum(1 for (g_q, g_v) in got if g_q == qid and g_v in top)
+    # 15 slots total; random chance would be ~5*5/|table| ≈ 0.4 hits
+    assert hits >= 6, f"PQ recall too low: {hits}/15"
