@@ -1468,6 +1468,24 @@ def sample_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_index")
 
 
+@query("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (8 subspaces × 16 centroids,
+    sample-trained codebooks).  Approximate by construction → rows-only
+    driver check; recall is pinned against exact search in pytest."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=8, ksub=16, dim=64)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(e, q, books, k=5).orderBy("query_id", "rank")
+
+
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: media table → Arrow-batched feature
