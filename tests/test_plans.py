@@ -116,3 +116,42 @@ def test_orders_batching_window_is_partitioned(spark):
     assert __import__("re").search(
         r"Window .*windowspecdefinition\(order_month", plan
     ), "row_number window must partition by order_month"
+
+def test_q2_argmin_window_partitioned(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    # all four dims broadcast; the only wide exchanges are the per-part
+    # aggregate and the argmin window, both keyed on the part key
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert re.search(r"windowspecdefinition\(l_partkey", plan), (
+        "argmin window must partition by l_partkey, not run globally"
+    )
+
+
+def test_q8_dims_all_broadcast(spark):
+    plan = _plan(spark, "q8_market_share")
+    # lineitem-orders is the single shuffle join; customer/nation/region/
+    # supplier/part all broadcast
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_threshold_broadcasts(spark):
+    plan = _plan(spark, "q11_important_value")
+    # the one-row global total joins via broadcast nested loop (a scalar),
+    # never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    plan = _plan(spark, "q16_part_supplier_counts")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), (
+        "NOT IN suppliers must compile to a broadcast left-anti join"
+    )
+
+
+def test_q20_semi_chain_no_cartesian(spark):
+    plan = _plan(spark, "q20_part_promotion_suppliers")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"LeftSemi", plan)
