@@ -28,6 +28,7 @@ from high_throughput_etl_pipeline_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
 )
+from high_throughput_etl_pipeline_spark.operators.graph import dedup_clusters
 from high_throughput_etl_pipeline_spark.operators.multimodal import (
     extract_features,
     make_media_table,
@@ -1144,6 +1145,161 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH pairs AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_orderkey, l.l_suppkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM pairs t
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    WHERE t.late = 1
+      AND EXISTS (SELECT 1 FROM pairs p2
+                  WHERE p2.l_orderkey = t.l_orderkey
+                    AND p2.l_suppkey <> t.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM pairs p3
+                      WHERE p3.l_orderkey = t.l_orderkey
+                        AND p3.l_suppkey <> t.l_suppkey
+                        AND p3.late = 1)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape: the EXISTS / NOT EXISTS double correlation over
+    lineitem, rewritten as one per-order aggregate instead of two
+    self-joins.
+
+    This schema has no commit/receipt dates, so "late" is proxied as
+    shipping more than 60 days after the order date.  The classic plan
+    self-joins lineitem twice (EXISTS: another supplier on the order;
+    NOT EXISTS: another *late* supplier); aggregating (n_suppliers,
+    n_late_suppliers) per order replaces both with a single shuffle on
+    l_orderkey — the form that survives a 100× scale-up."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
+    )
+    return (
+        pairs.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "events_rollup_totals",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+           CAST(GROUPING(strftime(ts, '%Y-%m-%d'), event_type) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n_events,
+           round(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (d, event_type)
+    ORDER BY gid, d, event_type
+    """,
+)
+def events_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: (day, type) cells + per-day subtotals + grand total in
+    ONE grouped pass — Spark expands the grouping sets map-side, so the
+    shuffle carries each row once per grouping set, never a re-scan per
+    level.  ``gid`` disambiguates a NULL group key from a subtotal row."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type", "value"
+        )
+        .rollup("d", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("gid", "d", "event_type")
+    )
+
+
+@query(
+    "events_rolling_stats",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+               round(SUM(value), 2) AS daily_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, daily_value,
+           round(CAST(SUM(CAST(daily_value AS DECIMAL(18,2))) OVER w7
+                      AS DOUBLE)
+                 / COUNT(*) OVER w7, 4) AS ma7,
+           round(daily_value
+                 - LAG(daily_value) OVER (PARTITION BY event_type
+                                          ORDER BY d), 2) AS delta,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS day_idx
+    FROM daily
+    WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, d
+    """,
+)
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series window suite over a daily rollup: 7-day moving average
+    (ROWS frame), day-over-day delta (lag), and day index — all three
+    share one (event_type, d) sort, so Spark plans a single window
+    exchange.
+
+    The moving sum runs in DECIMAL(18,2): engines disagree on the
+    reduction ORDER of double sums inside sliding frames (DuckDB uses a
+    segment tree), so the frame sum must be exact before the final
+    double division."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("daily_value"))
+    )
+    by_day = Window.partitionBy("event_type").orderBy("d")
+    w7 = by_day.rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "d",
+        "daily_value",
+        F.round(
+            F.sum(F.col("daily_value").cast("decimal(18,2)")).over(w7)
+            .cast("double")
+            / F.count(F.lit(1)).over(w7),
+            4,
+        ).alias("ma7"),
+        F.round(
+            F.col("daily_value") - F.lag("daily_value").over(by_day), 2
+        ).alias("delta"),
+        F.row_number().over(by_day).cast("long").alias("day_idx"),
+    ).orderBy("event_type", "d")
+
+
+@query(
     "distinct_event_types",
     oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
 )
@@ -1712,10 +1868,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_jaccard_pairs",
-    oracle="""
-    WITH docs AS (
+# Shared by dedup_jaccard_pairs and dedup_cc_clusters: blocked bigram-
+# Jaccard pairs over documents, threshold 0.05 on the 4-dp-rounded value
+# (the Spark operator rounds before filtering — both sides must agree on
+# which boundary pairs survive).
+_JACCARD_PAIRS_CTE = """
+    docs AS (
         SELECT doc_id, lang,
                CAST(floor(n_chars / 64.0) AS BIGINT) AS len_bucket,
                list_distinct([
@@ -1730,20 +1888,32 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         WHERE len(words) >= 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.shingles, b.shingles))
+                     / greatest(len(a.shingles) + len(b.shingles)
+                                - len(list_intersect(a.shingles,
+                                                     b.shingles)), 1),
+                     4) AS jaccard
+        FROM docs a
+        JOIN docs b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.shingles, b.shingles))
+                    / greatest(len(a.shingles) + len(b.shingles)
+                               - len(list_intersect(a.shingles,
+                                                    b.shingles)), 1),
+                    4) >= 0.05
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.shingles, b.shingles))
-                 / greatest(len(a.shingles) + len(b.shingles)
-                            - len(list_intersect(a.shingles, b.shingles)), 1),
-                 4) AS jaccard
-    FROM docs a
-    JOIN docs b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-     AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.shingles, b.shingles))
-                / greatest(len(a.shingles) + len(b.shingles)
-                           - len(list_intersect(a.shingles, b.shingles)), 1),
-                4) >= 0.05
+"""
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT id_a, id_b, jaccard FROM pairs
     ORDER BY id_a, id_b
     """,
 )
@@ -1759,6 +1929,49 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=2,
         threshold=0.05,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node)
+    SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc_id
+    FROM cc GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: Jaccard pairs → connected components → one row
+    per component (cluster_id = min doc id; keep-policy falls out as
+    node == cluster_id).  The oracle walks the same edge list with a
+    recursive CTE; Spark runs min-label propagation (operators/graph.py)
+    — O(diameter) keyed joins, lineage cut per round."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 64.0)
+    )
+    pairs = jaccard_pairs(
+        d, block_cols=["lang", "len_bucket"], shingle_n=2, threshold=0.05
+    )
+    cc = dedup_clusters(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("node").alias("max_doc_id"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -345,3 +345,52 @@ def test_pq_topk_beats_random_recall(spark):
         hits += sum(1 for (g_q, g_v) in got if g_q == qid and g_v in top)
     # 15 slots total; random chance would be ~5*5/|table| ≈ 0.4 hits
     assert hits >= 6, f"PQ recall too low: {hits}/15"
+
+
+def test_connected_components_chain_and_islands(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12 with a dup + reversed
+    # edge, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (11, 10),
+         (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a 12-hop path exercises multi-round propagation + lineage cutting
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    got = connected_components(edges, max_iter=15).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 13
+
+
+def test_dedup_clusters_keep_policy(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (2, 3)], "id_a long, id_b long"
+    )
+    cc = dedup_clusters(pairs)
+    keep = {r["node"] for r in cc.filter("node = cluster_id").collect()}
+    drop = {r["node"] for r in cc.filter("node != cluster_id").collect()}
+    assert keep == {5, 2}
+    assert drop == {9, 7, 3}
