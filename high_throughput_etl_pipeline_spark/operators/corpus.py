@@ -126,3 +126,35 @@ def pack_token_budget(
     return out.withColumn(
         "pack_id", F.floor(F.col("_cum_before") / float(budget))
     ).drop("_cum_before")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by keyed hash (no RNG).
+
+    The corpus-rebalancing move: cap over-represented strata (languages,
+    sources, domains) at target rates.  ``md5(salt:id) mod 10000``
+    buckets each row; a row survives when its bucket falls under its
+    stratum's cutoff.  Unlike ``DataFrame.sampleBy`` (seeded RNG whose
+    output shifts with partitioning and retries), this is stateless and
+    engine-portable: a pure map-side filter — no shuffle, no seed, the
+    same rows kept on every run, every engine, every cluster layout.
+    Raising a stratum's rate strictly grows its kept set (cutoffs are
+    nested), so samples are monotone under curriculum changes.
+    """
+    bucket = F.pmod(
+        md5_64(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(_BUCKETS),
+    )
+    hi = F.lit(int(round(default_rate * _BUCKETS)))
+    for name, rate in rates.items():
+        hi = F.when(
+            F.col(stratum_col) == name, F.lit(int(round(rate * _BUCKETS)))
+        ).otherwise(hi)
+    return df.filter(bucket < hi)

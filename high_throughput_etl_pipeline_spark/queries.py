@@ -2544,6 +2544,46 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)),
+                               18, 15))::BIGINT % 10000 AS bucket,
+               CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
+                         ELSE 2000 END AS hi
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM s WHERE bucket < hi
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: cap English at 40%, boost
+    zh to 80%, default 20% — the language-rebalancing pass of corpus
+    curation.  Pure map-side hash filter (operators/corpus.py
+    stratified_sample): no RNG, no shuffle, same kept set on any engine.
+    ``id_sum`` makes the check value-sensitive, not just a count."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "lang", rates={"en": 0.4, "zh": 0.8}, default_rate=0.2
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "benchmark_contamination",
     oracle="""
     WITH w AS (

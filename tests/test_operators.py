@@ -394,3 +394,18 @@ def test_dedup_clusters_keep_policy(spark):
     drop = {r["node"] for r in cc.filter("node != cluster_id").collect()}
     assert keep == {5, 2}
     assert drop == {9, 7, 3}
+
+
+def test_stratified_sample_monotone_nested(spark):
+    """Raising any stratum's rate must strictly grow (never reshuffle)
+    its kept set — cutoffs are nested by construction."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        stratified_sample,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    low = stratified_sample(d, "lang", {"en": 0.2}, default_rate=0.1)
+    high = stratified_sample(d, "lang", {"en": 0.5}, default_rate=0.3)
+    low_ids = {r["doc_id"] for r in low.select("doc_id").collect()}
+    high_ids = {r["doc_id"] for r in high.select("doc_id").collect()}
+    assert low_ids and low_ids < high_ids

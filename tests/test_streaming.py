@@ -196,3 +196,36 @@ def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
         parsed(spark.read.schema(schema).json(str(ind))), ["id"]
     )
     assert batch.count() == 100
+
+
+def test_stream_progress_metrics(spark, tmp_path):
+    """ST7 ops: per-micro-batch progress → DataFrame, plus the one-row
+    throughput/backpressure rollup."""
+    from high_throughput_etl_pipeline_spark.streaming import (
+        progress_dataframe,
+        throughput_summary,
+    )
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    _write_files(ind, n_files=4, rows=20)
+    q = start_ingest_stream(
+        spark,
+        str(ind),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        schema=SCHEMA,
+        max_files_per_trigger=2,  # rate limit → at least 2 micro-batches
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    prog = progress_dataframe(spark, q)
+    rows = prog.filter("num_input_rows > 0").collect()
+    assert len(rows) >= 2, "rate limit should split the drain into batches"
+    assert sum(r["num_input_rows"] for r in rows) == 4 * 20
+    assert all(r["batch_duration_ms"] > 0 for r in rows)
+
+    summary = throughput_summary(prog).collect()[0]
+    assert summary["total_rows"] == 4 * 20
+    assert summary["n_batches"] >= 2
+    assert summary["backpressured"] in (True, False)
