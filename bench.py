@@ -55,6 +55,9 @@ HEADLINE = [
     "error_context_rangejoin",
     "lsh_topk",
     "sample_frames",
+    "q21_waiting_suppliers",
+    "events_rolling_stats",
+    "dedup_cc_clusters",
 ]
 
 

@@ -155,3 +155,28 @@ def test_q20_semi_chain_no_cartesian(spark):
     plan = _plan(spark, "q20_part_promotion_suppliers")
     assert "CartesianProduct" not in plan
     assert re.search(r"LeftSemi", plan)
+
+
+def test_q21_single_fact_shuffle_no_cartesian(spark):
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    # supplier is the only dim and must broadcast; the EXISTS/NOT-EXISTS
+    # rewrite means no lineitem self-join appears
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_stats_windows_share_partitioning(spark):
+    plan = _plan(spark, "events_rolling_stats")
+    # every window spec partitions by event_type — no global window
+    specs = re.findall(r"windowspecdefinition\(([^,]*)", plan)
+    assert specs and all("event_type" in s for s in specs), specs
+
+
+def test_rollup_expands_map_side(spark):
+    plan = _plan(spark, "events_rollup_totals")
+    # native grouping-sets expansion: one Expand feeding one aggregate,
+    # never one scan per rollup level (AQE prints final + initial plan —
+    # read only the final section)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Expand" in final
+    assert final.count("FileScan parquet") == 1
