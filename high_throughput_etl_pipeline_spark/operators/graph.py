@@ -69,6 +69,10 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     labels = labels.localCheckpoint(eager=True)
+    # labels only ever decrease, so the labeling changed iff the total
+    # dropped — convergence is one cheap agg on the checkpointed result,
+    # not a join against the previous round
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     try:
         for _ in range(max_iter):
@@ -82,15 +86,11 @@ def connected_components(
                 .agg(F.min("component").alias("component"))
             )
             new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                labels.alias("a")
-                .join(new_labels.alias("b"), "node")
-                .filter(F.col("a.component") != F.col("b.component"))
-                .count()
-            )
+            new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels
+            prev_sum = new_sum
     finally:
         adj.unpersist()
     raise RuntimeError(
