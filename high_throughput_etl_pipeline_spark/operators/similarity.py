@@ -343,10 +343,11 @@ def pq_encode(
         # array_position is 1-based; code is 0-based centroid index
         return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
-    return df.select(
-        F.col(id_col),
-        F.array(*[code_for(i) for i in range(m)]).alias("pq_codes"),
-    )
+    # preserve carry-through columns (e.g. an IVF list assignment); drop
+    # the raw vector — shedding the floats is the point of PQ storage
+    return df.withColumn(
+        "pq_codes", F.array(*[code_for(i) for i in range(m)])
+    ).drop(vec_col)
 
 
 def pq_topk(
@@ -519,4 +520,105 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse quantizer + PQ/ADC scoring — the billion-scale ANN
+    layout (IVFPQ, Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): the k-means list assignment prunes the
+    scan to ~nprobe/nlist of the table, and PQ codes make each surviving
+    candidate cost ``m`` byte-indexed table lookups instead of a
+    dim-float distance.
+
+    Scale shape: centroids broadcast (nlist rows); the encoded table is
+    (id, list_id, m bytes) — at 100 TB it would be WRITTEN partitioned by
+    list_id so a probe is a partition-pruned scan, never a full pass.
+    The per-query ADC table is (m × ksub) floats built driver-side and
+    shipped as a literal.  Returns (query_id, vec_id, approx_d2, rank).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
+    centers = np.array(km.clusterCenters(), dtype=np.float64)
+    centers_df = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "list_id INT, center ARRAY<DOUBLE>",
+    )
+
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    v_assigned = (
+        vectors.crossJoin(F.broadcast(centers_df))
+        .withColumn("_d2", dist2(F.col(vec_col), F.col("center")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_d2", "list_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "list_id")
+    )
+    encoded = pq_encode(v_assigned, codebooks, id_col=id_col, vec_col=vec_col)
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = None
+    for qr in queries.select(query_id_col, vec_col).collect():
+        qv = np.array(qr[vec_col], dtype=np.float64)
+        probe = (
+            np.argsort(((centers - qv) ** 2).sum(axis=1), kind="stable")[
+                :nprobe
+            ].tolist()
+        )
+        table = [
+            [
+                float(((qv[i * sub : (i + 1) * sub] - np.array(c)) ** 2).sum())
+                for c in codebooks[i]
+            ]
+            for i in range(m)
+        ]
+        tbl = F.array(*[F.array(*[F.lit(d) for d in row]) for row in table])
+        scored = encoded.filter(F.col("list_id").isin(probe)).select(
+            F.lit(qr[query_id_col]).alias(query_id_col),
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        tbl,
+                        F.col("pq_codes"),
+                        lambda row, c: F.element_at(row, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("approx_d2"),
+        )
+        out = scored if out is None else out.unionByName(scored)
+    w = Window.partitionBy(query_id_col).orderBy("approx_d2", F.col(id_col))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_d2", "rank")
     )

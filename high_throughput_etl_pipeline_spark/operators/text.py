@@ -213,3 +213,25 @@ def fingerprint(col) -> F.Column:
     """
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# PII redaction patterns, applied in order.  ASCII-explicit classes so
+# Java regex (Spark) and RE2-family engines (DuckDB, Go) agree match-for-
+# match; conservative shapes (phone requires the international +) favor
+# precision — a corpus scrub must not shred ordinary numbers.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}([ -][0-9]{2,4})?", "<PHONE>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact_pii(col) -> F.Column:
+    """Replace emails, international phone numbers, and IPv4 addresses
+    with typed placeholders — the standard pre-training privacy scrub.
+    Pure JVM-side regexp_replace chain: no UDF, codegen-friendly, and
+    engine-portable (value-checked against an independent SQL engine)."""
+    out = col
+    for pattern, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out

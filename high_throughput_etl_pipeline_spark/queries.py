@@ -2232,6 +2232,27 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, q, books, k=5).orderBy("query_id", "rank")
 
 
+@query("ann_ivfpq_topk")
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (the billion-scale layout): k-means lists
+    prune the scan, PQ/ADC scores the survivors byte-wise.  Approximate
+    by construction → rows-only driver check; recall and pruning are
+    pinned in pytest."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=8, ksub=16, dim=64)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(e, q, books, k=5, nlist=8, nprobe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: media table → Arrow-batched feature
@@ -2541,6 +2562,64 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+def _pii_oracle() -> str:
+    """Oracle built from the SAME pattern list the Spark operator uses —
+    pattern drift between engine and oracle is impossible."""
+    from high_throughput_etl_pipeline_spark.operators.text import PII_PATTERNS
+
+    expr = "t"
+    for pattern, placeholder in PII_PATTERNS:
+        sql_pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{placeholder}', 'g')"
+    return f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail-example.org or +1 555 '
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+        FROM documents WHERE doc_id < 40
+    ), red AS (
+        SELECT doc_id, {expr} AS t FROM aug
+    )
+    SELECT doc_id, md5(t) AS red_md5,
+           CAST(len(regexp_extract_all(t, '<EMAIL>|<PHONE>|<IP>'))
+                AS BIGINT) AS n_hits
+    FROM red ORDER BY doc_id
+    """
+
+
+@query("text_pii_redaction", oracle=_pii_oracle())
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py redact_pii): emails, +intl phones,
+    IPv4 → typed placeholders.  Synthetic docs carry no PII, so the query
+    PLANTS one of each per row (derived from doc_id) — the check is
+    value-sensitive (md5 of the full redacted text), never vacuous."""
+    from high_throughput_etl_pipeline_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-example.org or +1 555 "),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" host 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+    )
+    red = d.select("doc_id", redact_pii(aug).alias("t"))
+    return red.select(
+        "doc_id",
+        F.md5("t").alias("red_md5"),
+        F.regexp_count(F.col("t"), F.lit("<EMAIL>|<PHONE>|<IP>"))
+        .cast("long")
+        .alias("n_hits"),
+    ).orderBy("doc_id")
 
 
 @query(

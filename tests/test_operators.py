@@ -409,3 +409,38 @@ def test_stratified_sample_monotone_nested(spark):
     low_ids = {r["doc_id"] for r in low.select("doc_id").collect()}
     high_ids = {r["doc_id"] for r in high.select("doc_id").collect()}
     assert low_ids and low_ids < high_ids
+
+
+def test_ivfpq_topk_prunes_and_recalls(spark):
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(e, m=8, ksub=16, dim=64)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_topk(e, q, books, k=5, nlist=8, nprobe=3).collect()
+    assert len(got) == 15
+    # determinism
+    again = ivfpq_topk(e, q, books, k=5, nlist=8, nprobe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    import numpy as np
+
+    rows = e.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = 0
+    for qid in range(3):
+        qv = V[ids == qid][0]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        top = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+        hits += sum(
+            1 for r in got if r["query_id"] == qid and r["vec_id"] in top
+        )
+    # double-approximate (IVF pruning + PQ distances); still far above
+    # the ~0.4 expected hits of random selection
+    assert hits >= 5, f"IVFPQ recall too low: {hits}/15"
