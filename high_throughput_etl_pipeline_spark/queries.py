@@ -1300,6 +1300,143 @@ def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_value_ntiles",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(spend AS DOUBLE) AS spend,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM cust
+    WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    ORDER BY spend DESC, o_custkey
+    LIMIT 200
+    """,
+)
+def customer_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite: decile bucketing + distribution ranks over
+    per-customer spend.  The window is global by the metric — fine here
+    because the input is ALREADY one row per customer (aggregate-then-
+    rank); at 100 TB you'd range-partition the rank or bucket on an
+    aggregate percentile sketch instead.  Spend sums in DECIMAL so the
+    rank order (and thus every rank function) is engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        ).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    return (
+        cust.select(
+            "o_custkey",
+            F.col("spend").cast("double").alias("spend"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy(F.desc("spend"), "o_custkey")
+        .limit(200)
+    )
+
+
+@query(
+    "events_daily_pivot",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'view')     AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           round(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0.0),
+                 2) AS purchase_value
+    FROM events
+    GROUP BY d ORDER BY d
+    """,
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): day × event-type matrix via ``pivot`` with an
+    EXPLICIT value list — without it Spark runs an extra distinct pass to
+    discover columns, and the output schema depends on the data (both
+    wrong at scale).  Compiles to one grouped conditional aggregate, the
+    same plan as the oracle's FILTER form."""
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
+        .groupBy("d")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+    )
+    pval = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    return (
+        counts.join(pval, "d", "left")
+        .select(
+            "d",
+            F.coalesce("click", F.lit(0)).alias("click"),
+            F.coalesce("view", F.lit(0)).alias("view"),
+            F.coalesce("purchase", F.lit(0)).alias("purchase"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "nation_order_coverage",
+    oracle="""
+    WITH nat_orders AS (
+        SELECT c.c_nationkey AS nationkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT'
+        GROUP BY c.c_nationkey
+    )
+    SELECT COALESCE(n.n_nationkey, no.nationkey) AS nationkey,
+           n.n_name,
+           COALESCE(no.n_orders, 0) AS urgent_orders
+    FROM nation n
+    FULL OUTER JOIN nat_orders no ON no.nationkey = n.n_nationkey
+    ORDER BY nationkey
+    """,
+)
+def nation_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: every nation appears even with zero urgent
+    orders, and (defensively) every order-nation even if the dim were
+    incomplete — the referential-integrity audit shape.  The aggregate
+    runs BEFORE the join, so the outer join sees one row per nation,
+    and the small side broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    n = _t(spark, sf_dir, "nation")
+    nat_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        n.join(
+            nat_orders, n.n_nationkey == nat_orders.nationkey, "full_outer"
+        )
+        .select(
+            F.coalesce("n_nationkey", "nationkey").alias("nationkey"),
+            "n_name",
+            F.coalesce("n_orders", F.lit(0)).alias("urgent_orders"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
     "distinct_event_types",
     oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
 )
