@@ -222,7 +222,7 @@ def _sql(col: str) -> str:
     return col
 
 
-def simhash64(col: str, n_bits: int = 32) -> F.Column:
+def simhash64(col: str, n_bits: int = 32, portable: bool = False) -> F.Column:
     """SimHash over whitespace tokens (default 32 bits to keep the
     bit-expansion cheap; 64 works identically).  ``col`` is a column name.
 
@@ -230,6 +230,11 @@ def simhash64(col: str, n_bits: int = 32) -> F.Column:
     family — hence rows-only correctness); bit j votes +1 if set else -1;
     the simhash bit j is 1 iff the vote sum > 0.  One aggregate() pass
     over the token array — a narrow projection per document.
+
+    ``portable=True`` swaps the token hash to the md5-low-60-bits family
+    (identical value on any engine, ~5x dearer) — the oracle-checkable
+    variant, used by the ``dedup_simhash_md5`` query to pin the vote
+    algebra value-for-value against an independent engine.
     """
     # Single pass over the token array with an array<int> vote accumulator
     # (one aggregate, not n_bits of them — n_bits separate aggregates each
@@ -239,12 +244,17 @@ def simhash64(col: str, n_bits: int = 32) -> F.Column:
     norm_sql = (
         f"regexp_replace(lower(trim({_sql(col)})), '\\\\s+', ' ')"
     )
+    token_hash = (
+        "CAST(conv(substring(md5(t), 18, 15), 16, 10) AS BIGINT)"
+        if portable
+        else "xxhash64(t)"
+    )
     return F.expr(
         f"""
         aggregate(
             zip_with(
                 aggregate(
-                    transform(split({norm_sql}, ' '), t -> xxhash64(t)),
+                    transform(split({norm_sql}, ' '), t -> {token_hash}),
                     array_repeat(0, {n_bits}),
                     (acc, h) -> zip_with(
                         acc,

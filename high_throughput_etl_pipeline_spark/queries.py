@@ -26,6 +26,7 @@ from high_throughput_etl_pipeline_spark.operators.dedup import (
     jaccard_pairs,
     md5_64,
     minhash_near_duplicates,
+    simhash64,
     simhash_near_duplicates,
 )
 from high_throughput_etl_pipeline_spark.operators.graph import dedup_clusters
@@ -3377,6 +3378,88 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= 0.25)
         .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_md5_oracle(n_bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB replica of the portable simhash vote algebra: per-token
+    md5-low-60-bit hash, ±1 vote per bit, sign → bit, then pairwise
+    hamming within a language.  The 32 per-bit vote sums are generated
+    here so the oracle can never drift from ``n_bits``."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(n_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) "
+        f"ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ')) AS t
+        FROM documents WHERE doc_id < 300
+    ), hashed AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(t), 18, 15))::BIGINT AS h
+        FROM toks
+    ), votes AS (
+        SELECT doc_id, lang,
+               {votes}
+        FROM hashed GROUP BY doc_id, lang
+    ), sh AS (
+        SELECT doc_id, lang, {bits} AS simhash FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_simhash_md5", oracle=_simhash_md5_oracle())
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the portable md5 hash family — value-for-value
+    oracle check of the vote algebra (the production ``dedup_simhash``
+    uses xxhash64 and prefix blocking for speed; this pins the math).
+
+    Scope is a bounded id slice with a same-language pair join: the
+    algebra check needs coverage, not scale — the scale path (prefix
+    blocking + rotation tables) is exercised by ``dedup_simhash`` and
+    its superset property test."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "lang",
+            simhash64("text", n_bits=32, portable=True).alias("simhash"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        F.col("simhash").alias("sh_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        "lang",
+        F.col("simhash").alias("sh_b"),
+    )
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
 
