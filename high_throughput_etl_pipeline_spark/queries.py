@@ -1363,31 +1363,29 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long → wide): day × event-type matrix via ``pivot`` with an
     EXPLICIT value list — without it Spark runs an extra distinct pass to
     discover columns, and the output schema depends on the data (both
-    wrong at scale).  Compiles to one grouped conditional aggregate, the
-    same plan as the oracle's FILTER form."""
+    wrong at scale).  Count and value ride ONE multi-aggregate pivot —
+    one scan, one shuffle, same plan as the oracle's FILTER form."""
     e = _t(spark, sf_dir, "events")
-    counts = (
-        e.select(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
+    wide = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            "event_type",
+            "value",
+        )
         .groupBy("d")
         .pivot("event_type", ["click", "view", "purchase"])
-        .count()
-    )
-    pval = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
-        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
-    )
-    return (
-        counts.join(pval, "d", "left")
-        .select(
-            "d",
-            F.coalesce("click", F.lit(0)).alias("click"),
-            F.coalesce("view", F.lit(0)).alias("view"),
-            F.coalesce("purchase", F.lit(0)).alias("purchase"),
-            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("val"),
         )
-        .orderBy("d")
     )
+    return wide.select(
+        "d",
+        F.coalesce("click_n", F.lit(0)).alias("click"),
+        F.coalesce("view_n", F.lit(0)).alias("view"),
+        F.coalesce("purchase_n", F.lit(0)).alias("purchase"),
+        F.coalesce("purchase_val", F.lit(0.0)).alias("purchase_value"),
+    ).orderBy("d")
 
 
 @query(

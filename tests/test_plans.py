@@ -180,3 +180,13 @@ def test_rollup_expands_map_side(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Expand" in final
     assert final.count("FileScan parquet") == 1
+
+
+def test_pivot_is_single_scan(spark):
+    plan = _plan(spark, "events_daily_pivot")
+    final = plan.split("== Initial Plan ==")[0]
+    # multi-aggregate pivot with an explicit value list: one scan, one
+    # grouped aggregate — no second pass for values, no distinct pass
+    # for column discovery
+    assert final.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in final
