@@ -105,12 +105,17 @@ def pack_token_budget(
     """Assign documents to ~``budget``-token packs (context-window packing).
 
     Within each ``part_col`` partition, docs are ordered by id and packed
-    by exclusive-prefix-sum bucket: ``pack_id = floor(cumsum_before /
-    budget)``.  A pack may overflow by at most one document (the standard
-    streaming-packing relaxation — exact greedy bin-closing is inherently
-    sequential and not worth a single-task dependency chain).  The window
-    partitions by ``part_col``, so the numbering parallelizes like any
-    grouped window; no global sort.
+    by exclusive-prefix-sum bucket (``floor(cumsum_before / budget)``),
+    then bucket ids are re-densified with ``dense_rank`` so pack ids are
+    contiguous from 0 even when a single document exceeds the budget
+    (an oversize doc advances the raw prefix-sum bucket by more than one,
+    which would otherwise skip ids).  A pack may overflow by at most one
+    document (the standard streaming-packing relaxation — exact greedy
+    bin-closing is inherently sequential and not worth a single-task
+    dependency chain).  Both windows partition by ``part_col`` and the
+    bucket is monotone in id order, so the re-densify adds no extra
+    shuffle — the numbering parallelizes like any grouped window; no
+    global sort.
     """
     w = Window.partitionBy(part_col).orderBy(id_col)
     n_tok = token_count(F.col(text_col))
@@ -123,9 +128,16 @@ def pack_token_budget(
             F.lit(0),
         ),
     )
-    return out.withColumn(
-        "pack_id", F.floor(F.col("_cum_before") / float(budget))
-    ).drop("_cum_before")
+    wb = Window.partitionBy(part_col).orderBy("_bucket")
+    return (
+        out.withColumn(
+            "_bucket", F.floor(F.col("_cum_before") / float(budget))
+        )
+        .withColumn(
+            "pack_id", (F.dense_rank().over(wb) - F.lit(1)).cast("bigint")
+        )
+        .drop("_cum_before", "_bucket")
+    )
 
 
 def stratified_sample(

@@ -71,8 +71,12 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     # labels only ever decrease, so the labeling changed iff the total
     # dropped — convergence is one cheap agg on the checkpointed result,
-    # not a join against the previous round
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # not a join against the previous round.  Sum in DECIMAL(38,0): a
+    # bigint sum over billions of 64-bit ids can wrap in non-ANSI mode,
+    # and a wrapped sum could in principle fake sum-equality at a
+    # non-fixpoint.
+    label_total = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_total).collect()[0][0]
 
     try:
         for _ in range(max_iter):
@@ -86,7 +90,7 @@ def connected_components(
                 .agg(F.min("component").alias("component"))
             )
             new_labels = new_labels.localCheckpoint(eager=True)
-            new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+            new_sum = new_labels.agg(label_total).collect()[0][0]
             labels = new_labels
             if new_sum == prev_sum:
                 return labels

@@ -381,6 +381,41 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_connected_components_max_iter_boundary(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    # 7-node path: labels stop changing after round 6 (the diameter); the
+    # no-change detection fires on round 7.  max_iter=7 is exactly enough;
+    # max_iter=6 must raise rather than return a non-fixpoint labeling.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    got = connected_components(edges, max_iter=7).collect()
+    assert all(r["component"] == 0 for r in got) and len(got) == 7
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=6)
+
+
+def test_connected_components_huge_ids_no_sum_overflow(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    # ids near 2^62: a raw BIGINT sum of these labels exceeds Long.MAX
+    # (8 * 2^62 = 2^65) and would wrap in non-ANSI mode — the decimal(38,0)
+    # convergence sum must stay exact and the labeling correct.
+    base = 1 << 62
+    edges = spark.createDataFrame(
+        [(base + i, base + i + 1) for i in range(7)], "src long, dst long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {base + i: base for i in range(8)}
+
+
 def test_dedup_clusters_keep_policy(spark):
     from high_throughput_etl_pipeline_spark.operators.graph import (
         dedup_clusters,
