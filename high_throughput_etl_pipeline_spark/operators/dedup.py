@@ -410,6 +410,14 @@ def jaccard_pairs_via_minhash(
     groupBy-min (codegen, map-side partial mins) → band self-join on
     16-byte band hashes → pair dedup → ONE exact-Jaccard evaluation per
     surviving candidate.  Returns (id_a, id_b, jaccard).
+
+    Cache lifetime: the shingle frame is ``persist()``-ed and referenced
+    lazily by the returned plan, so this function cannot unpersist it —
+    CALLERS OWN THE CACHE.  Long-running drivers should release it after
+    materializing the result (``spark.catalog.clearCache()`` between
+    pipeline stages, or track via ``df.storageLevel``); one-shot query
+    runs drop it with the session.  Same convention as the other
+    persist() sites in this module.
     """
     rows_per_band = num_hashes // bands
     sh = df.select(

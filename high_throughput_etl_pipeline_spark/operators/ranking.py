@@ -1,0 +1,75 @@
+"""Exact global ranking without a single-task global window.
+
+``Window.orderBy(...)`` with an empty partition spec funnels every row
+through ONE task — the classic scale-killer for rank/ntile/percent_rank
+over a whole table.  ``global_rank`` gets the same exact 1-based ranks
+with an all-parallel plan:
+
+1. ``repartitionByRange`` on the sort key — partition *p*'s rows all sort
+   before partition *p+1*'s (Spark's range exchange, same machinery as a
+   distributed ORDER BY);
+2. ``row_number`` within each range partition (window partitioned by
+   ``spark_partition_id`` — parallel);
+3. add each partition's exclusive prefix count.  The per-partition counts
+   are metadata-sized (one row per shuffle partition), so they are
+   collected to the driver and re-broadcast — the same bounded-collect
+   pattern as the ANN codebook/query-set sites.
+
+The caller must supply a TOTAL ordering (include a unique tie-break
+column); with ties across a partition boundary, range partitioning could
+otherwise split equal keys and make ranks run-dependent.
+
+Distribution functions then come free in closed form from (rank, n):
+``percent_rank = (rank-1)/(n-1)``, ``cume_dist = rank/n`` (exact for a
+total ordering), and ``ntile(k)`` via the first-``n%k``-tiles-are-bigger
+rule — see ``customer_value_ntiles`` in queries.py.
+
+Reference parity: the reference has no distributed ranking (its Athena
+reports lean on engine-side ORDER BY; e.g. report queries in
+environments/prod/glue — see SURVEY.md §2.5); this is the Spark-first
+form that survives a 15M-customer rank at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+) -> tuple[DataFrame, int]:
+    """Attach an exact global 1-based ``rank_col`` under ``order_cols``.
+
+    Returns ``(ranked_df, total_rows)`` — the total is already known
+    driver-side from the offset computation, so callers get it without
+    another action.  The input is persisted for the duration of the two
+    passes (count + rank); the cache is released once the offsets are
+    computed since the ranked plan re-reads the persisted data.
+    """
+    parts = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parts = parts.persist()
+    counts = {
+        r["_pid"]: r["_cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid INT, _off BIGINT"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (
+        parts.join(F.broadcast(off_df), on="_pid")
+        .withColumn(
+            rank_col, (F.row_number().over(w) + F.col("_off")).cast("long")
+        )
+        .drop("_pid", "_off")
+    )
+    return ranked, acc

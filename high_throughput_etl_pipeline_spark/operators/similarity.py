@@ -188,30 +188,51 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centers: DataFrame | None = None,
+    with_list_id: bool = False,
 ) -> DataFrame:
-    """IVF-flat: k-means coarse quantizer, probe nprobe nearest lists.
+    """IVF-flat: coarse quantizer, probe the ``nprobe`` nearest lists.
 
-    Training samples to the driver only ``nlist``-scale statistics; the
-    assignment pass is a broadcast of nlist centroids.  Approximate —
-    oracle-checked rows-only.
+    By default the quantizer is k-means (pyspark.ml) — training samples
+    to the driver only ``nlist``-scale statistics, and the assignment
+    pass is a broadcast of nlist centroids.  Pass ``centers`` (schema
+    ``list_id INT, center ARRAY<DOUBLE>``) to supply the quantizer
+    instead — e.g. fixed seed vectors — which makes every stage
+    (assignment argmin, probe selection, per-list ranking)
+    engine-portable and value-checkable; ``with_list_id`` exposes each
+    result's coarse cell so the oracle pins the bucket assignment too.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-    ]
-    centers_df = vectors.sparkSession.createDataFrame(
-        centers, "list_id INT, center ARRAY<DOUBLE>"
-    )
 
     def dist2(a, b):
+        # cast operands (not differences) so float32 inputs subtract in
+        # f64 — bit-comparable with engines computing over DOUBLE[]
         return F.aggregate(
-            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double")),
-            F.lit(0.0),
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
+        )
+
+    if centers is not None:
+        centers_df = centers
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = vectors.select(
+            array_to_vector(F.col(vec_col)).alias("features")
+        )
+        km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
+        fitted = [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(km.clusterCenters())
+        ]
+        centers_df = vectors.sparkSession.createDataFrame(
+            fitted, "list_id INT, center ARRAY<DOUBLE>"
         )
 
     # assign each vector to its nearest list (broadcast nlist centroids)
@@ -255,15 +276,21 @@ def ivf_topk(
     scored = vu.join(F.broadcast(qu), on="list_id").select(
         query_id_col,
         id_col,
+        "list_id",
         F.round(
             _dot(F.col("_v"), F.col("_q")) / (F.col("_na") * F.col("_nb")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    out_cols = (
+        [query_id_col, id_col, "list_id", "cosine", "rank"]
+        if with_list_id
+        else [query_id_col, id_col, "cosine", "rank"]
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        .select(*out_cols)
     )
 
 
@@ -292,6 +319,7 @@ def train_pq_codebooks(
     dim: int = 64,
     sample_rows: int = 10_000,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 42,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split ``dim`` into ``m``
@@ -300,8 +328,18 @@ def train_pq_codebooks(
     import numpy as np
 
     sub = dim // m
+    # orderBy+limit = TakeOrdered: the sample is the same rows on every
+    # run and cluster layout (a bare limit() is partition-order dependent,
+    # which would make "deterministic codebooks" a lie on a real cluster)
     sample = np.array(
-        [r[0] for r in vectors.select(vec_col).limit(sample_rows).collect()],
+        [
+            r[0]
+            for r in vectors.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_rows)
+            .select(vec_col)
+            .collect()
+        ],
         dtype=np.float64,
     )
     books = []
@@ -350,6 +388,35 @@ def pq_encode(
     ).drop(vec_col)
 
 
+def _empty_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Typed empty (query_id, vec_id, score, rank) frame — the zero-query
+    result, so callers can union/collect without an AttributeError."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(
+                query_id_col, queries.schema[query_id_col].dataType, True
+            ),
+            StructField(id_col, vectors.schema[id_col].dataType, True),
+            StructField(score_col, DoubleType(), True),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+    return vectors.sparkSession.createDataFrame([], schema)
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -372,6 +439,8 @@ def pq_topk(
     sub = len(codebooks[0][0])
     encoded = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return _empty_topk(vectors, queries, query_id_col, id_col, "approx_d2")
     out = None
     for qr in q_rows:
         qv = np.array(qr[vec_col], dtype=np.float64)
@@ -583,8 +652,11 @@ def ivfpq_topk(
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return _empty_topk(vectors, queries, query_id_col, id_col, "approx_d2")
     out = None
-    for qr in queries.select(query_id_col, vec_col).collect():
+    for qr in q_rows:
         qv = np.array(qr[vec_col], dtype=np.float64)
         probe = (
             np.argsort(((centers - qv) ** 2).sum(axis=1), kind="stable")[

@@ -1322,25 +1322,50 @@ def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function suite: decile bucketing + distribution ranks over
-    per-customer spend.  The window is global by the metric — fine here
-    because the input is ALREADY one row per customer (aggregate-then-
-    rank); at 100 TB you'd range-partition the rank or bucket on an
-    aggregate percentile sketch instead.  Spend sums in DECIMAL so the
-    rank order (and thus every rank function) is engine-exact."""
+    per-customer spend — WITHOUT a global window.  global_rank
+    (operators/ranking.py) range-partitions the total ordering and adds
+    per-partition offsets, so the plan has no empty-partition-spec Window
+    (a ~15M-row single-task sort at 100 TB); ntile/percent_rank/cume_dist
+    then come in closed form from (rank, n), exactly matching the window
+    functions because the (spend DESC, custkey) ordering is total.
+    Spend sums in DECIMAL so the rank order is engine-exact."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
         ).alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    ranked, n = global_rank(
+        cust, [F.col("spend").desc(), F.col("o_custkey")], rank_col="_rank"
+    )
+    # ntile(10): the first n%10 tiles hold ceil(n/10) rows, the rest
+    # floor(n/10) — closed form over the exact rank (n is driver-side)
+    tiles = 10
+    q, m = divmod(n, tiles)
+    big = (q + 1) * m
+    r = F.col("_rank")
+    if q == 0:
+        decile = r.cast("int")
+    else:
+        decile = (
+            F.when(r <= big, F.ceil(r / (q + 1)))
+            .otherwise(m + F.ceil((r - big) / q))
+            .cast("int")
+        )
+    pct_rank = (
+        F.round((r - 1) / float(n - 1), 6) if n > 1 else F.lit(0.0)
+    )
     return (
-        cust.select(
+        ranked.select(
             "o_custkey",
             F.col("spend").cast("double").alias("spend"),
-            F.ntile(10).over(w).cast("int").alias("decile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            decile.alias("decile"),
+            pct_rank.alias("pct_rank"),
+            F.round(r / float(n), 6).alias("cume"),
         )
         .orderBy(F.desc("spend"), "o_custkey")
         .limit(200)
@@ -2301,9 +2326,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), c AS (
+        SELECT CAST(vec_id AS INT) AS list_id, ev AS center
+        FROM v WHERE vec_id < 8
+    ), vd AS (
+        SELECT v.vec_id, v.ev, c.list_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.ev)),
+                       i -> (v.ev[i] - c.center[i]) * (v.ev[i] - c.center[i])
+                   )), c.list_id
+               ) AS rn
+        FROM v CROSS JOIN c
+    ), va AS (
+        SELECT vec_id, ev, list_id FROM vd WHERE rn = 1
+    ), qd AS (
+        SELECT v.vec_id AS query_id, v.ev AS qv, c.list_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.ev)),
+                       i -> (v.ev[i] - c.center[i]) * (v.ev[i] - c.center[i])
+                   )), c.list_id
+               ) AS rn
+        FROM v CROSS JOIN c WHERE v.vec_id < 3
+    ), qp AS (
+        SELECT query_id, qv, list_id FROM qd WHERE rn <= 4
+    ), scored AS (
+        SELECT qp.query_id, va.vec_id, va.list_id,
+               round(list_dot_product(va.ev, qp.qv)
+                     / (sqrt(list_dot_product(va.ev, va.ev))
+                        * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cosine
+        FROM va JOIN qp ON va.list_id = qp.list_id
+    )
+    SELECT query_id, vec_id, list_id, cosine, rank FROM (
+        SELECT query_id, vec_id, list_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (k-means coarse quantizer, nprobe=4)."""
+    """IVF approximate top-k with a FIXED coarse quantizer (the first 8
+    embedding vectors as centroids), so assignment argmin, nprobe probe
+    selection, per-list search, and ranking are ALL value-checked against
+    the oracle — including each hit's coarse cell (``list_id``).  The
+    k-means-trained production variant is ann_ivf_kmeans_topk (rows-only
+    + recall-vs-exact test); the IVF *pruning machinery* is identical —
+    only quantizer training differs."""
+    e = _t(spark, sf_dir, "embeddings")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        e, q, k=5, nprobe=4, centers=centers, with_list_id=True
+    ).orderBy("query_id", "rank")
+
+
+@query("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k, k-means coarse quantizer (nlist=8,
+    nprobe=4) — the production training path; approximate, so checked
+    rows-only plus the recall-vs-exact pytest."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -25,18 +25,25 @@ def deduped_stream(
     ts_col: str = "ts",
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
-    """Drop duplicate events by key within the watermark horizon.
+    """Drop duplicate events BY KEY within the watermark horizon.
 
-    Works on streaming AND batch frames (batch ignores the watermark and
-    is plain dropDuplicates — the engine's batch/streaming symmetry, so a
-    backfill can run the same plan as the live stream).
+    True by-key dedup: re-delivered events with the same key but a
+    different event time (retry after a delay, clock-skewed producers)
+    still collapse to one row — ``dropDuplicatesWithinWatermark`` keys
+    state on ``key_cols`` alone and uses the event time only for state
+    eviction, unlike ``dropDuplicates([*keys, ts])`` which silently keeps
+    same-key/different-ts events.
+
+    Works on streaming AND batch frames (batch has no state to bound, so
+    it is plain by-key dropDuplicates — the engine's batch/streaming
+    symmetry, so a backfill can run the same plan as the live stream).
 
     Duplicates ARRIVING later than the watermark are not deduplicated
     (their state was evicted) — the at-least-once tail every bounded-state
     dedup has; downstream idempotent sinks absorb it.
     """
     if events.isStreaming:
-        events = events.withWatermark(ts_col, watermark_delay)
-    # the event-time column joins the key so state rows can be evicted by
-    # watermark (Spark requires it for streaming dropDuplicates eviction)
-    return events.dropDuplicates([*key_cols, ts_col])
+        return events.withWatermark(
+            ts_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)

@@ -307,6 +307,52 @@ def test_pack_token_budget_overflow_bound(spark):
         assert ids == sorted(ids)
 
 
+def test_pq_and_ivfpq_empty_query_set(spark):
+    """Zero queries must yield a typed empty frame, not an
+    AttributeError on the never-initialized union accumulator."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(e, m=8, ksub=16, dim=64)
+    empty_q = e.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk(e, empty_q, books, k=5)
+    assert got.columns == ["query_id", "vec_id", "approx_d2", "rank"]
+    assert got.count() == 0
+    got2 = ivfpq_topk(e, empty_q, books, k=5, nlist=4, nprobe=2)
+    assert got2.columns == ["query_id", "vec_id", "approx_d2", "rank"]
+    assert got2.count() == 0
+
+
+def test_ivf_kmeans_recall_vs_exact(spark):
+    """k-means IVF (the rows-only production variant) keeps high recall
+    against exact cosine top-5 — the value check lives in the
+    ann_ivf_topk fixed-quantizer oracle; this pins training quality."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(e, q, k=5, nlist=8, nprobe=4).collect()
+    }
+    hits = len(exact & approx)
+    assert hits >= 10, f"IVF recall too low: {hits}/15"
+
+
 def test_pq_topk_beats_random_recall(spark):
     """PQ/ADC sanity: codes are deterministic, and approximate top-5
     overlaps exact euclidean top-5 well above random chance."""
@@ -379,6 +425,37 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(edges, max_iter=15).collect()
     assert all(r["component"] == 0 for r in got)
     assert len(got) == 13
+
+
+def test_global_rank_matches_window_rank(spark):
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+    from pyspark.sql import Window as W
+
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id BIGINT, score DOUBLE").repartition(8)
+    order = [F.col("score").desc(), F.col("id")]
+    ranked, n = global_rank(df, order, rank_col="r")
+    assert n == 500
+    got = {r["id"]: r["r"] for r in ranked.collect()}
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn(
+            "r", F.row_number().over(W.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_empty_input(spark):
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame([], "id BIGINT, score DOUBLE")
+    ranked, n = global_rank(df, [F.col("score"), F.col("id")])
+    assert n == 0 and ranked.count() == 0
 
 
 def test_connected_components_max_iter_boundary(spark):

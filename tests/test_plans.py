@@ -111,6 +111,16 @@ def test_packing_window_is_partitioned(spark):
     ), "window has no partition spec"
 
 
+def test_customer_value_ntiles_no_global_window(spark):
+    plan = _plan(spark, "customer_value_ntiles")
+    # ranks come from range-partition + per-partition row_number, never an
+    # empty-partition-spec Window (single-task global sort at scale)
+    assert not __import__("re").search(
+        r"Window \[[^\]]*\], \[\]", plan
+    ), "global window leaked back into the ntile plan"
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan
+
+
 def test_orders_batching_window_is_partitioned(spark):
     plan = _plan(spark, "orders_batching")
     assert __import__("re").search(

@@ -198,6 +198,44 @@ def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
     assert batch.count() == 100
 
 
+def test_streaming_dedup_same_key_different_ts(spark, tmp_path):
+    """The by-key contract: a retry carrying the SAME key but a LATER
+    event time (within the watermark) still collapses to one row."""
+    from high_throughput_etl_pipeline_spark.streaming.dedup_stream import (
+        deduped_stream,
+    )
+    from pyspark.sql import functions as F
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    with open(ind / "a.ndjson", "w") as f:
+        f.write(json.dumps({"id": 1, "ts": "2026-08-12 10:00:00"}) + "\n")
+        f.write(json.dumps({"id": 2, "ts": "2026-08-12 10:01:00"}) + "\n")
+    with open(ind / "b.ndjson", "w") as f:
+        # id 1 re-delivered 5 minutes later — different ts, same key
+        f.write(json.dumps({"id": 1, "ts": "2026-08-12 10:05:00"}) + "\n")
+
+    schema = "id BIGINT, ts STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(ind))
+        .select("id", F.to_timestamp("ts").alias("ts"))
+    )
+    q = (
+        deduped_stream(stream, ["id"], watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_keyonly_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id FROM dedup_keyonly_out").collect()
+    assert sorted(r["id"] for r in got) == [1, 2]
+
+
 def test_stream_progress_metrics(spark, tmp_path):
     """ST7 ops: per-micro-batch progress → DataFrame, plus the one-row
     throughput/backpressure rollup."""
