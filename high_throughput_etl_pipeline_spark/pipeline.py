@@ -42,6 +42,7 @@ from high_throughput_etl_pipeline_spark.operators.validation import (
     valid_files,
     validate_files,
 )
+from high_throughput_etl_pipeline_spark.state.lock import DriverLock
 from high_throughput_etl_pipeline_spark.state.manifest import (
     ManifestStore,
     build_manifest_docs,
@@ -50,6 +51,7 @@ from high_throughput_etl_pipeline_spark.state.tracker import FileStateTracker
 
 MAX_RETRIES = 2  # SFN: Lambda 2 retries, backoff 2.0 (step_functions/main.tf)
 BACKOFF_SECONDS = 1.0
+BREAKER_THRESHOLD = 3  # consecutive manifest failures before tripping
 
 
 @dataclass
@@ -60,8 +62,69 @@ class RunResult:
     manifests_created: int = 0
     manifests_succeeded: int = 0
     manifests_failed: int = 0
+    manifests_skipped: int = 0
     records_written: int = 0
+    breaker_tripped: bool = False
     errors: list[str] = field(default_factory=list)
+
+
+class CircuitBreaker:
+    """Trip-after-N-consecutive-failures guard for the manifest processor
+    (ST7 residual — the reference's EventBridge failure-detection +
+    fallback path, lambda_manifest_builder.py:124-185).
+
+    A persistently failing sink (bad output volume, broken schema, dead
+    downstream) makes every retry loop burn a full backoff cycle per
+    manifest; the breaker stops feeding it after ``threshold``
+    CONSECUTIVE manifest failures.  Tripped state parks the remaining
+    queue untouched (manifests stay ``created``, files stay claimed) so
+    nothing is double-processed or falsely failed, and persists as a
+    JSON doc beside the state table so a restarted driver stays tripped.
+    ``reset()`` is the deliberate human step that resumes dispatch —
+    pair it with ``PipelineRunner.resume_pending_manifests()``.
+    """
+
+    def __init__(self, path: str, threshold: int = BREAKER_THRESHOLD):
+        self.path = path
+        self.threshold = threshold
+        self.consecutive_failures = 0
+        self.tripped = False
+        if os.path.isfile(path):
+            with open(path) as f:
+                d = json.load(f)
+            self.consecutive_failures = int(d.get("consecutive_failures", 0))
+            self.tripped = bool(d.get("tripped", False))
+
+    def _save(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump(
+                {
+                    "consecutive_failures": self.consecutive_failures,
+                    "tripped": self.tripped,
+                    "threshold": self.threshold,
+                },
+                f,
+            )
+
+    def allow(self) -> bool:
+        return not self.tripped
+
+    def record_success(self) -> None:
+        self.consecutive_failures = 0
+        self._save()
+
+    def record_failure(self) -> None:
+        self.consecutive_failures += 1
+        if self.consecutive_failures >= self.threshold:
+            self.tripped = True
+        self._save()
+
+    def reset(self) -> None:
+        """Manual close (the operator pushed the button)."""
+        self.consecutive_failures = 0
+        self.tripped = False
+        self._save()
 
 
 class PipelineRunner:
@@ -75,6 +138,7 @@ class PipelineRunner:
         reports_dir: str | None = None,
         dlq_dir: str | None = None,
         ttl_days: int | None = None,
+        breaker_threshold: int = BREAKER_THRESHOLD,
     ):
         self.spark = spark
         self.tracker = FileStateTracker(spark, state_path, ttl_days=ttl_days)
@@ -84,6 +148,13 @@ class PipelineRunner:
         self.batch_size = batch_size
         self.reports_dir = reports_dir
         self.dlq_dir = dlq_dir
+        self.breaker = CircuitBreaker(
+            state_path + "_breaker.json", threshold=breaker_threshold
+        )
+        # reference LOCK# semantics: one live driver per state table —
+        # a second attach fails fast instead of interleaving Parquet
+        # writes (state/lock.py); expired locks are stolen (crash safety)
+        self.lock = DriverLock(state_path + "_lock.json")
 
     def run(
         self,
@@ -93,7 +164,20 @@ class PipelineRunner:
         schema=None,
     ) -> RunResult:
         """One full pipeline pass over a file listing
-        (columns: file_path, file_size_mb)."""
+        (columns: file_path, file_size_mb).  Holds the driver lock for
+        the duration: a concurrent ``run()`` on the same state path
+        raises :class:`~...state.lock.LockHeldError` (reference LOCK#
+        rows — no two builders interleave state writes)."""
+        with self.lock.hold():
+            return self._run_locked(file_listing, today, flush_orphans, schema)
+
+    def _run_locked(
+        self,
+        file_listing: DataFrame,
+        today: str | None,
+        flush_orphans: bool,
+        schema,
+    ) -> RunResult:
         res = RunResult()
         res.files_seen = file_listing.count()
 
@@ -145,22 +229,52 @@ class PipelineRunner:
         self.tracker.claim_files(claims)
 
         for m in manifests:
-            started = time.time()
-            ok, err = self._process_with_retry(
-                list(m["file_paths"]), m["date_prefix"], schema
-            )
-            if ok is not None:
-                res.records_written += ok
-                res.manifests_succeeded += 1
-                self._flip(m["manifest_path"], "completed")
-            else:
-                res.manifests_failed += 1
-                res.errors.append(err or "unknown")
-                self._flip(m["manifest_path"], "failed", (err or "")[:1000])
-                self._write_dlq_entry(m, err)
-            if self.reports_dir:
-                self._write_run_report(m, ok, err, started)
+            self._drive_manifest(m, res, schema)
+        res.breaker_tripped = not self.breaker.allow()
         return res
+
+    def _drive_manifest(self, m, res: RunResult, schema) -> None:
+        """Process one manifest through retry/flip/DLQ/report, guarded by
+        the circuit breaker: while tripped, the manifest is left PARKED
+        (store status ``created``, files claimed) — not failed, not
+        DLQ'd — so a reset + resume_pending_manifests() re-drives it."""
+        if not self.breaker.allow():
+            res.manifests_skipped += 1
+            return
+        started = time.time()
+        ok, err = self._process_with_retry(
+            list(m["file_paths"]), m["date_prefix"], schema
+        )
+        if ok is not None:
+            res.records_written += ok
+            res.manifests_succeeded += 1
+            self._flip(m["manifest_path"], "completed")
+            self.breaker.record_success()
+        else:
+            res.manifests_failed += 1
+            res.errors.append(err or "unknown")
+            self._flip(m["manifest_path"], "failed", (err or "")[:1000])
+            self._write_dlq_entry(m, err)
+            self.breaker.record_failure()
+        if self.reports_dir:
+            self._write_run_report(m, ok, err, started)
+
+    def resume_pending_manifests(self, schema=None) -> RunResult:
+        """Drive manifests the tripped breaker left parked (store status
+        still ``created``).  Call after ``breaker.reset()`` — with the
+        breaker still open this is a no-op (everything skips again)."""
+        with self.lock.hold():
+            res = RunResult()
+            parked = (
+                self.manifest_store.manifests()
+                .filter(F.col("status") == "created")
+                .orderBy("date_prefix", "batch_id")
+                .collect()
+            )
+            for m in parked:
+                self._drive_manifest(m, res, schema)
+            res.breaker_tripped = not self.breaker.allow()
+            return res
 
     def _flip(
         self, manifest_path: str, status: str, error: str | None = None
@@ -206,6 +320,10 @@ class PipelineRunner:
         """Drain the DLQ (reprocess-failed.sh): re-run each parked
         manifest; success removes the DLQ doc and flips state to
         completed, failure leaves it parked with the fresh error."""
+        with self.lock.hold():
+            return self._reprocess_failed_locked(schema)
+
+    def _reprocess_failed_locked(self, schema=None) -> RunResult:
         res = RunResult()
         for doc in self.dlq_entries():
             started = time.time()

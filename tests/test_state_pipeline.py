@@ -193,6 +193,123 @@ def test_dlq_fail_reprocess_cycle(spark, ndjson_dir, tmp_path, monkeypatch):
     assert runner.manifest_store.manifests().collect()[0]["status"] == "completed"
 
 
+def test_driver_lock_one_winner_no_double_processing(
+    spark, ndjson_dir, tmp_path
+):
+    """Multi-driver claim semantics (reference LOCK# rows): two drivers
+    attach to the same state table; while one is mid-run the other
+    fails fast; files are processed exactly once; an expired lock from
+    a crashed driver is stolen."""
+    import pytest as _pytest
+
+    from high_throughput_etl_pipeline_spark.state.lock import (
+        DriverLock,
+        LockHeldError,
+    )
+
+    _, paths = ndjson_dir
+    state = str(tmp_path / "state")
+    r1 = PipelineRunner(spark, state, str(tmp_path / "out"), batch_size=4)
+    r2 = PipelineRunner(spark, state, str(tmp_path / "out"), batch_size=4)
+
+    # simulate r1 mid-run: it holds the lock; r2's run must fail fast
+    r1.lock.acquire()
+    with _pytest.raises(LockHeldError, match="second driver"):
+        r2.run(_listing(spark, [(p, 3.5) for p in paths]), today="2026-08-12")
+    # r2 failed BEFORE any state write — nothing tracked, nothing claimed
+    assert not r1.tracker.state().count()
+    r1.lock.release()
+
+    # the winner processes everything exactly once
+    res = r1.run(_listing(spark, [(p, 3.5) for p in paths]), today="2026-08-12")
+    assert res.manifests_succeeded == res.manifests_created
+    st = [r["status"] for r in r1.tracker.state().collect()]
+    assert st and all(s.startswith("completed#") for s in st)
+    # re-running (either driver) is a no-op: idempotent insert + CAS claim
+    res2 = r2.run(_listing(spark, [(p, 3.5) for p in paths]), today="2026-08-12")
+    assert res2.files_tracked == 0 and res2.manifests_created == 0
+
+    # crashed-driver recovery: an expired lock is stolen, a live one isn't
+    stale = DriverLock(state + "_lock.json", owner="crashed", ttl_seconds=-1)
+    stale.acquire()  # writes an already-expired doc
+    fresh = DriverLock(state + "_lock.json", owner="successor")
+    fresh.acquire()
+    assert fresh.holder()["owner"] == "successor"
+    with _pytest.raises(LockHeldError):
+        DriverLock(state + "_lock.json", owner="third").acquire()
+    fresh.release()
+
+
+def test_circuit_breaker_trips_parks_and_resumes(spark, tmp_path, monkeypatch):
+    """ST7 circuit breaker: 3 consecutive manifest failures trip the
+    breaker; the rest of the queue parks untouched (status ``created``,
+    no DLQ doc, no failed flip); the tripped state survives a driver
+    restart; manual reset + resume_pending_manifests() re-drives the
+    parked queue."""
+    import json as _json
+
+    import high_throughput_etl_pipeline_spark.pipeline as pl
+
+    monkeypatch.setattr(pl, "BACKOFF_SECONDS", 0.01)
+    ind = tmp_path / "input"
+    ind.mkdir()
+    # 5 one-file manifests, every input missing → all would fail
+    missing = [
+        str(ind / f"2026-08-12-gone{i}.ndjson") for i in range(5)
+    ]
+    runner = PipelineRunner(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        batch_size=1,
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    res = runner.run(
+        _listing(spark, [(p, 3.5) for p in missing]), today="2026-08-12"
+    )
+    assert res.manifests_created == 5
+    assert res.manifests_failed == 3  # trip point
+    assert res.manifests_skipped == 2  # parked, not failed
+    assert res.breaker_tripped
+    assert len(runner.dlq_entries()) == 3
+    statuses = sorted(
+        r["status"] for r in runner.manifest_store.manifests().collect()
+    )
+    assert statuses == ["created", "created", "failed", "failed", "failed"]
+
+    # tripped state survives a fresh driver on the same state path
+    runner2 = PipelineRunner(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        batch_size=1,
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    assert not runner2.breaker.allow()
+    # while tripped, resume is a no-op: everything skips again
+    res_noop = runner2.resume_pending_manifests()
+    assert res_noop.manifests_skipped == 2 and res_noop.manifests_succeeded == 0
+
+    # repair the inputs, push the button, resume the parked queue
+    for p in missing:
+        with open(p, "w") as f:
+            for j in range(10):
+                f.write(_json.dumps({"id": f"r{j}", "v": j}) + "\n")
+    runner2.breaker.reset()
+    res2 = runner2.resume_pending_manifests()
+    assert res2.manifests_succeeded == 2
+    assert res2.records_written == 2 * 10
+    assert not res2.breaker_tripped
+    # the 3 pre-trip failures still drain through the DLQ path
+    res3 = runner2.reprocess_failed()
+    assert res3.manifests_succeeded == 3
+    assert runner2.dlq_entries() == []
+    final = sorted(
+        r["status"] for r in runner2.manifest_store.manifests().collect()
+    )
+    assert final == ["completed"] * 5
+
+
 def test_manifest_store_queryable(spark, ndjson_dir, tmp_path):
     """§1.1: manifests are a first-class queryable state DataFrame."""
     _, paths = ndjson_dir
