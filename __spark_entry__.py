@@ -27,7 +27,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every hash-checkable query; operators
-    without an entry (minhash/simhash LSH, IVF-ANN, multimodal decode)
-    are non-SQL-expressible and take the rows-only check."""
+    """DuckDB-equivalent SQL for every hash-checkable query; the few
+    without an entry (xxhash64 fast paths, k-means/PQ-trained ANN,
+    multimodal decode) are non-SQL-expressible and take the rows-only
+    check — each has a value-checked portable twin or a recall gate
+    (dedup_minhash_md5/dedup_simhash_md5 pin the LSH algebra,
+    ann_ivf_topk pins IVF pruning with a fixed quantizer)."""
     return dict(ORACLES)

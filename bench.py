@@ -58,6 +58,18 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "events_rolling_stats",
     "dedup_cc_clusters",
+    # r3 additions: CC propagation isolated from pair generation, the
+    # MinHash-candidate pair path (now the cc default), the corpus
+    # family, and the de-globalized ranking query
+    "dedup_cc_rounds",
+    "dedup_jaccard_minhash",
+    "corpus_hash_split",
+    "corpus_stratified_sample",
+    "benchmark_contamination",
+    "corpus_token_packing",
+    "customer_value_ntiles",
+    "corpus_doc_chunks",
+    "events_hopping_windows",
 ]
 
 

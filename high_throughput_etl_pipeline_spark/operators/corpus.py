@@ -140,6 +140,65 @@ def pack_token_budget(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows (training chunks).
+
+    The context-length prep step every LLM corpus needs: a document
+    becomes ``1 + ceil(max(n - chunk_tokens, 0) / stride)`` chunks of at
+    most ``chunk_tokens`` whitespace tokens, chunk *k* starting at token
+    ``k*stride`` — ``stride < chunk_tokens`` gives overlap so no span is
+    split across a boundary without also appearing whole in some chunk.
+    The last chunk may be shorter; every token appears in ≥1 chunk;
+    empty docs produce no chunks.
+
+    Pure map-side: tokenize → per-row chunk-start sequence → explode →
+    slice.  Linear in token count, no shuffle, no state — at 100 TB this
+    pipelines with the scan.  Output: (id, chunk_id, chunk_text,
+    n_tokens).
+    """
+    stride = stride or chunk_tokens
+    assert 0 < stride <= chunk_tokens, "need 0 < stride <= chunk_tokens"
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / float(stride))
+    ).cast("int")
+    # filter BEFORE tokenizing: split('') is [''] (size 1), not empty —
+    # an unguarded empty doc would emit one bogus single-token chunk
+    out = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(
+                F.sequence(F.lit(0), n_chunks - 1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("_toks"),
+                F.col("chunk_id") * stride + 1,
+                F.lit(chunk_tokens),
+            ).alias("_chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+        F.size("_chunk").alias("n_tokens"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

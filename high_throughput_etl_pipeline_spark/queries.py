@@ -2327,6 +2327,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cc_rounds",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+        SELECT doc_id AS s, doc_id + 1 AS d
+        FROM documents WHERE doc_id % 10 < 3
+    ),
+    edges AS (
+        SELECT s, d FROM e0
+        UNION
+        SELECT d, s FROM e0
+    ),
+    walk(node, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node)
+    SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc_id
+    FROM cc GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def dedup_cc_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components propagation in ISOLATION: the edge list is a
+    near-free projection (chains doc_id—doc_id+1 where doc_id%10<3), so
+    this query's wall clock is the CC loop itself — persisted adjacency,
+    keyed joins, per-round localCheckpoint — not pair generation.  The
+    bench pairs it with dedup_cc_clusters (MinHash pairs + CC) so
+    round-over-round deltas attribute to the right stage.  Value-checked
+    against a recursive-CTE walk of the same chain rule."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.filter(F.col("doc_id") % 10 < 3).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    )
+    cc = dedup_clusters(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("node").alias("max_doc_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
     "ann_ivf_topk",
     oracle="""
     WITH v AS (
@@ -3045,6 +3092,184 @@ def corpus_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_tokens").cast("bigint").alias("pack_tokens"),
         )
         .orderBy("source", "pack_id")
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 25.0), 19) AS INT) AS bucket,
+           COUNT(*) AS n,
+           round(MIN(value), 2) AS lo,
+           round(MAX(value), 2) AS hi
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets of 25, clamped top bucket): the
+    numeric-profiling primitive that stays ONE grouped pass at any scale
+    — bucket is a map-side expression, so partial aggregation collapses
+    each partition to ≤ |types|×20 rows before the shuffle (contrast a
+    sort-based quantile cut, which shuffles the raw rows)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "user_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (event_type = 'view')     AS t_view,
+               MIN(ts) FILTER (event_type = 'click')    AS t_click,
+               MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS viewed,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                 THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM firsts
+    """,
+)
+def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): first-touch timestamps
+    per user via ONE conditional-min aggregate (no self-joins, no
+    per-stage scans — the naive funnel is 3 scans + 2 joins), then the
+    strictly-ordered conversion counts in a single global rollup.
+    NULL-safe by construction: a missing stage yields NULL and fails the
+    ``>`` comparison on both engines."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("clicked_after_view"),
+        F.sum(purchased.cast("int"))
+        .cast("bigint")
+        .alias("purchased_after_click"),
+    )
+
+
+@query(
+    "corpus_doc_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+        FROM documents
+        WHERE len(trim(text)) > 0
+    ), n AS (
+        SELECT doc_id, words, len(words) AS n_tok,
+               CAST(1 + ceil(greatest(len(words) - 40, 0) / 30.0) AS INT)
+                   AS n_chunks
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, CAST(k AS INT) AS chunk_id,
+               words[k*30+1 : least(k*30+40, n_tok)] AS chunk
+        FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS k)
+    )
+    SELECT doc_id, chunk_id,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5,
+           CAST(len(chunk) AS INT) AS n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (chunk 40, stride 30 — below
+    the corpus max doc length so multi-chunk docs occur): the
+    context-length prep step for training.  Map-side tokenize → explode
+    chunk starts → slice; no shuffle.  Chunk text is value-checked via
+    md5 so result rows stay narrow."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=40, stride=30)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "events_hopping_windows",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('hour', ts) - to_hours(k) AS w_start,
+               event_type, value
+        FROM events, LATERAL (SELECT unnest(range(0, 2)) AS k)
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 2) AS total_value
+    FROM w
+    GROUP BY w_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time windows: 2-hour windows every 1 hour via
+    the built-in ``window(ts, duration, slide)`` — each event lands in
+    exactly duration/slide windows, expanded map-side before ONE grouped
+    aggregation (never N scans for N offsets).  The batch twin of the
+    streaming windowed aggregate; the oracle expands the same two
+    offsets per event explicitly."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
     )
 
 

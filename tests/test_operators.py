@@ -508,6 +508,36 @@ def test_dedup_clusters_keep_policy(spark):
     assert drop == {9, 7, 3}
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(95))),  # 95 tokens → 3 chunks
+        (2, "a b c"),  # short → 1 chunk
+        (3, ""),  # empty → no chunks
+        (4, "   "),  # whitespace-only → no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = chunk_documents(df, chunk_tokens=40, stride=30).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    # chunk k starts at token k*stride; spans overlap by chunk-stride
+    chunks = {r["chunk_id"]: r["chunk_text"].split(" ") for r in by_doc[1]}
+    assert chunks[0] == [f"w{i}" for i in range(40)]
+    assert chunks[1] == [f"w{i}" for i in range(30, 70)]
+    assert chunks[2] == [f"w{i}" for i in range(60, 95)]  # short tail
+    # every token appears in at least one chunk
+    seen = {t for c in chunks.values() for t in c}
+    assert seen == {f"w{i}" for i in range(95)}
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    assert by_doc[2][0]["n_tokens"] == 3
+
+
 def test_stratified_sample_monotone_nested(spark):
     """Raising any stratum's rate must strictly grow (never reshuffle)
     its kept set — cutoffs are nested by construction."""

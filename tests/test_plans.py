@@ -121,6 +121,29 @@ def test_customer_value_ntiles_no_global_window(spark):
     assert "RangePartitioning" in plan or "rangepartitioning" in plan
 
 
+def _final_plan(plan: str) -> str:
+    # AQE toString repeats the plan as "== Initial Plan ==" — count
+    # operators only in the final section
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_hopping_windows_single_shuffle(spark):
+    plan = _final_plan(_plan(spark, "events_hopping_windows"))
+    # window expansion happens map-side (Expand before the agg); exactly
+    # ONE hash exchange carries the grouped aggregate — N window offsets
+    # must never mean N scans or N shuffles
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_histogram_partial_aggregation(spark):
+    plan = _final_plan(_plan(spark, "events_value_histogram"))
+    # bucket is a map-side expression: partial HashAggregate collapses
+    # each partition before the single exchange
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"HashAggregate", plan)) == 2, plan
+
+
 def test_orders_batching_window_is_partitioned(spark):
     plan = _plan(spark, "orders_batching")
     assert __import__("re").search(
