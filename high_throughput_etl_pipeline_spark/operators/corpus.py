@@ -68,10 +68,15 @@ def benchmark_contamination(
     for contaminated docs only.  Linear in token count; the only shuffle
     is the per-doc count aggregate.
     """
+    # two-step: materialize the token array before the n-gram HOF —
+    # an inlined split re-evaluates per element (see dedup.word_shingles)
     grams_of = lambda df: df.select(  # noqa: E731
         F.col(id_col).alias("_id"),
+        tokens(F.col(text_col)).alias("_words"),
+    ).select(
+        "_id",
         F.explode(
-            F.array_distinct(_word_ngrams(F.col(text_col), ngram_n))
+            F.array_distinct(_word_ngrams_of(F.col("_words"), ngram_n))
         ).alias("_g"),
     ).select("_id", md5_64(F.col("_g")).alias("_gh"))
     bench_grams = grams_of(benchmark).select("_gh").distinct()
@@ -84,9 +89,10 @@ def benchmark_contamination(
     )
 
 
-def _word_ngrams(col, n: int) -> F.Column:
-    """Word n-grams (with multiplicity) of whitespace-tokenized text."""
-    words = tokens(col)
+def _word_ngrams_of(words, n: int) -> F.Column:
+    """Word n-grams (with multiplicity) over a PRE-SPLIT words column —
+    pass a materialized array reference, not an inline split (HOF
+    lambdas re-evaluate captured expression trees per element)."""
     k = F.size(words) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),

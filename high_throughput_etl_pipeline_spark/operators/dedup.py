@@ -33,17 +33,27 @@ def md5_64(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("bigint")
 
 
-def word_shingles(col, n: int = 3) -> F.Column:
-    """Word n-gram shingles of normalized text (distinct set).
+def norm_words(col) -> F.Column:
+    """Normalized whitespace-token array — materialize this as a REAL
+    column (own projection) before calling :func:`word_shingles` on it."""
+    return F.split(_norm(col), " ")
 
-    Built with higher-order functions (transform over index sequence +
-    slice + concat_ws) — stays in codegen, no UDF.
+
+def word_shingles(words_col, n: int = 3) -> F.Column:
+    """Word n-gram shingles over a PRE-SPLIT words column (distinct set).
+
+    ``words_col`` must be a materialized array column (a plain column
+    reference), not an inline ``split(...)`` expression: higher-order
+    lambdas re-evaluate captured expression trees PER ELEMENT, so an
+    inlined split+regexp turns shingling O(tokens²) — measured 10x
+    slower on real documents.  Callers project :func:`norm_words` in a
+    separate select first (CollapseProject keeps non-cheap multi-
+    referenced aliases un-inlined, so the two-step form stays two-step).
     """
-    words = F.split(_norm(col), " ")
-    k = F.size(words) - F.lit(n - 1)
+    k = F.size(words_col) - F.lit(n - 1)
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        lambda i: F.concat_ws(" ", F.slice(words_col, i, n)),
     )
     empty = F.array().cast("array<string>")
     return F.array_distinct(F.when(k >= 1, sh).otherwise(empty))
@@ -133,7 +143,11 @@ def minhash_near_duplicates(
     exploded = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
+            norm_words(F.col(text_col)).alias("_words"),
+        )
+        .select(
+            "_id",
+            F.explode(word_shingles(F.col("_words"), shingle_n)).alias("_s"),
         )
     )
     sigs = exploded.groupBy("_id").agg(
@@ -358,16 +372,24 @@ def jaccard_pairs(
     # shingles hashed to longs: set sizes (and thus Jaccard) are unchanged
     # modulo 2^-64 collisions, but the per-pair intersect works on fixed
     # width ints instead of strings — several times cheaper.
-    sets = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.transform(
-                word_shingles(F.col(text_col), shingle_n),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("_set"),
-    ).persist()  # both sides of the self-join reuse the shingle arrays
+    sets = (
+        df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("_id"),
+            norm_words(F.col(text_col)).alias("_words"),
+        )
+        .select(
+            *block_cols,
+            "_id",
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("_words"), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("_set"),
+        )
+        .persist()  # both sides of the self-join reuse the shingle arrays
+    )
     a = sets.select(
         *block_cols, F.col("_id").alias("id_a"), F.col("_set").alias("set_a")
     )
@@ -420,21 +442,38 @@ def jaccard_pairs_via_minhash(
     persist() sites in this module.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_shingles"),
-    ).filter(F.size("_shingles") > 0).persist()
-
-    exploded = sh.select(
-        "_id", F.explode("_shingles").alias("_s")
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            norm_words(F.col(text_col)).alias("_words"),
+        )
+        .select(
+            "_id", word_shingles(F.col("_words"), shingle_n).alias("_shingles")
+        )
+        .filter(F.size("_shingles") > 0)
+        .persist()
     )
-    sigs = exploded.groupBy("_id").agg(
-        *[
-            F.min(
-                md5_64(F.concat(F.lit(str(i)), F.lit(":"), F.col("_s")))
-            ).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+
+    # two independent 56-bit lanes per md5 digest (left/right halves):
+    # num_hashes lanes cost num_hashes/2 md5 calls — the md5 lanes
+    # dominate pair-gen cost, so this halves the hot stage.  NOT the
+    # h1+i*h2 double-hash trick: min-wise correlation between derived
+    # lanes inflates band-collision recall ~5x (measured), which is a
+    # different (and much more expensive) candidate distribution.
+    assert num_hashes % 2 == 0, "num_hashes must be even (2 lanes/digest)"
+    exploded = sh.select("_id", F.explode("_shingles").alias("_s"))
+    lanes = []
+    for j in range(num_hashes // 2):
+        digest = F.md5(F.concat(F.lit(str(j)), F.lit(":"), F.col("_s")))
+        lanes.append(F.conv(F.substring(digest, 2, 14), 16, 10).cast("bigint"))
+        lanes.append(
+            F.conv(F.substring(digest, 18, 14), 16, 10).cast("bigint")
+        )
+    hashed = exploded.select(
+        "_id", *[lane.alias(f"_l{i}") for i, lane in enumerate(lanes)]
+    )
+    sigs = hashed.groupBy("_id").agg(
+        *[F.min(f"_l{i}").alias(f"_h{i}") for i in range(num_hashes)]
     ).select(
         "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_sig")
     )

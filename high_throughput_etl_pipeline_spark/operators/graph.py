@@ -57,6 +57,12 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
+    # materialize the edge list ONCE before the undirected union: both
+    # union branches reference `edges`, and when the pair-generation
+    # plan upstream is expensive (banded MinHash + verify) Catalyst may
+    # not reuse its exchanges across branches — without this cut the
+    # whole pair pipeline runs twice (measured 2x on the cluster query)
+    e = e.localCheckpoint(eager=True)
     # undirected: propagate both ways; distinct keeps the adjacency minimal
     adj = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

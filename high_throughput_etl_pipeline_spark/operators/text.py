@@ -105,14 +105,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 4).cast("double"))
 
 
-def word_bigrams(col) -> F.Column:
-    """Non-distinct word 2-grams (repetition analysis needs multiplicity —
-    word_shingles in dedup.py dedups, this keeps every occurrence)."""
-    words = tokens(col)
-    k = F.size(words) - F.lit(1)
+def word_bigrams(words_col) -> F.Column:
+    """Non-distinct word 2-grams over a PRE-SPLIT words column
+    (repetition analysis needs multiplicity — word_shingles in dedup.py
+    dedups, this keeps every occurrence).  Pass a materialized array
+    reference, not an inline tokens() expression: HOF lambdas
+    re-evaluate captured expression trees per element."""
+    k = F.size(words_col) - F.lit(1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        lambda i: F.concat_ws(" ", F.slice(words_col, i, 2)),
     )
     empty = F.array().cast("array<string>")
     return F.when(k >= 1, grams).otherwise(empty)
@@ -131,11 +133,11 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     no per-doc quadratic work, so it scales like any token count.
     """
 
-    def fracs(unit_col, out_prefix: str):
-        per_term = (
-            df.select(F.col(id_col), F.explode(unit_col).alias("_term"))
-            .groupBy(id_col, "_term")
-            .agg(F.count("*").alias("_c"))
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_words"))
+
+    def fracs(term_df, out_prefix: str):
+        per_term = term_df.groupBy(id_col, "_term").agg(
+            F.count("*").alias("_c")
         )
         return per_term.groupBy(id_col).agg(
             F.sum("_c").alias(f"{out_prefix}_total"),
@@ -143,9 +145,16 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             F.sum(F.col("_c") - 1).alias(f"{out_prefix}_dups"),
         )
 
-    c = F.col(text_col)
-    words = fracs(tokens(c), "w")
-    bigrams = fracs(word_bigrams(c), "b")
+    words = fracs(
+        base.select(F.col(id_col), F.explode("_words").alias("_term")), "w"
+    )
+    bigrams = fracs(
+        base.select(
+            F.col(id_col),
+            F.explode(word_bigrams(F.col("_words"))).alias("_term"),
+        ),
+        "b",
+    )
     out = words.join(bigrams, on=id_col, how="left")
     return out.select(
         F.col(id_col),

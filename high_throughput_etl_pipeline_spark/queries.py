@@ -2090,10 +2090,17 @@ _JACCARD_MINHASH_PAIRS_CTE = """docs AS (
     WHERE len(words) >= 2
 ), sig AS (
     SELECT doc_id,
-           [list_min([
-               ('0x' || substr(md5(h || ':' || s), 18, 15))::BIGINT
-               for s in shingles
-           ]) for h in range(0, 8)] AS sig
+           flatten([
+               [list_min([
+                   ('0x' || substr(md5(j || ':' || s), 2, 14))::BIGINT
+                   for s in shingles
+               ]),
+                list_min([
+                   ('0x' || substr(md5(j || ':' || s), 18, 14))::BIGINT
+                   for s in shingles
+               ])]
+               for j in range(0, 4)
+           ]) AS sig
     FROM sh
 ), bands AS (
     SELECT doc_id, b,
@@ -2258,7 +2265,10 @@ def _planes_sql_literal(n_planes: int) -> list[str]:
     return ["[" + ", ".join(f"{x!r}" for x in p) + "]" for p in planes]
 
 
-def _embedding_neardup_oracle() -> str:
+def _embedding_neardup_cte() -> str:
+    """Shared CTE chain: multi-table LSH collide → cosine verify →
+    thresholded `pairs` — used by embedding_near_dup directly and walked
+    recursively by embedding_dedup_clusters."""
     planes = _planes_sql_literal(_ND_TABLES * _ND_BITS)
     buckets = []
     for t in range(_ND_TABLES):
@@ -2269,8 +2279,7 @@ def _embedding_neardup_oracle() -> str:
         )
         buckets.append(f"({terms}) AS b{t}")
     collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_ND_TABLES))
-    return f"""
-    WITH v AS (
+    return f"""v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev,
                {", ".join(buckets)}
         FROM embeddings
@@ -2280,9 +2289,16 @@ def _embedding_neardup_oracle() -> str:
                      / (sqrt(list_dot_product(a.ev, a.ev))
                         * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
         FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({collide})
-    )
-    SELECT id_a, id_b, cosine FROM scored
-    WHERE cosine >= {_ND_THRESHOLD}
+    ), pairs AS (
+        SELECT id_a, id_b, cosine FROM scored
+        WHERE cosine >= {_ND_THRESHOLD}
+    )"""
+
+
+def _embedding_neardup_oracle() -> str:
+    return f"""
+    WITH {_embedding_neardup_cte()}
+    SELECT id_a, id_b, cosine FROM pairs
     ORDER BY id_a, id_b
     """
 
@@ -2301,6 +2317,58 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_ND_TABLES,
         bits_per_table=_ND_BITS,
     ).orderBy("id_a", "id_b")
+
+
+def _embedding_dedup_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_embedding_neardup_cte()},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node)
+    SELECT cluster_id,
+           COUNT(*) AS n_vecs,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_pruned,
+           MAX(node) AS max_vec_id
+    FROM cc GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+
+
+@query("embedding_dedup_clusters", oracle=_embedding_dedup_clusters_oracle())
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-style): embedding-cosine near-dup pairs →
+    connected components → one canonical vector per cluster (min id),
+    with ``n_pruned`` = vectors the dedup would drop.  Composes two
+    scale-shaped operators end-to-end: LSH-bucketed pair generation
+    (never all-pairs) and min-label-propagation clustering (keyed joins,
+    lineage cut per round) — the pipeline that deduplicates an embedding
+    corpus without any quadratic stage.  Oracle: recursive-CTE walk over
+    the same plane-literal pair spec."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        e,
+        threshold=_ND_THRESHOLD,
+        n_tables=_ND_TABLES,
+        bits_per_table=_ND_BITS,
+    )
+    cc = dedup_clusters(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_pruned"),
+            F.max("node").alias("max_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3647,13 +3715,20 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     an independent engine.
     """
     d = _t(spark, sf_dir, "documents")
-    from high_throughput_etl_pipeline_spark.operators.dedup import word_shingles
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        norm_words,
+        word_shingles,
+    )
 
     num_hashes, bands, rows_per_band = 8, 4, 2
-    sh = d.select(
-        F.col("doc_id").alias("_id"),
-        word_shingles(F.col("text"), 3).alias("_shingles"),
-    ).filter(F.size("_shingles") > 0)
+    sh = (
+        d.select(
+            F.col("doc_id").alias("_id"),
+            norm_words(F.col("text")).alias("_words"),
+        )
+        .select("_id", word_shingles(F.col("_words"), 3).alias("_shingles"))
+        .filter(F.size("_shingles") > 0)
+    )
 
     def lane(i: int) -> F.Column:
         return F.array_min(

@@ -10,6 +10,7 @@ from high_throughput_etl_pipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_near_duplicates,
+    norm_words,
     simhash64,
     simhash_near_duplicates,
     word_shingles,
@@ -65,7 +66,9 @@ def test_minhash_finds_near_dup(spark, docs):
 
 def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([("one two",), ("",)], "text STRING")
-    out = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    out = df.select(
+        word_shingles(norm_words(F.col("text")), 3).alias("s")
+    ).collect()
     assert out[0]["s"] == []  # fewer words than n → empty, not garbage
 
 

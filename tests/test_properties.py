@@ -17,7 +17,10 @@ from high_throughput_etl_pipeline_spark.functions.scalar import (
     split_status,
     status_with_shard,
 )
-from high_throughput_etl_pipeline_spark.operators.dedup import word_shingles
+from high_throughput_etl_pipeline_spark.operators.dedup import (
+    norm_words,
+    word_shingles,
+)
 
 # one shared batch size keeps each property to a single Spark job
 _N = 30
@@ -34,7 +37,7 @@ def test_shingle_count_invariant(spark, texts):
     """#shingles(n=3) == max(0, words-2) before dedup; always ≤ after."""
     df = spark.createDataFrame([(t,) for t in texts], "text STRING")
     rows = df.select(
-        "text", F.size(word_shingles(F.col("text"), 3)).alias("k")
+        "text", F.size(word_shingles(norm_words(F.col("text")), 3)).alias("k")
     ).collect()
     for r in rows:
         words = [w for w in re.split(r"\s+", r["text"].strip().lower()) if w != ""]

@@ -236,6 +236,72 @@ def test_streaming_dedup_same_key_different_ts(spark, tmp_path):
     assert sorted(r["id"] for r in got) == [1, 2]
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks ← purchases within 30 min):
+    the streaming result over two file streams equals the batch join of
+    the same data — and late-beyond-interval purchases don't match."""
+    from high_throughput_etl_pipeline_spark.streaming.stream_join import (
+        interval_join_streams,
+    )
+    from pyspark.sql import functions as F
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    clicks = [
+        {"user_id": 1, "ts": "2026-08-12 10:00:00", "page": "a"},
+        {"user_id": 1, "ts": "2026-08-12 11:00:00", "page": "b"},
+        {"user_id": 2, "ts": "2026-08-12 10:00:00", "page": "c"},
+    ]
+    buys = [
+        {"user_id": 1, "ts": "2026-08-12 10:10:00", "amount": 5.0},  # ← a
+        {"user_id": 1, "ts": "2026-08-12 11:20:00", "amount": 7.0},  # ← b
+        {"user_id": 2, "ts": "2026-08-12 12:00:00", "amount": 9.0},  # too late
+    ]
+    with open(clicks_dir / "c.ndjson", "w") as f:
+        for r in clicks:
+            f.write(json.dumps(r) + "\n")
+    with open(buys_dir / "b.ndjson", "w") as f:
+        for r in buys:
+            f.write(json.dumps(r) + "\n")
+
+    c_schema = "user_id BIGINT, ts STRING, page STRING"
+    b_schema = "user_id BIGINT, ts STRING, amount DOUBLE"
+
+    def parse(df):
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    cs = parse(spark.readStream.schema(c_schema).json(str(clicks_dir)))
+    bs = parse(spark.readStream.schema(b_schema).json(str(buys_dir)))
+    q = (
+        interval_join_streams(cs, bs, max_span="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_page"], r["r_amount"])
+        for r in spark.sql("SELECT l_page, r_amount FROM sj_out").collect()
+    }
+    assert got == {("a", 5.0), ("b", 7.0)}
+
+    # batch symmetry: identical plan on static frames, identical rows
+    cb = parse(spark.read.schema(c_schema).json(str(clicks_dir)))
+    bb = parse(spark.read.schema(b_schema).json(str(buys_dir)))
+    batch = {
+        (r["l_page"], r["r_amount"])
+        for r in interval_join_streams(cb, bb, max_span="30 minutes")
+        .select("l_page", "r_amount")
+        .collect()
+    }
+    assert batch == got
+
+
 def test_stream_progress_metrics(spark, tmp_path):
     """ST7 ops: per-micro-batch progress → DataFrame, plus the one-row
     throughput/backpressure rollup."""
