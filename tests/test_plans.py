@@ -89,6 +89,15 @@ def test_jaccard_minhash_joins_are_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cc_clusters_minhash_pairs_keyed(spark):
+    plan = _plan(spark, "dedup_cc_clusters")
+    # the cluster query's pair source is MinHash banding: every join in
+    # the composed plan (band candidates, set re-attach, CC propagation)
+    # must be keyed — no cartesian, no nested-loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_embedding_near_dup_narrow_candidate_join(spark):
     plan = _plan(spark, "embedding_near_dup")
     assert "CartesianProduct" not in plan
