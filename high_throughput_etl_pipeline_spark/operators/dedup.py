@@ -442,15 +442,20 @@ def jaccard_pairs_via_minhash(
     persist() sites in this module.
     """
     rows_per_band = num_hashes // bands
+    # filter on the WORD count, not size(_shingles): a filter over the
+    # derived shingle column re-evaluates the whole shingle expression in
+    # the Filter node (no CSE across operators) — 2x the hot stage.
+    # size(words) >= n is exactly "shingles non-empty" (and mirrors the
+    # oracle's `len(words) >= n`).
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
             norm_words(F.col(text_col)).alias("_words"),
         )
+        .filter(F.size("_words") >= shingle_n)
         .select(
             "_id", word_shingles(F.col("_words"), shingle_n).alias("_shingles")
         )
-        .filter(F.size("_shingles") > 0)
         .persist()
     )
 

@@ -114,6 +114,32 @@ def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
     return out.cast("int")
 
 
+def build_lsh_index(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """The one-time linear indexing pass: (id, _v, _na, _bucket).
+
+    Persist this bucketed BY ``_bucket`` (``sources.bucketed.
+    write_bucketed(..., ["_bucket"])``) and every subsequent
+    ``lsh_topk(..., indexed=True, broadcast_queries=False)`` joins
+    against it WITHOUT shuffling the vector table — the scan itself is
+    the shuffle.  That is the 100 TB serving shape: the index is written
+    once, queries only ever exchange the (small) query side.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_na"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -125,12 +151,17 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     n_probes: int = 1,
+    indexed: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket(s).
 
     With 2^n_planes buckets the candidate set shrinks ~2^n_planes-fold;
-    at 100 TB, write the vector table bucketed/partitioned by `_bucket` so
-    a query probe reads one partition (partition pruning on the join key).
+    at 100 TB, store the vector table bucketed by `_bucket`
+    (build_lsh_index + write_bucketed) and pass ``indexed=True`` — the
+    vector side then joins without any exchange.  ``broadcast_queries=
+    False`` switches the probe join to sort-merge for LARGE query sets
+    (the bucketed layout makes the vector side exchange-free either way).
 
     ``n_probes`` > 1 enables multi-probe: each query also searches the
     buckets at Hamming distance 1 (one hyperplane flipped), trading
@@ -140,12 +171,15 @@ def lsh_topk(
     every single-bit flip).
     """
     planes = hyperplanes(dim, n_planes, seed)
-    v = vectors.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_na"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
+    if indexed:
+        v = vectors.select(id_col, "_v", "_na", "_bucket")
+    else:
+        v = vectors.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_na"),
+            lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_q"),
@@ -163,7 +197,8 @@ def lsh_topk(
             ],
         )
         q = q.withColumn("_bucket", F.explode(flips))
-    scored = v.join(F.broadcast(q), on="_bucket").select(
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = v.join(q_side, on="_bucket").select(
         query_id_col,
         id_col,
         F.round(

@@ -3721,32 +3721,50 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     num_hashes, bands, rows_per_band = 8, 4, 2
+    # word-count filter BEFORE shingling (== shingles non-empty, mirrors
+    # the oracle's len(words) >= 3) — filtering on size(_shingles) would
+    # re-evaluate the shingle expression in the Filter node
     sh = (
         d.select(
             F.col("doc_id").alias("_id"),
             norm_words(F.col("text")).alias("_words"),
         )
+        .filter(F.size("_words") >= 3)
         .select("_id", word_shingles(F.col("_words"), 3).alias("_shingles"))
-        .filter(F.size("_shingles") > 0)
     )
 
-    def lane(i: int) -> F.Column:
-        return F.array_min(
-            F.transform(
-                F.col("_shingles"),
-                lambda s: F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(str(i)), F.lit(":"), s)), 18, 15
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
+    # signatures via explode + groupBy-min, NOT per-lane array_min
+    # lambdas: HOF transforms run interpreted per element, while the
+    # exploded form is whole-stage-codegen with map-side partial mins —
+    # value-identical lanes (same md5(i:shingle) low-60-bits), ~3x
+    # faster measured
+    exploded = sh.select("_id", F.explode("_shingles").alias("_s"))
+    sigs = (
+        exploded.groupBy("_id")
+        .agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(str(i)), F.lit(":"), F.col("_s"))
+                            ),
+                            18,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                ).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ]
         )
-
-    sigs = sh.select(
-        "_id", F.array(*[lane(i) for i in range(num_hashes)]).alias("_sig")
-    ).persist()
+        .select(
+            "_id",
+            F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_sig"),
+        )
+        .persist()
+    )
 
     banded = sigs.select(
         "_id",

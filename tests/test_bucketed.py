@@ -33,6 +33,68 @@ def bucketed_tables(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
 
 
+def test_lsh_index_bucketed_serving_no_vector_exchange(spark, tmp_path):
+    """The ANN serving shape at 100 TB: build_lsh_index written bucketed
+    by `_bucket`; lsh_topk(indexed=True, broadcast_queries=False) then
+    sort-merge-joins WITHOUT exchanging the vector side, and returns the
+    same rows as the unindexed path."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_topk,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    table = f"lsh_idx_{suffix}"
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = build_lsh_index(vecs, n_planes=6)
+    write_bucketed(
+        idx, table, ["_bucket"], n_buckets=8,
+        sort_cols=["_bucket"], path=str(tmp_path / table),
+    )
+    qs = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        served = lsh_topk(
+            read_table(spark, table), qs, k=5, n_planes=6,
+            indexed=True, broadcast_queries=False,
+        )
+        rows = served.collect()
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final, final[:1200]
+        assert "Bucketed: true" in final, final[:1200]
+        import re as _re
+
+        def n_exchanges(df):
+            df.collect()
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return len(
+                _re.findall(
+                    r"Exchange hashpartitioning",
+                    p.split("== Initial Plan ==")[0],
+                )
+            )
+
+        # indexed: 2 exchanges (query side + rank window) — the bucketed
+        # vector scan provides its own distribution.  The same plan over
+        # the UNINDEXED table needs a 3rd exchange to shuffle the vectors.
+        assert n_exchanges(served) == 2, final[:2000]
+        unindexed = lsh_topk(
+            vecs, qs, k=5, n_planes=6, broadcast_queries=False
+        )
+        assert n_exchanges(unindexed) == 3
+        baseline = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in lsh_topk(vecs, qs, k=5, n_planes=6).collect()
+        }
+        assert {(r["query_id"], r["vec_id"], r["rank"]) for r in rows} == baseline
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     t_orders, t_lineitem = bucketed_tables
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
