@@ -3164,6 +3164,122 @@ def corpus_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_vocab_topk",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+        FROM documents
+        WHERE len(trim(text)) > 0
+    ), grams AS (
+        SELECT doc_id,
+               words[i] || ' ' || words[i+1] AS gram
+        FROM t, LATERAL (SELECT unnest(range(1, len(words))) AS i)
+        WHERE len(words) >= 2
+    )
+    SELECT gram,
+           COUNT(*) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM grams
+    GROUP BY gram
+    ORDER BY tf DESC, gram
+    LIMIT 50
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary building: top-50 word bigrams by total
+    frequency, with document frequency — the counting pass under
+    BPE-style vocab induction.  Explode → ONE grouped aggregate (partial
+    counts collapse map-side) → TakeOrdered top-k; no per-doc state, no
+    driver-side vocabulary."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        tokens,
+        word_bigrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.col("doc_id"), tokens(F.col("text")).alias("_words"))
+        .select(
+            "doc_id", F.explode(word_bigrams(F.col("_words"))).alias("gram")
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "gram")
+        .limit(50)
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, n_chars,
+               md5(array_to_string(
+                   (string_split_regex(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' '))[1:8], ' ')) AS fingerprint
+        FROM documents
+    ), ranked AS (
+        SELECT fingerprint, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY fingerprint
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
+        FROM fp
+    )
+    SELECT fingerprint,
+           CAST(dup_count AS BIGINT) AS dup_count,
+           doc_id AS keep_id,
+           CAST(dup_count - 1 AS BIGINT) AS dropped
+    FROM ranked
+    WHERE rn = 1 AND dup_count > 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over a truncation-tolerant key: docs
+    sharing the same first-8-words prefix fingerprint form a group (the
+    crawl-dump case — copies differ by truncation or trailing
+    boilerplate, so a whole-text hash misses them), and the group keeps
+    its BEST copy (longest, ties by lowest id) instead of blindly the
+    minimum id.  One window per fingerprint group; the 16-byte
+    fingerprint is the shuffle key regardless of document size."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    fp = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(wc).cast("bigint"))
+        .filter((F.col("rn") == 1) & (F.col("dup_count") > 1))
+        .select(
+            "fingerprint",
+            "dup_count",
+            F.col("doc_id").alias("keep_id"),
+            (F.col("dup_count") - 1).cast("bigint").alias("dropped"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+@query(
     "events_value_histogram",
     oracle="""
     SELECT event_type,
