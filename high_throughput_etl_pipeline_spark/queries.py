@@ -1245,6 +1245,40 @@ def events_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cube_matrix",
+    oracle="""
+    SELECT event_type, dayname(ts) AS dow,
+           CAST(GROUPING(event_type, dayname(ts)) AS BIGINT) AS gid,
+           COUNT(*) AS n_events,
+           round(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, dow)
+    ORDER BY gid, event_type, dow
+    """,
+)
+def events_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE: every (type, weekday) cell PLUS both one-dimension
+    margins and the grand total in one grouped pass — 2^d grouping sets
+    expand map-side, the shuffle carries each row once per set (ROLLUP's
+    sibling; `events_rollup_totals` covers the hierarchical case)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.date_format("ts", "EEEE").alias("dow"),
+            "value",
+        )
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("gid", "event_type", "dow")
+    )
+
+
+@query(
     "events_rolling_stats",
     oracle="""
     WITH daily AS (
