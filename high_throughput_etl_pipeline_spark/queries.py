@@ -4196,6 +4196,130 @@ def dataprep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataprep_training_batches",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, source, n_chars, text,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(len(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1), 4) AS digit_ratio,
+               round(len(regexp_extract_all(lower(text),
+                     '\\b(the|and|of|to|a|in|is|that)\\b'))
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     4) AS stopword_ratio
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source, n_chars, text,
+               round(0.25 * least(n_tokens / 100.0, 1.0)
+                   + 0.25 * (1.0 - least(punct_ratio * 5, 1.0))
+                   + 0.25 * (1.0 - least(digit_ratio * 5, 1.0))
+                   + 0.25 * least(stopword_ratio * 4, 1.0), 4) AS quality_score
+        FROM feats
+    ), filtered AS (
+        SELECT * FROM scored WHERE quality_score >= 0.3
+    ), ranked AS (
+        SELECT doc_id, source, text,
+               row_number() OVER (
+                   PARTITION BY md5(array_to_string(
+                       (string_split_regex(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                           ' '))[1:8], ' '))
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM filtered
+    ), kept AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+        FROM ranked WHERE rn = 1 AND len(trim(text)) > 0
+    ), sized AS (
+        SELECT doc_id, source, words, len(words) AS n_tok,
+               CAST(1 + ceil(greatest(len(words) - 40, 0) / 30.0) AS INT)
+                   AS n_chunks
+        FROM kept
+    ), chunks AS (
+        SELECT doc_id, source,
+               doc_id * 100 + k AS chunk_key,
+               len(words[k*30+1 : least(k*30+40, n_tok)]) AS chunk_tokens
+        FROM sized, LATERAL (SELECT unnest(range(0, n_chunks)) AS k)
+    ), bucketed AS (
+        SELECT source, chunk_key, chunk_tokens,
+               CAST(floor(coalesce(SUM(chunk_tokens) OVER (
+                   PARTITION BY source ORDER BY chunk_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 256.0) AS BIGINT) AS bucket
+        FROM chunks
+    ), packs AS (
+        SELECT source, chunk_tokens,
+               CAST(DENSE_RANK() OVER (
+                   PARTITION BY source ORDER BY bucket
+               ) - 1 AS BIGINT) AS pack_id
+        FROM bucketed
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
+    FROM packs
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def dataprep_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-batch pipeline, one declarative plan:
+    quality filter → canonical keep-best (truncation-tolerant prefix
+    fingerprint) → overlapping token-window chunking (40/30) →
+    256-token context packing per source.  Every stage is an existing
+    operator; Catalyst plans the whole DAG with no materialization
+    barrier.  The oracle replays all four stages as one CTE chain —
+    value-for-value across ~4 windows and 2 aggregations."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        pack_token_budget,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        quality_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_features(d).filter(F.col("quality_score") >= 0.3)
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    ranked = scored.withColumn(
+        "_fp", F.md5(F.concat_ws(" ", F.slice(words, 1, 8)))
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_fp").orderBy(
+                F.desc("n_chars"), F.col("doc_id")
+            )
+        ),
+    )
+    kept = ranked.filter(F.col("rn") == 1).select("doc_id", "source", "text")
+    chunks = chunk_documents(kept, chunk_tokens=40, stride=30).join(
+        kept.select("doc_id", "source"), on="doc_id"
+    )
+    packed = pack_token_budget(
+        chunks.withColumn(
+            "chunk_key", F.col("doc_id") * 100 + F.col("chunk_id")
+        ),
+        budget=256,
+        part_col="source",
+        id_col="chunk_key",
+        text_col="chunk_text",
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("_tokens").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@query(
     "purchase_attribution_asof",
     oracle="""
     WITH p AS (
