@@ -70,6 +70,8 @@ HEADLINE = [
     "customer_value_ntiles",
     "corpus_doc_chunks",
     "events_hopping_windows",
+    "corpus_vocab_topk",
+    "dataprep_training_batches",
 ]
 
 
