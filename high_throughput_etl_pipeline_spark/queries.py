@@ -1245,6 +1245,61 @@ def events_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_range_window",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE),
+                 2) AS sum_1h
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: for each purchase, the user's purchase
+    count and value sum over the PRECEDING HOUR — a frame defined by
+    event time, not row offsets (`rangeBetween(-3600, 0)` over epoch
+    seconds; rows sharing a second are peers and join the frame together
+    on both engines).  The velocity/rate-limit shape: partitioned by
+    user, so it scales like any grouped window.  The frame sums in
+    DECIMAL: sliding-frame double sums are reduction-order-sensitive
+    (same lesson as events_rolling_stats)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        p.withColumn("n_1h", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn(
+            "sum_1h",
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .over(w)
+                .cast("double"),
+                2,
+            ),
+        )
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    )
+
+
+@query(
     "events_cube_matrix",
     oracle="""
     SELECT event_type, dayname(ts) AS dow,
