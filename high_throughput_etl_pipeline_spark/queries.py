@@ -4422,6 +4422,53 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "next_view_after_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS next_view_ts,
+           CASE WHEN v.ts IS NULL THEN NULL
+                ELSE CAST(floor(epoch(v.ts)) AS BIGINT)
+                     - CAST(floor(epoch(p.ts)) AS BIGINT) END AS gap_seconds
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    ORDER BY event_id
+    """,
+)
+def next_view_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's EARLIEST
+    view at-or-after it (post-purchase browse).  Same union-window
+    technique as the backward form with the frame reversed; checked
+    against DuckDB's native forward ASOF (``p.ts <= v.ts``)."""
+    from high_throughput_etl_pipeline_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join_forward(p, v, on=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("next_view_ts"),
+        F.when(
+            F.col("asof_ts").isNull(), F.lit(None).cast("bigint")
+        ).otherwise(
+            F.unix_timestamp("asof_ts") - F.unix_timestamp("ts")
+        ).alias("gap_seconds"),
+    ).orderBy("event_id")
+
+
+@query(
     "error_context_rangejoin",
     oracle="""
     WITH e AS (
