@@ -4620,7 +4620,7 @@ HEADLINE: list[str] = [
     "text_pii_redaction",
     # dedup family
     "dedup_exact_groups",
-    "dedup_minhash_lsh",
+    "dedup_minhash_md5",
     "dedup_jaccard_minhash",
     "dedup_simhash_md5",
     "dedup_cc_clusters",
