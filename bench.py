@@ -134,12 +134,22 @@ def main() -> None:
     else:
         spark.range(1000).count()
 
+    # one broken query must never zero the whole artifact: time each query
+    # independently, record null on failure, and always emit the suite JSON
+    failures: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.time()
-        n = QUERIES[name](spark, SF_DIR).count()
+        try:
+            n = QUERIES[name](spark, SF_DIR).count()
+        except Exception as exc:
+            timings[name] = None
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    ingest_sec = ingest_bytes = gb = None
     work = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
         ingest_sec, ingest_rows, ingest_bytes = bench_ingest(spark, work)
@@ -151,23 +161,26 @@ def main() -> None:
             f"{ingest_sec / gb:.1f} s/GB vs BASELINE ~78 s/GB)",
             file=sys.stderr,
         )
+    except Exception as exc:
+        timings["ingest_ndjson_to_parquet"] = None
+        failures["ingest_ndjson_to_parquet"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# ingest FAILED {failures['ingest_ndjson_to_parquet']}", file=sys.stderr)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_label(SF_DIR),
-                "ingest_input_bytes": ingest_bytes,
-                "ingest_sec_per_gb": round(ingest_sec / gb, 2),
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    result = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "ingest_input_bytes": ingest_bytes,
+        "ingest_sec_per_gb": round(ingest_sec / gb, 2) if ingest_sec else None,
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
     spark.stop()
 
 

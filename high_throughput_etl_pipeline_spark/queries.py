@@ -61,13 +61,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # regardless of the host session's timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-        # type for.  Read nanos as long, truncate to micros (exactly what
-        # DuckDB does), interpret in UTC.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _read_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load an events table whose ``ts`` column may be stored as parquet
+    TIMESTAMP(NANOS) (no native Spark type — read nanos-as-long and truncate
+    to micros, exactly what DuckDB does), TIMESTAMP(MICROS) naive
+    (TimestampNTZ — reinterpret as UTC instant), or TIMESTAMP(MICROS)
+    UTC-adjusted (TimestampType — pass through).  Branching on the dtype the
+    footer actually declares makes testdata regeneration a no-op."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Spark refuses TIMESTAMP(NANOS) without the legacy flag
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # session TZ is pinned UTC above, so this reinterprets the naive
+        # value as the same wall-clock instant DuckDB sees
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df
 
 
 def query(name: str, oracle: str | None = None):
