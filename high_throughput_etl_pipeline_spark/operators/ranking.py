@@ -45,14 +45,17 @@ def global_rank(
 
     Returns ``(ranked_df, total_rows)`` — the total is already known
     driver-side from the offset computation, so callers get it without
-    another action.  The input is persisted for the duration of the two
-    passes (count + rank); the cache is released once the offsets are
-    computed since the ranked plan re-reads the persisted data.
+    another action.  The range-partitioned input is pinned with an eager
+    ``localCheckpoint`` (NOT ``persist``): both passes (count + rank) must
+    see identical partition ids, and a recompute after cache eviction could
+    re-sample different range bounds.  The checkpoint bypasses the
+    CacheManager — no session-lifetime cache entry; its blocks are
+    reclaimed by the ContextCleaner once the ranked result is dropped.
     """
     parts = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    parts = parts.persist()
+    parts = parts.localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["_cnt"]
         for r in parts.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()

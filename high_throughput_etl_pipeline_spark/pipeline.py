@@ -90,14 +90,21 @@ class CircuitBreaker:
         self.consecutive_failures = 0
         self.tripped = False
         if os.path.isfile(path):
-            with open(path) as f:
-                d = json.load(f)
-            self.consecutive_failures = int(d.get("consecutive_failures", 0))
-            self.tripped = bool(d.get("tripped", False))
+            # a truncated/corrupt state doc (crash mid-write before _save
+            # became atomic, disk-full) must degrade to fresh state, not
+            # brick the runner at construction
+            try:
+                with open(path) as f:
+                    d = json.load(f)
+                self.consecutive_failures = int(d.get("consecutive_failures", 0))
+                self.tripped = bool(d.get("tripped", False))
+            except (json.JSONDecodeError, ValueError, TypeError, OSError):
+                pass
 
     def _save(self) -> None:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(self.path, "w") as f:
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "consecutive_failures": self.consecutive_failures,
@@ -106,6 +113,7 @@ class CircuitBreaker:
                 },
                 f,
             )
+        os.replace(tmp, self.path)
 
     def allow(self) -> bool:
         return not self.tripped

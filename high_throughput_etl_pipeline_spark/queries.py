@@ -4315,14 +4315,13 @@ def dataprep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_chunks
         FROM kept
     ), chunks AS (
-        SELECT doc_id, source,
-               doc_id * 100 + k AS chunk_key,
+        SELECT doc_id, source, k,
                len(words[k*30+1 : least(k*30+40, n_tok)]) AS chunk_tokens
         FROM sized, LATERAL (SELECT unnest(range(0, n_chunks)) AS k)
     ), bucketed AS (
-        SELECT source, chunk_key, chunk_tokens,
+        SELECT source, chunk_tokens,
                CAST(floor(coalesce(SUM(chunk_tokens) OVER (
-                   PARTITION BY source ORDER BY chunk_key
+                   PARTITION BY source ORDER BY doc_id, k
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) / 256.0) AS BIGINT) AS bucket
         FROM chunks
@@ -4377,8 +4376,12 @@ def dataprep_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select("doc_id", "source"), on="doc_id"
     )
     packed = pack_token_budget(
+        # composite struct key: a scalar doc_id*K + chunk_id encoding
+        # collides once a document yields >= K chunks, silently corrupting
+        # pack order for exactly the long documents 100 TB corpora contain;
+        # struct ordering is field-wise (doc_id, then chunk_id), collision-free
         chunks.withColumn(
-            "chunk_key", F.col("doc_id") * 100 + F.col("chunk_id")
+            "chunk_key", F.struct(F.col("doc_id"), F.col("chunk_id"))
         ),
         budget=256,
         part_col="source",

@@ -9,13 +9,17 @@ the lock is the piece that makes the single-driver assumption SAFE
 rather than implicit: a second driver attaching to the same state path
 fails fast at acquire instead of silently interleaving claim writes.
 
-Mechanism: ``os.open(O_CREAT | O_EXCL)`` — an atomic create-if-absent on
-any POSIX filesystem (and object stores with preconditions would use
-if-none-match the same way).  The lock document records owner + expiry;
-a later acquirer may STEAL only an expired lock (crashed-driver
-recovery, same semantics as the reference's TTL'd lock row).  On a
-lakehouse deployment the equivalent is a Delta/Iceberg conditional
-commit; the API here is the part that stays.
+Mechanism: write the complete lock document to a private temp file, then
+``os.link`` it to the lock path — an atomic create-if-absent that
+publishes the full document in one step (object stores with
+preconditions would use if-none-match the same way).  A competitor can
+therefore never observe a half-written document and mistake a live lock
+for a stale one.  The document records owner + expiry; a later acquirer
+may STEAL only an expired lock (crashed-driver recovery, same semantics
+as the reference's TTL'd lock row), and release re-verifies ownership by
+renaming the lock away before deleting, so it can never clobber a
+stealer's fresh lock.  On a lakehouse deployment the equivalent is a
+Delta/Iceberg conditional commit; the API here is the part that stays.
 """
 
 from __future__ import annotations
@@ -69,36 +73,100 @@ class DriverLock:
             }
         )
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        for _ in range(2):
+        tmp = f"{self.path}.{self.owner}.tmp"
+        with open(tmp, "w") as f:
+            f.write(doc)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            for _ in range(4):
+                try:
+                    # atomic create-if-absent publishing the COMPLETE doc:
+                    # no competitor can ever read a half-written lock file
+                    os.link(tmp, self.path)
+                    return
+                except FileExistsError:
+                    held = self.holder()
+                    if held is not None and not self._expired(held):
+                        raise LockHeldError(
+                            f"state lock held by {held.get('owner')!r} until "
+                            f"{held.get('expires_at')}; a second driver must "
+                            "not attach to a live state table"
+                        )
+                    self._steal_expired()
+            raise LockHeldError("lost the steal race for an expired lock")
+        finally:
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    f.write(doc)
-                return
-            except FileExistsError:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+    @contextmanager
+    def _remove_mutex(self, stale_after: float = 5.0):
+        """Serialize every ``os.remove`` of the lock path.
+
+        The lock file's only transitions are absent→complete-doc (atomic
+        ``os.link``, fails when present) and complete-doc→absent (``remove``).
+        Removing is the dangerous half: a bare remove lets two stealers both
+        win (A removes the expired doc and links; B's remove then deletes A's
+        FRESH lock and links too).  Holding this side-mutex around
+        re-verify + remove means the doc inspected is the doc removed.
+        Yields True when the mutex was won, False when a competitor holds it
+        (caller backs off and retries); a mutex older than ``stale_after``
+        seconds is from a crashed process and is cleared."""
+        mutex = f"{self.path}.rm-mutex"
+        try:
+            os.close(os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(mutex) > stale_after:
+                    os.remove(mutex)
+            except OSError:
+                pass
+            time.sleep(0.005)
+            yield False
+            return
+        try:
+            yield True
+        finally:
+            try:
+                os.remove(mutex)
+            except FileNotFoundError:
+                pass
+
+    def _steal_expired(self) -> None:
+        """Remove the lock file ONLY if it still holds an expired document,
+        re-verified under the remove-mutex so no competitor's fresh lock can
+        slip in between the check and the remove."""
+        with self._remove_mutex() as won:
+            if not won:
+                return  # another stealer is mid-steal; retry the create
+            held = self.holder()
+            if held is None or self._expired(held):
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+
+    def release(self) -> None:
+        """Release only our own lock (never clobber a stealer's).
+
+        Ownership is re-verified under the remove-mutex: while held, no
+        stealer can swap the doc between our check and our remove, so a
+        late release by a crashed-and-recovered owner whose expired lock
+        was already stolen is a no-op instead of deleting the stealer's
+        fresh lock."""
+        for _ in range(20):
+            with self._remove_mutex() as won:
+                if not won:
+                    continue
                 held = self.holder()
-                if held is None or self._expired(held):
-                    # stale: remove and retry the atomic create once
+                if held is not None and held.get("owner") == self.owner:
                     try:
                         os.remove(self.path)
                     except FileNotFoundError:
                         pass
-                    continue
-                raise LockHeldError(
-                    f"state lock held by {held.get('owner')!r} until "
-                    f"{held.get('expires_at')}; a second driver must not "
-                    "attach to a live state table"
-                )
-        raise LockHeldError("lost the steal race for an expired lock")
-
-    def release(self) -> None:
-        """Release only our own lock (never clobber a stealer's)."""
-        held = self.holder()
-        if held and held.get("owner") == self.owner:
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+                return
 
     @contextmanager
     def hold(self):

@@ -439,6 +439,8 @@ def test_global_rank_matches_window_rank(spark):
     rows = [(i, float((i * 37) % 101)) for i in range(500)]
     df = spark.createDataFrame(rows, "id BIGINT, score DOUBLE").repartition(8)
     order = [F.col("score").desc(), F.col("id")]
+    _cm = spark._jsparkSession.sharedState().cacheManager()
+    cached_before = _cm.cachedData().size()
     ranked, n = global_rank(df, order, rank_col="r")
     assert n == 500
     got = {r["id"]: r["r"] for r in ranked.collect()}
@@ -449,6 +451,10 @@ def test_global_rank_matches_window_rank(spark):
         ).collect()
     }
     assert got == want
+    # the pinning is a localCheckpoint, NOT persist: global_rank may not add
+    # a CacheManager entry (a session-lifetime leak at one rank per query);
+    # compare entry COUNTS against the pre-call state — other tests own caches
+    assert _cm.cachedData().size() == cached_before
 
 
 def test_global_rank_empty_input(spark):
@@ -589,3 +595,64 @@ def test_ivfpq_topk_prunes_and_recalls(spark):
     # double-approximate (IVF pruning + PQ distances); still far above
     # the ~0.4 expected hits of random selection
     assert hits >= 5, f"IVFPQ recall too low: {hits}/15"
+
+
+def test_training_batch_chunk_key_no_collision_long_docs(spark):
+    """A >=100-chunk document must pack correctly: the struct
+    (doc_id, chunk_id) ordering key cannot collide, whereas the old
+    scalar doc_id*100+chunk_id encoding aliased long documents' chunks
+    onto later doc_ids, corrupting pack order.  Expected packing is
+    replayed in pure Python over the same (doc, chunk) order."""
+    import math
+
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        pack_token_budget,
+    )
+
+    # doc 1: 3310 tokens -> 1 + ceil((3310-40)/30) = 110 chunks (>= 100);
+    # doc 2 collides with old keys 1*100+k for k in [0,110) vs 2*100+k
+    docs = [
+        (1, "s", " ".join(f"a{i}" for i in range(3310))),
+        (2, "s", " ".join(f"b{i}" for i in range(95))),
+        (3, "s", " ".join(f"c{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, source STRING, text STRING")
+    kept = df.select("doc_id", "source", "text")
+    chunks = chunk_documents(kept, chunk_tokens=40, stride=30).join(
+        kept.select("doc_id", "source"), on="doc_id"
+    )
+    packed = pack_token_budget(
+        chunks.withColumn(
+            "chunk_key", F.struct(F.col("doc_id"), F.col("chunk_id"))
+        ),
+        budget=256,
+        part_col="source",
+        id_col="chunk_key",
+        text_col="chunk_text",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["_tokens"])
+        for r in packed.collect()
+    }
+
+    # pure-python replay in (doc_id, chunk_id) order
+    def n_chunks(n):
+        return 1 + math.ceil(max(n - 40, 0) / 30)
+
+    expected, cum, buckets = {}, 0, []
+    for doc_id, _, text in docs:
+        n = len(text.split())
+        for k in range(n_chunks(n)):
+            tok = len(text.split()[k * 30 : min(k * 30 + 40, n)])
+            buckets.append(((doc_id, k), cum // 256, tok))
+            cum += tok
+    dense, seen = {}, 0
+    for (key, bucket, tok) in buckets:
+        if bucket not in dense:
+            dense[bucket] = seen
+            seen += 1
+        expected[key] = (dense[bucket], tok)
+
+    assert len(got) == 110 + n_chunks(95) + 1
+    assert got == expected

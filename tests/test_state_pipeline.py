@@ -388,3 +388,87 @@ def test_merge_upsert_semantics(spark, tmp_path):
         for r in spark.read.schema(schema).parquet(path).collect()
     }
     assert again == got
+
+
+def test_driver_lock_atomic_publish_and_steal_races(tmp_path):
+    """Lock-file TOCTOU hardening: (a) the published doc is always complete
+    JSON (atomic link publish — a competitor can never read a half-written
+    lock and mistake it for stale); (b) N threads racing acquire() on a
+    fresh lock produce exactly one winner; (c) N threads racing to steal an
+    EXPIRED lock produce exactly one winner (claim-by-rename serializes the
+    stealers); (d) release() of a since-stolen expired lock does not clobber
+    the stealer's fresh lock."""
+    import threading
+
+    from high_throughput_etl_pipeline_spark.state.lock import (
+        DriverLock,
+        LockHeldError,
+    )
+
+    path = str(tmp_path / "lock.json")
+
+    # (b) fresh-lock race
+    winners, errors = [], []
+
+    def try_acquire(i):
+        lk = DriverLock(path, owner=f"d{i}")
+        try:
+            lk.acquire()
+            winners.append(lk)
+        except LockHeldError:
+            errors.append(i)
+
+    threads = [threading.Thread(target=try_acquire, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(winners) == 1 and len(errors) == 15
+    # (a) the doc on disk is complete, parseable JSON with the winner's owner
+    assert winners[0].holder()["owner"] == winners[0].owner
+    winners[0].release()
+    assert winners[0].holder() is None
+
+    # (c) expired-lock steal race: exactly one of N stealers may win
+    expired = DriverLock(path, owner="crashed", ttl_seconds=-1)
+    expired.acquire()
+    winners.clear()
+    errors.clear()
+    threads = [threading.Thread(target=try_acquire, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(winners) == 1, f"{len(winners)} stealers won the same lock"
+    doc = winners[0].holder()
+    assert doc["owner"] == winners[0].owner
+
+    # (d) the crashed driver's late release() must not remove the stolen lock
+    expired.release()
+    assert winners[0].holder() is not None
+    assert winners[0].holder()["owner"] == winners[0].owner
+    winners[0].release()
+    assert winners[0].holder() is None
+
+
+def test_circuit_breaker_survives_corrupt_state_file(tmp_path):
+    """A truncated/corrupt breaker doc (crash mid-write, disk-full) must
+    construct a fresh breaker, not brick the runner; _save is atomic so a
+    reader never sees a partial doc."""
+    from high_throughput_etl_pipeline_spark.pipeline import CircuitBreaker
+
+    path = str(tmp_path / "breaker.json")
+    with open(path, "w") as f:
+        f.write('{"consecutive_failures": 2, "trip')  # truncated mid-write
+    cb = CircuitBreaker(path, threshold=3)
+    assert cb.allow() and cb.consecutive_failures == 0
+
+    # state round-trips through the atomic save
+    cb.record_failure()
+    cb.record_failure()
+    cb.record_failure()
+    assert cb.tripped
+    cb2 = CircuitBreaker(path, threshold=3)
+    assert cb2.tripped and not cb2.allow()
+    cb2.reset()
+    assert CircuitBreaker(path, threshold=3).allow()
