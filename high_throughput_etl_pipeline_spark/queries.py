@@ -4605,12 +4605,8 @@ def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 HEADLINE: list[str] = [
-    # TPC-H representatives (one per join/agg shape)
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "q21_waiting_suppliers",
-    # events: time buckets, percentiles, argmax, metrics, windows, pivot
+    # --- the 15 queries red in round 4 (the _t() events-ts regression):
+    # keep them in the window so round 5 records their recovery
     "events_daily_rollup",
     "events_percentiles",
     "events_peak_hour",
@@ -4618,51 +4614,53 @@ HEADLINE: list[str] = [
     "events_rolling_stats",
     "events_daily_pivot",
     "events_props_json",
-    "orders_batching",
-    "top_customers_per_nation",
-    "customer_value_ntiles",
-    "nation_order_coverage",
-    # scalar / path / validation operators
-    "status_shard_roundtrip",
-    "s3_path_parse",
     "derive_run_status",
-    "nation_all_string",
     "validation_split",
     "metrics_size_profile",
     "ingest_velocity",
-    # join / set-op shapes
-    "customers_without_orders",
-    "machinery_customer_orders",
-    "doc_word_counts",
     "union_report_sources",
     "sorted_distinct_users",
-    # text analysis
+    "user_sessions",
+    "purchase_attribution_asof",
+    # --- the 20 queries never yet in any round's driver window (VERDICT r4):
+    # rotate them through the gate so every family keeps driver-side proof
+    "events_range_window",
+    "events_cube_matrix",
+    "events_salted_rollup",
+    "events_value_histogram",
+    "events_hopping_windows",
+    "user_funnel_conversion",
+    "embedding_dedup_clusters",
+    "dedup_cc_rounds",
+    "dedup_keep_best",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "table_column_stats",
+    "doc_unigram_logprob",
+    "corpus_vocab_topk",
+    "corpus_doc_chunks",
+    "dataprep_training_batches",
+    "next_view_after_purchase",
+    # --- one representative per remaining family (all multi-round green;
+    # the displaced green queries stay oracle-checked by
+    # tools/check_correctness.py over the full 99-query registry)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q21_waiting_suppliers",
+    "customer_value_ntiles",
+    "status_shard_roundtrip",
+    "s3_path_parse",
+    "customers_without_orders",
+    "doc_word_counts",
     "text_token_stats",
-    "text_lang_detect",
-    "text_quality_by_source",
-    "doc_fingerprints",
     "text_pii_redaction",
-    # dedup family
     "dedup_exact_groups",
     "dedup_minhash_md5",
-    "dedup_jaccard_minhash",
-    "dedup_simhash_md5",
-    "dedup_cc_clusters",
-    # similarity / ANN family
     "knn_bruteforce",
-    "embedding_near_dup",
-    "lsh_topk",
-    "ann_ivf_topk",
-    "embedding_quantization",
-    # corpus management
     "corpus_hash_split",
-    "corpus_stratified_sample",
-    "benchmark_contamination",
-    "corpus_token_packing",
-    # sessions / composed pipelines / custom joins / multimodal
-    "user_sessions",
-    "dataprep_corpus",
-    "purchase_attribution_asof",
     "sample_frames",
 ]
 
