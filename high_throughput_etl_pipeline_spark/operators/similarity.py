@@ -423,33 +423,50 @@ def pq_encode(
     ).drop(vec_col)
 
 
-def _empty_topk(
-    vectors: DataFrame,
-    queries: DataFrame,
-    query_id_col: str,
-    id_col: str,
-    score_col: str,
-) -> DataFrame:
-    """Typed empty (query_id, vec_id, score, rank) frame — the zero-query
-    result, so callers can union/collect without an AttributeError."""
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
-    schema = StructType(
-        [
-            StructField(
-                query_id_col, queries.schema[query_id_col].dataType, True
-            ),
-            StructField(id_col, vectors.schema[id_col].dataType, True),
-            StructField(score_col, DoubleType(), True),
-            StructField("rank", IntegerType(), False),
+def _adc_table(vec: F.Column, codebooks: list[list[list[float]]]) -> F.Column:
+    """Per-row ADC distance table ``array<array<double>>`` (m × ksub):
+    entry [i][j] = squared distance between the row vector's i-th subspace
+    slice and centroid j of codebook i.  Codebooks are the ONLY literals —
+    plan size is O(m·ksub·sub), constant in the number of query rows."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(vec, i * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    for c in codebooks[i]
+                ]
+            )
+            for i in range(m)
         ]
     )
-    return vectors.sparkSession.createDataFrame([], schema)
+
+
+def _adc_score(adc: F.Column) -> F.Column:
+    """Asymmetric distance of one encoded vector: m table lookups by
+    stored code — the scan never touches floats."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                adc,
+                F.col("pq_codes"),
+                lambda row, c: F.element_at(row, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
 
 
 def pq_topk(
@@ -461,54 +478,29 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k by asymmetric distance (ADC): each query builds
-    its (m × ksub) distance table driver-side (tiny), shipped as a
-    literal; per-vector distance is m table lookups by stored code — no
-    vector arithmetic at scan time, which is the entire point of PQ at
-    100 TB (codes are ~dim/sub bytes and the scan never touches floats).
-    Returns (query_id, vec_id, approx_d2, rank), ascending distance.
+    """Approximate top-k by asymmetric distance (ADC): each query's
+    (m × ksub) distance table is computed AS A COLUMN of the query
+    DataFrame and broadcast-joined against the encoded vectors — one plan
+    regardless of query count (a per-query literal/union design blows up
+    plan size and driver memory at realistic 10⁴+ query batches).
+    Per-vector distance is m table lookups by stored code, which is the
+    entire point of PQ at 100 TB (codes are ~dim/sub bytes and the scan
+    never touches floats).  Returns (query_id, vec_id, approx_d2, rank),
+    ascending distance; zero queries yield a typed empty frame.
     """
-    import numpy as np
-
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     encoded = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    if not q_rows:
-        return _empty_topk(vectors, queries, query_id_col, id_col, "approx_d2")
-    out = None
-    for qr in q_rows:
-        qv = np.array(qr[vec_col], dtype=np.float64)
-        table = [
-            [
-                float(((qv[i * sub : (i + 1) * sub] - np.array(c)) ** 2).sum())
-                for c in codebooks[i]
-            ]
-            for i in range(m)
-        ]
-        tbl = F.array(
-            *[F.array(*[F.lit(d) for d in row]) for row in table]
-        )
-        scored = encoded.select(
-            F.lit(qr[query_id_col]).alias(query_id_col),
-            F.col(id_col),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        tbl,
-                        F.col("pq_codes"),
-                        lambda row, c: F.element_at(row, c + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("approx_d2"),
-        )
-        out = scored if out is None else out.unionByName(scored)
+    q_tab = queries.select(
+        F.col(query_id_col),
+        _adc_table(F.col(vec_col), codebooks).alias("_adc"),
+    )
+    scored = encoded.crossJoin(F.broadcast(q_tab)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _adc_score(F.col("_adc")).alias("approx_d2"),
+    )
     w = Window.partitionBy(query_id_col).orderBy("approx_d2", F.col(id_col))
     return (
-        out.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_d2", "rank")
     )
@@ -649,8 +641,10 @@ def ivfpq_topk(
     Scale shape: centroids broadcast (nlist rows); the encoded table is
     (id, list_id, m bytes) — at 100 TB it would be WRITTEN partitioned by
     list_id so a probe is a partition-pruned scan, never a full pass.
-    The per-query ADC table is (m × ksub) floats built driver-side and
-    shipped as a literal.  Returns (query_id, vec_id, approx_d2, rank).
+    Probe selection and the per-query ADC tables are computed Spark-side
+    on the query DataFrame and broadcast-joined on ``list_id`` — one plan
+    regardless of query count.  Returns (query_id, vec_id, approx_d2,
+    rank).
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -685,47 +679,39 @@ def ivfpq_topk(
     )
     encoded = pq_encode(v_assigned, codebooks, id_col=id_col, vec_col=vec_col)
 
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    if not q_rows:
-        return _empty_topk(vectors, queries, query_id_col, id_col, "approx_d2")
-    out = None
-    for qr in q_rows:
-        qv = np.array(qr[vec_col], dtype=np.float64)
-        probe = (
-            np.argsort(((centers - qv) ** 2).sum(axis=1), kind="stable")[
-                :nprobe
-            ].tolist()
+    # probe selection: each query keeps its nprobe nearest coarse
+    # centroids — a broadcast crossJoin against nlist rows, ranked per
+    # query; ties broken by list_id (matches a stable argsort)
+    q_probe = (
+        queries.select(query_id_col, vec_col)
+        .crossJoin(F.broadcast(centers_df))
+        .withColumn("_d2", dist2(F.col(vec_col), F.col("center")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy("_d2", "list_id")
+            ),
         )
-        table = [
-            [
-                float(((qv[i * sub : (i + 1) * sub] - np.array(c)) ** 2).sum())
-                for c in codebooks[i]
-            ]
-            for i in range(m)
-        ]
-        tbl = F.array(*[F.array(*[F.lit(d) for d in row]) for row in table])
-        scored = encoded.filter(F.col("list_id").isin(probe)).select(
-            F.lit(qr[query_id_col]).alias(query_id_col),
-            F.col(id_col),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        tbl,
-                        F.col("pq_codes"),
-                        lambda row, c: F.element_at(row, c + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("approx_d2"),
-        )
-        out = scored if out is None else out.unionByName(scored)
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "list_id")
+    )
+    q_tab = queries.select(
+        F.col(query_id_col),
+        _adc_table(F.col(vec_col), codebooks).alias("_adc"),
+    )
+    # (query, probed list, ADC table): n_queries × nprobe narrow rows;
+    # the equi-join on list_id IS the IVF pruning — only vectors in a
+    # probed list are ever scored (written partitioned by list_id, this
+    # is a partition-pruned scan at scale)
+    probes = q_probe.join(q_tab, on=query_id_col)
+    scored = encoded.join(F.broadcast(probes), on="list_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _adc_score(F.col("_adc")).alias("approx_d2"),
+    )
     w = Window.partitionBy(query_id_col).orderBy("approx_d2", F.col(id_col))
     return (
-        out.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_d2", "rank")
     )

@@ -232,3 +232,38 @@ def test_pivot_is_single_scan(spark):
     # for column discovery
     assert final.count("FileScan parquet") == 1
     assert "CartesianProduct" not in final
+
+
+def test_pq_topk_plan_constant_in_query_count(spark):
+    """ADC scoring must be ONE broadcast-joined plan, not one literal
+    distance-table branch per collected query row: with a realistic
+    query batch (1e4+) the per-query design blows up plan size and
+    driver memory.  Pin: no Union in the plan, and the plan string does
+    not grow between 2 and 32 queries (codebook literals are the only
+    size driver)."""
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(e, m=4, ksub=8, dim=64)
+
+    def plan_for(n_queries: int) -> str:
+        q = e.limit(n_queries).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        df = pq_topk(e, q, books, k=3)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    p2, p32 = plan_for(2), plan_for(32)
+    assert "Union" not in p2 and "Union" not in p32
+    # identical plan up to expr ids and the limit constant itself
+    def norm(p: str) -> str:
+        p = re.sub(r"#\d+", "#x", p)
+        p = re.sub(r"\b[xy]_\d+\b", "v", p)  # lambda variable numbering
+        return re.sub(r"Limit \d+", "Limit N", p)
+
+    assert norm(p2) == norm(p32)
