@@ -4596,6 +4596,122 @@ def q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data layout (Z-order / Morton clustering for file-skipping at 100 TB)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits/dim × 2 dims = 16-bit z-value; bucket = top 4 bits
+
+
+def _zorder_oracle_sql(bits: int = _Z_BITS) -> str:
+    """Generate the DuckDB twin of the Morton interleave: bit b of dim i
+    lands at position b*2+i.  Built programmatically so the bit terms
+    are identical to the Spark expression by construction."""
+    top = 1 << bits
+    terms = " + ".join(
+        f"((({dim} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(bits)
+        for i, dim in enumerate(("nu", "nv"))
+    )
+    return f"""
+    WITH r AS (
+        SELECT min(user_id) AS umin, max(user_id) AS umax,
+               min(value)   AS vmin, max(value)   AS vmax
+        FROM events
+    ), norm AS (
+        SELECT user_id, value,
+               least(CAST(floor(
+                   CASE WHEN umax > umin
+                        THEN (CAST(user_id AS DOUBLE) - umin)
+                             / CAST(umax - umin AS DOUBLE)
+                        ELSE 0.0 END * {top}.0) AS BIGINT), {top - 1}) AS nu,
+               least(CAST(floor(
+                   CASE WHEN vmax > vmin
+                        THEN (value - vmin) / CAST(vmax - vmin AS DOUBLE)
+                        ELSE 0.0 END * {top}.0) AS BIGINT), {top - 1}) AS nv
+        FROM events, r
+    ), z AS (
+        SELECT user_id, value, {terms} AS zval
+        FROM norm
+    )
+    SELECT (zval >> {2 * bits - 4}) AS zbucket,
+           COUNT(*)                          AS n_events,
+           CAST(MIN(user_id) AS BIGINT)      AS min_user,
+           CAST(MAX(user_id) AS BIGINT)      AS max_user,
+           round(MIN(value), 6)              AS min_value,
+           round(MAX(value), 6)              AS max_value
+    FROM z
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """
+
+
+@query("events_zorder_buckets", oracle=_zorder_oracle_sql())
+def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout algebra, value-checked: normalize (user_id, value)
+    to 8-bit grids, Morton-interleave, bucket by the top 4 z-bits, and
+    profile each bucket's dim ranges.  Each z-bucket covers a compact
+    hyper-rectangle of the (user, value) space — the per-bucket min/max
+    spans ARE the parquet footer stats a z-ordered write produces, i.e.
+    the file-skipping this layout buys (``operators/layout.py:
+    zorder_write`` is the writing twin; its locality is asserted in
+    tests/test_layout.py).  One metadata agg (4 scalars) + one grouped
+    agg — no sort, no window."""
+    from high_throughput_etl_pipeline_spark.operators.layout import zvalue
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    z = zvalue(ev, ["user_id", "value"], bits=_Z_BITS, out_col="_z")
+    return (
+        z.groupBy(
+            F.shiftrightunsigned(F.col("_z"), 2 * _Z_BITS - 4).alias("zbucket")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (approximate distinct / quantiles at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+@query("events_distinct_sketch")
+def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per day + an ALL row merged FROM
+    the daily sketches (never re-reading rows) — the pre-aggregated-
+    sketch rollup that replaces exact COUNT(DISTINCT) at 100 TB.
+    Rows-only at the driver gate (estimates are engine-specific);
+    tests/test_sketches.py gates realized error vs exact at 5% and pins
+    the merge identity (union-of-days == whole-table sketch)."""
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        distinct_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_rollup(ev, "user_id", "ts").orderBy("date")
+
+
+@query("events_quantile_sketch")
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches of event value per type + merged ALL row —
+    bounded-size percentile summaries that merge across partitions/days
+    (an exact percentile is a sort; this is a KB summary with provable
+    rank error).  Rows-only at the driver gate; tests gate quantile
+    rank-error vs exact."""
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        value_quantile_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return value_quantile_sketches(ev, "value", "event_type").orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The round driver's correctness gate records the FIRST
 # 50 entries of ``queries()``; HEADLINE curates that window so every operator
 # family (SURVEY.md §2 + the LLM-data-pipeline extensions) gets a
