@@ -109,22 +109,73 @@ def value_quantile_sketches(
         ]
 
     per_group = sk.select("grp", "n", *qcols(F.col("sketch")))
-    # kll_sketch_merge_double is a binary scalar — fold the per-group
-    # sketches (a handful of KB blobs, metadata-scale) pairwise
-    merged = (
-        sk.agg(
-            F.collect_list("sketch").alias("sks"),
-            F.sum("n").alias("n"),
-        )
-        .select(
-            F.lit("ALL").alias("grp"),
-            "n",
-            F.aggregate(
-                F.slice(F.col("sks"), 2, 1_000_000),
-                F.element_at(F.col("sks"), 1),
-                lambda acc, x: F.kll_sketch_merge_double(acc, x),
-            ).alias("m"),
-        )
-        .select("grp", "n", *qcols(F.col("m")))
-    )
+    # kll_merge_agg_double is a true aggregate over sketch blobs —
+    # map-side combinable, the shape that merges 10⁵ partition sketches
+    merged = sk.agg(
+        F.expr("kll_merge_agg_double(sketch)").alias("m"),
+        F.sum("n").alias("n"),
+    ).select(F.lit("ALL").alias("grp"), "n", *qcols(F.col("m")))
     return per_group.unionByName(merged)
+
+
+def segment_overlap(
+    df: DataFrame,
+    key_col: str = "user_id",
+    seg_col: str = "event_type",
+    lg_k: int = LG_CONFIG_K,
+) -> DataFrame:
+    """Distinct-key overlap between every segment pair via theta sketches.
+
+    HLL only unions; theta sketches support INTERSECTION and DIFFERENCE,
+    which is what audience-overlap / segment-containment questions need
+    ("how many users did both A and B?") — at 100 TB the alternative is
+    a distinct self-join per pair.  One grouped pass builds a sketch per
+    segment; the pair matrix is a broadcast self-join over (tiny)
+    segment rows; every estimate derives from the stored sketches.
+
+    Output per (seg_a < seg_b): distinct counts, union, intersection,
+    |A\\B|, and Jaccard — estimates, engine-specific → rows-only at the
+    driver gate; accuracy and the inclusion-exclusion identity are gated
+    in tests/test_sketches.py.
+    """
+    sk = (
+        df.groupBy(F.col(seg_col).alias("seg"))
+        .agg(
+            F.theta_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"),
+            F.count_distinct(key_col).alias("exact_keys"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = sk.select(
+        F.col("seg").alias("seg_a"),
+        F.col("sketch").alias("_sa"),
+        F.col("exact_keys").alias("exact_a"),
+    )
+    b = sk.select(
+        F.col("seg").alias("seg_b"),
+        F.col("sketch").alias("_sb"),
+        F.col("exact_keys").alias("exact_b"),
+    )
+    est = lambda e: F.round(F.expr(e), 1)  # noqa: E731
+    return (
+        a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+        .select(
+            "seg_a",
+            "seg_b",
+            "exact_a",
+            "exact_b",
+            est("theta_sketch_estimate(theta_union(_sa, _sb))").alias(
+                "union_est"
+            ),
+            est("theta_sketch_estimate(theta_intersection(_sa, _sb))").alias(
+                "intersect_est"
+            ),
+            est("theta_sketch_estimate(theta_difference(_sa, _sb))").alias(
+                "a_only_est"
+            ),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.round(F.col("intersect_est") / F.col("union_est"), 4),
+        )
+    )

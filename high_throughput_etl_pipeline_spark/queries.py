@@ -4711,6 +4711,24 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_quantile_sketches(ev, "value", "event_type").orderBy("grp")
 
 
+@query("events_segment_overlap")
+def events_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch audience overlap: distinct-user intersection/union/
+    difference between every event-type pair, from ONE sketch per
+    segment — the set algebra HLL cannot do (union-only), replacing a
+    distinct self-join per pair at 100 TB.  Rows-only at the driver
+    gate; tests gate estimates vs exact overlaps and the
+    inclusion-exclusion identity."""
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        segment_overlap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return segment_overlap(ev, "user_id", "event_type").orderBy(
+        "seg_a", "seg_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The round driver's correctness gate records the FIRST
 # 50 entries of ``queries()``; HEADLINE curates that window so every operator

@@ -87,3 +87,33 @@ def test_kll_quantiles_rank_error(spark):
         for p, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
             rank = bisect.bisect_right(vals, r[col]) / len(vals)
             assert p - 0.02 <= rank <= p + 0.02 + 1e-9, (r["grp"], col, rank)
+
+
+def test_theta_segment_overlap_accuracy_and_identity(spark):
+    """Theta estimates vs exact pairwise overlaps (computed by exact
+    distinct-join at test scale), plus inclusion-exclusion:
+    |A∪B| == |A| + |B| - |A∩B| (exact for theta at this cardinality)."""
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        segment_overlap,
+    )
+
+    ev = _t(spark, SF, "events")
+    rows = segment_overlap(ev, "user_id", "event_type").collect()
+    assert rows, "no segment pairs"
+    users = {
+        r["event_type"]: set(r["us"])
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    for r in rows:
+        A, B = users[r["seg_a"]], users[r["seg_b"]]
+        for est, exact in (
+            (r["union_est"], len(A | B)),
+            (r["intersect_est"], len(A & B)),
+            (r["a_only_est"], len(A - B)),
+        ):
+            err = abs(est - exact) / max(exact, 1)
+            assert err <= 0.05, (r["seg_a"], r["seg_b"], est, exact)
+        incl_excl = r["exact_a"] + r["exact_b"] - r["intersect_est"]
+        assert abs(r["union_est"] - incl_excl) / r["union_est"] <= 0.05
