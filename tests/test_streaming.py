@@ -333,3 +333,112 @@ def test_stream_progress_metrics(spark, tmp_path):
     assert summary["total_rows"] == 4 * 20
     assert summary["n_batches"] >= 2
     assert summary["backpressured"] in (True, False)
+
+
+def test_sketch_stream_incremental_rollup(spark, tmp_path):
+    """Stored-sketch maintenance over a stream: drain NDJSON events in
+    micro-batches, then (a) stored estimates equal the batch-computed
+    sketch of the same data, (b) restart on the same checkpoint changes
+    nothing (replay guard), (c) new data unions in WITHOUT rescanning —
+    and row counts stay exact throughout."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        LG_CONFIG_K,
+    )
+    from high_throughput_etl_pipeline_spark.streaming.sketch_stream import (
+        start_sketch_stream,
+        stored_distinct_estimates,
+    )
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+
+    def write_file(name, day, users):
+        with open(ind / name, "w") as f:
+            for i, u in enumerate(users):
+                f.write(
+                    _json.dumps(
+                        {"ts": f"2026-08-{day:02d}T0{i % 10}:00:00", "user_id": u}
+                    )
+                    + "\n"
+                )
+
+    write_file("a.ndjson", 11, [1, 2, 3, 4, 5, 1, 2])
+    write_file("b.ndjson", 12, [3, 4, 5, 6, 7, 8])
+    table = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts TIMESTAMP, user_id BIGINT"
+
+    def drain():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(ind))
+        )
+        q = start_sketch_stream(
+            src, table, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    drain()
+    got = {
+        r["date"]: (r["approx_keys"], r["n_rows"])
+        for r in stored_distinct_estimates(spark, table).collect()
+    }
+    assert got["2026-08-11"][1] == 7 and got["2026-08-12"][1] == 6
+    assert got["ALL"][1] == 13
+    # at these cardinalities HLL is exact
+    assert got["2026-08-11"][0] == 5
+    assert got["2026-08-12"][0] == 6
+    assert got["ALL"][0] == 8  # users 1..8 across both days
+
+    # agreement with a batch-built sketch over the same rows
+    batch = spark.read.schema(schema).json(str(ind))
+    whole = batch.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(LG_CONFIG_K))
+        ).alias("e")
+    ).first()["e"]
+    assert got["ALL"][0] == whole
+
+    # restart, same checkpoint: nothing re-merges
+    drain()
+    again = {
+        r["date"]: (r["approx_keys"], r["n_rows"])
+        for r in stored_distinct_estimates(spark, table).collect()
+    }
+    assert again == got
+
+    # an actual REPLAY (foreachBatch re-delivers an already-merged batch
+    # id after a crash between table swap and checkpoint commit): the
+    # batch-id marker published atomically with the data must skip the
+    # merge — n_rows would double-count without it
+    from high_throughput_etl_pipeline_spark.streaming.sketch_stream import (
+        _last_merged_id,
+        merge_batch,
+    )
+
+    last = _last_merged_id(table)
+    assert last >= 0
+    assert merge_batch(batch, last, table) is False  # replay: skipped
+    assert merge_batch(batch, last - 1, table) is False
+    replayed = {
+        r["date"]: (r["approx_keys"], r["n_rows"])
+        for r in stored_distinct_estimates(spark, table).collect()
+    }
+    assert replayed == got
+
+    # incremental growth: one new file, only its rows union in
+    write_file("c.ndjson", 12, [9, 10])
+    drain()
+    final = {
+        r["date"]: (r["approx_keys"], r["n_rows"])
+        for r in stored_distinct_estimates(spark, table).collect()
+    }
+    assert final["2026-08-12"] == (8, 8)
+    assert final["ALL"] == (10, 15)
