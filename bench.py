@@ -72,6 +72,14 @@ HEADLINE = [
     "events_hopping_windows",
     "corpus_vocab_topk",
     "dataprep_training_batches",
+    # r5 additions: the broadcast-joined PQ/ADC family, z-order layout
+    # algebra, and the mergeable-sketch family
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "events_zorder_buckets",
+    "events_distinct_sketch",
+    "events_quantile_sketch",
+    "events_segment_overlap",
 ]
 
 

@@ -392,81 +392,126 @@ def pq_encode(
 ) -> DataFrame:
     """Encode each vector as ``m`` sub-codes (nearest sub-centroid per
     subspace) — 64 floats → m bytes, the classic PQ storage shrink.
-    Pure Column expressions over codebook literals; no shuffle."""
+    Pure Column expressions over codebook literals; no shuffle.
+
+    PERF: the distance sums are UNROLLED into flat arithmetic
+    (element_at + subtract + multiply, ``sub`` terms per centroid) —
+    m/ksub/sub are plan-time constants, so nothing needs a runtime loop.
+    The earlier ``aggregate(zip_with(...))`` form ran interpreted
+    (higher-order functions sit outside whole-stage codegen) and
+    measured ~20x slower on the same codebooks; the unrolled form
+    compiles into codegen arithmetic.  The d2 arrays are materialized in
+    their own projection so the argmin's double reference reads a column,
+    not a re-evaluated expression tree."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-
-    def code_for(i: int) -> F.Column:
-        piece = F.slice(F.col(vec_col), i * sub + 1, sub)
-        d2s = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        piece,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for c in codebooks[i]
-            ]
+    # one SMALL column per (subspace, centroid) score: c·c - 2·x·c, which
+    # ranks identically to the true squared distance (the ||x||² term is
+    # constant across centroids).  Each column compiles into its own
+    # generated method — a single array-of-1024-terms expression exceeds
+    # the 64 KB codegen method limit and silently disables whole-stage
+    # codegen for the ENTIRE stage (measured 10x slower, interpreted).
+    staged = df.selectExpr(
+        "*",
+        *[
+            f"{_neg2dot_sql(vec_col, i * sub, c)} AS _s_{i}_{j}"
+            for i in range(m)
+            for j, c in enumerate(codebooks[i])
+        ],
+    )
+    # array_position is 1-based; code is 0-based centroid index
+    code_terms = []
+    for i in range(m):
+        refs = ", ".join(f"_s_{i}_{j}" for j in range(len(codebooks[i])))
+        code_terms.append(
+            f"CAST(array_position(array({refs}), least({refs})) - 1 AS INT)"
         )
-        # array_position is 1-based; code is 0-based centroid index
-        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-
     # preserve carry-through columns (e.g. an IVF list assignment); drop
     # the raw vector — shedding the floats is the point of PQ storage
-    return df.withColumn(
-        "pq_codes", F.array(*[code_for(i) for i in range(m)])
-    ).drop(vec_col)
+    carry = [c for c in df.columns if c != vec_col]
+    return staged.selectExpr(
+        *carry, f"array({', '.join(code_terms)}) AS pq_codes"
+    )
 
 
-def _adc_table(vec: F.Column, codebooks: list[list[list[float]]]) -> F.Column:
-    """Per-row ADC distance table ``array<array<double>>`` (m × ksub):
-    entry [i][j] = squared distance between the row vector's i-th subspace
-    slice and centroid j of codebook i.  Codebooks are the ONLY literals —
-    plan size is O(m·ksub·sub), constant in the number of query rows."""
+def _neg2dot_sql(vec_col: str, offset: int, centroid: list[float]) -> str:
+    """``c·c - 2·x·c`` over one subspace slice, as flat SQL arithmetic.
+
+    Generated as TEXT and parsed with one ``F.expr`` — building these
+    trees out of pyspark Column operators costs one py4j round trip PER
+    NODE (measured 14 s of pure driver time for m=8/ksub=16); the text
+    form is one parse.  Flat arithmetic (vs ``aggregate(zip_with(...))``)
+    stays inside whole-stage codegen — the lambda form runs interpreted,
+    ~20x slower per row."""
+    c2 = sum(float(x) * float(x) for x in centroid)
+    dots = " + ".join(
+        f"CAST(element_at({vec_col}, {offset + t + 1}) AS DOUBLE) * ({float(c)!r})"
+        for t, c in enumerate(centroid)
+    )
+    return f"({c2!r} - 2.0 * ({dots}))"
+
+
+def _sub_norm_sql(vec_col: str, offset: int, sub: int) -> str:
+    """``x·x`` over one subspace slice (to recover true squared distance
+    from the ``c·c - 2·x·c`` score)."""
+    terms = " + ".join(
+        f"CAST(element_at({vec_col}, {offset + t + 1}) AS DOUBLE) * "
+        f"CAST(element_at({vec_col}, {offset + t + 1}) AS DOUBLE)"
+        for t in range(sub)
+    )
+    return f"({terms})"
+
+
+def _adc_table_frame(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(query_id, _adc) — the per-query ADC distance table
+    ``array<array<double>>`` (m × ksub): entry [i][j] = true squared
+    distance between the query's i-th subspace slice and centroid j,
+    assembled as ``x·x + (c·c - 2·x·c)``.  Codebooks are the ONLY
+    literals — plan size is O(m·ksub·sub), constant in the number of
+    query rows — and each scalar lands in its own staged column so every
+    generated method stays under the codegen size limit."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    return F.array(
+    staged = queries.selectExpr(
+        query_id_col,
         *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(vec, i * sub + 1, sub),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    for c in codebooks[i]
-                ]
-            )
+            f"{_sub_norm_sql(vec_col, i * sub, sub)} AS _xn_{i}"
             for i in range(m)
-        ]
+        ],
+        *[
+            f"{_neg2dot_sql(vec_col, i * sub, c)} AS _t_{i}_{j}"
+            for i in range(m)
+            for j, c in enumerate(codebooks[i])
+        ],
     )
+    rows = ", ".join(
+        "array("
+        + ", ".join(
+            f"(_xn_{i} + _t_{i}_{j})" for j in range(len(codebooks[i]))
+        )
+        + ")"
+        for i in range(m)
+    )
+    return staged.selectExpr(query_id_col, f"array({rows}) AS _adc")
 
 
-def _adc_score(adc: F.Column) -> F.Column:
+def _adc_score(adc: F.Column, m: int) -> F.Column:
     """Asymmetric distance of one encoded vector: m table lookups by
-    stored code — the scan never touches floats."""
-    return F.round(
-        F.aggregate(
-            F.zip_with(
-                adc,
-                F.col("pq_codes"),
-                lambda row, c: F.element_at(row, c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
-    )
+    stored code — the scan never touches floats.  Unrolled over the
+    plan-time-constant m (a zip_with lambda here runs interpreted)."""
+    total = None
+    for i in range(m):
+        term = F.element_at(
+            F.element_at(adc, i + 1),
+            F.element_at(F.col("pq_codes"), i + 1) + 1,
+        )
+        total = term if total is None else total + term
+    return F.round(total, 6)
 
 
 def pq_topk(
@@ -489,14 +534,11 @@ def pq_topk(
     ascending distance; zero queries yield a typed empty frame.
     """
     encoded = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
-    q_tab = queries.select(
-        F.col(query_id_col),
-        _adc_table(F.col(vec_col), codebooks).alias("_adc"),
-    )
+    q_tab = _adc_table_frame(queries, query_id_col, vec_col, codebooks)
     scored = encoded.crossJoin(F.broadcast(q_tab)).select(
         F.col(query_id_col),
         F.col(id_col),
-        _adc_score(F.col("_adc")).alias("approx_d2"),
+        _adc_score(F.col("_adc"), len(codebooks)).alias("approx_d2"),
     )
     w = Window.partitionBy(query_id_col).orderBy("approx_d2", F.col(id_col))
     return (
@@ -695,10 +737,7 @@ def ivfpq_topk(
         .filter(F.col("_rn") <= nprobe)
         .select(query_id_col, "list_id")
     )
-    q_tab = queries.select(
-        F.col(query_id_col),
-        _adc_table(F.col(vec_col), codebooks).alias("_adc"),
-    )
+    q_tab = _adc_table_frame(queries, query_id_col, vec_col, codebooks)
     # (query, probed list, ADC table): n_queries × nprobe narrow rows;
     # the equi-join on list_id IS the IVF pruning — only vectors in a
     # probed list are ever scored (written partitioned by list_id, this
@@ -707,7 +746,7 @@ def ivfpq_topk(
     scored = encoded.join(F.broadcast(probes), on="list_id").select(
         F.col(query_id_col),
         F.col(id_col),
-        _adc_score(F.col("_adc")).alias("approx_d2"),
+        _adc_score(F.col("_adc"), len(codebooks)).alias("approx_d2"),
     )
     w = Window.partitionBy(query_id_col).orderBy("approx_d2", F.col(id_col))
     return (
