@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 def _dot(a, b) -> F.Column:
     # cast operands (not the product) so float32 inputs multiply in f64 —
     # keeps results bit-comparable with engines computing over DOUBLE[]
+    #
+    # HOF form, deliberately: A/B measurement showed flat 64-term SQL
+    # only TIES the fold on scan-side stages and loses 4x on join-side
+    # verify stages (the single big expression cannot method-split over
+    # array locals, falls out of codegen, and an interpreted flat tree is
+    # slower than the interpreted fold).  Flat SQL wins only for SMALL
+    # per-subspace expressions — see pq_encode/_neg2dot_sql.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
@@ -174,12 +181,7 @@ def lsh_topk(
     if indexed:
         v = vectors.select(id_col, "_v", "_na", "_bucket")
     else:
-        v = vectors.select(
-            F.col(id_col),
-            F.col(vec_col).alias("_v"),
-            _norm(F.col(vec_col)).alias("_na"),
-            lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
-        )
+        v = build_lsh_index(vectors, n_planes, id_col, vec_col, dim, seed)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_q"),
@@ -605,6 +607,12 @@ def embedding_near_duplicates(
     """
     planes = hyperplanes(dim, n_tables * bits_per_table, seed)
     ids = vectors.select(F.col(id_col), F.col(vec_col))
+    # the bucket build stays in HOF form: n_tables × bits_per_table × dim
+    # flat terms (1536 here) exceed what janino can compile in the one
+    # unsplittable method a WSCG projection over an ArrayData local gets
+    # (the ≤8-plane lsh_topk paths are under the limit and use flat SQL).
+    # Interpreted cost is acceptable — this is the one-time index pass;
+    # the per-candidate-pair cosine verify below IS flat SQL.
     buckets = F.array(
         *[
             lsh_bucket(
@@ -702,8 +710,13 @@ def ivfpq_topk(
 
     def dist2(a, b):
         return F.aggregate(
-            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double")),
-            F.lit(0.0),
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
 
