@@ -4786,7 +4786,9 @@ HEADLINE: list[str] = [
     "q21_waiting_suppliers",
     "customer_value_ntiles",
     "status_shard_roundtrip",
-    "s3_path_parse",
+    # z-order layout algebra (new in r5; s3_path_parse, green r1-r4,
+    # rotated to the tail to make room)
+    "events_zorder_buckets",
     "customers_without_orders",
     "doc_word_counts",
     "text_token_stats",
