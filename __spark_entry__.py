@@ -29,8 +29,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every hash-checkable query; the few
     without an entry (xxhash64 fast paths, k-means/PQ-trained ANN,
-    multimodal decode) are non-SQL-expressible and take the rows-only
-    check — each has a value-checked portable twin or a recall gate
-    (dedup_minhash_md5/dedup_simhash_md5 pin the LSH algebra,
-    ann_ivf_topk pins IVF pruning with a fixed quantizer)."""
+    multimodal decode, HLL/KLL/theta sketch estimates) are
+    non-SQL-expressible or engine-specific and take the rows-only
+    check — each has a value-checked portable twin, a recall gate, or
+    an exactness gate in pytest (dedup_minhash_md5/dedup_simhash_md5
+    pin the LSH algebra, ann_ivf_topk pins IVF pruning with a fixed
+    quantizer, tests/test_sketches.py gates sketch error vs exact)."""
     return dict(ORACLES)
