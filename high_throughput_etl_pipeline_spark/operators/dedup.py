@@ -362,13 +362,37 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 2,
     threshold: float = 0.2,
+    max_block_rows: int = 4096,
+    oversize: str = "salt",
+    salt_groups: int = 8,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a block.
 
-    The block join bounds the pair count; use minhash_near_duplicates for
-    candidate generation when no natural block key exists.  Returns
+    The block join bounds the pair count — but natural block keys skew
+    (length buckets on web corpora follow a power law), and a single hot
+    block executes its whole n² on ONE task.  Blocks over
+    ``max_block_rows`` therefore take an ``oversize`` path:
+
+    - ``"salt"`` (default): the hot block's self-join is decomposed into
+      a ``salt_groups`` × ``salt_groups`` grid of sub-joins — each row is
+      tagged ``hash(id) % g`` and replicated ``g`` ways on each side, so
+      every pair lands in exactly one (gi, gj) cell.  SEMANTICS ARE
+      UNCHANGED (still exact all-pairs); total work is still n², but the
+      max task shrinks g²-fold and the hot block parallelizes across the
+      cluster instead of straggling.  Safe-by-default.
+    - ``"minhash"``: the hot block's candidates come from banded
+      md5-MinHash collisions (same-block pairs only), bounding candidate
+      count by true near-dup density instead of block size.  Sub-linear
+      verify cost, but banding recall < 1 for low-similarity pairs —
+      opt-in because it changes semantics.
+    - ``"error"``: raise on the first oversized block (for pipelines
+      that would rather re-block than pay either cost).
+
+    Small blocks always take the direct in-block join.  Returns
     (id_a, id_b, jaccard).
     """
+    if oversize not in ("salt", "minhash", "error"):
+        raise ValueError(f"oversize must be salt|minhash|error: {oversize!r}")
     # shingles hashed to longs: set sizes (and thus Jaccard) are unchanged
     # modulo 2^-64 collisions, but the per-pair intersect works on fixed
     # width ints instead of strings — several times cheaper.

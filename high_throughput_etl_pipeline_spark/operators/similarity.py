@@ -386,6 +386,41 @@ def train_pq_codebooks(
     return books
 
 
+def fixed_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """FIXED (data-derived, training-free) PQ codebooks: centroid ``j``
+    of subspace ``i`` is the ``i``-th slice of the vector with
+    ``id_col == j`` — the PQ analog of ``ann_ivf_topk``'s first-8-vectors
+    coarse quantizer.  Because the rule is relational ("slice the first
+    ``ksub`` vectors"), a SQL oracle can derive the identical codebooks
+    from the same table, making encode → ADC → rank value-checkable end
+    to end.  The collect is ``ksub`` rows — metadata-scale."""
+    sub = dim // m
+    rows = (
+        vectors.filter(F.col(id_col) < ksub)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(
+            f"fixed_pq_codebooks needs ids 0..{ksub - 1}; got {len(rows)} rows"
+        )
+    return [
+        [
+            [float(x) for x in r[1][i * sub : (i + 1) * sub]]
+            for r in rows
+        ]
+        for i in range(m)
+    ]
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -680,6 +715,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centers: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer + PQ/ADC scoring — the billion-scale ANN
     layout (IVFPQ, Jégou et al., "Product Quantization for Nearest
@@ -687,6 +723,11 @@ def ivfpq_topk(
     scan to ~nprobe/nlist of the table, and PQ codes make each surviving
     candidate cost ``m`` byte-indexed table lookups instead of a
     dim-float distance.
+
+    Pass ``centers`` (``list_id INT, center ARRAY<DOUBLE>``) to supply a
+    fixed coarse quantizer instead of training k-means — same contract
+    as :func:`ivf_topk`, and what makes the composed plan
+    oracle-checkable.
 
     Scale shape: centroids broadcast (nlist rows); the encoded table is
     (id, list_id, m bytes) — at 100 TB it would be WRITTEN partitioned by
@@ -696,17 +737,22 @@ def ivfpq_topk(
     regardless of query count.  Returns (query_id, vec_id, approx_d2,
     rank).
     """
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if centers is not None:
+        centers_df = centers
+    else:
+        import numpy as np
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
-    centers = np.array(km.clusterCenters(), dtype=np.float64)
-    centers_df = vectors.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "list_id INT, center ARRAY<DOUBLE>",
-    )
+        train = vectors.select(
+            array_to_vector(F.col(vec_col)).alias("features")
+        )
+        km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
+        fitted = np.array(km.clusterCenters(), dtype=np.float64)
+        centers_df = vectors.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(fitted)],
+            "list_id INT, center ARRAY<DOUBLE>",
+        )
 
     def dist2(a, b):
         return F.aggregate(

