@@ -18,7 +18,7 @@ md5 family carries the value oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # -- shared helpers ------------------------------------------------------
@@ -414,23 +414,122 @@ def jaccard_pairs(
         )
         .persist()  # both sides of the self-join reuse the shingle arrays
     )
-    a = sets.select(
-        *block_cols, F.col("_id").alias("id_a"), F.col("_set").alias("set_a")
+    # block sizes ride a window over the same block-key shuffle the join
+    # needs anyway; blocks are split into a small tier (direct in-block
+    # self-join, sets carried) and an oversized tier
+    sized = sets.withColumn(
+        "_bsize", F.count(F.lit(1)).over(Window.partitionBy(*block_cols))
     )
-    b = sets.select(
-        *block_cols, F.col("_id").alias("id_b"), F.col("_set").alias("set_b")
-    )
+    small = sized.filter(F.col("_bsize") <= max_block_rows).drop("_bsize")
+    big = sized.filter(F.col("_bsize") > max_block_rows).drop("_bsize")
+
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
-    return (
-        a.join(b, on=block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "jaccard",
-            F.round((inter / F.greatest(union, F.lit(1))).cast("double"), 4),
+    jac = F.round((inter / F.greatest(union, F.lit(1))).cast("double"), 4)
+
+    def _score(pairs_with_sets: DataFrame) -> DataFrame:
+        return (
+            pairs_with_sets.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+
+    a = small.select(
+        *block_cols, F.col("_id").alias("id_a"), F.col("_set").alias("set_a")
+    )
+    b = small.select(
+        *block_cols, F.col("_id").alias("id_b"), F.col("_set").alias("set_b")
+    )
+    out = _score(
+        a.join(b, on=block_cols).filter(F.col("id_a") < F.col("id_b"))
+    )
+
+    if oversize == "error":
+        n_big = big.limit(1).count()
+        if n_big:
+            raise ValueError(
+                f"jaccard_pairs: a block exceeds max_block_rows="
+                f"{max_block_rows}; re-block, raise the cap, or pick "
+                f"oversize='salt'/'minhash'"
+            )
+        return out
+
+    g = max(int(salt_groups), 2)
+    if oversize == "salt":
+        # exact all-pairs on the hot block, decomposed into a g x g grid:
+        # left row (group gi) replicates across gj cells, right row
+        # (group gj) across gi cells, join on (block, gi, gj) — every
+        # pair lands in exactly ONE cell, so results are identical to the
+        # direct join while the max task shrinks g^2-fold.  Sets ride the
+        # replication (g copies each side) — the trade for not paying a
+        # second shuffle to re-attach them pair-wise.
+        grid = F.explode(F.array(*[F.lit(j) for j in range(g)]))
+        own = F.pmod(F.xxhash64(F.col("_id")), F.lit(g)).cast("int")
+        ga = big.select(
+            *block_cols,
+            F.col("_id").alias("id_a"),
+            F.col("_set").alias("set_a"),
+            own.alias("_gi"),
+            grid.alias("_gj"),
+        )
+        gb = big.select(
+            *block_cols,
+            F.col("_id").alias("id_b"),
+            F.col("_set").alias("set_b"),
+            grid.alias("_gi"),
+            own.alias("_gj"),
+        )
+        big_pairs = ga.join(gb, on=[*block_cols, "_gi", "_gj"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        return out.unionByName(_score(big_pairs))
+
+    # oversize == "minhash": banded MinHash candidates WITHIN the hot
+    # blocks — candidate count tracks true near-dup density, not block
+    # size (recall < 1 for low-similarity pairs; opt-in).  Lanes are
+    # seeded xxhash64 over the already-hashed shingles; signatures via
+    # explode + groupBy-min (map-side partial mins), candidates from a
+    # narrow (block, band, hash) self-join, ONE exact Jaccard per
+    # surviving pair.
+    num_hashes, bands = 8, 4
+    rows_per_band = num_hashes // bands
+    ex = big.select(*block_cols, "_id", F.explode("_set").alias("_s"))
+    sig = ex.groupBy(*block_cols, "_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(lane), F.col("_s"))).alias(f"_h{lane}")
+            for lane in range(num_hashes)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"_h{t * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            )
+            for t in range(bands)
+        ]
+    )
+    melt = sig.select(
+        *block_cols, "_id", F.posexplode(band_arr).alias("_t", "_bh")
+    )
+    pa = melt.select(
+        *block_cols, "_t", "_bh", F.col("_id").alias("id_a")
+    )
+    pb = melt.select(
+        *block_cols, "_t", "_bh", F.col("_id").alias("id_b")
+    )
+    cand_ids = (
+        pa.join(pb, on=[*block_cols, "_t", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = big.select(F.col("_id").alias("id_a"), F.col("_set").alias("set_a"))
+    sb = big.select(F.col("_id").alias("id_b"), F.col("_set").alias("set_b"))
+    return out.unionByName(
+        _score(cand_ids.join(sa, on="id_a").join(sb, on="id_b"))
     )
 
 

@@ -94,6 +94,61 @@ def test_jaccard_pairs_blocked(spark, docs):
     assert 0.5 <= d[(0, 1)] < 1.0
 
 
+def _hot_block_docs(spark):
+    """One pathological hot block (60 docs, same block key) with a planted
+    near-dup pair, plus a small block."""
+    rows = [(i, "hot", f"alpha beta gamma delta token{i} unique{i} end{i}")
+            for i in range(60)]
+    rows.append((100, "hot", "alpha beta gamma delta token0 unique0 end0"))
+    rows.append((200, "cold", "zeta eta theta iota"))
+    rows.append((201, "cold", "zeta eta theta iota"))
+    return spark.createDataFrame(rows, "doc_id BIGINT, b STRING, text STRING")
+
+
+def test_jaccard_pairs_salt_path_is_exact(spark):
+    """Oversized blocks take the salted-grid path; results must be
+    IDENTICAL to the direct join (exact all-pairs semantics preserved)."""
+    docs = _hot_block_docs(spark)
+    direct = jaccard_pairs(
+        docs, block_cols=["b"], threshold=0.2, max_block_rows=4096
+    ).collect()
+    salted = jaccard_pairs(
+        docs, block_cols=["b"], threshold=0.2,
+        max_block_rows=10, oversize="salt", salt_groups=4,
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])
+    assert sorted(map(key, salted)) == sorted(map(key, direct))
+    assert any((r["id_a"], r["id_b"]) == (0, 100) for r in salted)
+
+
+def test_jaccard_pairs_minhash_path_bounds_candidates(spark):
+    """The minhash oversize path must not go quadratic: the planted
+    near-dup survives while the candidate count stays far below the
+    n*(n-1)/2 of the hot block."""
+    docs = _hot_block_docs(spark)
+    out = jaccard_pairs(
+        docs, block_cols=["b"], threshold=0.5,
+        max_block_rows=10, oversize="minhash",
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 100) in got          # identical docs always collide
+    assert (200, 201) in got        # small block still direct/exact
+    # 61 hot docs all-pairs = 1830; near-dup-density-bounded output must
+    # be orders of magnitude smaller
+    assert len(got) < 100
+
+
+def test_jaccard_pairs_error_path(spark):
+    import pytest as _pytest
+
+    docs = _hot_block_docs(spark)
+    with _pytest.raises(ValueError, match="max_block_rows"):
+        jaccard_pairs(
+            docs, block_cols=["b"], threshold=0.2,
+            max_block_rows=10, oversize="error",
+        ).collect()
+
+
 def test_cosine_topk_self_is_rank1(spark):
     rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
     vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
