@@ -37,11 +37,101 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_components(
+    adj: DataFrame, max_iter: int = 64, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the O(log² n)-round algorithm that handles ADVERSARIAL topologies
+    (long chains, high-diameter meshes) where min-label propagation's
+    O(diameter) rounds are unaffordable.
+
+    State is a directed edge set (child, parent) with child > parent.
+    Each half-round: for every node ``u``, ``m = min(Γ(u) ∪ {u})``;
+    large-star rewires u's LARGER neighbors to m (keeps small-to-large
+    chains shrinking), small-star rewires the smaller-or-equal ones.
+    Every half-round is one groupBy-min plus one keyed join — the same
+    shuffle shape as a propagation round, so the 100 TB cost model is
+    identical per round and the round COUNT is what improves.
+
+    At the fixpoint every component is a star rooted at its minimum
+    node; labels read directly off the edges.  Input ``adj`` must be
+    self-loop-free canonical pairs (src > dst).  ``nodes`` (one ``node``
+    column) overrides the output node universe — callers whose original
+    edge list had self-loop-only nodes pass it so those nodes still get
+    labeled (as their own singleton component).
+    """
+    e = adj.localCheckpoint(eager=True)
+    # fixpoint detector: (count, hash-sum) of the canonical edge set.
+    # decimal(38,0) so a billions-of-edges sum cannot wrap into a
+    # false fixpoint.
+    sig_cols = [
+        F.count(F.lit(1)),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+    ]
+    prev_sig = None
+    for i in range(max_iter):
+        if i % 2 == 0:
+            # LARGE-STAR: per node u over its FULL neighborhood,
+            # m = min(Γ(u) ∪ {u}); rewire every larger neighbor to m
+            both = e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            m = both.groupBy("src").agg(
+                F.least(F.min("dst"), F.first("src")).alias("_m")
+            )
+            e = (
+                both.join(m, on="src")
+                .filter(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            )
+        else:
+            # SMALL-STAR: per node u over its SMALLER neighbors Γ⁻(u)
+            # (exactly the (src=u, dst) edges of the canonical set),
+            # m = min(Γ⁻(u)); rewire them all to m AND link u itself
+            m = e.groupBy("src").agg(F.min("dst").alias("_m"))
+            rewired = (
+                e.join(m, on="src")
+                .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            )
+            e = rewired.union(
+                m.select(F.col("src"), F.col("_m").alias("dst"))
+            )
+        e = (
+            e.filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if i % 2 == 1:  # compare after each full large+small pair
+            sig = tuple(e.agg(*sig_cols).collect()[0])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds"
+        )
+    if nodes is None:
+        nodes = (
+            adj.select(F.col("src").alias("node"))
+            .union(adj.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    labels = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("component")
+    )
+    return nodes.join(labels, on="node", how="left").select(
+        "node",
+        F.coalesce("component", F.col("node")).alias("component"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Label every node of the undirected graph with its component id.
 
@@ -51,9 +141,21 @@ def connected_components(
     nodes never appear in ``edges`` and are the caller's responsibility
     (left-join and coalesce to the node's own id).
 
-    Raises ``RuntimeError`` if the labeling has not converged after
-    ``max_iter`` rounds (a correct labeling must be a fixpoint).
+    ``algorithm``: ``"minlabel"`` — O(diameter) min-label propagation,
+    the right trade for real near-dup graphs (dense clumps, diameter
+    2-4); ``"star"`` — alternating large-star/small-star, O(log² n)
+    rounds, for adversarial/high-diameter graphs; ``"auto"`` (default) —
+    propagate up to ``max_iter`` rounds, and if the labeling has not
+    converged (a long-chain topology), AUTO-SWITCH to large-star/
+    small-star seeded with the propagated labels (label edges connect
+    nodes already proven same-component, so seeding preserves components
+    while collapsing every already-propagated region to depth 1).
+
+    Raises ``RuntimeError`` only when ``algorithm="minlabel"`` exhausts
+    ``max_iter`` (a correct labeling must be a fixpoint).
     """
+    if algorithm not in ("auto", "minlabel", "star"):
+        raise ValueError(f"algorithm must be auto|minlabel|star: {algorithm!r}")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
@@ -63,6 +165,21 @@ def connected_components(
     # not reuse its exchanges across branches — without this cut the
     # whole pair pipeline runs twice (measured 2x on the cluster query)
     e = e.localCheckpoint(eager=True)
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    canon = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    if algorithm == "star":
+        return _star_components(canon, nodes=all_nodes)
     # undirected: propagate both ways; distinct keeps the adjacency minimal
     adj = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -103,10 +220,24 @@ def connected_components(
             prev_sum = new_sum
     finally:
         adj.unpersist()
+    if algorithm == "auto":
+        # AUTO-SWITCH: a topology min-label cannot afford (diameter >
+        # max_iter).  Seed large-star/small-star with the original edges
+        # PLUS the partially-propagated label edges — every label edge
+        # links nodes already proven same-component, so components are
+        # unchanged while each already-propagated region collapses to
+        # depth 1, giving the star rounds a head start.
+        seed = canon.union(
+            labels.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias("src"),
+                F.col("component").alias("dst"),
+            )
+        ).distinct()
+        return _star_components(seed, nodes=all_nodes)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the graph has a longer chain than expected — raise max_iter or "
-        "switch to large-star/small-star"
+        "switch to algorithm='star' (large-star/small-star)"
     )
 
 

@@ -538,7 +538,58 @@ def test_connected_components_max_iter_boundary(spark):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=6)
+        connected_components(edges, max_iter=6, algorithm="minlabel")
+
+
+def test_connected_components_auto_switches_to_star(spark):
+    """max_iter too small for the diameter: auto must NOT raise — it
+    falls through to large-star/small-star and still returns the exact
+    labeling (this chain used to RuntimeError)."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    got = connected_components(edges, max_iter=3).collect()
+    assert all(r["component"] == 0 for r in got) and len(got) == 41
+
+
+def test_connected_components_star_algorithm_exact(spark):
+    """algorithm='star' on mixed topology (chain, triangle with dup +
+    reversed edges, pair, self-loop-only node) matches min-label."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (11, 10),
+         (20, 21), (30, 30)],
+        "src long, dst long",
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20, 30: 30}
+    for algo in ("star", "minlabel"):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert got == want, algo
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 200-hop path — adversarial for O(diameter) propagation — must
+    converge for 'star' in O(log² n) rounds."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    got = connected_components(edges, algorithm="star").collect()
+    assert all(r["component"] == 0 for r in got) and len(got) == 201
 
 
 def test_connected_components_huge_ids_no_sum_overflow(spark):
