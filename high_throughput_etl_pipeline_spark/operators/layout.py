@@ -32,16 +32,22 @@ def normalize_to_bits(col: Column, cmin: Column, cmax: Column, bits: int) -> Col
     Degenerate range (min == max) maps to 0.  ``floor`` (not ``round``)
     keeps the bucketing portable: floor semantics are identical across
     engines, while round-half ties differ (Spark HALF_UP vs banker's).
-    The max value is clamped into the top bucket.
+    The max value is clamped into the top bucket.  NULL inputs map to
+    bucket 0, explicitly: without the guard, a NULL propagates through
+    ``floor(frac * top)`` and ``least()`` SKIPS nulls, silently clustering
+    null keys with the MAXIMUM values (and diverging from engines whose
+    least() propagates NULL).
     """
     top = 1 << bits
     span = (cmax - cmin).cast("double")
     frac = F.when(span > 0, (col.cast("double") - cmin.cast("double")) / span).otherwise(
         F.lit(0.0)
     )
-    return F.least(
-        F.floor(frac * F.lit(float(top))).cast("bigint"),
-        F.lit(top - 1).cast("bigint"),
+    return F.when(col.isNull(), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor(frac * F.lit(float(top))).cast("bigint"),
+            F.lit(top - 1).cast("bigint"),
+        )
     )
 
 

@@ -72,15 +72,26 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     (TimestampNTZ — reinterpret as UTC instant), or TIMESTAMP(MICROS)
     UTC-adjusted (TimestampType — pass through).  Branching on the dtype the
     footer actually declares makes testdata regeneration a no-op."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        # Spark refuses TIMESTAMP(NANOS) without the legacy flag
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    except AnalysisException as exc:
+        # Spark refuses TIMESTAMP(NANOS) without the legacy flag; ONLY
+        # that refusal takes the retry path — a missing/corrupt file must
+        # surface its real error, not a confusing second failure with the
+        # session-wide legacy flag left flipped
+        if "NANOS" not in str(exc).upper():
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            raise
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     dt = df.schema["ts"].dataType
     if isinstance(dt, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

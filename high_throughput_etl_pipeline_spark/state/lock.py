@@ -102,7 +102,7 @@ class DriverLock:
                 pass
 
     @contextmanager
-    def _remove_mutex(self, stale_after: float = 5.0):
+    def _remove_mutex(self):
         """Serialize every ``os.remove`` of the lock path.
 
         The lock file's only transitions are absent→complete-doc (atomic
@@ -111,28 +111,33 @@ class DriverLock:
         win (A removes the expired doc and links; B's remove then deletes A's
         FRESH lock and links too).  Holding this side-mutex around
         re-verify + remove means the doc inspected is the doc removed.
-        Yields True when the mutex was won, False when a competitor holds it
-        (caller backs off and retries); a mutex older than ``stale_after``
-        seconds is from a crashed process and is cleared."""
+
+        The mutex is a kernel ``flock`` on a sidecar file that is NEVER
+        unlinked (a stable inode is what makes two openers contend on the
+        same lock).  flock releases automatically when the holder dies,
+        so there is no stale-mutex state and no clear-the-stale-file
+        step — the mtime-based clearing this replaces was a TOCTOU: a
+        process acting on an old stat could remove a competitor's FRESH
+        mutex and re-open the double-steal window.  Yields True when the
+        mutex was won, False when a competitor holds it (caller backs
+        off and retries)."""
+        import fcntl
+
         mutex = f"{self.path}.rm-mutex"
+        fd = os.open(mutex, os.O_CREAT | os.O_WRONLY, 0o644)
         try:
-            os.close(os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(mutex) > stale_after:
-                    os.remove(mutex)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except OSError:
-                pass
-            time.sleep(0.005)
-            yield False
-            return
-        try:
-            yield True
-        finally:
+                time.sleep(0.005)
+                yield False
+                return
             try:
-                os.remove(mutex)
-            except FileNotFoundError:
-                pass
+                yield True
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
     def _steal_expired(self) -> None:
         """Remove the lock file ONLY if it still holds an expired document,
@@ -155,10 +160,17 @@ class DriverLock:
         stealer can swap the doc between our check and our remove, so a
         late release by a crashed-and-recovered owner whose expired lock
         was already stolen is a no-op instead of deleting the stealer's
-        fresh lock."""
+        fresh lock.
+
+        Backs off exponentially on mutex contention and RAISES after
+        exhausting retries — silently returning would leak the lock until
+        TTL expiry with no signal to the operator."""
+        delay = 0.002
         for _ in range(20):
             with self._remove_mutex() as won:
                 if not won:
+                    time.sleep(delay)
+                    delay = min(delay * 2, 0.25)
                     continue
                 held = self.holder()
                 if held is not None and held.get("owner") == self.owner:
@@ -167,6 +179,10 @@ class DriverLock:
                     except FileNotFoundError:
                         pass
                 return
+        raise LockHeldError(
+            f"release(): could not win the remove-mutex for {self.path}; "
+            "lock left in place (it will expire at its TTL)"
+        )
 
     @contextmanager
     def hold(self):

@@ -419,12 +419,12 @@ def test_sketch_stream_incremental_rollup(spark, tmp_path):
     # batch-id marker published atomically with the data must skip the
     # merge — n_rows would double-count without it
     from high_throughput_etl_pipeline_spark.streaming.sketch_stream import (
-        _last_merged_id,
+        _read_marker,
         merge_batch,
     )
 
-    last = _last_merged_id(table)
-    assert last >= 0
+    marker_stream, last = _read_marker(table)
+    assert marker_stream is not None and last >= 0
     assert merge_batch(batch, last, table) is False  # replay: skipped
     assert merge_batch(batch, last - 1, table) is False
     replayed = {
@@ -442,3 +442,27 @@ def test_sketch_stream_incremental_rollup(spark, tmp_path):
     }
     assert final["2026-08-12"] == (8, 8)
     assert final["ALL"] == (10, 15)
+
+    # crash window: death between rename(table, ._old) and
+    # rename(._staging, table) leaves only ._old — the next reader/merge
+    # must restore it, not silently rebuild from scratch
+    import os as _os
+    import shutil as _shutil
+
+    _os.rename(table, table + "._old")
+    _shutil.copytree(table + "._old", table + "._staging")  # stale staging
+    recovered = {
+        r["date"]: (r["approx_keys"], r["n_rows"])
+        for r in stored_distinct_estimates(spark, table).collect()
+    }
+    assert recovered == final
+    assert not _os.path.isdir(table + "._old")
+    assert not _os.path.isdir(table + "._staging")
+
+    # fresh-checkpoint guard: a marker written by stream A must make a
+    # merge from stream B fail loudly (batch ids restart at 0 with a new
+    # checkpoint — the old >= guard would silently drop every new batch)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        merge_batch(batch, 0, table, stream_id="another-stream")
