@@ -658,3 +658,79 @@ def jaccard_pairs_via_minhash(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable LSH index rows for a document set: one row per
+    (doc, band) with the banded hash AND the full signature —
+    ``(id, band_id, band_hash, sig)``.
+
+    This is the state a STREAMING dedup keeps between batches (see
+    ``streaming/dedup_stream.py``): new docs band-join against the
+    stored rows, and estimated Jaccard = signature agreement rate needs
+    ``sig`` carried next to the band key.  Same plan shape as
+    ``minhash_near_duplicates`` stages 1-2 (explode + groupBy-min
+    signatures — codegen'd with map-side partial mins — then banding);
+    docs too short to shingle produce no rows.
+
+    At 100 TB the store is written partitioned/bucketed by
+    (band_id, band_hash) so an incoming batch's probe is a bucket-pruned
+    join, never a full scan.
+    """
+    rows_per_band = num_hashes // bands
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            norm_words(F.col(text_col)).alias("_words"),
+        )
+        .filter(F.size("_words") >= shingle_n)
+        .select(
+            "_id",
+            F.explode(word_shingles(F.col("_words"), shingle_n)).alias("_s"),
+        )
+    )
+    sigs = exploded.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
+        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+    return sigs.select(
+        F.col("_id").alias(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("_band"),
+        "sig",
+    ).select(
+        id_col,
+        F.col("_band.band_id").alias("band_id"),
+        F.col("_band.band_hash").alias("band_hash"),
+        "sig",
+    )

@@ -646,6 +646,11 @@ def embedding_near_duplicates(
     # flat terms (1536 here) exceed what janino can compile in the one
     # unsplittable method a WSCG projection over an ArrayData local gets
     # (the ≤8-plane lsh_topk paths are under the limit and use flat SQL).
+    # Re-measured r6 at sf0.1: HOF build 0.41 s vs staged flat-SQL
+    # per-plane columns 4.47 s (11x) — the 24 × 64-term staged columns
+    # fall out of codegen exactly as the r5 rule-of-thumb predicts, and
+    # the build is ~0.4 s of the query's 3.6 s anyway (the rest is the
+    # candidate join + cosine verify, both already narrow/flat).
     # Interpreted cost is acceptable — this is the one-time index pass;
     # the per-candidate-pair cosine verify below IS flat SQL.
     buckets = F.array(

@@ -43,11 +43,26 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
+    local = False
     if master is None and "SPARK_MASTER" not in os.environ:
         master = f"local[{cpus}]"
     if master:
+        local = master.startswith("local")
         builder = builder.master(master)
     conf = dict(ENGINE_CONF)
+    if local:
+        # local mode runs all task threads in the ONE driver JVM, whose
+        # stock 1g heap is a misconfiguration next to local[32]: a long
+        # suite accumulates localCheckpoint blocks + broadcasts across
+        # queries and OOMs at larger SF (observed: the sf1 bench died at
+        # query 13 in 1g; every query passes in isolation).  Only
+        # effective at JVM launch — getOrCreate on a live session keeps
+        # its existing heap.  On a real cluster the executor/driver
+        # memory comes from spark-submit, never from here.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions if shuffle_partitions is not None else int(cpus)
     )

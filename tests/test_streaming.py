@@ -466,3 +466,84 @@ def test_sketch_stream_incremental_rollup(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="checkpoint"):
         merge_batch(batch, 0, table, stream_id="another-stream")
+
+
+def test_dedup_stream_incremental(spark, tmp_path):
+    """Streaming near-dup dedup: batch 1 accepts canonical docs and flags
+    in-batch near-dups; batch 2 dups against the STORE without rescanning
+    history; restart on the same checkpoint adds nothing."""
+    import json as _json
+
+    from high_throughput_etl_pipeline_spark.streaming.dedup_stream import (
+        dedup_decisions,
+        start_dedup_stream,
+        stored_band_index,
+    )
+
+    ind = tmp_path / "docs"
+    ind.mkdir()
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field toward the river"
+    )
+
+    def write_file(name, rows):
+        with open(ind / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    # batch 1: 1 and 2 near-identical, 3 distinct
+    write_file("a.ndjson", [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "completely different content about spark shuffle planning "
+            "and adaptive query execution in distributed engines today"),
+    ])
+    table = str(tmp_path / "dedup_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id BIGINT, text STRING"
+
+    def drain():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(ind))
+        )
+        q = start_dedup_stream(src, table, ckpt, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    drain()
+    dec = {r["doc_id"]: r["dup_of"] for r in dedup_decisions(spark, table).collect()}
+    assert dec == {1: None, 2: 1, 3: None}
+    kept = {r["doc_id"] for r in stored_band_index(spark, table).collect()}
+    assert kept == {1, 3}
+
+    # batch 2: 10 dups doc 1 (which is IN THE STORE), 11 is fresh
+    write_file("b.ndjson", [
+        (10, base + " again"),
+        (11, "a fresh unrelated paragraph regarding morton curves and "
+             "parquet row group statistics for file skipping at scale"),
+    ])
+    drain()
+    dec = {r["doc_id"]: r["dup_of"] for r in dedup_decisions(spark, table).collect()}
+    assert dec == {1: None, 2: 1, 3: None, 10: 1, 11: None}
+    kept = {r["doc_id"] for r in stored_band_index(spark, table).collect()}
+    assert kept == {1, 3, 11}
+
+    # restart, same checkpoint: nothing re-merges (batch dirs are the
+    # replay markers)
+    drain()
+    assert dedup_decisions(spark, table).count() == 5
+
+    # a DIFFERENT checkpoint against the same table must fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        start_dedup_stream(
+            spark.readStream.schema(schema).json(str(ind)),
+            table,
+            str(tmp_path / "ckpt2"),
+            available_now=True,
+        )
