@@ -80,6 +80,8 @@ HEADLINE = [
     "events_distinct_sketch",
     "events_quantile_sketch",
     "events_segment_overlap",
+    # r6: the Arrow-batched mapInPandas stage (now value-checked)
+    "multimodal_features",
 ]
 
 
