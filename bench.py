@@ -80,8 +80,11 @@ HEADLINE = [
     "events_distinct_sketch",
     "events_quantile_sketch",
     "events_segment_overlap",
-    # r6: the Arrow-batched mapInPandas stage (now value-checked)
+    # r6: the Arrow-batched mapInPandas stage (now value-checked), span-
+    # level dedup, and the Bloom-prefilter decontamination path
     "multimodal_features",
+    "dedup_spans",
+    "contamination_bloom",
 ]
 
 

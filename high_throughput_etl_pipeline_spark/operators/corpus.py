@@ -68,21 +68,109 @@ def benchmark_contamination(
     for contaminated docs only.  Linear in token count; the only shuffle
     is the per-doc count aggregate.
     """
-    # two-step: materialize the token array before the n-gram HOF —
-    # an inlined split re-evaluates per element (see dedup.word_shingles)
-    grams_of = lambda df: df.select(  # noqa: E731
-        F.col(id_col).alias("_id"),
-        tokens(F.col(text_col)).alias("_words"),
-    ).select(
-        "_id",
-        F.explode(
-            F.array_distinct(_word_ngrams_of(F.col("_words"), ngram_n))
-        ).alias("_g"),
-    ).select("_id", md5_64(F.col("_g")).alias("_gh"))
-    bench_grams = grams_of(benchmark).select("_gh").distinct()
-    corpus_grams = grams_of(corpus)
+    bench_grams = _doc_grams(benchmark, id_col, text_col, ngram_n)
+    bench_grams = bench_grams.select("_gh").distinct()
+    corpus_grams = _doc_grams(corpus, id_col, text_col, ngram_n)
     return (
         corpus_grams.join(F.broadcast(bench_grams), on="_gh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .select(F.col("_id").alias(id_col), "shared_ngrams")
+    )
+
+
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, ngram_n: int
+) -> DataFrame:
+    """(_id, _gh): distinct word-n-gram hashes per document.  Two-step:
+    materialize the token array before the n-gram HOF — an inlined split
+    re-evaluates per element (see dedup.word_shingles)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            tokens(F.col(text_col)).alias("_words"),
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.array_distinct(_word_ngrams_of(F.col("_words"), ngram_n))
+            ).alias("_g"),
+        )
+        .select("_id", md5_64(F.col("_g")).alias("_gh"))
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 5,
+    m_bits: int = 1 << 19,
+    k: int = 5,
+) -> DataFrame:
+    """:func:`benchmark_contamination` with a Bloom pre-filter — same
+    exact output, different scale envelope.
+
+    The exact operator broadcasts the benchmark's distinct gram hashes;
+    at frontier-eval scale (10⁸+ distinct grams, gigabytes) that side no
+    longer broadcasts and every corpus gram rides a shuffle to meet it.
+    This variant compresses the benchmark gram SET into an ``m_bits``
+    Bloom filter (k Kirsch-Mitzenmacher double hashes over the gram
+    hash), ships it as a plan literal (``m_bits/64`` longs — 64 KB at
+    the default — the broadcast-variable shape on a real cluster), and
+    drops non-colliding corpus grams MAP-SIDE before the confirming
+    equi-join.  Bloom false positives cost only wasted join probes; the
+    join against the true gram set removes them, so the output is
+    bit-identical to the exact operator (no false negatives by
+    construction) and shares its oracle.  The only full-corpus shuffle
+    left is the per-doc count of true matches — proportional to actual
+    contamination, not corpus size.
+
+    The filter build aggregates ``(word, bit)`` entries to ``m_bits/64``
+    rows and collects them — metadata-scale, independent of benchmark
+    row count.
+    """
+    n_words = m_bits // 64
+    bench_grams = _doc_grams(benchmark, id_col, text_col, ngram_n)
+    bench_set = bench_grams.select("_gh").distinct()
+
+    def positions(gh: F.Column) -> list[F.Column]:
+        # k double-hashes of the 60-bit gram hash; xxhash64 seeds the
+        # lane by a literal column so lanes are independent
+        return [
+            F.pmod(F.xxhash64(gh, F.lit(i)), F.lit(m_bits)) for i in range(k)
+        ]
+
+    # signed-int64 single-bit masks, indexed by bit position (bit 63 is
+    # int64-min); used on both the build and probe sides
+    masks = F.lit([(1 << b) - ((1 << 64) if b == 63 else 0) for b in range(64)])
+    bit_of = lambda pos: F.element_at(  # noqa: E731
+        masks, F.pmod(pos, F.lit(64)).cast("int") + 1
+    )
+    word_of = lambda pos: (pos / 64).cast("int")  # noqa: E731
+
+    entries = bench_set.select(
+        F.explode(F.array(*positions(F.col("_gh")))).alias("_pos")
+    ).select(
+        word_of(F.col("_pos")).alias("_w"),
+        bit_of(F.col("_pos")).alias("_m"),
+    )
+    filled = {
+        r["_w"]: r["_bits"]
+        for r in entries.groupBy("_w").agg(F.bit_or("_m").alias("_bits")).collect()
+    }
+    bloom = F.lit([filled.get(w, 0) for w in range(n_words)])
+
+    corpus_grams = _doc_grams(corpus, id_col, text_col, ngram_n)
+    might = None
+    for pos in positions(F.col("_gh")):
+        mask = bit_of(pos)
+        hit = F.element_at(bloom, word_of(pos) + 1).bitwiseAND(mask) != 0
+        might = hit if might is None else (might & hit)
+    candidates = corpus_grams.filter(might)
+    return (
+        candidates.join(bench_set, on="_gh")
         .groupBy("_id")
         .agg(F.count("*").alias("shared_ngrams"))
         .select(F.col("_id").alias(id_col), "shared_ngrams")

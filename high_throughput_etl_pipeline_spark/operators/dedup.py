@@ -94,6 +94,91 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(keep, on=id_col, how="left_semi")
 
 
+# -- span-level (line/paragraph) dedup ------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """Sub-document dedup: remove repeated word-spans across the corpus,
+    keeping one canonical occurrence (C4/RefinedWeb-style boilerplate
+    removal, done on fixed word windows because the synthetic corpus has
+    no sentence/newline boundaries; with real text, swap the spanizer for
+    a sentence splitter — the dedup core is boundary-agnostic).
+
+    Each document is cut into non-overlapping ``span_words``-word spans
+    (the trailing remainder is its own span).  A span occurrence survives
+    iff its text is globally unique OR it is the canonical occurrence —
+    the one with the smallest ``(doc_id, pos)``, encoded as
+    ``doc_id * 2^20 + pos`` so an independent SQL engine reproduces the
+    tie-break exactly (requires pos < 2^20 ≈ a 10M-word document at the
+    default span size; raise the shift for longer docs).
+
+    Output: (id, n_spans, n_spans_kept, text_deduped) — the document
+    re-assembled from its surviving spans in order.
+
+    Scale shape: explode → groupBy(16-byte span hash) → join back on the
+    hash → groupBy(doc).  Both shuffles are keyed on narrow columns; the
+    span text rides the shuffle only once (for reassembly); no window
+    over a global sort, no driver state.  Hot spans (a boilerplate line
+    repeated 10^9 times) hash-partition cleanly — the aggregate per hash
+    is two longs, and AQE's skew split handles the join-back fan-out.
+    """
+    shift = F.lit(1 << 20)
+    words = df.select(
+        F.col(id_col).alias("_doc"), norm_words(F.col(text_col)).alias("_w")
+    )
+    n_spans = F.ceil(F.size("_w") / F.lit(span_words)).cast("int")
+    occ = (
+        words.select(
+            "_doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_w"), i * span_words + 1, span_words)
+                    ),
+                )
+            ).alias("_pos", "_span"),
+        )
+        .withColumn("_h", md5_64(F.col("_span")))
+        .withColumn("_ck", F.col("_doc") * shift + F.col("_pos"))
+    )
+    agg = occ.groupBy("_h").agg(
+        F.count("*").alias("_n"), F.min("_ck").alias("_canon")
+    )
+    keep = (F.col("_n") == 1) | (F.col("_ck") == F.col("_canon"))
+    return (
+        occ.join(agg, "_h")
+        .withColumn("_keep", keep)
+        .groupBy("_doc")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("_keep").cast("long")).alias("n_spans_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_pos", "_span"))
+                        )
+                    ),
+                    lambda s: s["_span"],
+                ),
+            ).alias("text_deduped"),
+        )
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_spans",
+            "n_spans_kept",
+            "text_deduped",
+        )
+    )
+
+
 # -- MinHash + LSH --------------------------------------------------------
 
 

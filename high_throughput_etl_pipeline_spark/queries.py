@@ -2151,6 +2151,57 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_spans",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') AS words
+        FROM documents
+    ), occ AS (
+        SELECT doc_id,
+               i - 1 AS pos,
+               array_to_string(words[((i-1)*10+1):((i-1)*10+10)], ' ')
+                   AS span
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(
+                1, greatest(CAST(ceil(len(words) / 10.0) AS INT), 1))) AS i
+        )
+    ), hashed AS (
+        SELECT doc_id, pos, span,
+               ('0x' || substr(md5(span), 18, 15))::BIGINT AS h,
+               doc_id * 1048576 + pos AS ck
+        FROM occ
+    ), agg AS (
+        SELECT h, COUNT(*) AS n, MIN(ck) AS canon FROM hashed GROUP BY h
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN a.n = 1 OR o.ck = a.canon
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+           coalesce(string_agg(
+               CASE WHEN a.n = 1 OR o.ck = a.canon THEN o.span END,
+               ' ' ORDER BY o.pos), '') AS text_deduped
+    FROM hashed o JOIN agg a USING (h)
+    GROUP BY o.doc_id
+    ORDER BY o.doc_id
+    """,
+)
+def dedup_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (C4-style boilerplate removal): repeated
+    10-word spans are removed corpus-wide except one canonical occurrence
+    (min encoded (doc_id, pos)), and documents are re-assembled from the
+    surviving spans.  Two keyed shuffles (span hash, then doc); no
+    pairwise comparisons anywhere — the scalable shape for line-level
+    dedup at corpus scale (operators/dedup.py:span_dedup)."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return span_dedup(d, span_words=10).orderBy("doc_id")
+
+
 # Shared by dedup_jaccard_pairs and dedup_cc_clusters: blocked bigram-
 # Jaccard pairs over documents, threshold 0.05 on the 4-dp-rounded value
 # (the Spark operator rounds before filtering — both sides must agree on
@@ -3383,6 +3434,54 @@ def benchmark_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame
     bench = d.filter(F.col("doc_id") % 100 == 7)
     corpus = d.filter(F.col("doc_id") % 100 != 7)
     return benchmark_contamination(corpus, bench, ngram_n=4).orderBy("doc_id")
+
+
+@query(
+    "contamination_bloom",
+    # identical semantics to benchmark_contamination — the Bloom filter is
+    # a pre-filter with no false negatives and the exact confirming join
+    # removes its false positives, so the exact oracle transfers verbatim
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+        FROM documents WHERE trim(text) <> ''
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 3, 1)),
+                   i -> array_to_string(words[i:i+3], ' ')))) AS gram
+        FROM w WHERE len(words) >= 4
+    ), bench AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(gram), 18, 15))::BIGINT AS gh
+        FROM g WHERE doc_id % 100 = 7
+    ), corpus AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(gram), 18, 15))::BIGINT AS gh
+        FROM g WHERE doc_id % 100 <> 7
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM corpus c JOIN bench USING (gh)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def contamination_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at the scale where the benchmark gram set no longer
+    broadcasts: a 64 KB Bloom filter (plan literal) drops non-colliding
+    corpus grams map-side; the exact join then confirms survivors, so the
+    result is bit-identical to ``benchmark_contamination`` while only
+    true-ish matches ride the shuffle (operators/corpus.py:
+    bloom_contamination)."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        bloom_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 7)
+    corpus = d.filter(F.col("doc_id") % 100 != 7)
+    return bloom_contamination(corpus, bench, ngram_n=4).orderBy("doc_id")
 
 
 @query(
@@ -4913,6 +5012,11 @@ HEADLINE: list[str] = [
     "events_quantile_sketch",
     "events_segment_overlap",
     "multimodal_features",
+    # --- new in r6: span-level dedup and Bloom-prefilter decontamination
+    # (benchmark_contamination, green r4/r5, rotates to the tail — the
+    # bloom variant exercises the same exact semantics plus the prune)
+    "dedup_spans",
+    "contamination_bloom",
     # --- events/scalar representatives (green r5; the rotated-out
     # events_daily_pivot / derive_run_status / union_report_sources stay
     # oracle-checked by tools/check_correctness.py over the full registry)
@@ -4925,14 +5029,16 @@ HEADLINE: list[str] = [
     "validation_split",
     "metrics_size_profile",
     "ingest_velocity",
-    "sorted_distinct_users",
+    # sorted_distinct_users (O2, green r5) and events_value_histogram
+    # (green r5) rotate to the tail to make room — both families keep
+    # in-window representatives (distinct/order-by rides every query;
+    # events keeps 9 rows)
     "user_sessions",
     "purchase_attribution_asof",
     # --- round-5 first-window queries, kept for a second green round
     "events_range_window",
     "events_cube_matrix",
     "events_salted_rollup",
-    "events_value_histogram",
     "events_hopping_windows",
     "user_funnel_conversion",
     "embedding_dedup_clusters",

@@ -54,6 +54,63 @@ def test_exact_dedup(spark, docs):
     assert 2 not in {r["doc_id"] for r in kept.collect()}
 
 
+def test_span_dedup_canonical_and_reassembly(spark):
+    from high_throughput_etl_pipeline_spark.operators.dedup import span_dedup
+
+    # 3-word spans; doc 0/1 share their first span ("a b c"), doc 2 is
+    # unique, doc 3 repeats doc 0's span INTERNALLY too (pos 0 and 1)
+    rows = [
+        (0, "a b c x y z"),
+        (1, "a b c p q r"),
+        (2, "u v w"),
+        (3, "a b c a b c tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_words=3).collect()
+    }
+    # canonical occurrence = smallest (doc_id, pos): doc 0 keeps "a b c",
+    # every other occurrence (doc 1 pos 0, doc 3 pos 0 and 1) is removed
+    assert out[0]["text_deduped"] == "a b c x y z"
+    assert out[1]["text_deduped"] == "p q r"
+    assert out[1]["n_spans"] == 2 and out[1]["n_spans_kept"] == 1
+    assert out[2]["text_deduped"] == "u v w"
+    assert out[3]["text_deduped"] == "tail"  # trailing remainder survives
+    assert out[3]["n_spans"] == 3 and out[3]["n_spans_kept"] == 1
+    # conservation: kept spans never exceed total spans
+    assert all(r["n_spans_kept"] <= r["n_spans"] for r in out.values())
+
+
+def test_bloom_contamination_equals_exact(spark, docs):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        benchmark_contamination,
+        bloom_contamination,
+    )
+
+    bench = docs.filter(F.col("doc_id").isin(0, 4))
+    corpus = docs.filter(~F.col("doc_id").isin(0, 4))
+    exact = {
+        (r["doc_id"], r["shared_ngrams"])
+        for r in benchmark_contamination(corpus, bench, ngram_n=3).collect()
+    }
+    assert exact, "fixture must produce real contamination"
+    got = {
+        (r["doc_id"], r["shared_ngrams"])
+        for r in bloom_contamination(corpus, bench, ngram_n=3).collect()
+    }
+    assert got == exact
+    # a deliberately saturated filter (64 bits for dozens of grams → heavy
+    # false-positive rate) must still confirm-join to the identical result
+    saturated = {
+        (r["doc_id"], r["shared_ngrams"])
+        for r in bloom_contamination(
+            corpus, bench, ngram_n=3, m_bits=64, k=2
+        ).collect()
+    }
+    assert saturated == exact
+
+
 def test_minhash_finds_near_dup(spark, docs):
     pairs = minhash_near_duplicates(
         docs, num_hashes=16, bands=8, shingle_n=2, jaccard_threshold=0.3
