@@ -244,3 +244,102 @@ def redact_pii(col) -> F.Column:
     for pattern, placeholder in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, placeholder)
     return out
+
+
+def _doc_bigrams(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(_id, _prev, _w) per token with a ``<s>`` start-of-document
+    context for the first token.  Two-step: the token array materializes
+    in its own projection before the bigram HOF (see word_bigrams)."""
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            tokens(F.lower(F.col(text_col))).alias("_t"),
+        )
+        .select(
+            "_id",
+            F.concat(F.array(F.lit("<s>")), F.col("_t")).alias("_t"),
+        )
+    )
+    return toks.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_t"), i).alias("p"),
+                    F.element_at(F.col("_t"), i + 1).alias("w"),
+                ),
+            )
+        ).alias("_pos", "_bg"),
+    ).select("_id", F.col("_bg.p").alias("_prev"), F.col("_bg.w").alias("_w"))
+
+
+def bigram_lm_scores(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram-LM scoring of held-out documents — the
+    CCNet-style perplexity filter, with an additive-smoothing bigram
+    model standing in for KenLM (no native libs in this environment;
+    the pipeline shape — train counts, broadcast-free keyed scoring
+    join, per-doc aggregate — is exactly the production one).
+
+    Model: p(w | prev) = (c(prev, w) + k) / (c(prev) + k·V), with
+    c(·) counts from ``train`` (documents prefixed by a ``<s>``
+    context token) and V = distinct train words + 1 (the +1 reserves
+    mass for unseen words).  Unseen bigrams/contexts coalesce to count
+    0, so every held-out token gets finite smoothed mass.
+
+    Output: (id, n_tokens, avg_logprob, perplexity).  ``perplexity`` is
+    exp(-avg_logprob) computed from the 6-dp-rounded average — rounding
+    before the exp keeps the value engine-portable (exp amplifies
+    last-bit float divergence past any fixed rounding otherwise).
+
+    Scale shape: the model IS two DataFrames (bigram counts, context
+    counts) — never collected; scoring joins are keyed on the bigram /
+    context words (narrow string keys), V rides a broadcast cross join
+    of one row.  Everything is linear in token count; skew on frequent
+    contexts is ordinary AQE-handled join skew.
+    """
+    tb = _doc_bigrams(train, id_col, text_col)
+    big_counts = tb.groupBy("_prev", "_w").agg(F.count("*").alias("_cbw"))
+    ctx_counts = tb.groupBy("_prev").agg(F.count("*").alias("_cp"))
+    vocab = tb.select(F.countDistinct("_w").alias("_v"))
+
+    sb = _doc_bigrams(score, id_col, text_col)
+    scored = (
+        sb.join(big_counts, on=["_prev", "_w"], how="left")
+        .join(ctx_counts, on="_prev", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            F.log(
+                (F.coalesce(F.col("_cbw"), F.lit(0)) + F.lit(k))
+                / (
+                    F.coalesce(F.col("_cp"), F.lit(0))
+                    + F.lit(k) * (F.col("_v") + 1)
+                )
+            ).alias("_lp"),
+        )
+    )
+    avg = F.round(F.avg("_lp"), 6)
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            avg.alias("avg_logprob"),
+            F.round(F.exp(-avg), 4).alias("perplexity"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "avg_logprob",
+            "perplexity",
+        )
+    )

@@ -3258,6 +3258,66 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bigram_perplexity",
+    oracle="""
+    WITH tr AS (
+        SELECT doc_id,
+               list_prepend('<s>', string_split_regex(trim(lower(text)),
+                                                      '[ \\t\\n\\r]+')) AS t
+        FROM documents WHERE trim(text) <> '' AND doc_id % 10 < 8
+    ), trb AS (
+        SELECT t[i] AS prev, t[i+1] AS w
+        FROM tr, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ), bc AS (
+        SELECT prev, w, count(*) AS cbw FROM trb GROUP BY prev, w
+    ), cc AS (
+        SELECT prev, count(*) AS cp FROM trb GROUP BY prev
+    ), v AS (
+        SELECT count(DISTINCT w) AS vv FROM trb
+    ), sc AS (
+        SELECT doc_id,
+               list_prepend('<s>', string_split_regex(trim(lower(text)),
+                                                      '[ \\t\\n\\r]+')) AS t
+        FROM documents WHERE trim(text) <> '' AND doc_id % 10 >= 8
+    ), scb AS (
+        SELECT doc_id, t[i] AS prev, t[i+1] AS w
+        FROM sc, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ), lp AS (
+        SELECT s.doc_id,
+               ln((coalesce(b.cbw, 0) + 0.5)
+                  / (coalesce(c.cp, 0) + 0.5 * (v.vv + 1))) AS lp
+        FROM scb s
+        LEFT JOIN bc b ON s.prev = b.prev AND s.w = b.w
+        LEFT JOIN cc c ON s.prev = c.prev
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 6) AS avg_logprob,
+           round(exp(-round(avg(lp), 6)), 4) AS perplexity
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: a bigram model with additive
+    smoothing is trained on 80% of the corpus (doc_id % 10 < 8) and
+    scores the held-out 20% with per-doc avg log-prob and perplexity.
+    The model stays distributed (two count DataFrames, keyed scoring
+    joins); only the 1-row vocab size broadcasts (operators/text.py:
+    bigram_lm_scores)."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 < 8)
+    held = d.filter(F.col("doc_id") % 10 >= 8)
+    return bigram_lm_scores(train, held, k=0.5).orderBy("doc_id")
+
+
+@query(
     "corpus_hash_split",
     oracle="""
     WITH b AS (
@@ -5017,6 +5077,7 @@ HEADLINE: list[str] = [
     # bloom variant exercises the same exact semantics plus the prune)
     "dedup_spans",
     "contamination_bloom",
+    "doc_bigram_perplexity",
     # --- events/scalar representatives (green r5; the rotated-out
     # events_daily_pivot / derive_run_status / union_report_sources stay
     # oracle-checked by tools/check_correctness.py over the full registry)
@@ -5071,7 +5132,9 @@ HEADLINE: list[str] = [
     "events_zorder_buckets",
     "customers_without_orders",
     "doc_word_counts",
-    "text_token_stats",
+    # text_token_stats (green r5) rotates to the tail for
+    # doc_bigram_perplexity — token counting stays exercised in-window
+    # via corpus_token_packing/text_repetition_stats oracles
     "text_pii_redaction",
     "dedup_exact_groups",
     "dedup_minhash_md5",

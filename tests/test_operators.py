@@ -111,6 +111,36 @@ def test_bloom_contamination_equals_exact(spark, docs):
     assert saturated == exact
 
 
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id BIGINT, text STRING"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z q")], "doc_id BIGINT, text STRING"
+    )
+    out = {
+        r["doc_id"]: r for r in bigram_lm_scores(train, score, k=0.5).collect()
+    }
+    # train bigrams: (<s>,a)x3, (a,b)x2, (a,c)x1; V = |{a,b,c}| = 3
+    # doc 10: p(a|<s>) = 3.5/(3+0.5*4) = 0.7, p(b|a) = 2.5/(3+2) = 0.5
+    exp_avg = round((math.log(0.7) + math.log(0.5)) / 2, 6)
+    assert out[10]["n_tokens"] == 2
+    assert out[10]["avg_logprob"] == exp_avg
+    assert out[10]["perplexity"] == round(math.exp(-exp_avg), 4)
+    # doc 11 is fully unseen: p(z|<s>) = 0.5/(3+2) = 0.1 (seen context),
+    # p(q|z) = 0.5/(0+2) = 0.25 (unseen context) — finite either way
+    exp_avg11 = round((math.log(0.1) + math.log(0.25)) / 2, 6)
+    assert out[11]["avg_logprob"] == exp_avg11
+    # unseen text scores strictly worse than in-distribution text
+    assert out[11]["perplexity"] > out[10]["perplexity"]
+
+
 def test_minhash_finds_near_dup(spark, docs):
     pairs = minhash_near_duplicates(
         docs, num_hashes=16, bands=8, shingle_n=2, jaccard_threshold=0.3
