@@ -85,6 +85,9 @@ HEADLINE = [
     "multimodal_features",
     "dedup_spans",
     "contamination_bloom",
+    "dedup_spans_within_doc",
+    "doc_bigram_perplexity",
+    "quality_percentile_filter",
 ]
 
 

@@ -293,6 +293,42 @@ def chunk_documents(
     )
 
 
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    part_col: str = "source",
+    keep_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each ``part_col`` group by score —
+    domain-balanced quality filtering (every source contributes its best
+    half rather than rich sources flooding the kept set, the CCNet /
+    quality-bucket curation move).
+
+    Exact semantics: ``percent_rank`` within the group ordered by
+    (score DESC, id) — the id tie-break makes the kept set deterministic
+    and engine-portable; a row survives when its percent_rank <
+    ``keep_frac`` (a group of one has percent_rank 0 and always
+    survives).
+
+    Scale: one grouped window (shuffle on ``part_col``, per-group sort).
+    A pathologically hot group serializes into one task — for that
+    regime compute an approximate per-group score CUTOFF with
+    ``percentile_approx`` and filter map-side (approximate boundary, no
+    sort), or route through ``operators/ranking.py:global_rank`` per
+    group; this operator keeps the exact window because curation
+    decisions should be replayable bit-for-bit.
+    """
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") < keep_frac)
+        .drop("_pr")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -102,6 +102,7 @@ def span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_words: int = 10,
+    scope: str = "corpus",
 ) -> DataFrame:
     """Sub-document dedup: remove repeated word-spans across the corpus,
     keeping one canonical occurrence (C4/RefinedWeb-style boilerplate
@@ -120,6 +121,14 @@ def span_dedup(
     Output: (id, n_spans, n_spans_kept, text_deduped) — the document
     re-assembled from its surviving spans in order.
 
+    ``scope="corpus"`` dedups across the whole corpus;
+    ``scope="document"`` only removes a span's repeats WITHIN the same
+    document (Gopher-style intra-doc repetition removal — the transform
+    twin of ``text.repetition_stats``, which only measures).  The
+    per-document scope simply adds the doc id to the grouping key, so
+    its shuffles never mix documents and the first occurrence in
+    document order is always the one kept.
+
     Scale shape: explode → groupBy(16-byte span hash) → join back on the
     hash → groupBy(doc).  Both shuffles are keyed on narrow columns; the
     span text rides the shuffle only once (for reassembly); no window
@@ -127,6 +136,7 @@ def span_dedup(
     repeated 10^9 times) hash-partition cleanly — the aggregate per hash
     is two longs, and AQE's skew split handles the join-back fan-out.
     """
+    assert scope in ("corpus", "document"), scope
     shift = F.lit(1 << 20)
     words = df.select(
         F.col(id_col).alias("_doc"), norm_words(F.col(text_col)).alias("_w")
@@ -147,12 +157,13 @@ def span_dedup(
         .withColumn("_h", md5_64(F.col("_span")))
         .withColumn("_ck", F.col("_doc") * shift + F.col("_pos"))
     )
-    agg = occ.groupBy("_h").agg(
+    group_key = ["_h"] if scope == "corpus" else ["_doc", "_h"]
+    agg = occ.groupBy(*group_key).agg(
         F.count("*").alias("_n"), F.min("_ck").alias("_canon")
     )
     keep = (F.col("_n") == 1) | (F.col("_ck") == F.col("_canon"))
     return (
-        occ.join(agg, "_h")
+        occ.join(agg, group_key)
         .withColumn("_keep", keep)
         .groupBy("_doc")
         .agg(

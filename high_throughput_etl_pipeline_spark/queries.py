@@ -2090,6 +2090,68 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_percentile_filter",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(len(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1), 4) AS digit_ratio,
+               round(len(regexp_extract_all(lower(text),
+                     '\\b(the|and|of|to|a|in|is|that)\\b'))
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     4) AS stopword_ratio
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source,
+               round(0.25 * least(n_tokens / 100.0, 1.0)
+                   + 0.25 * (1.0 - least(punct_ratio * 5, 1.0))
+                   + 0.25 * (1.0 - least(digit_ratio * 5, 1.0))
+                   + 0.25 * least(stopword_ratio * 4, 1.0), 4) AS quality_score
+        FROM feats
+    ), ranked AS (
+        SELECT doc_id, source, quality_score,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality_score DESC, doc_id) AS pr
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           round(MIN(quality_score), 4) AS min_kept_score
+    FROM ranked WHERE pr < 0.5
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced quality curation: keep each source's best half by
+    quality score (percent_rank window with a deterministic id
+    tie-break), so no source floods the kept set.  ``id_sum`` makes the
+    kept SET value-checked, not just its size (operators/corpus.py:
+    percentile_filter)."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        percentile_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = percentile_filter(
+        quality_features(d), "quality_score", "source", keep_frac=0.5
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.round(F.min("quality_score"), 4).alias("min_kept_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle="""
     SELECT source,
@@ -2200,6 +2262,57 @@ def dedup_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return span_dedup(d, span_words=10).orderBy("doc_id")
+
+
+@query(
+    "dedup_spans_within_doc",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') AS words
+        FROM documents
+    ), occ AS (
+        SELECT doc_id,
+               i - 1 AS pos,
+               array_to_string(words[((i-1)*2+1):((i-1)*2+2)], ' ') AS span
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(
+                1, greatest(CAST(ceil(len(words) / 2.0) AS INT), 1))) AS i
+        )
+    ), hashed AS (
+        SELECT doc_id, pos, span,
+               ('0x' || substr(md5(span), 18, 15))::BIGINT AS h,
+               doc_id * 1048576 + pos AS ck
+        FROM occ
+    ), agg AS (
+        SELECT doc_id, h, COUNT(*) AS n, MIN(ck) AS canon
+        FROM hashed GROUP BY doc_id, h
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN a.n = 1 OR o.ck = a.canon
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+           coalesce(string_agg(
+               CASE WHEN a.n = 1 OR o.ck = a.canon THEN o.span END,
+               ' ' ORDER BY o.pos), '') AS text_deduped
+    FROM hashed o JOIN agg a USING (doc_id, h)
+    GROUP BY o.doc_id
+    ORDER BY o.doc_id
+    """,
+)
+def dedup_spans_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style INTRA-document repetition removal: a span repeated
+    inside the same document keeps only its first occurrence (other
+    documents unaffected — the grouping key carries the doc id, so no
+    shuffle ever mixes documents).  2-word spans model repeated short
+    phrases; 250 occurrences removed at sf0.01 — non-vacuous
+    (operators/dedup.py:span_dedup, scope='document')."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return span_dedup(d, span_words=2, scope="document").orderBy("doc_id")
 
 
 # Shared by dedup_jaccard_pairs and dedup_cc_clusters: blocked bigram-
@@ -5076,8 +5189,10 @@ HEADLINE: list[str] = [
     # (benchmark_contamination, green r4/r5, rotates to the tail — the
     # bloom variant exercises the same exact semantics plus the prune)
     "dedup_spans",
+    "dedup_spans_within_doc",
     "contamination_bloom",
     "doc_bigram_perplexity",
+    "quality_percentile_filter",
     # --- events/scalar representatives (green r5; the rotated-out
     # events_daily_pivot / derive_run_status / union_report_sources stay
     # oracle-checked by tools/check_correctness.py over the full registry)
@@ -5116,7 +5231,8 @@ HEADLINE: list[str] = [
     "table_column_stats",
     "doc_unigram_logprob",
     "corpus_vocab_topk",
-    "corpus_doc_chunks",
+    # corpus_doc_chunks (green r4/r5) rotates to the tail — chunking is
+    # also replayed inside dataprep_training_batches' 4-stage oracle
     "dataprep_training_batches",
     "next_view_after_purchase",
     # --- one representative per remaining family (all multi-round green;
@@ -5138,7 +5254,8 @@ HEADLINE: list[str] = [
     "text_pii_redaction",
     "dedup_exact_groups",
     "dedup_minhash_md5",
-    "knn_bruteforce",
+    # knn_bruteforce (green r1-r5) rotates to the tail — the exact-cosine
+    # machinery is exercised in-window via the ANN verify paths
     "corpus_hash_split",
     "sample_frames",
 ]

@@ -80,6 +80,15 @@ def test_span_dedup_canonical_and_reassembly(spark):
     assert out[3]["n_spans"] == 3 and out[3]["n_spans_kept"] == 1
     # conservation: kept spans never exceed total spans
     assert all(r["n_spans_kept"] <= r["n_spans"] for r in out.values())
+    # document scope: doc 3's INTERNAL repeat is removed, but cross-doc
+    # repeats (doc 0 vs doc 1) are untouched
+    within = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_words=3, scope="document").collect()
+    }
+    assert within[0]["text_deduped"] == "a b c x y z"
+    assert within[1]["text_deduped"] == "a b c p q r"
+    assert within[3]["text_deduped"] == "a b c tail"
 
 
 def test_bloom_contamination_equals_exact(spark, docs):
