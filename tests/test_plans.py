@@ -275,3 +275,41 @@ def test_pq_topk_plan_constant_in_query_count(spark):
         return re.sub(r"Limit \d+", "Limit N", p)
 
     assert norm(p2) == norm(p32)
+
+
+def test_span_dedup_no_pairwise_no_global_window(spark):
+    # span dedup must stay a keyed-aggregate pipeline: no pairwise join
+    # shapes, no window at all (the canonical tie-break is an encoded
+    # min inside the hash aggregate, not a sort)
+    for name in ("dedup_spans", "dedup_spans_within_doc"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Window" not in plan, name
+
+
+def test_contamination_bloom_probe_is_map_side(spark):
+    plan = _plan(spark, "contamination_bloom")
+    # the Bloom probe must be a Filter over the probe hashes (xxhash64
+    # lanes), BEFORE any join — a plan that joins first and filters
+    # after has lost the entire point of the pre-filter
+    assert re.search(r"Filter .*xxhash64", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_only_vocab_rides_nested_loop(spark):
+    plan = _plan(spark, "doc_bigram_perplexity")
+    # scoring joins are keyed; the only nested-loop join allowed is the
+    # broadcast of the 1-row vocab-size aggregate
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_percentile_filter_window_is_partitioned(spark):
+    plan = _plan(spark, "quality_percentile_filter")
+    # the percent_rank window must carry the source partition spec — an
+    # empty partition spec would serialize the whole corpus into one task
+    m = re.search(r"Window \[[^\]]*percent_rank[^\]]*\], \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "source" in m.group(1), plan
