@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_spans_within_doc",
     "doc_bigram_perplexity",
     "quality_percentile_filter",
+    "bpe_vocab_merges",
 ]
 
 

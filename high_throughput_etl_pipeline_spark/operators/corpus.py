@@ -160,15 +160,26 @@ def bloom_contamination(
         r["_w"]: r["_bits"]
         for r in entries.groupBy("_w").agg(F.bit_or("_m").alias("_bits")).collect()
     }
-    bloom = F.lit([filled.get(w, 0) for w in range(n_words)])
+    arr = [filled.get(w, 0) for w in range(n_words)]
+    # carry the filter as a broadcast 1-row column, NOT an F.lit array:
+    # a 2^19-bit literal embeds 8192 constants into the generated code
+    # and the projection falls out of codegen — measured 6.5 s vs 2.4 s
+    # at sf0.1 for the identical probe as a broadcast column (the same
+    # janino-size failure class as SCALE.md's flat-SQL note); this is
+    # also the form that generalizes to a real broadcast variable
+    bloom_df = corpus.sparkSession.createDataFrame(
+        [(arr,)], "_bloom array<bigint>"
+    )
 
     corpus_grams = _doc_grams(corpus, id_col, text_col, ngram_n)
+    probe = corpus_grams.crossJoin(F.broadcast(bloom_df))
+    bloom = F.col("_bloom")
     might = None
     for pos in positions(F.col("_gh")):
         mask = bit_of(pos)
         hit = F.element_at(bloom, word_of(pos) + 1).bitwiseAND(mask) != 0
         might = hit if might is None else (might & hit)
-    candidates = corpus_grams.filter(might)
+    candidates = probe.filter(might).select("_id", "_gh")
     return (
         candidates.join(bench_set, on="_gh")
         .groupBy("_id")

@@ -3430,6 +3430,47 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(train, held, k=0.5).orderBy("doc_id")
 
 
+@query("bpe_vocab_merges")
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016) over the corpus:
+    12 merge rounds, each a small explode → groupBy(pair) → argmax over
+    the word-TYPE table (bounded by vocabulary, not corpus size), with
+    only the winning pair collected per round.  No SQL oracle — BPE is
+    inherently iterative (each round's input is the previous argmax);
+    semantic parity with a reference implementation is pytest-pinned on
+    the classic low/lower/newest/widest example
+    (operators/bpe.py:bpe_train)."""
+    from high_throughput_etl_pipeline_spark.operators.bpe import (
+        bpe_merges_df,
+        bpe_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, bpe_train(d, n_merges=12)).orderBy("rank")
+
+
+@query("bpe_encode_docs")
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merges learned from it: map-side
+    fold chain (one fold per merge, no shuffle, no Python).  Output is
+    value-sensitive via the token-stream md5 even though the query is
+    rows-only (trained artifact upstream → no static SQL oracle)."""
+    from high_throughput_etl_pipeline_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=12)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", F.col("tokens"))).alias("tokens_md5"),
+    ).orderBy("doc_id")
+
+
 @query(
     "corpus_hash_split",
     oracle="""

@@ -858,3 +858,100 @@ def test_training_batch_chunk_key_no_collision_long_docs(spark):
 
     assert len(got) == 110 + n_chunks(95) + 1
     assert got == expected
+
+
+# -- BPE vocabulary induction ---------------------------------------------
+
+
+def _ref_bpe_train(word_freqs, n_merges, min_pair_freq=2):
+    """Reference BPE (Sennrich et al. 2016), plain Python: the semantic
+    spec the Spark operator must match (freq-desc, then lexicographic
+    (left, right) tie-break; greedy left-to-right merge)."""
+    import collections
+
+    syms = {w: list(w) + ["</w>"] for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts = collections.Counter()
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (l, r), f = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if f < min_pair_freq:
+            break
+        merges.append((rank, l, r, l + r, f))
+        for w, s in syms.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == l and tok == r:
+                    out[-1] = l + r
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_reference(spark):
+    from high_throughput_etl_pipeline_spark.operators.bpe import bpe_train
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(" ".join([w] * f) for w, f in freqs.items())
+    df = spark.createDataFrame([(0, text)], "doc_id BIGINT, text STRING")
+    got = bpe_train(df, n_merges=8)
+    want, _ = _ref_bpe_train(freqs, 8)
+    assert [
+        (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+        for m in got
+    ] == want
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from high_throughput_etl_pipeline_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    train_text = " ".join(" ".join([w] * f) for w, f in freqs.items())
+    train = spark.createDataFrame(
+        [(0, train_text)], "doc_id BIGINT, text STRING"
+    )
+    merges = bpe_train(train, n_merges=8)
+    assert merges, "training must learn merges on this corpus"
+
+    score = spark.createDataFrame(
+        [(1, "low lowest")], "doc_id BIGINT, text STRING"
+    )
+    row = bpe_encode(score, merges).collect()[0]
+    # reference-encode the same words with the same merge list
+    exp_tokens = []
+    for w in ["low", "lowest"]:
+        s = list(w) + ["</w>"]
+        for m in merges:
+            out = []
+            for tok in s:
+                if out and out[-1] == m["left"] and tok == m["right"]:
+                    out[-1] = m["merged"]
+                else:
+                    out.append(tok)
+            s = out
+        exp_tokens.extend(s)
+    assert row["n_words"] == 2
+    assert row["tokens"] == exp_tokens
+    assert row["n_tokens"] == len(exp_tokens)
+
+
+def test_bpe_merge_handles_overlapping_runs(spark):
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.bpe import _merge_pair
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms ARRAY<STRING>")
+    out = df.select(_merge_pair(F.col("syms"), "a", "a").alias("m")).collect()
+    # greedy left-to-right: 'aaa' -> ['aa', 'a'], never ['a', 'aa']
+    assert out[0]["m"] == ["aa", "a"]

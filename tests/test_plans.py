@@ -290,10 +290,18 @@ def test_span_dedup_no_pairwise_no_global_window(spark):
 
 def test_contamination_bloom_probe_is_map_side(spark):
     plan = _plan(spark, "contamination_bloom")
-    # the Bloom probe must be a Filter over the probe hashes (xxhash64
-    # lanes), BEFORE any join — a plan that joins first and filters
-    # after has lost the entire point of the pre-filter
-    assert re.search(r"Filter .*xxhash64", plan), plan
+    # the Bloom probe (xxhash64 lanes) must run BEFORE the confirming
+    # equi-join — either as a Filter or pushed into the 1-row broadcast
+    # carrier join's condition; a plan that meets the bench gram set
+    # first has lost the entire point of the pre-filter
+    probe = re.search(
+        r"(Filter|BroadcastNestedLoopJoin) .*xxhash64", plan
+    )
+    assert probe, plan
+    # the confirming join stays a hash join and consumes the probe's
+    # output (it appears above the probe in the tree)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.index("HashJoin") < probe.start(), "probe must be below the confirm join"
     assert "CartesianProduct" not in plan
 
 
