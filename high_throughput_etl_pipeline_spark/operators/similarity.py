@@ -615,17 +615,38 @@ def quantize_embeddings(
     )
 
 
+def auto_lsh_bits(n_vectors: int, target_bucket: int = 64) -> int:
+    """Bits per LSH table so expected bucket load stays ~``target_bucket``
+    regardless of collection size: ``max(4, ceil(log2(n / target)))``.
+
+    With FIXED bits, per-bucket load grows linearly in N and the
+    candidate self-join quadratically — measured at the sf0.1→sf1 step:
+    4 fixed bits = 141 s / 2.13× linear at 10× the vectors, auto (≈8-9
+    bits) = ~21 s / 0.43× linear.  Raising bits trades recall at LOW
+    cosine thresholds; buy it back linearly with more tables
+    (OR-amplification), never by letting buckets grow."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_vectors, 2) / target_bucket)))
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.4,
     n_tables: int = 6,
-    bits_per_table: int = 4,
+    bits_per_table: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH self-join.
+
+    ``bits_per_table=None`` (default) sizes the tables from the data
+    via :func:`auto_lsh_bits` — one count() action, and bucket load
+    stays bounded at any scale.  Pass an explicit value to pin the
+    parameterization (the oracle-checked query does, so its semantics
+    are reproducible engine-to-engine).
 
     OR-amplified LSH: ``n_tables`` independent hash tables of
     ``bits_per_table`` sign-projections each; a pair is a candidate if it
@@ -640,6 +661,8 @@ def embedding_near_duplicates(
     ``bits_per_table`` so per-bucket candidate sets stay bounded, and
     persist/bucket the (table, bucket, id) index by its join key.
     """
+    if bits_per_table is None:
+        bits_per_table = auto_lsh_bits(vectors.count())
     planes = hyperplanes(dim, n_tables * bits_per_table, seed)
     ids = vectors.select(F.col(id_col), F.col(vec_col))
     # the bucket build stays in HOF form: n_tables × bits_per_table × dim

@@ -955,3 +955,28 @@ def test_bpe_merge_handles_overlapping_runs(spark):
     out = df.select(_merge_pair(F.col("syms"), "a", "a").alias("m")).collect()
     # greedy left-to-right: 'aaa' -> ['aa', 'a'], never ['a', 'aa']
     assert out[0]["m"] == ["aa", "a"]
+
+
+def test_auto_lsh_bits_sizing(spark):
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        auto_lsh_bits,
+        embedding_near_duplicates,
+    )
+
+    # floor of 4 bits at small n; grows with log2(n / target_bucket)
+    assert auto_lsh_bits(10) == 4
+    assert auto_lsh_bits(200) == 4
+    assert auto_lsh_bits(20_000) == 9
+    assert auto_lsh_bits(20_000_000) == 19
+    # the auto default equals the explicit parameterization at small n,
+    # so results coincide with the oracle-pinned setting
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(e).collect()
+    }
+    fixed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(e, bits_per_table=4).collect()
+    }
+    assert auto == fixed
