@@ -89,6 +89,8 @@ HEADLINE = [
     "doc_bigram_perplexity",
     "quality_percentile_filter",
     "bpe_vocab_merges",
+    "text_sentiment_by_lang",
+    "cluster_balanced_sample",
 ]
 
 

@@ -343,3 +343,27 @@ def bigram_lm_scores(
             "perplexity",
         )
     )
+
+
+def sentiment_score(
+    col,
+    positive: list[str] | None = None,
+    negative: list[str] | None = None,
+) -> F.Column:
+    """Lexicon sentiment in [-1, 1]: (pos - neg) / (pos + neg + 1).
+
+    The survey's §7.1.8 text-analysis slot, kept JVM-side: two regex
+    counts and arithmetic — no UDF, engine-portable.  Lexicons are
+    parameters; the defaults suit the synthetic corpus (swap in real
+    lists in production — the operator shape is what scales)."""
+    positive = positive or ["fast", "big"]
+    negative = negative or ["slow", "small"]
+    pos = F.regexp_count(
+        F.lower(col), F.lit(r"\b(" + "|".join(positive) + r")\b")
+    )
+    neg = F.regexp_count(
+        F.lower(col), F.lit(r"\b(" + "|".join(negative) + r")\b")
+    )
+    return F.round(
+        (pos - neg) / (pos + neg + F.lit(1)).cast("double"), 4
+    )

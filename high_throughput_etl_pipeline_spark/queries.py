@@ -2152,6 +2152,99 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_sentiment_by_lang",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               round((len(regexp_extract_all(lower(text),
+                          '\\b(fast|big)\\b'))
+                      - len(regexp_extract_all(lower(text),
+                            '\\b(slow|small)\\b')))
+                     / CAST(len(regexp_extract_all(lower(text),
+                                '\\b(fast|big)\\b'))
+                            + len(regexp_extract_all(lower(text),
+                                  '\\b(slow|small)\\b')) + 1 AS DOUBLE),
+                     4) AS sent
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           round(AVG(sent), 4) AS avg_sentiment,
+           CAST(SUM(CASE WHEN sent > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS positive_docs,
+           CAST(SUM(CASE WHEN sent < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS negative_docs
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def text_sentiment_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment (SURVEY §7.1.8's text-analysis slot) rolled up
+    per language: two JVM-side regex counts per doc, no UDF
+    (operators/text.py:sentiment_score)."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        sentiment_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select("lang", sentiment_score(F.col("text")).alias("sent"))
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("sent"), 4).alias("avg_sentiment"),
+            F.sum(F.when(F.col("sent") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("positive_docs"),
+            F.sum(F.when(F.col("sent") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("negative_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle="""
+    WITH r AS (
+        SELECT vec_id, label,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY ('0x' || substr(md5('cbal-v1:' ||
+                             CAST(vec_id AS VARCHAR)), 18, 15))::BIGINT,
+                            vec_id) AS rn
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM r WHERE rn <= 12
+    GROUP BY label ORDER BY label
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling: cap every embedding cluster at 12
+    members, chosen by keyed hash (deterministic, engine-portable — no
+    RNG) — the diversity-preserving downsample after clustering
+    (SemDeDup-style prototype capping).  One grouped window keyed on the
+    cluster label; id_sum value-checks the kept SET."""
+    d = _t(spark, sf_dir, "embeddings")
+    order_key = md5_64(
+        F.concat(F.lit("cbal-v1:"), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("label").orderBy(order_key, F.col("vec_id"))
+    kept = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 12)
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle="""
     SELECT source,
@@ -5234,6 +5327,8 @@ HEADLINE: list[str] = [
     "contamination_bloom",
     "doc_bigram_perplexity",
     "quality_percentile_filter",
+    "text_sentiment_by_lang",
+    "cluster_balanced_sample",
     # --- events/scalar representatives (green r5; the rotated-out
     # events_daily_pivot / derive_run_status / union_report_sources stay
     # oracle-checked by tools/check_correctness.py over the full registry)
@@ -5253,7 +5348,8 @@ HEADLINE: list[str] = [
     "user_sessions",
     "purchase_attribution_asof",
     # --- round-5 first-window queries, kept for a second green round
-    "events_range_window",
+    # (events_range_window, green r5, rotates to the tail — the events
+    # family keeps 8 in-window rows)
     "events_cube_matrix",
     "events_salted_rollup",
     "events_hopping_windows",
@@ -5281,7 +5377,8 @@ HEADLINE: list[str] = [
     # tools/check_correctness.py over the full 99-query registry)
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "q21_waiting_suppliers",
+    # q21_waiting_suppliers (green r3-r5) rotates to the tail; the
+    # multi-join TPC-H family keeps q1/q3 in-window
     "customer_value_ntiles",
     "status_shard_roundtrip",
     # z-order layout algebra (new in r5; s3_path_parse, green r1-r4,
