@@ -147,3 +147,54 @@ def test_pack_token_budget_properties(spark, sizes, budget):
     assert sorted(packs) == list(range(len(packs)))
     for members in packs.values():
         assert sum(members) - max(members) < budget
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=_N,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_span_dedup_matches_reference(spark, word_lists, span_words):
+    """span_dedup (corpus scope) equals a plain-Python reference on
+    random small-alphabet corpora (the tiny alphabet forces real span
+    collisions): same kept spans, same counts, same reassembled text."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import span_dedup
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_spans_kept"], r["text_deduped"])
+        for r in span_dedup(df, span_words=span_words).collect()
+    }
+
+    # reference: chunk, find canonical occurrence per span text, keep
+    occ = []  # (doc, pos, span)
+    for doc, ws in enumerate(word_lists):
+        n = max(1, -(-len(ws) // span_words))
+        for i in range(n):
+            occ.append(
+                (doc, i, " ".join(ws[i * span_words:(i + 1) * span_words]))
+            )
+    first = {}
+    counts = {}
+    for doc, pos, span in occ:
+        counts[span] = counts.get(span, 0) + 1
+        first.setdefault(span, (doc, pos))
+    want = {}
+    for doc in range(len(word_lists)):
+        mine = [(p, s) for d, p, s in occ if d == doc]
+        kept = [
+            s
+            for p, s in mine
+            if counts[s] == 1 or first[s] == (doc, p)
+        ]
+        want[doc] = (len(mine), len(kept), " ".join(kept))
+    assert got == want
