@@ -91,6 +91,7 @@ HEADLINE = [
     "bpe_vocab_merges",
     "text_sentiment_by_lang",
     "cluster_balanced_sample",
+    "decontamination_fuzzy",
 ]
 
 

@@ -629,43 +629,33 @@ def jaccard_pairs(
     )
 
 
-def jaccard_pairs_via_minhash(
+def _md5_sig_bands(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 8,
-    bands: int = 4,
-    shingle_n: int = 2,
-    threshold: float = 0.05,
-) -> DataFrame:
-    """Exact n-gram Jaccard, candidates from md5-MinHash LSH banding.
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Portable-hash MinHash stages shared by the self-join and
+    cross-corpus operators: returns (shingles ``(_id, _shingles)``
+    PERSISTED — callers own the cache, see jaccard_pairs_via_minhash —
+    and band rows ``(_id, band_id, band_hash)``).
 
-    The 100 TB shape for pair verification when no natural block key
-    exists (or natural blocks go hot — length buckets on natural-language
-    corpora skew badly): candidates come from banded MinHash collisions,
-    so the verify cost tracks the TRUE near-dup density instead of the
-    block-size distribution.  The md5 hash family keeps every stage
-    engine-portable (oracle-checkable value-for-value).
+    Two independent 56-bit lanes per md5 digest (left/right halves):
+    num_hashes lanes cost num_hashes/2 md5 calls — the md5 lanes
+    dominate pair-gen cost, so this halves the hot stage.  NOT the
+    h1+i*h2 double-hash trick: min-wise correlation between derived
+    lanes inflates band-collision recall ~5x (measured), which is a
+    different (and much more expensive) candidate distribution.
 
-    Plan: shingle sets persist narrow → signature via explode +
-    groupBy-min (codegen, map-side partial mins) → band self-join on
-    16-byte band hashes → pair dedup → ONE exact-Jaccard evaluation per
-    surviving candidate.  Returns (id_a, id_b, jaccard).
-
-    Cache lifetime: the shingle frame is ``persist()``-ed and referenced
-    lazily by the returned plan, so this function cannot unpersist it —
-    CALLERS OWN THE CACHE.  Long-running drivers should release it after
-    materializing the result (``spark.catalog.clearCache()`` between
-    pipeline stages, or track via ``df.storageLevel``); one-shot query
-    runs drop it with the session.  Same convention as the other
-    persist() sites in this module.
-    """
+    Filters on the WORD count, not size(_shingles): a filter over the
+    derived shingle column re-evaluates the whole shingle expression in
+    the Filter node (no CSE across operators) — 2x the hot stage;
+    size(words) >= n is exactly "shingles non-empty" (and mirrors the
+    oracle's `len(words) >= n`)."""
+    assert num_hashes % 2 == 0, "num_hashes must be even (2 lanes/digest)"
     rows_per_band = num_hashes // bands
-    # filter on the WORD count, not size(_shingles): a filter over the
-    # derived shingle column re-evaluates the whole shingle expression in
-    # the Filter node (no CSE across operators) — 2x the hot stage.
-    # size(words) >= n is exactly "shingles non-empty" (and mirrors the
-    # oracle's `len(words) >= n`).
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -677,14 +667,6 @@ def jaccard_pairs_via_minhash(
         )
         .persist()
     )
-
-    # two independent 56-bit lanes per md5 digest (left/right halves):
-    # num_hashes lanes cost num_hashes/2 md5 calls — the md5 lanes
-    # dominate pair-gen cost, so this halves the hot stage.  NOT the
-    # h1+i*h2 double-hash trick: min-wise correlation between derived
-    # lanes inflates band-collision recall ~5x (measured), which is a
-    # different (and much more expensive) candidate distribution.
-    assert num_hashes % 2 == 0, "num_hashes must be even (2 lanes/digest)"
     exploded = sh.select("_id", F.explode("_shingles").alias("_s"))
     lanes = []
     for j in range(num_hashes // 2):
@@ -725,6 +707,107 @@ def jaccard_pairs_via_minhash(
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_hash")
+    return sh, banded
+
+
+def _exact_jaccard() -> F.Column:
+    """4-dp-rounded Jaccard of the set_a/set_b shingle columns."""
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return F.round((inter / F.greatest(union, F.lit(1))).cast("double"), 4)
+
+
+def fuzzy_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: corpus documents whose n-gram
+    Jaccard against some benchmark document clears ``threshold`` — the
+    fuzzy upgrade of :func:`corpus.benchmark_contamination` (exact
+    shared n-grams miss paraphrased/lightly-edited eval leakage; banded
+    MinHash catches it).
+
+    Cross-corpus shape: both sides build the portable md5-lane MinHash
+    band index; candidates come from a (band_id, band_hash) equi-join
+    of CORPUS bands against BENCHMARK bands (never a self-join, never
+    all-pairs — cost tracks true cross-corpus similarity), and each
+    surviving (corpus, bench) pair gets ONE exact-Jaccard verification.
+    Returns (id, bench_id, jaccard) with jaccard ≥ threshold.
+
+    The shingle frames are persist()-ed — callers own the cache (same
+    convention as jaccard_pairs_via_minhash).
+    """
+    sh_c, band_c = _md5_sig_bands(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    sh_b, band_b = _md5_sig_bands(
+        benchmark, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    cand = (
+        band_c.select("band_id", "band_hash", F.col("_id").alias("_cid"))
+        .join(
+            band_b.select(
+                "band_id", "band_hash", F.col("_id").alias("bench_id")
+            ),
+            on=["band_id", "band_hash"],
+        )
+        .select("_cid", "bench_id")
+        .dropDuplicates(["_cid", "bench_id"])
+    )
+    verified = cand.join(
+        sh_c.select(F.col("_id").alias("_cid"), F.col("_shingles").alias("set_a")),
+        on="_cid",
+    ).join(
+        sh_b.select(
+            F.col("_id").alias("bench_id"), F.col("_shingles").alias("set_b")
+        ),
+        on="bench_id",
+    )
+    return (
+        verified.withColumn("jaccard", _exact_jaccard())
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("_cid").alias(id_col), "bench_id", "jaccard")
+    )
+
+
+def jaccard_pairs_via_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard, candidates from md5-MinHash LSH banding.
+
+    The 100 TB shape for pair verification when no natural block key
+    exists (or natural blocks go hot — length buckets on natural-language
+    corpora skew badly): candidates come from banded MinHash collisions,
+    so the verify cost tracks the TRUE near-dup density instead of the
+    block-size distribution.  The md5 hash family keeps every stage
+    engine-portable (oracle-checkable value-for-value).
+
+    Plan: shingle sets persist narrow → signature via explode +
+    groupBy-min (codegen, map-side partial mins) → band self-join on
+    16-byte band hashes → pair dedup → ONE exact-Jaccard evaluation per
+    surviving candidate.  Returns (id_a, id_b, jaccard).
+
+    Cache lifetime: the shingle frame is ``persist()``-ed and referenced
+    lazily by the returned plan, so this function cannot unpersist it —
+    CALLERS OWN THE CACHE.  Long-running drivers should release it after
+    materializing the result (``spark.catalog.clearCache()`` between
+    pipeline stages, or track via ``df.storageLevel``); one-shot query
+    runs drop it with the session.  Same convention as the other
+    persist() sites in this module.
+    """
+    sh, banded = _md5_sig_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
     pairs = (
         banded.select("band_id", "band_hash", F.col("_id").alias("id_a"))
         .join(

@@ -2448,6 +2448,86 @@ _JACCARD_PAIRS_CTE = """
     )
 """
 
+@query(
+    "decontamination_fuzzy",
+    # the cross-corpus twin of _JACCARD_MINHASH_PAIRS_CTE: same md5-lane
+    # signature arithmetic, but candidates join CORPUS bands against
+    # BENCHMARK bands (never a self-join)
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               string_split_regex(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(words[i:i+1], ' ')
+                   for i in range(1, len(words))
+               ]) AS shingles
+        FROM docs
+        WHERE len(words) >= 2
+    ), sig AS (
+        SELECT doc_id,
+               flatten([
+                   [list_min([
+                       ('0x' || substr(md5(j || ':' || s), 2, 14))::BIGINT
+                       for s in shingles
+                   ]),
+                    list_min([
+                       ('0x' || substr(md5(j || ':' || s), 18, 14))::BIGINT
+                       for s in shingles
+                   ])]
+                   for j in range(0, 4)
+               ]) AS sig
+        FROM sh
+    ), bands AS (
+        SELECT doc_id, b,
+               md5(array_to_string(
+                   [CAST(x AS VARCHAR) for x in sig[b*2+1:b*2+2]],
+                   ',')) AS band_hash
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS bench_id
+        FROM bands c
+        JOIN bands e ON c.b = e.b AND c.band_hash = e.band_hash
+        WHERE c.doc_id % 100 <> 7 AND e.doc_id % 100 = 7
+    ), scored AS (
+        SELECT p.doc_id, p.bench_id,
+               round(len(list_intersect(sa.shingles, sb.shingles))
+                     / greatest(len(sa.shingles) + len(sb.shingles)
+                                - len(list_intersect(sa.shingles,
+                                                     sb.shingles)), 1),
+                     4) AS jaccard
+        FROM cand p
+        JOIN sh sa ON sa.doc_id = p.doc_id
+        JOIN sh sb ON sb.doc_id = p.bench_id
+    )
+    SELECT doc_id, bench_id, jaccard FROM scored
+    WHERE jaccard >= 0.05
+    ORDER BY doc_id, bench_id
+    """,
+)
+def decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate decontamination: corpus docs whose bigram Jaccard
+    against a benchmark doc clears 0.05 — catches paraphrased/edited eval
+    leakage that exact n-gram overlap (benchmark_contamination) misses.
+    Candidates come from a cross-corpus band join (corpus bands ×
+    benchmark bands, never all-pairs); one exact-Jaccard verify per
+    candidate (operators/dedup.py:fuzzy_decontamination)."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        fuzzy_decontamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 7)
+    corpus = d.filter(F.col("doc_id") % 100 != 7)
+    return fuzzy_decontamination(corpus, bench, threshold=0.05).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
 # Reusable CTE chain: md5-MinHash LSH candidates -> exact-Jaccard verified
 # pairs at >= 0.05.  `pairs` is the verified, thresholded pair set —
 # dedup_jaccard_minhash selects it directly; dedup_cc_clusters walks it
@@ -5356,7 +5436,9 @@ HEADLINE: list[str] = [
     "user_funnel_conversion",
     "embedding_dedup_clusters",
     "dedup_cc_rounds",
-    "dedup_keep_best",
+    # dedup_keep_best (green r5) rotates to the tail for the new
+    # cross-corpus fuzzy decontamination (dedup family keeps 6 rows)
+    "decontamination_fuzzy",
     # ann_pq/ivfpq graduate to hash-checked this round (fixed data-derived
     # codebooks shared with the oracle); ann_ivf_kmeans_topk stays
     # rows-only by nature (trained quantizer) → rotated to the tail, its

@@ -980,3 +980,24 @@ def test_auto_lsh_bits_sizing(spark):
         for r in embedding_near_duplicates(e, bits_per_table=4).collect()
     }
     assert auto == fixed
+
+
+def test_fuzzy_decontamination_cross_corpus_only(spark, docs):
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        fuzzy_decontamination,
+    )
+
+    # benchmark = doc 1 ("...lazy cat"); corpus contains its near-dups
+    # (0, 2) and unrelated docs; corpus-internal duplicates (0 vs 2)
+    # must NOT be reported — only corpus-vs-benchmark hits
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    hits = fuzzy_decontamination(
+        corpus, bench, shingle_n=2, threshold=0.3
+    ).collect()
+    got = {(r["doc_id"], r["bench_id"]) for r in hits}
+    assert (0, 1) in got and (2, 1) in got
+    assert all(b == 1 for _, b in got)
+    assert all(r["jaccard"] >= 0.3 for r in hits)
+    # unrelated docs stay clean
+    assert not any(d in (3, 4, 5) for d, _ in got)
