@@ -92,6 +92,10 @@ HEADLINE = [
     "text_sentiment_by_lang",
     "cluster_balanced_sample",
     "decontamination_fuzzy",
+    "corpus_mixture_sample",
+    "scd2_customer_merge",
+    "corpus_epoch_shuffle",
+    "text_classifier_scores",
 ]
 
 

@@ -304,6 +304,109 @@ def chunk_documents(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_frac: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Token-budget mixture sampling: downsample each source so the kept
+    corpus approaches ``budget_frac`` of total tokens distributed per
+    ``targets`` (shares summing to 1) — the data-mixing step that turns
+    raw crawl proportions into a training mixture.
+
+    Per-source keep rate = min(1, budget · share / source_tokens), then
+    the usual deterministic keyed-hash filter (no RNG; same kept set on
+    any engine/partitioning).  A source too small for its target share
+    caps at rate 1 — under-supplied shares surface as a shortfall
+    rather than silent re-weighting, which is what a curation pipeline
+    wants to SEE.  The cutoff arithmetic (floor of one double
+    expression) is written identically in the SQL oracle so boundary
+    buckets agree bit-for-bit.
+
+    Shape: one grouped aggregate builds the per-source token table
+    (tiny — one row per source), which broadcast-joins back; the filter
+    itself is map-side.  Two passes over the corpus, both scan-bound.
+    """
+    n_tok = token_count(F.col(text_col)).cast("bigint")
+    toks = df.select(F.col(stratum_col).alias("_src"), n_tok.alias("_nt"))
+    per_src = toks.groupBy("_src").agg(F.sum("_nt").alias("_src_tokens"))
+    total = per_src.agg(
+        F.floor(F.sum("_src_tokens") * F.lit(budget_frac))
+        .cast("bigint")
+        .alias("_budget")
+    )
+    share = F.lit(0.0)
+    for name, s in targets.items():
+        share = F.when(F.col("_src") == name, F.lit(s)).otherwise(share)
+    rates = per_src.crossJoin(F.broadcast(total)).select(
+        "_src",
+        "_src_tokens",
+        F.least(
+            F.lit(_BUCKETS).cast("bigint"),
+            F.floor(
+                F.lit(float(_BUCKETS)) * F.col("_budget") * share
+                / F.col("_src_tokens")
+            ).cast("bigint"),
+        ).alias("_cutoff"),
+    )
+    bucket = F.pmod(
+        md5_64(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(_BUCKETS),
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            on=df[stratum_col] == rates["_src"],
+        )
+        .filter(bucket < F.col("_cutoff"))
+        .drop("_src", "_src_tokens", "_cutoff")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment for training
+    export: every row gets a ``(shard, pos)`` placement that is a
+    pseudo-random permutation of the corpus, re-drawn per ``epoch``.
+
+    The shuffle key is ``md5(salt:e{epoch}:id)`` — stateless, so the
+    same (corpus, epoch) produces the same global order on any engine,
+    any partitioning, any retry (a real 100 TB hazard with
+    ``orderBy(rand(seed))``: speculative re-execution of a sampled sort
+    stage can re-draw).  ``shard = key mod n_shards`` spreads rows
+    near-uniformly; ``pos`` is the row's rank within its shard (key
+    order, id tie-break).
+
+    Shape: one shuffle on ``shard`` + an in-partition sort — there is NO
+    global sort.  Each shard is one window partition = one export file,
+    so ``n_shards`` should be sized like output files (thousands at
+    100 TB: shard ≈ a few GB), which also keeps every window partition
+    executor-sized.  Writing ``partitionBy(shard)`` with pos-sorted rows
+    reproduces the classic tfrecord/webdataset shard layout.
+    """
+    key = md5_64(
+        F.concat(
+            F.lit(f"{salt}:e{epoch}:"), F.col(id_col).cast("string")
+        )
+    )
+    out = df.withColumn("_sk", key).withColumn(
+        shard_col, F.pmod(F.col("_sk"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy("_sk", id_col)
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("_sk")
+
+
 def percentile_filter(
     df: DataFrame,
     score_col: str,

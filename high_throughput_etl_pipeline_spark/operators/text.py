@@ -367,3 +367,95 @@ def sentiment_score(
     return F.round(
         (pos - neg) / (pos + neg + F.lit(1)).cast("double"), 4
     )
+
+
+def hashed_feature_weights(
+    spark, n_features: int = 4096, salt: str = "w"
+) -> DataFrame:
+    """Deterministic pseudo-weight table (feature_id, weight in
+    [-1, 1]) standing in for a trained linear model's parameters — the
+    md5 derivation makes the same table reproducible in any engine, so
+    the scoring pipeline is value-checkable end-to-end.  Swap in real
+    trained weights (same two columns) for production."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    return spark.range(n_features).select(
+        F.col("id").cast("bigint").alias("feature_id"),
+        (
+            (
+                F.pmod(
+                    md5_64(
+                        F.concat(
+                            F.lit(f"{salt}:"), F.col("id").cast("string")
+                        )
+                    ),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / 1000.0
+        )
+        .cast("double")
+        .alias("weight"),
+    )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    n_features: int = 4096,
+    score_col: str = "score",
+) -> DataFrame:
+    """fastText-style hashed linear classifier scoring: each token maps
+    to ``md5(token) mod n_features`` and the document score is the mean
+    weight of its token features — the model-based quality-filter shape
+    (a trained classifier's inference pass), kept entirely JVM-side.
+
+    Shape: ``weights`` (feature_id, weight) collapses into a ONE-ROW map
+    column that broadcast-joins onto the corpus — the lookup happens
+    inside a higher-order ``aggregate`` over the materialized token
+    array, so scoring is map-side: no explode, no shuffle, no Python.
+    A fastText-scale table (2M buckets ≈ 16 MB) broadcasts fine; the
+    map literal is NOT inlined into the plan (codegen dies on huge
+    literals — the one-row-table trick keeps it a join input).
+    Empty-token docs score NULL (callers filter or coalesce).
+    """
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    wrow = weights.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("feature_id").cast("bigint"),
+                    F.col("weight").cast("double"),
+                )
+            )
+        ).alias("_wmap")
+    )
+    # materialize the token array in its OWN projection before the HOF
+    # (lambdas re-evaluate captured trees per element — see SCALE.md)
+    toks = df.crossJoin(F.broadcast(wrow)).withColumn(
+        "_toks", tokens(F.col(text_col))
+    )
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size("_toks")
+    )
+    total = F.aggregate(
+        "_toks",
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(
+                F.col("_wmap"), F.pmod(md5_64(t), F.lit(n_features))
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        toks.withColumn(
+            score_col,
+            F.when(n > 0, total / n).otherwise(F.lit(None).cast("double")),
+        )
+        .drop("_toks", "_wmap")
+    )

@@ -3645,6 +3645,194 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+                    END AS nt
+        FROM documents
+    ), per_src AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS src_tokens
+        FROM t GROUP BY source
+    ), tot AS (
+        SELECT CAST(floor(SUM(src_tokens) * 0.1) AS BIGINT) AS budget
+        FROM per_src
+    ), rates AS (
+        SELECT source, src_tokens,
+               least(10000, CAST(floor(10000.0 * budget *
+                   CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                               WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                               ELSE 0.0 END
+                   / src_tokens) AS BIGINT)) AS cutoff
+        FROM per_src CROSS JOIN tot
+    ), kept AS (
+        SELECT t.doc_id, t.source, t.nt
+        FROM t JOIN rates r ON t.source = r.source
+        WHERE ('0x' || substr(md5('mix-v1:' || CAST(t.doc_id AS VARCHAR)),
+                              18, 15))::BIGINT % 10000 < r.cutoff
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(nt) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (the data-mixing step): keep ~10%
+    of total tokens distributed 40/30/20/10 across four sources, rates
+    DERIVED from measured per-source token mass (min(1, budget·share/
+    source_tokens)), then the deterministic keyed-hash filter.  Unlisted
+    sources drop; an under-supplied share caps at rate 1 and surfaces
+    as a shortfall (operators/corpus.py:mixture_sample)."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        mixture_sample,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d,
+        targets={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        budget_frac=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(token_count(F.col("text")).cast("bigint")).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_classifier_scores",
+    oracle="""
+    WITH w AS (
+        SELECT i AS fid,
+               (('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 18, 15))
+                   ::BIGINT % 2001 - 1000) / 1000.0 AS wt
+        FROM generate_series(0, 4095) t(i)
+    ), tok AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), feat AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(tok), 18, 15))::BIGINT % 4096 AS fid
+        FROM tok
+    ), s AS (
+        SELECT doc_id, source, SUM(wt) AS sw, COUNT(*) AS n
+        FROM feat JOIN w ON feat.fid = w.fid
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN round(sw / n, 6) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_keep,
+           round(SUM(round(sw / n, 6)), 4) AS score_sum,
+           CAST(SUM(CASE WHEN round(sw / n, 6) > 0 THEN doc_id END)
+               AS BIGINT) AS keep_id_sum
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier inference
+    (operators/text.py:linear_quality_score): md5-hashed bag-of-words
+    into 4096 buckets, deterministic pseudo-weight table (the trained-
+    model stand-in, reproduced by the oracle from the same md5
+    derivation), document score = mean feature weight via a broadcast
+    one-row weight map + higher-order aggregate — map-side, no explode,
+    no shuffle on the corpus.  Keep decision (score > 0) is
+    value-checked per source via the kept-id sum; per-doc scores round
+    to 6 before the cross-engine sum."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    w = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, w, n_features=4096).withColumn(
+        # threshold on the ROUNDED score: raw sums can land within an
+        # ulp of 0 and flip sign under a different summation order
+        "_sr",
+        F.round(F.col("score"), 6),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("_sr") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_keep"),
+            F.round(F.sum("_sr"), 4).alias("score_sum"),
+            F.sum(F.when(F.col("_sr") > 0, F.col("doc_id"))).alias(
+                "keep_id_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shuffle-v1:e1:' || CAST(doc_id AS VARCHAR)),
+                               18, 15))::BIGINT AS k
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, k,
+               CAST(k % 8 AS INT) AS shard,
+               row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+                   AS pos
+        FROM keyed
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS pos_weighted_sum,
+           CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc
+    FROM sh GROUP BY shard ORDER BY shard
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment
+    (operators/corpus.py:shuffle_shards): epoch-1 permutation into 8
+    shards, checked order-sensitively — pos_weighted_sum is
+    SUM(pos·doc_id), which differs under ANY misordering within a
+    shard, and head_doc pins each shard's first export row."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        shuffle_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = shuffle_shards(d, epoch=1, n_shards=8)
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pos").cast("bigint") * F.col("doc_id")).alias(
+                "pos_weighted_sum"
+            ),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
+                "head_doc"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
     "corpus_hash_split",
     oracle="""
     WITH b AS (
@@ -4837,6 +5025,113 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+@query(
+    "scd2_customer_merge",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               round(c_acctbal, 2) AS bal,
+               DATE '1992-01-01' AS eff_from,
+               DATE '9999-12-31' AS eff_to,
+               TRUE AS is_current
+        FROM customer
+    ), cnts AS (
+        SELECT o_custkey AS k, COUNT(*) AS cnt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-07-01'
+        GROUP BY o_custkey
+    ), upd AS (
+        SELECT d.k,
+               CASE WHEN c.cnt >= 3 THEN 'VIP' ELSE d.seg END AS seg,
+               d.bal
+        FROM cnts c JOIN dim d ON c.k = d.k
+    ), merged AS (
+        SELECT d.k, d.seg, d.bal, d.eff_from, d.eff_to, d.is_current
+        FROM dim d LEFT JOIN upd u ON d.k = u.k
+        WHERE u.k IS NULL OR (u.seg = d.seg AND u.bal = d.bal)
+        UNION ALL
+        SELECT d.k, d.seg, d.bal, d.eff_from,
+               DATE '1995-07-01' AS eff_to, FALSE AS is_current
+        FROM dim d JOIN upd u ON d.k = u.k
+        WHERE u.seg <> d.seg OR u.bal <> d.bal
+        UNION ALL
+        SELECT u.k, u.seg, u.bal, DATE '1995-07-01' AS eff_from,
+               DATE '9999-12-31' AS eff_to, TRUE AS is_current
+        FROM dim d JOIN upd u ON d.k = u.k
+        WHERE u.seg <> d.seg OR u.bal <> d.bal
+    )
+    SELECT is_current, seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(MIN(eff_from) AS VARCHAR) AS min_from,
+           CAST(MAX(eff_from) AS VARCHAR) AS max_from,
+           CAST(MIN(eff_to) AS VARCHAR) AS min_to,
+           round(SUM(bal), 2) AS bal_sum
+    FROM merged
+    GROUP BY is_current, seg
+    ORDER BY is_current, seg
+    """,
+)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/merge.py:scd2_merge): customers
+    are the day-0 dimension snapshot; customers with ≥3 orders in
+    1995H1 get a 'VIP' segment update applied as of 1995-07-01 — the
+    changed keys close + re-open, identical updates no-op, the rest
+    carry.  At sf0.01: 60 changed / 717 no-op / 723 carried, so every
+    merge branch binds.  The oracle mirrors the semantics as a
+    three-branch UNION; the engine emits closed+open pairs from ONE
+    full-outer join via a conditional array + inline (single pass)."""
+    from high_throughput_etl_pipeline_spark.operators.merge import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("1992-01-01").cast("date").alias("effective_from"),
+        F.lit("9999-12-31").cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cnts = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_custkey").alias("uk"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    updates = cnts.join(dim, cnts["uk"] == dim["k"]).select(
+        "k",
+        F.when(F.col("cnt") >= 3, F.lit("VIP")).otherwise(F.col("seg")).alias(
+            "seg"
+        ),
+        "bal",
+    )
+    merged = scd2_merge(
+        dim, updates, "k", ["seg", "bal"], as_of="1995-07-01"
+    )
+    return (
+        merged.groupBy("is_current", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.date_format(F.min("effective_from"), "yyyy-MM-dd").alias(
+                "min_from"
+            ),
+            F.date_format(F.max("effective_from"), "yyyy-MM-dd").alias(
+                "max_from"
+            ),
+            F.date_format(F.min("effective_to"), "yyyy-MM-dd").alias(
+                "min_to"
+            ),
+            F.round(F.sum("bal"), 2).alias("bal_sum"),
+        )
+        .orderBy("is_current", "seg")
+    )
+
+
 _DATAPREP_ORACLE = """
 WITH feats AS (
     SELECT doc_id, text,
@@ -5448,7 +5743,10 @@ HEADLINE: list[str] = [
     "text_repetition_stats",
     "tfidf_top_terms",
     "table_column_stats",
-    "doc_unigram_logprob",
+    # doc_unigram_logprob (green r4/r5) rotates to the tail for the
+    # hashed-classifier inference pass — LM/scoring family keeps
+    # doc_bigram_perplexity in-window
+    "text_classifier_scores",
     "corpus_vocab_topk",
     # corpus_doc_chunks (green r4/r5) rotates to the tail — chunking is
     # also replayed inside dataprep_training_batches' 4-stage oracle
@@ -5466,8 +5764,14 @@ HEADLINE: list[str] = [
     # z-order layout algebra (new in r5; s3_path_parse, green r1-r4,
     # rotated to the tail to make room)
     "events_zorder_buckets",
-    "customers_without_orders",
-    "doc_word_counts",
+    # customers_without_orders (J4 anti-join, green r5) rotates to the
+    # tail for the SCD2 merge — the join family keeps q1/q3 plus the
+    # full-outer conditional merge in-window
+    "scd2_customer_merge",
+    # doc_word_counts (J2 explode+join, green r5) rotates to the tail —
+    # the explode family keeps tfidf_top_terms/doc_unigram_logprob
+    # in-window; the epoch shuffle is a first driver row
+    "corpus_epoch_shuffle",
     # text_token_stats (green r5) rotates to the tail for
     # doc_bigram_perplexity — token counting stays exercised in-window
     # via corpus_token_packing/text_repetition_stats oracles
@@ -5475,8 +5779,9 @@ HEADLINE: list[str] = [
     "dedup_exact_groups",
     "dedup_minhash_md5",
     # knn_bruteforce (green r1-r5) rotates to the tail — the exact-cosine
-    # machinery is exercised in-window via the ANN verify paths
-    "corpus_hash_split",
+    # machinery is exercised in-window via the ANN verify paths;
+    # corpus_hash_split (green r3-r5) rotates for the mixture sampler
+    "corpus_mixture_sample",
     "sample_frames",
 ]
 

@@ -1001,3 +1001,177 @@ def test_fuzzy_decontamination_cross_corpus_only(spark, docs):
     assert all(r["jaccard"] >= 0.3 for r in hits)
     # unrelated docs stay clean
     assert not any(d in (3, 4, 5) for d, _ in got)
+
+
+def test_mixture_sample_tracks_targets(spark):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        mixture_sample,
+    )
+
+    # 4 sources x 100 docs x 10 tokens each (1000 tokens/source); at a
+    # 20% budget (800 tokens) with 40/30/20/10 targets, keep rates are
+    # budget*share/source_tokens = 0.32/0.24/0.16/0.08
+    rows = [
+        (s * 1000 + i, f"s{s}", "tok " * 10)
+        for s in range(4)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, text STRING")
+    targets = {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1}
+    kept = mixture_sample(df, targets, budget_frac=0.2)
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, expect in (("s0", 32), ("s1", 24), ("s2", 16), ("s3", 8)):
+        assert abs(counts[s] - expect) <= 12, (s, counts)
+    # raising the budget keeps a SUPERSET (cutoffs are monotone in budget)
+    small = {r["doc_id"] for r in kept.collect()}
+    big = {
+        r["doc_id"]
+        for r in mixture_sample(df, targets, budget_frac=0.4).collect()
+    }
+    assert small <= big
+    # an unlisted source is dropped entirely
+    extra = spark.createDataFrame(
+        [(9999, "s_unlisted", "tok tok")], "doc_id BIGINT, source STRING, text STRING"
+    )
+    out = mixture_sample(df.union(extra), targets, budget_frac=0.2)
+    assert out.filter(F.col("source") == "s_unlisted").count() == 0
+
+
+def test_scd2_merge_branches(spark):
+    from high_throughput_etl_pipeline_spark.operators.merge import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            # k=1: one history row + an open row that WILL change
+            (1, "A", 10.0, "2020-01-01", "2021-01-01", False),
+            (1, "B", 10.0, "2021-01-01", "9999-12-31", True),
+            # k=2: open row with an identical update (no-op branch)
+            (2, "B", 20.0, "2020-01-01", "9999-12-31", True),
+            # k=3: open row with no update at all (carry branch)
+            (3, "C", 30.0, "2020-01-01", "9999-12-31", True),
+        ],
+        "k BIGINT, seg STRING, bal DOUBLE, effective_from STRING, "
+        "effective_to STRING, is_current BOOLEAN",
+    ).withColumns(
+        {
+            "effective_from": F.col("effective_from").cast("date"),
+            "effective_to": F.col("effective_to").cast("date"),
+        }
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "Z", 10.0),      # changed attr -> close + open
+            (2, "B", 20.0),      # identical -> no-op
+            (4, "N", 40.0),      # brand-new key -> open
+        ],
+        "k BIGINT, seg STRING, bal DOUBLE",
+    )
+    out = scd2_merge(dim, updates, "k", ["seg", "bal"], as_of="2022-06-01")
+    got = {
+        (r["k"], r["seg"], str(r["effective_from"]), str(r["effective_to"]),
+         r["is_current"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "A", "2020-01-01", "2021-01-01", False),   # history untouched
+        (1, "B", "2021-01-01", "2022-06-01", False),   # closed
+        (1, "Z", "2022-06-01", "9999-12-31", True),    # re-opened
+        (2, "B", "2020-01-01", "9999-12-31", True),    # no-op carry
+        (3, "C", "2020-01-01", "9999-12-31", True),    # no-update carry
+        (4, "N", "2022-06-01", "9999-12-31", True),    # new key
+    }
+    # idempotency: re-applying the same snapshot is a no-op
+    again = scd2_merge(out, updates, "k", ["seg", "bal"], as_of="2022-07-01")
+    assert again.count() == out.count()
+    got2 = {
+        (r["k"], r["seg"], str(r["effective_from"]), str(r["effective_to"]),
+         r["is_current"])
+        for r in again.collect()
+    }
+    assert got2 == got
+    # null-safe compare: NULL -> value counts as a change
+    dim_n = spark.createDataFrame(
+        [(7, None, 1.0, "2020-01-01", "9999-12-31", True)],
+        "k BIGINT, seg STRING, bal DOUBLE, effective_from STRING, "
+        "effective_to STRING, is_current BOOLEAN",
+    ).withColumns(
+        {
+            "effective_from": F.col("effective_from").cast("date"),
+            "effective_to": F.col("effective_to").cast("date"),
+        }
+    )
+    upd_n = spark.createDataFrame([(7, "X", 1.0)], "k BIGINT, seg STRING, bal DOUBLE")
+    out_n = scd2_merge(dim_n, upd_n, "k", ["seg", "bal"], as_of="2022-06-01")
+    assert out_n.count() == 2
+    assert out_n.filter(F.col("is_current")).collect()[0]["seg"] == "X"
+
+
+def test_shuffle_shards_epoch_permutation(spark):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id BIGINT, text STRING"
+    )
+    e1 = shuffle_shards(df, epoch=1, n_shards=4)
+    e1b = shuffle_shards(df.repartition(7), epoch=1, n_shards=4)
+    place = lambda d: {
+        r["doc_id"]: (r["shard"], r["pos"]) for r in d.collect()
+    }
+    p1, p1b = place(e1), place(e1b)
+    # deterministic across partitionings
+    assert p1 == p1b
+    # every doc placed exactly once; positions are 1..n contiguous per shard
+    assert len(p1) == 400
+    by_shard: dict[int, list[int]] = {}
+    for s, pos in p1.values():
+        by_shard.setdefault(s, []).append(pos)
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), s
+    # shards near-balanced (expected 100 each)
+    assert all(60 <= len(v) <= 140 for v in by_shard.values()), {
+        k: len(v) for k, v in by_shard.items()
+    }
+    # a different epoch is a genuinely different permutation
+    p2 = place(shuffle_shards(df, epoch=2, n_shards=4))
+    moved = sum(1 for d in p1 if p1[d] != p2[d])
+    assert moved > 300
+
+
+def test_linear_quality_score_matches_manual(spark):
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    w = hashed_feature_weights(spark, n_features=64, salt="t")
+    wmap = {r["feature_id"]: r["weight"] for r in w.collect()}
+    assert len(wmap) == 64
+    assert all(-1.0 <= v <= 1.0 for v in wmap.values())
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "   ")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in linear_quality_score(docs, w, n_features=64).collect()
+    }
+
+    import hashlib
+
+    def fid(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[17:32], 16) % 64
+
+    for doc_id, text in [(1, "alpha beta gamma"), (2, "alpha alpha")]:
+        toks = text.split()
+        expect = sum(wmap[fid(t)] for t in toks) / len(toks)
+        assert abs(got[doc_id] - expect) < 1e-12, doc_id
+    # repeated tokens weigh by multiplicity: doc2 == w[alpha]
+    assert abs(got[2] - wmap[fid("alpha")]) < 1e-12
+    # empty text -> NULL score
+    assert got[3] is None
