@@ -96,6 +96,7 @@ HEADLINE = [
     "scd2_customer_merge",
     "corpus_epoch_shuffle",
     "text_classifier_scores",
+    "events_freq_sketch",
 ]
 
 

@@ -179,3 +179,139 @@ def segment_overlap(
             F.round(F.col("intersect_est") / F.col("union_est"), 4),
         )
     )
+
+
+def _cms_bucket(key, row, width: int) -> F.Column:
+    """Row-salted md5 bucket — the i-th CMS hash function.  Uses the
+    engine-portable low-60-bit md5 slice, so an independent SQL engine
+    reproduces the same counters bit-for-bit."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    return F.pmod(
+        md5_64(F.concat(row.cast("string"), F.lit(":"), key.cast("string"))),
+        F.lit(width),
+    )
+
+
+def cms_sketches(
+    df: DataFrame,
+    key_col: str = "user_id",
+    group_col: F.Column | str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group count-min sketches: (group, cms, n_rows).
+
+    ``cms`` is a depth×width counter matrix (array<array<bigint>>) — a
+    KB-scale summary supporting point-frequency estimates with the
+    classic guarantee: estimate ≥ true, and ≤ true + (e/width)·N with
+    probability 1−e^−depth.  Unlike HLL/KLL the arithmetic is exact
+    integer counting over deterministic hashes, so the whole pipeline is
+    value-checkable against an independent engine.
+
+    Shape: rows explode ×depth (map-side), one grouped count on
+    (group, row, bucket) — cardinality ≤ groups·depth·width, tiny —
+    then two map-from-entries densification passes.  The heavy shuffle
+    carries (group,row,bucket) partial counts, never raw keys; at
+    100 TB the per-partition combine reduces each partition to ≤
+    depth·width cells before anything moves.
+    """
+    group = (
+        F.lit("ALL") if group_col is None else F.col(group_col)
+        if isinstance(group_col, str)
+        else group_col
+    ).alias("group")
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("_row")
+    keyed = df.select(group, F.col(key_col).alias("_k")).select(
+        "group", "_k", rows
+    )
+    cells = (
+        keyed.withColumn("_b", _cms_bucket(F.col("_k"), F.col("_row"), width))
+        .groupBy("group", "_row", "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    dense_rows = cells.groupBy("group", "_row").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_cnt")))
+        ).alias("_m")
+    ).select(
+        "group",
+        "_row",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            lambda b: F.coalesce(
+                F.element_at(F.col("_m"), b.cast("bigint")), F.lit(0)
+            ).cast("bigint"),
+        ).alias("_arr"),
+    )
+    mat = F.map_from_entries(
+        F.collect_list(F.struct(F.col("_row"), F.col("_arr")))
+    )
+    return dense_rows.groupBy("group").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda i: F.element_at(mat, i.cast("int")),
+        ).alias("cms"),
+        # every row of the matrix sums to the group's row count; read it
+        # off row 0 so n_rows needs no second pass over the input
+        F.sum(
+            F.when(
+                F.col("_row") == 0,
+                F.aggregate(
+                    "_arr", F.lit(0).cast("bigint"), lambda a, x: a + x
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("n_rows"),
+    )
+
+
+def cms_merge(sketches: DataFrame, depth: int = 4, width: int = 256):
+    """Merge all per-group CMS matrices into ONE matrix column
+    (one-row DataFrame) by elementwise sum — the mergeability contract:
+    totals come from stored sketches, never from rescanning rows."""
+    zero = F.array_repeat(
+        F.array_repeat(F.lit(0).cast("bigint"), width), depth
+    )
+    return sketches.agg(
+        F.aggregate(
+            F.collect_list("cms"),
+            zero,
+            lambda acc, m: F.zip_with(
+                acc,
+                m,
+                lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
+            ),
+        ).alias("cms")
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    merged: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]`` against the
+    one-row merged sketch: min over rows of the key's counter.  The
+    matrix rides in as a broadcast one-row join (never a plan literal —
+    huge literals break codegen)."""
+    est = F.least(
+        *[
+            F.element_at(
+                F.element_at(F.col("cms"), i + 1),
+                (_cms_bucket(F.col(key_col), F.lit(i), width) + 1).cast(
+                    "int"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        probes.crossJoin(F.broadcast(merged))
+        .withColumn(out_col, est)
+        .drop("cms")
+    )

@@ -3712,6 +3712,73 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_freq_sketch",
+    oracle="""
+    WITH counters AS (
+        SELECT r.i,
+               ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+                    || CAST(e.user_id AS VARCHAR)), 18, 15))::BIGINT % 256
+                   AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events e CROSS JOIN generate_series(0, 3) r(i)
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id <= 25
+    ), probe_b AS (
+        SELECT p.user_id, r.i,
+               ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+                    || CAST(p.user_id AS VARCHAR)), 18, 15))::BIGINT % 256
+                   AS b
+        FROM probes p CROSS JOIN generate_series(0, 3) r(i)
+    ), est AS (
+        SELECT pb.user_id, CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate
+        FROM probe_b pb JOIN counters c ON pb.i = c.i AND pb.b = c.b
+        GROUP BY pb.user_id
+    ), exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM events WHERE user_id <= 25 GROUP BY user_id
+    )
+    SELECT e.user_id, est.cms_estimate, e.exact_count
+    FROM est JOIN exact e ON est.user_id = e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def events_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.py:cms_sketches):
+    per-day 4×256 counter matrices over events.user_id, merged into ONE
+    matrix by elementwise sketch sum (cms_merge — totals from stored
+    sketches, no rescan), then point estimates for the user_id ≤ 25
+    probe set.  CMS arithmetic is exact integer counting over portable
+    md5 buckets, so — unlike HLL/KLL — the estimates hash-match an
+    independent engine bit-for-bit; the oracle rebuilds the same
+    counters from first principles (the per-day split is invisible to
+    it, which is exactly the mergeability claim under test)."""
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = cms_sketches(
+        ev, key_col="user_id", group_col=F.to_date("ts").cast("string")
+    )
+    merged = cms_merge(daily)
+    probes = ev.filter(F.col("user_id") <= 25).select("user_id").distinct()
+    est = cms_estimate(probes, merged, "user_id")
+    exact = (
+        ev.filter(F.col("user_id") <= 25)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, on="user_id")
+        .select("user_id", "cms_estimate", "exact_count")
+        .orderBy("user_id")
+    )
+
+
+@query(
     "text_classifier_scores",
     oracle="""
     WITH w AS (
@@ -5711,7 +5778,10 @@ HEADLINE: list[str] = [
     "events_percentiles",
     "events_peak_hour",
     "events_unit_metrics",
-    "events_rolling_stats",
+    # events_rolling_stats (green r5) rotates to the tail for the
+    # count-min sketch — the first VALUE-checked sketch query (HLL/KLL/
+    # theta stay rows-only by nature; CMS arithmetic is exact)
+    "events_freq_sketch",
     "events_props_json",
     "validation_split",
     "metrics_size_profile",

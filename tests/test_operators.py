@@ -1175,3 +1175,54 @@ def test_linear_quality_score_matches_manual(spark):
     assert abs(got[2] - wmap[fid("alpha")]) < 1e-12
     # empty text -> NULL score
     assert got[3] is None
+
+
+def test_cms_guarantees_and_merge_identity(spark):
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketches,
+    )
+    import math
+
+    # zipf-ish: key k appears ~1000/k times, split over 3 groups
+    rows = [
+        (k, f"g{i % 3}")
+        for k in range(1, 51)
+        for i in range(1000 // k)
+    ]
+    df = spark.createDataFrame(rows, "key BIGINT, g STRING")
+    n_total = len(rows)
+    depth, width = 4, 64
+
+    grouped = cms_sketches(df, "key", "g", depth=depth, width=width)
+    assert grouped.count() == 3
+    # n_rows conservation per group
+    got_n = {r["group"]: r["n_rows"] for r in grouped.collect()}
+    true_n = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_n == true_n
+
+    merged = cms_merge(grouped, depth=depth, width=width)
+    probes = df.select(F.col("key")).distinct()
+    est = {
+        r["key"]: r["cms_estimate"]
+        for r in cms_estimate(
+            probes, merged, "key", depth=depth, width=width
+        ).collect()
+    }
+    true = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    eps_n = math.e / width * n_total
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)          # never undercounts
+        assert est[k] <= t + eps_n, (k, est[k], t)  # classic CMS bound
+    # merge identity: merged-from-groups == built-in-one-shot, exactly
+    single = cms_sketches(df, "key", None, depth=depth, width=width)
+    m1 = merged.collect()[0]["cms"]
+    m2 = single.collect()[0]["cms"]
+    assert m1 == m2
