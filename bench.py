@@ -97,6 +97,7 @@ HEADLINE = [
     "corpus_epoch_shuffle",
     "text_classifier_scores",
     "events_freq_sketch",
+    "corpus_datacard",
 ]
 
 

@@ -3712,6 +3712,144 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_datacard",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, source, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(len(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1), 4) AS digit_ratio,
+               round(len(regexp_extract_all(lower(text),
+                     '\\b(the|and|of|to|a|in|is|that)\\b'))
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     4) AS stopword_ratio,
+               md5(array_to_string(list_slice(string_split_regex(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' '), 1, 8), ' ')) AS pfx
+        FROM documents
+    ), scored AS (
+        SELECT *,
+               round(0.25 * least(n_tokens / 100.0, 1.0)
+                   + 0.25 * (1.0 - least(punct_ratio * 5, 1.0))
+                   + 0.25 * (1.0 - least(digit_ratio * 5, 1.0))
+                   + 0.25 * least(stopword_ratio * 4, 1.0), 4) AS q
+        FROM feats
+    ), pc AS (
+        SELECT pfx, COUNT(*) AS pcnt FROM feats GROUP BY pfx
+    ), main AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               round(AVG(n_tokens), 2) AS mean_tokens,
+               round(quantile_cont(n_tokens, 0.5), 1) AS median_tokens,
+               round(AVG(q), 4) AS avg_quality,
+               CAST(SUM(CASE WHEN q < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_quality_docs,
+               CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS short_docs,
+               CAST(SUM(CASE WHEN pc.pcnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS boilerplate_docs
+        FROM scored JOIN pc USING (pfx)
+        GROUP BY source
+    ), lc AS (
+        SELECT source, lang, COUNT(*) AS cnt
+        FROM documents GROUP BY source, lang
+    ), lt AS (
+        SELECT source, lang AS top_lang, cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, lang) AS rn
+        FROM lc
+    )
+    SELECT m.source, m.n_docs, m.total_tokens, m.mean_tokens,
+           m.median_tokens, m.avg_quality, m.low_quality_docs,
+           m.short_docs, m.boilerplate_docs, lt.top_lang,
+           round(lt.cnt * 1.0 / m.n_docs, 4) AS top_lang_frac
+    FROM main m JOIN lt ON m.source = lt.source AND lt.rn = 1
+    ORDER BY m.source
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card — the summary a curation run emits
+    alongside its output: volume (docs, tokens, mean/median), language
+    mix (top lang + share), quality (avg score, low-quality count),
+    short-doc count, and boilerplate-prefix members (docs sharing their
+    first 8 normalized words with another doc — 47 bind at sf0.01).
+    Composes quality_features + the dedup normalizer; two grouped
+    passes + one tiny lang argmax window, no per-doc output."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import _norm
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        quality_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(d).withColumn(
+        "_pfx",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(_norm(F.col("text")), " "), 1, 8)
+            )
+        ),
+    )
+    pc = feats.groupBy("_pfx").agg(F.count(F.lit(1)).alias("_pcnt"))
+    main = (
+        feats.join(pc, on="_pfx")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 1).alias(
+                "median_tokens"
+            ),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(
+                F.when(F.col("quality_score") < 0.35, 1).otherwise(0)
+            ).alias("low_quality_docs"),
+            F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).alias(
+                "short_docs"
+            ),
+            F.sum(F.when(F.col("_pcnt") > 1, 1).otherwise(0)).alias(
+                "boilerplate_docs"
+            ),
+        )
+    )
+    lc = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    lt = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("cnt").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "cnt")
+    )
+    return (
+        main.join(lt, on="source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_tokens",
+            "median_tokens",
+            "avg_quality",
+            "low_quality_docs",
+            "short_docs",
+            "boilerplate_docs",
+            "top_lang",
+            F.round(F.col("cnt") / F.col("n_docs"), 4).alias(
+                "top_lang_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "events_freq_sketch",
     oracle="""
     WITH counters AS (
@@ -5811,7 +5949,9 @@ HEADLINE: list[str] = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "text_repetition_stats",
-    "tfidf_top_terms",
+    # tfidf_top_terms (green r5) rotates to the tail for the data card —
+    # term stats stay exercised in-window via corpus_vocab_topk
+    "corpus_datacard",
     "table_column_stats",
     # doc_unigram_logprob (green r4/r5) rotates to the tail for the
     # hashed-classifier inference pass — LM/scoring family keeps
