@@ -321,3 +321,71 @@ def test_percentile_filter_window_is_partitioned(spark):
     m = re.search(r"Window \[[^\]]*percent_rank[^\]]*\], \[([^\]]*)\]", plan)
     assert m, plan
     assert "source" in m.group(1), plan
+
+
+def _final_plan(plan: str) -> str:
+    # AQE's toString appends the pre-adaptive tree after "Initial Plan";
+    # ==1-style counts must look at the final tree only
+    return plan.split("Initial Plan")[0]
+
+
+def test_scd2_merge_single_pass_no_cartesian(spark):
+    plan = _final_plan(_plan(spark, "scd2_customer_merge"))
+    # the closed+open pair must come from ONE join via inline — a
+    # per-branch re-join would show several joins over the dim scan
+    assert plan.count("Generate") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_mixture_sample_rates_broadcast(spark):
+    plan = _plan(spark, "corpus_mixture_sample")
+    # the per-source rate table (rows = #sources) must broadcast onto
+    # the corpus — a sort-merge join here shuffles the whole corpus
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        shuffle_shards,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(df, epoch=1, n_shards=16)
+    out.collect()
+    plan = _final_plan(
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    # the permutation must NOT be a global sort: one hash exchange on
+    # the shard key feeds per-shard in-partition sorts
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_classifier_scoring_is_map_side(spark):
+    plan = _final_plan(_plan(spark, "text_classifier_scores"))
+    # weight lookup = broadcast 1-row map + HOF aggregate: no explode of
+    # the corpus into tokens, no shuffle-join against the weight table
+    assert "Generate" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_broadcasts_matrix(spark):
+    plan = _plan(spark, "events_freq_sketch")
+    # the merged sketch joins probes as a broadcast ONE-ROW column —
+    # never a plan literal, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_datacard_lang_window_partitioned(spark):
+    plan = _plan(spark, "corpus_datacard")
+    m = re.search(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "source" in m.group(1), plan
+    assert "CartesianProduct" not in plan
