@@ -98,6 +98,7 @@ HEADLINE = [
     "text_classifier_scores",
     "events_freq_sketch",
     "corpus_datacard",
+    "corpus_packed_sequences",
 ]
 
 

@@ -245,6 +245,67 @@ def pack_token_budget(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize :func:`pack_token_budget`'s assignment as the packed-
+    sequence view a pretraining loader consumes: one row per pack with
+    the member ids (pack order), total length, and the token-offset
+    ``boundaries`` where each document starts — the attention-mask reset
+    points that stop cross-document attention inside a packed context
+    window.
+
+    Output: (part, pack_id, n_docs, seq_len, doc_ids, boundaries) where
+    ``boundaries[i]`` is the exclusive prefix sum of member lengths
+    (``boundaries[0] = 0``; ``boundaries[i+1]-boundaries[i]`` = doc i's
+    token count).
+
+    Shape: the packing windows plus ONE grouped aggregate.  Per-pack
+    arrays are budget-bounded (a pack holds at most
+    ``budget/min_doc_tokens + 1`` docs), so the collect_list is
+    constant-sized no matter the corpus — grouping by pack is the thing
+    that makes materializing order-sensitive arrays scale-safe.
+    """
+    packed = pack_token_budget(df, budget, part_col, id_col, text_col)
+    grouped = packed.groupBy(part_col, "pack_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("_tokens").cast("bigint").alias("nt"),
+                )
+            )
+        ).alias("_docs")
+    )
+    lens = F.transform(F.col("_docs"), lambda d: d["nt"])
+    starts = F.aggregate(
+        lens,
+        F.struct(
+            F.array().cast("array<bigint>").alias("arr"),
+            F.lit(0).cast("bigint").alias("run"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["arr"], F.array(acc["run"])).alias("arr"),
+            (acc["run"] + x).alias("run"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    return grouped.select(
+        F.col(part_col),
+        F.col("pack_id"),
+        F.size("_docs").alias("n_docs"),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("seq_len"),
+        F.transform(F.col("_docs"), lambda d: d["id"]).alias("doc_ids"),
+        starts.alias("boundaries"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 512,

@@ -4265,6 +4265,75 @@ def contamination_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_packed_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+                    END AS n_tokens
+        FROM documents
+    ), bucketed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(floor(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 256.0) AS BIGINT) AS bucket
+        FROM t
+    ), packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(DENSE_RANK() OVER (
+                   PARTITION BY source ORDER BY bucket
+               ) - 1 AS BIGINT) AS pack_id
+        FROM bucketed
+    ), starts AS (
+        SELECT source, doc_id, n_tokens, pack_id,
+               coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source, pack_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start
+        FROM packed
+    )
+    SELECT source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_len,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           string_agg(CAST(start AS VARCHAR), ',' ORDER BY doc_id)
+               AS boundaries
+    FROM starts
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def corpus_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence loader view (operators/corpus.py:pack_sequences):
+    256-token packs per source materialized one-row-per-pack with the
+    document-start token offsets — the attention-mask reset points that
+    stop cross-document attention inside a packed context window.  The
+    boundaries array is checked ORDER-SENSITIVELY as a csv string
+    (boundaries[0]=0, diffs = member lengths)."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    p = pack_sequences(d, budget=256)
+    return p.select(
+        "source",
+        "pack_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "seq_len",
+        F.aggregate(
+            "doc_ids", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("id_sum"),
+        F.concat_ws(
+            ",",
+            F.transform(F.col("boundaries"), lambda b: b.cast("string")),
+        ).alias("boundaries"),
+    ).orderBy("source", "pack_id")
+
+
+@query(
     "corpus_token_packing",
     oracle="""
     WITH t AS (
@@ -5935,7 +6004,10 @@ HEADLINE: list[str] = [
     # family keeps 8 in-window rows)
     "events_cube_matrix",
     "events_salted_rollup",
-    "events_hopping_windows",
+    # events_hopping_windows (green r5, second round done) rotates to
+    # the tail for the packed-sequence view — time-window semantics stay
+    # in-window via user_sessions/purchase_attribution_asof
+    "corpus_packed_sequences",
     "user_funnel_conversion",
     "embedding_dedup_clusters",
     "dedup_cc_rounds",

@@ -1226,3 +1226,26 @@ def test_cms_guarantees_and_merge_identity(spark):
     m1 = merged.collect()[0]["cms"]
     m2 = single.collect()[0]["cms"]
     assert m1 == m2
+
+
+def test_pack_sequences_boundaries(spark):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    rows = [(i, "s", "tok " * (10 + i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, text STRING")
+    out = pack_sequences(df, budget=50, part_col="source").collect()
+    lens = {i: 10 + i for i in range(12)}
+    seen = []
+    for r in out:
+        b, ids = r["boundaries"], r["doc_ids"]
+        assert b[0] == 0
+        # boundary diffs reproduce member token counts, in pack order
+        for j in range(len(ids) - 1):
+            assert b[j + 1] - b[j] == lens[ids[j]], r
+        assert r["seq_len"] - b[-1] == lens[ids[-1]], r
+        assert r["n_docs"] == len(ids) == len(b)
+        seen.extend(ids)
+    # every doc packed exactly once, ids ascending within source packs
+    assert sorted(seen) == list(range(12))
