@@ -99,6 +99,8 @@ HEADLINE = [
     "events_freq_sketch",
     "corpus_datacard",
     "corpus_packed_sequences",
+    "events_winsorized",
+    "source_overlap_matrix",
 ]
 
 

@@ -76,3 +76,34 @@ def peak_hour(metrics: DataFrame) -> DataFrame:
             "named_struct('c', file_count, 'h', date_hour))"
         ).alias("peak")
     ).select("peak.*")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lo, hi] quantiles — the robust-stats step that keeps a handful of
+    corrupt readings from dominating means/sums downstream.
+
+    Output = input + (_lo, _hi, value_w, clipped_lo, clipped_hi).
+    Shape: one tiny per-group percentile aggregate (rows = #groups)
+    broadcast-joins back; the clip itself is map-side.  Exact
+    percentiles hold each group's values in the aggregate — fine for
+    enum-like groups; at 100 TB with huge groups swap
+    ``approx_percentile`` in (same two-column contract, KLL-backed).
+    """
+    v = F.col(value_col)
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo)).alias("_lo"),
+        F.percentile(value_col, F.lit(hi)).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), on=group_col)
+        .withColumn("value_w", F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+        .withColumn("clipped_lo", (v < F.col("_lo")).cast("int"))
+        .withColumn("clipped_hi", (v > F.col("_hi")).cast("int"))
+    )

@@ -4265,6 +4265,152 @@ def contamination_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_winsorized",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM events GROUP BY event_type
+    ), c AS (
+        SELECT e.event_type, e.value,
+               least(greatest(e.value, b.lo), b.hi) AS vw,
+               CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS cl,
+               CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS ch
+        FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cl) AS BIGINT) AS clipped_lo,
+           CAST(SUM(ch) AS BIGINT) AS clipped_hi,
+           round(AVG(value), 4) AS mean_raw,
+           round(AVG(vw), 4) AS mean_winsorized,
+           round(MIN(vw), 4) AS min_w,
+           round(MAX(vw), 4) AS max_w
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (plans/metrics.py:winsorize): clip values
+    to the type's [p01, p99], report clip counts and the raw-vs-robust
+    mean shift.  The bounds table (rows = #types) broadcast-joins back;
+    the clip is map-side; at 100 TB swap exact percentile for
+    approx_percentile (same contract)."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    w = winsorize(ev, "value", "event_type", 0.01, 0.99)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clipped_lo").alias("clipped_lo"),
+            F.sum("clipped_hi").alias("clipped_hi"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg("value_w"), 4).alias("mean_winsorized"),
+            F.round(F.min("value_w"), 4).alias("min_w"),
+            F.round(F.max("value_w"), 4).alias("max_w"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH w AS (
+        SELECT source,
+               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+        FROM documents WHERE trim(text) <> ''
+    ), g AS (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 4, 1)),
+                   i -> array_to_string(words[i:i+4], ' ')))) AS gram
+        FROM w WHERE len(words) >= 5
+    ), sg AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(gram), 18, 15))::BIGINT AS gh
+        FROM g
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM sg GROUP BY source
+    ), shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_grams
+        FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.shared_grams,
+           round(s.shared_grams * 1.0
+                 / (za.n_grams + zb.n_grams - s.shared_grams), 6)
+               AS jaccard
+    FROM shared s
+    JOIN sizes za ON za.source = s.src_a
+    JOIN sizes zb ON zb.source = s.src_b
+    ORDER BY s.src_a, s.src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct 5-gram overlap
+    between every source pair (32 pairs bind at sf0.01) with gram-set
+    Jaccard — the leakage audit run before mixing corpora.  Scale
+    shape: grams dedup per source FIRST, so the gram-keyed self-join
+    emits at most #sources²/2 pairs per gram — bounded by the source
+    count, never by corpus size."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        _word_ngrams_of,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    sg = (
+        d.select(
+            "source", tokens(F.col("text")).alias("_words")
+        )
+        .filter(F.size("_words") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(_word_ngrams_of(F.col("_words"), 5))
+            ).alias("_g"),
+        )
+        .select("source", md5_64(F.col("_g")).alias("_gh"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("src_a"), "_gh")
+    b = sg.select(F.col("source").alias("src_b"), "_gh")
+    shared = (
+        a.join(b, on="_gh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    za = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("_na")
+    )
+    zb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("_nb")
+    )
+    return (
+        shared.join(F.broadcast(za), on="src_a")
+        .join(F.broadcast(zb), on="src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
     "corpus_packed_sequences",
     oracle="""
     WITH t AS (
@@ -5991,7 +6137,10 @@ HEADLINE: list[str] = [
     "events_freq_sketch",
     "events_props_json",
     "validation_split",
-    "metrics_size_profile",
+    # metrics_size_profile (A6, green r5) rotates to the tail for the
+    # robust-clipping query — the percentile machinery keeps
+    # events_percentiles in-window
+    "events_winsorized",
     "ingest_velocity",
     # sorted_distinct_users (O2, green r5) and events_value_histogram
     # (green r5) rotate to the tail to make room — both families keep
@@ -6042,7 +6191,9 @@ HEADLINE: list[str] = [
     # q21_waiting_suppliers (green r3-r5) rotates to the tail; the
     # multi-join TPC-H family keeps q1/q3 in-window
     "customer_value_ntiles",
-    "status_shard_roundtrip",
+    # status_shard_roundtrip (P7/P8, green r3-r5) rotates to the tail
+    # for the cross-source leakage matrix — a first driver row
+    "source_overlap_matrix",
     # z-order layout algebra (new in r5; s3_path_parse, green r1-r4,
     # rotated to the tail to make room)
     "events_zorder_buckets",

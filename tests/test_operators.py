@@ -1249,3 +1249,33 @@ def test_pack_sequences_boundaries(spark):
         seen.extend(ids)
     # every doc packed exactly once, ids ascending within source packs
     assert sorted(seen) == list(range(12))
+
+
+def test_winsorize_bounds_and_conservation(spark):
+    from high_throughput_etl_pipeline_spark.plans.metrics import winsorize
+
+    rows = [(float(v), "a") for v in range(100)] + [
+        (1e6, "a"),   # high outlier
+        (-1e6, "a"),  # low outlier
+        (5.0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "value DOUBLE, event_type STRING")
+    out = winsorize(df, "value", "event_type", 0.05, 0.95)
+    assert out.count() == len(rows)  # row conservation
+    a = out.filter(F.col("event_type") == "a")
+    lo, hi = a.select("_lo", "_hi").first()
+    # outliers clipped to the group's quantile bounds
+    got = a.agg(
+        F.max("value_w").alias("mx"),
+        F.min("value_w").alias("mn"),
+        F.sum("clipped_lo").alias("cl"),
+        F.sum("clipped_hi").alias("ch"),
+    ).first()
+    assert got["mx"] == hi and got["mn"] == lo
+    assert got["cl"] >= 1 and got["ch"] >= 1
+    # values inside the bounds pass through untouched
+    mid = a.filter((F.col("value") >= lo) & (F.col("value") <= hi))
+    assert mid.filter(F.col("value_w") != F.col("value")).count() == 0
+    # single-member group: bounds collapse to the value, nothing clips
+    b = out.filter(F.col("event_type") == "b").first()
+    assert b["value_w"] == 5.0 and b["clipped_lo"] == 0
