@@ -101,6 +101,7 @@ HEADLINE = [
     "corpus_packed_sequences",
     "events_winsorized",
     "source_overlap_matrix",
+    "embedding_centering",
 ]
 
 

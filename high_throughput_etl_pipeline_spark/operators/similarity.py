@@ -841,3 +841,41 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_d2", "rank")
     )
+
+
+def center_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str = "centered",
+) -> DataFrame:
+    """Mean-center an embedding column — the standard preprocessing
+    ahead of SemDeDup/ANN indexing (hubness drops when the corpus mean
+    is removed; quantizers train better on centered residuals).
+
+    The mean vector is ONE pass of ``dim`` avg aggregates collapsed to
+    a one-row array that broadcast-joins back (never a plan literal);
+    the subtraction is a map-side ``zip_with``.  Output adds
+    ``out_col`` as array<double> — downstream unit-normalization is
+    `with_unit_vectors` on the centered column.
+    """
+    mean_row = df.agg(
+        F.array(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1))
+                for i in range(dim)
+            ]
+        ).alias("_mu")
+    )
+    return (
+        df.crossJoin(F.broadcast(mean_row))
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.col(vec_col),
+                F.col("_mu"),
+                lambda v, m: v.cast("double") - m,
+            ),
+        )
+        .drop("_mu")
+    )

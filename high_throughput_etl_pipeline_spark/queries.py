@@ -4265,6 +4265,70 @@ def contamination_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centering",
+    oracle="""
+    WITH m AS (
+        SELECT t.i, AVG(CAST(e.embedding[t.i] AS DOUBLE)) AS mu
+        FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+        GROUP BY t.i
+    ), raw AS (
+        SELECT vec_id, label,
+               sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS rn
+        FROM embeddings
+    ), cent AS (
+        SELECT e.vec_id,
+               sqrt(SUM(power(CAST(e.embedding[t.i] AS DOUBLE) - m.mu, 2)))
+                   AS cn
+        FROM embeddings e
+        CROSS JOIN generate_series(1, 64) t(i)
+        JOIN m ON m.i = t.i
+        GROUP BY e.vec_id
+    )
+    SELECT r.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(AVG(r.rn), 4) AS avg_raw_norm,
+           round(AVG(c.cn), 4) AS avg_centered_norm
+    FROM raw r JOIN cent c ON r.vec_id = c.vec_id
+    GROUP BY r.label ORDER BY r.label
+    """,
+)
+def embedding_centering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mean centering (operators/similarity.py:center_embeddings)
+    — ANN/SemDeDup preprocessing.  The mean vector is one pass of 64
+    avg aggregates broadcast back as a one-row array; subtraction is a
+    map-side zip_with.  Per-label norm shift (raw vs centered) is the
+    value check; the oracle recomputes the mean per dimension from
+    first principles."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        _dot,
+        center_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = center_embeddings(emb, "embedding", dim=64)
+    withn = c.select(
+        "label",
+        F.sqrt(
+            _dot(
+                F.col("embedding").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+            )
+        ).alias("_rn"),
+        F.sqrt(_dot(F.col("centered"), F.col("centered"))).alias("_cn"),
+    )
+    return (
+        withn.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_rn"), 4).alias("avg_raw_norm"),
+            F.round(F.avg("_cn"), 4).alias("avg_centered_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "events_winsorized",
     oracle="""
     WITH b AS (
@@ -6187,7 +6251,9 @@ HEADLINE: list[str] = [
     # the displaced green queries stay oracle-checked by
     # tools/check_correctness.py over the full 99-query registry)
     "q1_pricing_summary",
-    "q3_top_revenue_orders",
+    # q3_top_revenue_orders (green r1-r5, five rounds) rotates to the
+    # tail — TPC-H keeps q1 in-window; centering is a first driver row
+    "embedding_centering",
     # q21_waiting_suppliers (green r3-r5) rotates to the tail; the
     # multi-join TPC-H family keeps q1/q3 in-window
     "customer_value_ntiles",

@@ -1279,3 +1279,29 @@ def test_winsorize_bounds_and_conservation(spark):
     # single-member group: bounds collapse to the value, nothing clips
     b = out.filter(F.col("event_type") == "b").first()
     assert b["value_w"] == 5.0 and b["clipped_lo"] == 0
+
+
+def test_center_embeddings_zero_mean(spark):
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        center_embeddings,
+    )
+
+    rows = [(i, [float(i), 10.0 * i, 5.0]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = center_embeddings(df, "embedding", dim=3)
+    got = {r["vec_id"]: r["centered"] for r in out.collect()}
+    # mean = [4, 40, 5]; centered = v - mean, elementwise
+    for i in range(9):
+        assert got[i] == [
+            pytest.approx(i - 4.0),
+            pytest.approx(10.0 * i - 40.0),
+            pytest.approx(0.0),
+        ], i
+    # per-dim mean of the centered corpus is ~0
+    mu = out.agg(
+        *[
+            F.avg(F.element_at("centered", d + 1)).alias(f"m{d}")
+            for d in range(3)
+        ]
+    ).first()
+    assert all(abs(mu[f"m{d}"]) < 1e-9 for d in range(3))
