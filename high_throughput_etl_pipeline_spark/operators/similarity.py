@@ -240,20 +240,6 @@ def ivf_topk(
     result's coarse cell so the oracle pins the bucket assignment too.
     """
 
-    def dist2(a, b):
-        # cast operands (not differences) so float32 inputs subtract in
-        # f64 — bit-comparable with engines computing over DOUBLE[]
-        return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-
     if centers is not None:
         centers_df = centers
     else:
@@ -272,32 +258,64 @@ def ivf_topk(
             fitted, "list_id INT, center ARRAY<DOUBLE>"
         )
 
-    # assign each vector to its nearest list (broadcast nlist centroids)
-    v_assigned = (
-        vectors.crossJoin(F.broadcast(centers_df))
+    v_assigned = _ivf_assign(vectors, centers_df, id_col, vec_col, 1).select(
+        id_col, vec_col, "list_id"
+    )
+    q_probes = _ivf_assign(
+        queries, centers_df, query_id_col, vec_col, nprobe
+    ).select(query_id_col, F.col(vec_col).alias("_qvec"), "list_id")
+    return _ivf_rank(
+        v_assigned, q_probes, k, id_col, vec_col, query_id_col, with_list_id
+    )
+
+
+def _ivf_assign(
+    df: DataFrame,
+    centers_df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n_nearest: int,
+) -> DataFrame:
+    """Nearest-``n_nearest`` list assignment against broadcast centroids
+    (n=1 assigns index vectors; n=nprobe selects a query's probes)."""
+
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    return (
+        df.crossJoin(F.broadcast(centers_df))
         .withColumn("_d2", dist2(F.col(vec_col), F.col("center")))
         .withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy("_d2", "list_id")
+                Window.partitionBy(key_col).orderBy("_d2", "list_id")
             ),
         )
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "list_id")
+        .filter(F.col("_rn") <= n_nearest)
+        .drop("_d2", "_rn", "center")
     )
-    # each query probes its nprobe nearest lists
-    q_probes = (
-        queries.crossJoin(F.broadcast(centers_df))
-        .withColumn("_d2", dist2(F.col(vec_col), F.col("center")))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy("_d2", "list_id")
-            ),
-        )
-        .filter(F.col("_rn") <= nprobe)
-        .select(query_id_col, F.col(vec_col).alias("_qvec"), "list_id")
-    )
+
+
+def _ivf_rank(
+    v_assigned: DataFrame,
+    q_probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    with_list_id: bool,
+) -> DataFrame:
+    """Per-list cosine scoring + global top-k per query (the probe set
+    broadcasts; the list equi-join IS the pruning)."""
     vu = v_assigned.select(
         id_col,
         "list_id",
@@ -328,6 +346,57 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(*out_cols)
+    )
+
+
+def ivf_write_index(
+    vectors: DataFrame,
+    path: str,
+    centers: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a ``list_id``-partitioned parquet
+    layout — the serving form of the "equi-join on list_id IS the
+    pruning" claim: once the assignment is ON DISK as the partition
+    key, a probe's list filter becomes ``PartitionFilters`` at the scan
+    and only nprobe/nlist of the index is ever READ (plan-pinned in
+    tests/test_plans.py).  Write once, serve many."""
+    assigned = _ivf_assign(vectors, centers, id_col, vec_col, 1).select(
+        id_col, vec_col, "list_id"
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centers: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    with_list_id: bool = False,
+) -> DataFrame:
+    """Serve IVF top-k from a :func:`ivf_write_index` layout.  The
+    probed list ids (≤ queries·nprobe ints — metadata-scale) collect to
+    a literal IN-filter on the partition column, so the index scan
+    prunes to the probed lists before a single vector is read; scoring
+    and ranking are identical to the in-memory path (same helpers), so
+    indexed ≡ unindexed results by construction."""
+    q_probes = _ivf_assign(
+        queries, centers, query_id_col, vec_col, nprobe
+    ).select(query_id_col, F.col(vec_col).alias("_qvec"), "list_id")
+    probe_ids = sorted(
+        r["list_id"] for r in q_probes.select("list_id").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(
+        F.col("list_id").isin(probe_ids)
+    )
+    return _ivf_rank(
+        index, q_probes, k, id_col, vec_col, query_id_col, with_list_id
     )
 
 

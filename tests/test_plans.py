@@ -323,12 +323,6 @@ def test_percentile_filter_window_is_partitioned(spark):
     assert "source" in m.group(1), plan
 
 
-def _final_plan(plan: str) -> str:
-    # AQE's toString appends the pre-adaptive tree after "Initial Plan";
-    # ==1-style counts must look at the final tree only
-    return plan.split("Initial Plan")[0]
-
-
 def test_scd2_merge_single_pass_no_cartesian(spark):
     plan = _final_plan(_plan(spark, "scd2_customer_merge"))
     # the closed+open pair must come from ONE join via inline — a
@@ -389,3 +383,43 @@ def test_datacard_lang_window_partitioned(spark):
     assert m, plan
     assert "source" in m.group(1), plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    e = spark.read.parquet(SF + "/embeddings.parquet")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(e, path, centers)
+
+    base = ivf_topk(
+        e, q, k=5, nprobe=4, centers=centers, with_list_id=True
+    ).orderBy("query_id", "rank")
+    idx = ivf_topk_indexed(
+        spark, path, q, centers, k=5, nprobe=4, with_list_id=True
+    ).orderBy("query_id", "rank")
+    rows = lambda d: [
+        (r["query_id"], r["rank"], r["vec_id"], r["list_id"], r["cosine"])
+        for r in d.collect()
+    ]
+    # serving from the partitioned layout is value-identical
+    assert rows(idx) == rows(base)
+    # and the probe filter reaches the scan as PARTITION pruning — only
+    # the probed lists' directories are read, never the whole index
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
+    assert m, plan
+    assert "IN (" in m.group(1) or "isin" in m.group(1).lower() or "IN " in m.group(1), m.group(1)
