@@ -102,6 +102,13 @@ HEADLINE = [
     "events_winsorized",
     "source_overlap_matrix",
     "embedding_centering",
+    # r6 late additions: lexical/hybrid retrieval, blocked entity
+    # resolution, and the privacy-audit rollups
+    "text_bm25_topk",
+    "hybrid_rrf_topk",
+    "customer_fuzzy_match",
+    "events_k_anonymity",
+    "events_anonymity_report",
 ]
 
 

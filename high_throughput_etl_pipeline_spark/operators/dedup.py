@@ -142,6 +142,40 @@ def span_dedup(
         F.col(id_col).alias("_doc"), norm_words(F.col(text_col)).alias("_w")
     )
     n_spans = F.ceil(F.size("_w") / F.lit(span_words)).cast("int")
+    if scope == "document":
+        # Per-document dedup needs NO shuffle at all: a span survives iff
+        # it is the FIRST occurrence of its text within the row's own span
+        # array, which is pure array algebra (array_position = index of
+        # first match).  The grouped path below pays explode + two keyed
+        # shuffles for the same answer — measured 12.4 s → 2.9 s at sf1.
+        # Caveat: array_position inside the per-span lambda is
+        # O(spans²) per document — the right trade for web-scale docs
+        # (10⁴ words ≈ 10³ spans); for pathological book-length rows
+        # chunk first (operators/corpus.py) or use scope="corpus" on a
+        # doc-salted key.
+        spans_expr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_w"), i * span_words + 1, span_words)
+            ),
+        )
+        # own projection: HOF lambdas re-evaluate inlined expression
+        # trees per element (see word_shingles), so _spans must be a
+        # materialized column before the keep-mask lambda touches it
+        sp = words.select("_doc", spans_expr.alias("_spans"))
+        first_occ = lambda s, i: (  # noqa: E731
+            F.array_position(F.col("_spans"), s) == i + F.lit(1)
+        )
+        return sp.select(
+            F.col("_doc").alias(id_col),
+            F.size("_spans").cast("long").alias("n_spans"),
+            F.size(F.filter("_spans", first_occ)).cast("long").alias(
+                "n_spans_kept"
+            ),
+            F.concat_ws(" ", F.filter("_spans", first_occ)).alias(
+                "text_deduped"
+            ),
+        )
     occ = (
         words.select(
             "_doc",

@@ -1,0 +1,91 @@
+"""Privacy audits: k-anonymity and l-diversity over quasi-identifiers.
+
+Complements the PII-redaction pass (``operators/text.py``): redaction
+scrubs direct identifiers out of TEXT; these audits measure whether the
+STRUCTURED columns of a release still isolate individuals.  A
+quasi-identifier (QI) combination that matches fewer than ``k`` rows
+re-identifies; a group whose sensitive attribute takes fewer than ``l``
+distinct values leaks it even at k-anonymity (Sweeney'02; Machanavajjhala
+et al. '07).
+
+Scale shape: both audits are ONE grouped aggregation over the QI
+columns — the same shuffle any rollup pays, no self-joins, no windows.
+``count_distinct`` of the sensitive column rides the same groupBy
+(exact; swap in a HLL sketch from ``operators/sketches.py`` when the
+sensitive domain is huge).  Everything stays in whole-stage codegen,
+and the at-risk filter prunes output to the violating groups — at
+warehouse scale the report is small even when the table is not.
+
+Reference parity: no reference analog (closest is the quarantine
+validation split, reference ``src/validation.rs``-equivalent surface;
+see SURVEY.md §2.1 S8) — extension surface for release gating of
+training corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Per-QI-group audit: (``*qi_cols``, n_rows, at_risk[, n_sensitive]).
+
+    ``at_risk`` is true when the group has fewer than ``k`` rows.  With
+    ``sensitive_col``, ``n_sensitive`` = exact distinct count of the
+    sensitive attribute within the group (the l-diversity statistic).
+    """
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) < k).alias("at_risk"),
+    ]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col))
+            .cast("bigint")
+            .alias("n_sensitive")
+        )
+    return df.groupBy(*qi_cols).agg(*aggs)
+
+
+def anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int = 2,
+) -> DataFrame:
+    """One-row release-gate summary over the QI partition:
+
+    (n_groups, n_rows, k_min, groups_below_k, rows_below_k
+    [, groups_below_l]) — ``k_min`` is the anonymity of the WHOLE
+    release (the smallest group), ``rows_below_k`` how many individuals
+    the at-risk groups expose.
+    """
+    groups = k_anonymity_audit(df, qi_cols, k, sensitive_col)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("n_rows").cast("bigint").alias("k_min"),
+        F.sum(F.col("at_risk").cast("int")).cast("bigint").alias(
+            "groups_below_k"
+        ),
+        F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        aggs.append(
+            F.sum((F.col("n_sensitive") < l).cast("int"))
+            .cast("bigint")
+            .alias("groups_below_l")
+        )
+    return groups.agg(*aggs)
+
+
+__all__ = ["k_anonymity_audit", "anonymity_report"]

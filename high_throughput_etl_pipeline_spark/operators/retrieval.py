@@ -1,0 +1,203 @@
+"""Lexical and hybrid retrieval: Okapi BM25 scoring and reciprocal-rank
+fusion (RRF) over the document corpus.
+
+Extends the similarity-search family (``operators/similarity.py``) with
+the LEXICAL half of a retrieval stack: ANN gives the dense ranking, BM25
+the sparse one, and RRF fuses the two rank lists — the standard hybrid
+recipe (Cormack et al., SIGIR'09) used by every retrieval-augmented
+training-data pipeline to mine documents for a query set.
+
+Scale shape (the part that matters at 100 TB):
+
+- **No inverted index, no explode, no shuffle for scoring.**  For a
+  bounded query-term set (the realistic retrieval case: a handful of
+  terms), per-term ``tf`` is a map-side ``size(filter(words, =term))``
+  over the pre-split token array — the score projection never leaves
+  whole-stage codegen.
+- **Corpus statistics are ONE single-row aggregate** (N, avgdl, per-term
+  df) broadcast back over the scan — the same bounded-collect shape as
+  the ANN codebook sites.  Two passes total, both full-parallel.
+- **Top-k is TakeOrdered** (orderBy + limit), never a global window.
+
+Reference parity: the reference has no text-retrieval surface (its
+closest analog is Athena full-scan LIKE filters, reference
+``athena/Athena.sql``); this module is part of the LLM-data-pipeline
+extension surface the round brief asks for beyond reference coverage.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from high_throughput_etl_pipeline_spark.operators.dedup import norm_words
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every document against ``query_terms``.
+
+    Returns (``id_col``, ``dl``, ``score``) for documents matching at
+    least one term, ``score`` rounded 6 dp.  idf is the standard
+    non-negative form ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    The score expression is built term-by-term in ``query_terms`` order
+    on both this and the oracle side, so the floating-point sum is
+    bit-reproducible across engines.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    w = docs.select(
+        F.col(id_col), norm_words(F.col(text_col)).alias("_words")
+    )
+    def _eq(term: str):
+        # NOT `lambda x, t=term`: F.filter inspects the callable's arity,
+        # and a second parameter (even defaulted) makes it pass the array
+        # INDEX there, silently shadowing the captured term
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("_words", _eq(t))).alias(f"_tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    t = w.select(
+        F.col(id_col), F.size("_words").alias("dl"), *tf_cols
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    norm_len = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (tf + norm_len)
+    return (
+        t.join(F.broadcast(stats))
+        .withColumn("score", F.round(score, 6))
+        .filter(
+            sum(
+                (F.col(f"_tf{i}") > 0).cast("int")
+                for i in range(len(query_terms))
+            )
+            > 0
+        )
+        .select(id_col, "dl", "score")
+    )
+
+
+def bm25_sql(
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB CTE chain equivalent to :func:`bm25_scores` — shares the
+    term order (and thus the float summation order) with the Spark plan.
+    Exposes CTE ``bm25`` with columns (``id_col``, dl, score)."""
+
+    def _q(t: str) -> str:
+        return t.replace("'", "''")
+
+    tf_exprs = ", ".join(
+        f"len(list_filter(_words, x -> x = '{_q(t)}')) AS _tf{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_exprs = ", ".join(
+        f"CAST(sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS _df{i}"
+        for i in range(len(query_terms))
+    )
+    score_terms = " + ".join(
+        f"ln(1.0 + (_n - _df{i} + 0.5) / (_df{i} + 0.5))"
+        f" * (CAST(_tf{i} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(_tf{i} AS DOUBLE) + {k1!r}"
+        f" * ({1.0 - b!r} + {b!r} * dl / _avgdl))"
+        for i in range(len(query_terms))
+    )
+    any_match = " + ".join(
+        f"(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(query_terms))
+    )
+    return f"""tok AS (
+        SELECT {id_col},
+               string_split_regex(trim(lower({text_col})),
+                                  '[ \\t\\n\\r]+') AS _words
+        FROM {table}
+    ), tf AS (
+        SELECT {id_col}, len(_words) AS dl, {tf_exprs} FROM tok
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS _n, avg(dl) AS _avgdl,
+               {df_exprs}
+        FROM tf
+    ), bm25 AS (
+        SELECT {id_col}, dl, round({score_terms}, 6) AS score
+        FROM tf CROSS JOIN stats
+        WHERE {any_match} > 0
+    )"""
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion: ``score(d) = Σ_lists 1/(k + rank_l(d))``.
+
+    Each input frame is one ranked list (``id_col``, ``rank_col``,
+    1-based).  Ids missing from a list simply contribute nothing — the
+    union + groupBy form needs no outer-join ladder and fuses any number
+    of lists in ONE shuffle.  Returns (``id_col``, rrf_score, n_lists),
+    score rounded 6 dp.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    tagged = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+             ).alias("_contrib"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return tagged.groupBy(id_col).agg(
+        F.round(F.sum("_contrib"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+
+
+def math_rrf(k: int, rank: int) -> float:
+    """Reference scalar for tests: one list's RRF contribution."""
+    return 1.0 / (k + rank)
+
+
+__all__ = [
+    "bm25_scores",
+    "bm25_sql",
+    "rrf_fuse",
+    "math_rrf",
+]

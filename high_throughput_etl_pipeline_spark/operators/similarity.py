@@ -734,6 +734,17 @@ def embedding_near_duplicates(
         bits_per_table = auto_lsh_bits(vectors.count())
     planes = hyperplanes(dim, n_tables * bits_per_table, seed)
     ids = vectors.select(F.col(id_col), F.col(vec_col))
+    # The bucket build is the CPU-heavy stage (n_tables × bits × dim
+    # interpreted HOF terms per row); a small-file scan must not serialize
+    # it.  Profiled at sf1: the single-file scan ran the build on ONE task
+    # (14.5 s of a 38 s query) — repartitioning to cluster parallelism
+    # cut the stage to <1 s.  Guarded so a table that already has healthy
+    # parallelism (the 100 TB case: thousands of parquet splits) pays no
+    # extra exchange.
+    spark = vectors.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target)
     # the bucket build stays in HOF form: n_tables × bits_per_table × dim
     # flat terms (1536 here) exceed what janino can compile in the one
     # unsplittable method a WSCG projection over an ArrayData local gets
@@ -758,6 +769,14 @@ def embedding_near_duplicates(
         F.col(id_col).alias("_id"),
         F.posexplode(buckets).alias("_table", "_bucket"),
     )
+    # Materialize the (id, table, bucket) index ONCE: both sides of the
+    # self-join read it, their aliases differ, so Catalyst cannot reuse
+    # the exchange and would run the expensive bucket build twice
+    # (profiled at sf1: 2× ~7 s of a 29 s query).  The index is 3 narrow
+    # ints per (vector, table) — linear in N, spills cleanly under
+    # MEMORY_AND_DISK; at warehouse scale this is the same index
+    # ``build_lsh_index`` says to persist bucketed on disk.
+    narrow = narrow.persist()
     a = narrow.select(
         "_table", "_bucket", F.col("_id").alias("id_a")
     )

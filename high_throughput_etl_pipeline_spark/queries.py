@@ -2767,13 +2767,21 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hyperplanes → reproducible, oracle-checkable plan.
     (The oracle's OR-join is the sf0.01 semantic spec; the Spark plan is
     the scale shape — narrow (table, bucket, id) equi-join, pair-dedup,
-    then one cosine per surviving pair.)"""
+    then one cosine per surviving pair.)
+
+    ``bits_per_table`` auto-sizes from the collection so bucket load is
+    bounded at any SF (fixed ``_ND_BITS`` measured 98 s at sf1 — the
+    quadratic-bucket failure :func:`auto_lsh_bits` exists to prevent).
+    At the driver's correctness SF (0.01, 500 vectors) auto-sizing
+    yields exactly ``_ND_BITS`` = 4, so the pinned-plane oracle above
+    still matches hash-for-hash; ``tests/test_similarity.py`` pins that
+    equality so a testdata resize fails loudly instead of red-rowing."""
     e = _t(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
         e,
         threshold=_ND_THRESHOLD,
         n_tables=_ND_TABLES,
-        bits_per_table=_ND_BITS,
+        bits_per_table=None,
     ).orderBy("id_a", "id_b")
 
 
@@ -2815,7 +2823,9 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         threshold=_ND_THRESHOLD,
         n_tables=_ND_TABLES,
-        bits_per_table=_ND_BITS,
+        # auto-sized (= _ND_BITS at the driver's sf0.01 — see
+        # embedding_near_dup's docstring; same parity pin applies)
+        bits_per_table=None,
     )
     cc = dedup_clusters(pairs)
     return (
@@ -6162,6 +6172,271 @@ def events_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval (BM25 / hybrid RRF), entity resolution, privacy audits
+# ---------------------------------------------------------------------------
+
+# BM25 parameterization shared between the Spark plan and the oracle:
+# term order fixes the float summation order, so scores are
+# bit-reproducible engine-to-engine before the 6 dp round.
+_BM25_TERMS = ["vector", "hash", "merge"]
+
+
+def _bm25_oracle() -> str:
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        bm25_sql,
+    )
+
+    return f"""
+    WITH {bm25_sql(_BM25_TERMS)}
+    SELECT doc_id, dl, score, rank FROM (
+        SELECT doc_id, dl, score,
+               CAST(row_number() OVER (
+                   ORDER BY score DESC, doc_id
+               ) AS INT) AS rank
+        FROM bm25
+    ) WHERE rank <= 10
+    ORDER BY rank
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed query-term set.  Map-side
+    tf (no inverted index, no explode), ONE single-row corpus-stats
+    aggregate broadcast back over the scan, TakeOrdered top-k — the
+    lexical half of a hybrid retrieval stack at warehouse scale."""
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, _BM25_TERMS)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "dl", "score", "rank")
+        .orderBy("rank")
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        bm25_sql,
+    )
+
+    return f"""
+    WITH {bm25_sql(_BM25_TERMS)},
+    lex AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY score DESC, doc_id
+        ) AS rank
+        FROM bm25 QUALIFY rank <= 20
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT vec_id AS doc_id, row_number() OVER (
+            ORDER BY round(list_dot_product(ev, qv)
+                / (sqrt(list_dot_product(ev, ev))
+                   * sqrt(list_dot_product(qv, qv))), 6) DESC, vec_id
+        ) AS rank
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+              WHERE vec_id <> 0) CROSS JOIN q
+        QUALIFY rank <= 20
+    ),
+    contrib AS (
+        SELECT doc_id, 1.0 / (60 + rank) AS c FROM lex
+        UNION ALL
+        SELECT doc_id, 1.0 / (60 + rank) FROM dense
+    )
+    SELECT doc_id, rrf_score, n_lists FROM (
+        SELECT doc_id, round(sum(c), 6) AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM contrib GROUP BY doc_id
+    )
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("hybrid_rrf_topk", oracle=_hybrid_rrf_oracle())
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + exact-cosine dense top-20
+    (query = vector 0), fused by reciprocal-rank fusion (k=60).  The
+    fusion is ONE union + groupBy over narrow (id, rank) rows — rank
+    lists fuse without an outer-join ladder however many retrievers
+    contribute."""
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    wl = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        bm25_scores(d, _BM25_TERMS)
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("qv"))
+        / (
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        ),
+        6,
+    )
+    wd = Window.orderBy(F.desc("cosine"), "doc_id")
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+    return (
+        rrf_fuse([lex, dense], k=60, id_col="doc_id")
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "customer_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on the customer dimension: nation-blocked
+    Levenshtein matching (edit distance ≤ 1).  Edit distance never runs
+    all-pairs — candidates are bounded by the block equi-join, the
+    comparison itself is JVM-side inside codegen, and the distance
+    function is engine-portable so the whole match is hash-checkable."""
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        fuzzy_matches,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return (
+        fuzzy_matches(
+            c,
+            block_cols=["c_nationkey"],
+            id_col="c_custkey",
+            name_col="c_name",
+            max_edit=1,
+        )
+        .withColumn("edit_distance", F.col("edit_distance").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "events_k_anonymity",
+    oracle="""
+    SELECT event_type, hr, value_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           count(*) < 5 AS at_risk,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+    FROM (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+               CAST(floor(value / 100) AS INT) AS value_bucket,
+               user_id
+        FROM events
+    )
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    ORDER BY event_type, hr, value_bucket
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the events release under quasi-identifiers
+    (event_type, hour, value-bucket): every group below k=5 rows, with
+    the l-diversity statistic (distinct users) alongside.  One grouped
+    aggregation — the audit costs what a rollup costs at any scale, and
+    the at-risk filter keeps the report small."""
+    from high_throughput_etl_pipeline_spark.operators.privacy import (
+        k_anonymity_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.floor(F.col("value") / 100).cast("int").alias("value_bucket"),
+        "user_id",
+    )
+    return (
+        k_anonymity_audit(
+            ev,
+            ["event_type", "hr", "value_bucket"],
+            k=5,
+            sensitive_col="user_id",
+        )
+        .filter(F.col("at_risk"))
+        .orderBy("event_type", "hr", "value_bucket")
+    )
+
+
+@query(
+    "events_anonymity_report",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+               CAST(floor(value / 100) AS INT) AS value_bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               count(*) < 5 AS at_risk,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(min(n_rows) AS BIGINT) AS k_min,
+           CAST(sum(CASE WHEN at_risk THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_k,
+           CAST(sum(CASE WHEN at_risk THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_l
+    FROM g
+    """,
+)
+def events_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate summary: the k-anonymity of the WHOLE events release
+    (k_min = smallest QI group), how many groups/rows fall below k=5,
+    and how many groups fail l-diversity (< 2 distinct users) — the
+    one-row verdict a pipeline checks before publishing a table."""
+    from high_throughput_etl_pipeline_spark.operators.privacy import (
+        anonymity_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.floor(F.col("value") / 100).cast("int").alias("value_bucket"),
+        "user_id",
+    )
+    return anonymity_report(
+        ev,
+        ["event_type", "hr", "value_bucket"],
+        k=5,
+        sensitive_col="user_id",
+        l=2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The round driver's correctness gate records the FIRST
 # 50 entries of ``queries()``; HEADLINE curates that window so every operator
 # family (SURVEY.md §2 + the LLM-data-pipeline extensions) gets a
@@ -6188,13 +6463,21 @@ HEADLINE: list[str] = [
     "quality_percentile_filter",
     "text_sentiment_by_lang",
     "cluster_balanced_sample",
+    # --- new in r6 (late): retrieval / entity-resolution / privacy
+    # families get their FIRST driver rows; the rotated-out multi-round
+    # greens (events_daily_rollup r1-r5, events_unit_metrics r5,
+    # text_repetition_stats r5, dedup_exact_groups r1-r5,
+    # text_pii_redaction r5) stay oracle-checked in the registry tail
+    "text_bm25_topk",
+    "hybrid_rrf_topk",
+    "customer_fuzzy_match",
+    "events_k_anonymity",
+    "events_anonymity_report",
     # --- events/scalar representatives (green r5; the rotated-out
     # events_daily_pivot / derive_run_status / union_report_sources stay
     # oracle-checked by tools/check_correctness.py over the full registry)
-    "events_daily_rollup",
     "events_percentiles",
     "events_peak_hour",
-    "events_unit_metrics",
     # events_rolling_stats (green r5) rotates to the tail for the
     # count-min sketch — the first VALUE-checked sketch query (HLL/KLL/
     # theta stay rows-only by nature; CMS arithmetic is exact)
@@ -6233,7 +6516,6 @@ HEADLINE: list[str] = [
     # machinery is value-checked via ann_ivf_topk + these two
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    "text_repetition_stats",
     # tfidf_top_terms (green r5) rotates to the tail for the data card —
     # term stats stay exercised in-window via corpus_vocab_topk
     "corpus_datacard",
@@ -6274,8 +6556,6 @@ HEADLINE: list[str] = [
     # text_token_stats (green r5) rotates to the tail for
     # doc_bigram_perplexity — token counting stays exercised in-window
     # via corpus_token_packing/text_repetition_stats oracles
-    "text_pii_redaction",
-    "dedup_exact_groups",
     "dedup_minhash_md5",
     # knn_bruteforce (green r1-r5) rotates to the tail — the exact-cosine
     # machinery is exercised in-window via the ANN verify paths;

@@ -968,6 +968,17 @@ def test_auto_lsh_bits_sizing(spark):
     assert auto_lsh_bits(200) == 4
     assert auto_lsh_bits(20_000) == 9
     assert auto_lsh_bits(20_000_000) == 19
+    # the registered embedding_near_dup/_dedup_clusters queries auto-size
+    # bits but their oracles pin _ND_BITS=4 planes; parity at the driver's
+    # correctness SF (0.01) requires auto == 4 there.  Pin the count so a
+    # testdata resize fails HERE, not as a driver red row.
+    n_sf001 = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    )
+    assert auto_lsh_bits(n_sf001) == 4, (
+        f"sf0.01 embeddings grew to {n_sf001}: auto_lsh_bits no longer "
+        "matches the _ND_BITS=4 oracle planes — re-pin queries.py"
+    )
     # the auto default equals the explicit parameterization at small n,
     # so results coincide with the oracle-pinned setting
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -1305,3 +1316,170 @@ def test_center_embeddings_zero_mean(spark):
         ]
     ).first()
     assert all(abs(mu[f"m{d}"]) < 1e-9 for d in range(3))
+
+
+# -- retrieval: BM25 / RRF ------------------------------------------------
+
+
+def test_bm25_scores_closed_form(spark, docs):
+    import math
+
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    # query = ["the", "fox"]: docs 0-2 contain both, 3-5 neither term
+    out = {
+        r["doc_id"]: r
+        for r in bm25_scores(docs, ["the", "fox"]).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    # hand-computed: N=6, avgdl=(9+9+9+6+9+2)/6, df(the)=3, df(fox)=3
+    n, avgdl = 6.0, 44 / 6
+    k1, b = 1.2, 0.75
+
+    def idf(df_):
+        return math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+
+    def term(tf, dl):
+        return idf(3.0) * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1 - b + b * dl / avgdl)
+        )
+
+    expect = round(term(2.0, 9) + term(1.0, 9), 6)  # tf(the)=2, tf(fox)=1
+    assert out[0]["score"] == pytest.approx(expect, abs=2e-6)
+    assert out[0]["dl"] == 9
+    # identical docs score identically; all three tie (same tf vector, dl)
+    assert out[0]["score"] == out[2]["score"] == out[1]["score"]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    rows = [(i, "common filler words here") for i in range(9)] + [
+        (9, "common filler words here plus needle")
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(df, ["common", "needle"]).collect()
+    }
+    # the needle doc must dominate: rare term carries ~ln(10.5/1.5) idf
+    assert out[9] == max(out.values())
+    assert out[9] > 2 * out[0]
+
+
+def test_rrf_fuse_identities(spark):
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        math_rrf,
+        rrf_fuse,
+    )
+
+    l1 = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id BIGINT, rank INT"
+    )
+    l2 = spark.createDataFrame(
+        [(2, 1), (1, 2)], "doc_id BIGINT, rank INT"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([l1, l2], k=60).collect()}
+    assert out[1]["rrf_score"] == pytest.approx(
+        round(math_rrf(60, 1) + math_rrf(60, 2), 6)
+    )
+    assert out[2]["rrf_score"] == out[1]["rrf_score"]  # symmetric ranks
+    assert out[3]["n_lists"] == 1  # missing from l2 contributes nothing
+    assert out[3]["rrf_score"] == pytest.approx(round(math_rrf(60, 3), 6))
+
+
+# -- entity resolution ----------------------------------------------------
+
+
+def test_fuzzy_matches_blocked(spark):
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        canonicalize_matches,
+        fuzzy_matches,
+    )
+
+    rows = [
+        (1, "acme corp", "us"),
+        (2, "acme corp.", "us"),   # 1 edit from 1
+        (3, "acme corp", "de"),    # identical name, other block: no pair
+        (4, "zenith ltd", "us"),
+        (5, "acme corp.", "us"),   # exact dup of 2, 1 edit from 1
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, name STRING, country STRING")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_matches(
+            df, ["country"], "id", "name", max_edit=1
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 5): 1, (2, 5): 0}
+    canon = {
+        r["entity_id"]: r["canonical_id"]
+        for r in canonicalize_matches(
+            fuzzy_matches(df, ["country"], "id", "name", max_edit=1)
+        ).collect()
+    }
+    assert canon == {1: 1, 2: 1, 5: 1}
+
+
+def test_fuzzy_matches_length_band_guarantee(spark):
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        fuzzy_matches,
+    )
+
+    # same-band pairs keep exact recall; the docstring's band >= max_edit+1
+    # rule means a pair split across bands always has length diff >= 1,
+    # which CAN still be <= max_edit — verify the documented trade shows
+    # up only for cross-band pairs
+    rows = [(1, "abcd", "x"), (2, "abcde", "x"), (3, "abcdx", "x")]
+    df = spark.createDataFrame(rows, "id BIGINT, name STRING, country STRING")
+    unbanded = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_matches(
+            df, ["country"], "id", "name", max_edit=1
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_matches(
+            df, ["country"], "id", "name", max_edit=1, length_band=5
+        ).collect()
+    }
+    assert (2, 3) in banded  # same length -> same band, kept
+    assert banded <= unbanded
+
+
+# -- privacy audits -------------------------------------------------------
+
+
+def test_k_anonymity_audit_and_report(spark):
+    from high_throughput_etl_pipeline_spark.operators.privacy import (
+        anonymity_report,
+        k_anonymity_audit,
+    )
+
+    rows = (
+        [("a", 1, f"u{i}") for i in range(5)]      # safe group, 5 users
+        + [("a", 2, "u0"), ("a", 2, "u0")]          # at-risk, 1 user
+        + [("b", 1, "u1")]                           # at-risk singleton
+    )
+    df = spark.createDataFrame(rows, "qa STRING, qb INT, user STRING")
+    audit = {
+        (r["qa"], r["qb"]): r
+        for r in k_anonymity_audit(
+            df, ["qa", "qb"], k=5, sensitive_col="user"
+        ).collect()
+    }
+    assert not audit[("a", 1)]["at_risk"]
+    assert audit[("a", 2)]["at_risk"] and audit[("a", 2)]["n_sensitive"] == 1
+    rep = anonymity_report(
+        df, ["qa", "qb"], k=5, sensitive_col="user", l=2
+    ).first()
+    assert rep["n_groups"] == 3
+    assert rep["k_min"] == 1
+    assert rep["groups_below_k"] == 2
+    assert rep["rows_below_k"] == 3
+    assert rep["groups_below_l"] == 2
