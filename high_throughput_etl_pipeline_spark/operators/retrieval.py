@@ -27,8 +27,6 @@ extension surface the round brief asks for beyond reference coverage.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -160,6 +158,128 @@ def bm25_sql(
     )"""
 
 
+N_TERM_BUCKETS = 256
+
+
+def term_bucket(term_col) -> F.Column:
+    """Stable partition key for posting lists: ``xxhash64(term) mod B``.
+    Hash-bucketed (not partitioned BY term) so a 10⁷-term vocabulary
+    yields a fixed 256-directory layout instead of 10⁷ directories."""
+    return F.pmod(F.xxhash64(term_col), F.lit(N_TERM_BUCKETS)).cast("int")
+
+
+def build_term_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One-time indexing pass → (postings, stats).
+
+    ``postings``: (term, ``id_col``, tf, dl, _term_bucket) — the classic
+    posting-list layout, one grouped pass over the exploded tokens.
+    ``stats``: ONE row (_n docs, _avgdl) — the corpus constants BM25
+    needs at serve time, so serving never rescans the corpus.
+    """
+    w = docs.select(
+        F.col(id_col), norm_words(F.col(text_col)).alias("_words")
+    )
+    t = w.select(
+        F.col(id_col),
+        F.size("_words").alias("dl"),
+        F.explode("_words").alias("term"),
+    )
+    postings = (
+        t.groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("_term_bucket", term_bucket(F.col("term")))
+    )
+    stats = w.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.size("_words")).alias("_avgdl"),
+    )
+    return postings, stats
+
+
+def write_term_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index as a ``_term_bucket``-partitioned
+    parquet layout plus a one-row ``_stats`` table — the serving form
+    for REPEATED retrieval workloads.  Once postings are on disk keyed
+    by the term's hash bucket, a query's term filter becomes
+    ``PartitionFilters`` at the scan and only |query_terms| buckets of
+    the index are ever read (plan-pinned in tests/test_plans.py) — the
+    same write-once/serve-many shape as ``ivf_write_index``.
+    """
+    postings, stats = build_term_index(docs, id_col, text_col)
+    postings.write.mode("overwrite").partitionBy("_term_bucket").parquet(
+        f"{path}/postings"
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def bm25_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve BM25 from a :func:`write_term_index` layout.
+
+    The scan reads ONLY the query terms' hash-bucket partitions (then
+    row-filters to the exact terms); df comes from the probed postings
+    themselves, corpus constants from the one-row stats table.  Scoring
+    follows the same non-negative idf formula as :func:`bm25_scores`
+    term-by-term, but sums per-(doc, term) partial scores with a groupBy
+    — serving cost scales with the MATCHED postings, not the corpus.
+    Results match :func:`bm25_scores` on (id, dl, score) for any term
+    set with distinct terms (pytest pins equality).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    buckets = sorted(
+        {
+            r["_b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in query_terms], "term STRING"
+            )
+            .select(term_bucket(F.col("term")).alias("_b"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("_term_bucket").isin(buckets))
+        .filter(F.col("term").isin(query_terms))
+    )
+    stats = spark.read.parquet(f"{path}/_stats")
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    norm_len = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    partial = idf * (tf * F.lit(k1 + 1.0)) / (tf + norm_len)
+    return (
+        postings.join(F.broadcast(df_t), on="term")
+        .join(F.broadcast(stats))
+        .withColumn("_partial", partial)
+        .groupBy(id_col, "dl")
+        .agg(F.round(F.sum("_partial"), 6).alias("score"))
+        .select(id_col, "dl", "score")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 60,
@@ -198,6 +318,10 @@ def math_rrf(k: int, rank: int) -> float:
 __all__ = [
     "bm25_scores",
     "bm25_sql",
+    "build_term_index",
+    "write_term_index",
+    "bm25_from_index",
+    "term_bucket",
     "rrf_fuse",
     "math_rrf",
 ]

@@ -423,3 +423,76 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
     assert m, plan
     assert "IN (" in m.group(1) or "isin" in m.group(1).lower() or "IN " in m.group(1), m.group(1)
+
+
+def test_bm25_no_explode_single_stats_broadcast(spark):
+    # BM25 must not build an inverted index for a bounded term set: no
+    # explode/generate stage, corpus stats broadcast as ONE row, top-k
+    # never a global-sort exchange
+    plan = _plan(spark, "text_bm25_topk")
+    assert "Generate" not in plan  # explode would appear as Generate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 1 or "Window" in plan
+
+
+def test_hybrid_rrf_one_fusion_shuffle(spark):
+    # fusion is union + groupBy over (id, rank): exactly one aggregate
+    # exchange for the fusion itself (rank lists are tiny top-20 windows)
+    plan = _plan(spark, "hybrid_rrf_topk")
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocked_join_not_cartesian(spark):
+    # the levenshtein comparison must ride a hash-partitioned equi-join
+    # on the block key — never a nested-loop over all pairs
+    plan = _plan(spark, "customer_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_k_anonymity_single_grouped_pass(spark):
+    # the audit is ONE grouped aggregation: a single pair of
+    # HashAggregate stages (partial+final) over the QI shuffle, plus the
+    # count_distinct expand — no joins, no windows
+    plan = _plan(spark, "events_anonymity_report")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_bm25_index_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        N_TERM_BUCKETS,
+        bm25_from_index,
+        bm25_scores,
+        write_term_index,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    terms = ["vector", "hash", "merge"]
+    path = str(tmp_path / "term_index")
+    write_term_index(docs, path)
+
+    base = {
+        r["doc_id"]: r for r in bm25_scores(docs, terms).collect()
+    }
+    served = bm25_from_index(spark, path, terms)
+    got = {r["doc_id"]: r for r in served.collect()}
+    # serving from the posting-list layout is value-identical (modulo
+    # summation order inside the double, before the 6 dp round)
+    assert set(got) == set(base)
+    for d in base:
+        assert got[d]["dl"] == base[d]["dl"]
+        assert abs(got[d]["score"] - base[d]["score"]) <= 2e-6
+    # and the term filter reaches the scan as PARTITION pruning: the
+    # postings scan must carry a _term_bucket partition filter, reading
+    # only the query terms' buckets (<< the full 256-bucket layout)
+    served.collect()
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_term_bucket" in m.group(1), plan
+    assert f"/{N_TERM_BUCKETS}" not in m.group(1)  # sanity: real filter
