@@ -6321,22 +6321,24 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution on the customer dimension: nation-blocked
-    Levenshtein matching (edit distance ≤ 1).  Edit distance never runs
-    all-pairs — candidates are bounded by the block equi-join, the
-    comparison itself is JVM-side inside codegen, and the distance
-    function is engine-portable so the whole match is hash-checkable."""
+    Levenshtein matching (edit distance ≤ 1) served by
+    deletion-neighborhood candidates (SymSpell identity: distance-≤1
+    pairs always share a single-deletion variant, so the candidate join
+    is an equi-join on variant hashes — near-linear, never block²; one
+    codegen levenshtein per candidate removes the distance-2 false
+    positives).  Engine-portable distance function, so the whole match
+    is hash-checkable against the oracle's plain quadratic spec."""
     from high_throughput_etl_pipeline_spark.operators.entity import (
-        fuzzy_matches,
+        fuzzy_matches_neighborhood,
     )
 
     c = _t(spark, sf_dir, "customer")
     return (
-        fuzzy_matches(
+        fuzzy_matches_neighborhood(
             c,
             block_cols=["c_nationkey"],
             id_col="c_custkey",
             name_col="c_name",
-            max_edit=1,
         )
         .withColumn("edit_distance", F.col("edit_distance").cast("int"))
         .orderBy("id_a", "id_b")

@@ -1483,3 +1483,43 @@ def test_k_anonymity_audit_and_report(spark):
     assert rep["groups_below_k"] == 2
     assert rep["rows_below_k"] == 3
     assert rep["groups_below_l"] == 2
+
+
+def test_fuzzy_neighborhood_equals_blocked(spark):
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        deletion_variants,
+        fuzzy_matches,
+        fuzzy_matches_neighborhood,
+    )
+
+    # variants: the string itself + every single deletion, distinct
+    df1 = spark.createDataFrame([("aab",)], "name STRING")
+    vs = df1.select(deletion_variants(F.col("name")).alias("v")).first()["v"]
+    # deletions of 'aab': pos1/pos2 both give 'ab' (deduped), pos3 'aa'
+    assert sorted(vs) == ["aa", "aab", "ab"]
+
+    # neighborhood candidates reproduce the quadratic join exactly on
+    # real data (substitution, insertion/deletion, and non-match cases)
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    rows = lambda d: sorted(
+        (r["id_a"], r["id_b"], r["edit_distance"]) for r in d.collect()
+    )
+    blocked = fuzzy_matches(
+        c, ["c_nationkey"], "c_custkey", "c_name", max_edit=1
+    )
+    neigh = fuzzy_matches_neighborhood(
+        c, ["c_nationkey"], "c_custkey", "c_name"
+    )
+    assert rows(neigh) == rows(blocked)
+    # insertion/deletion shape (unequal lengths) is also caught
+    df2 = spark.createDataFrame(
+        [(1, "acme corp", "x"), (2, "acme corp.", "x"), (3, "acme", "x")],
+        "id BIGINT, name STRING, country STRING",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_matches_neighborhood(
+            df2, ["country"], "id", "name"
+        ).collect()
+    }
+    assert got == {(1, 2): 1}
