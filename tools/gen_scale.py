@@ -112,10 +112,23 @@ def gen_relational(con: duckdb.DuckDBPyConnection) -> None:
                    end as n_chars
             from read_parquet('{SRC}/documents.parquet'), {copies}""",
     }
+    # Row-group sizing: Spark parallelizes a parquet scan at ROW-GROUP
+    # granularity, and these tables are byte-small but CPU-heavy per row
+    # (shingling, HOFs) — a single-row-group documents.parquet ran the
+    # whole text family single-task.  ~16-32 groups per table mirrors
+    # the many-splits layout any production corpus has.
+    row_groups = {
+        "customer": 8192, "supplier": 8192, "part": 8192,
+        "orders": 65536, "lineitem": 262144, "events": 65536,
+        "documents": 2048,
+    }
     for table, sql in jobs.items():
+        rg = row_groups.get(table)
+        opts = "format parquet, compression snappy" + (
+            f", row_group_size {rg}" if rg else ""
+        )
         con.execute(
-            f"copy ({sql}) to '{DST}/{table}.parquet' "
-            f"(format parquet, compression snappy)"
+            f"copy ({sql}) to '{DST}/{table}.parquet' ({opts})"
         )
         n = con.execute(
             f"select count(*) from read_parquet('{DST}/{table}.parquet')"
@@ -147,7 +160,12 @@ def gen_embeddings() -> None:
         ),
         "label": pa.array(np.concatenate(labels), type=pa.int32()),
     })
-    pq.write_table(out, f"{DST}/embeddings.parquet", compression="snappy")
+    pq.write_table(
+        out,
+        f"{DST}/embeddings.parquet",
+        compression="snappy",
+        row_group_size=1024,
+    )
     print(f"  embeddings: {out.num_rows} rows", file=sys.stderr)
 
 
