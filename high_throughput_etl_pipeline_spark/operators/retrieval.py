@@ -232,17 +232,25 @@ def bm25_from_index(
     """Serve BM25 from a :func:`write_term_index` layout.
 
     The scan reads ONLY the query terms' hash-bucket partitions (then
-    row-filters to the exact terms); df comes from the probed postings
-    themselves, corpus constants from the one-row stats table.  Scoring
-    follows the same non-negative idf formula as :func:`bm25_scores`
-    term-by-term, but sums per-(doc, term) partial scores with a groupBy
-    — serving cost scales with the MATCHED postings, not the corpus.
+    row-filters to the exact terms); scoring is :func:`score_postings`.
     Results match :func:`bm25_scores` on (id, dl, score) for any term
     set with distinct terms (pytest pins equality).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    buckets = sorted(
+    buckets = query_term_buckets(spark, query_terms)
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("_term_bucket").isin(buckets)
+    )
+    stats = spark.read.parquet(f"{path}/_stats")
+    return score_postings(postings, stats, query_terms, k1, b, id_col)
+
+
+def query_term_buckets(spark, query_terms: list[str]) -> list[int]:
+    """The hash buckets a term set's postings live in — the literal
+    IN-filter a pruned index scan needs (metadata-scale collect:
+    |query_terms| ints)."""
+    return sorted(
         {
             r["_b"]
             for r in spark.createDataFrame(
@@ -252,12 +260,23 @@ def bm25_from_index(
             .collect()
         }
     )
-    postings = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("_term_bucket").isin(buckets))
-        .filter(F.col("term").isin(query_terms))
-    )
-    stats = spark.read.parquet(f"{path}/_stats")
+
+
+def score_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over posting rows (term, id, tf, dl) plus a one-row stats
+    frame (_n, _avgdl) — the scoring core shared by the static index
+    (:func:`bm25_from_index`) and the streaming-maintained index
+    (``streaming/index_stream.py``).  df comes from the probed postings
+    themselves; per-(doc, term) partials sum with a groupBy, so serving
+    cost scales with MATCHED postings, not the corpus."""
+    postings = postings.filter(F.col("term").isin(query_terms))
     df_t = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
@@ -321,6 +340,8 @@ __all__ = [
     "build_term_index",
     "write_term_index",
     "bm25_from_index",
+    "score_postings",
+    "query_term_buckets",
     "term_bucket",
     "rrf_fuse",
     "math_rrf",

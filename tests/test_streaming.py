@@ -547,3 +547,103 @@ def test_dedup_stream_incremental(spark, tmp_path):
             str(tmp_path / "ckpt2"),
             available_now=True,
         )
+
+
+def test_index_stream_matches_batch_bm25(spark, tmp_path):
+    """Streaming posting-list maintenance: after N micro-batches, serving
+    from the appended index answers EXACTLY like batch BM25 over the
+    union of everything ingested; replay no-ops; a fresh checkpoint
+    against the same table fails loudly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+    from high_throughput_etl_pipeline_spark.streaming.index_stream import (
+        bm25_from_stream_index,
+        start_index_stream,
+        stored_index_stats,
+    )
+
+    ind = tmp_path / "docs"
+    ind.mkdir()
+
+    def write_file(name, rows):
+        with open(ind / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    write_file("a.ndjson", [
+        (1, "spark shuffle join plans and broadcast joins"),
+        (2, "adaptive query execution coalesces shuffle partitions"),
+        (3, "parquet row groups and column pruning"),
+    ])
+    table = str(tmp_path / "index_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id BIGINT, text STRING"
+
+    def drain():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(ind))
+        )
+        q = start_index_stream(src, table, ckpt, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    terms = ["shuffle", "parquet"]
+
+    def served():
+        return {
+            r["doc_id"]: (r["dl"], r["score"])
+            for r in bm25_from_stream_index(spark, table, terms).collect()
+        }
+
+    def batch_truth():
+        docs = spark.read.schema(schema).json(str(ind))
+        return {
+            r["doc_id"]: (r["dl"], r["score"])
+            for r in bm25_scores(docs, terms).collect()
+        }
+
+    drain()
+    got = served()
+    want = batch_truth()
+    assert set(got) == set(want) == {1, 2, 3}
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) <= 2e-6
+
+    # batch 2 arrives: corpus constants (N, avgdl) and df CHANGE — the
+    # served scores must track the merged corpus, not the first batch
+    write_file("b.ndjson", [
+        (10, "shuffle service external storage"),
+        (11, "vectorized parquet reader with row group skipping"),
+    ])
+    drain()
+    got = served()
+    want = batch_truth()
+    assert set(got) == set(want) == {1, 2, 3, 10, 11}
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) <= 2e-6
+    stats = stored_index_stats(spark, table).first()
+    assert stats["_n"] == 5.0
+
+    # restart on the same checkpoint: no re-merge (still 2 batch dirs)
+    drain()
+    assert stored_index_stats(spark, table).first()["_n"] == 5.0
+
+    # fresh checkpoint + existing table = fenced
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        start_index_stream(
+            spark.readStream.schema(schema).json(str(ind)),
+            table,
+            str(tmp_path / "ckpt2"),
+        )
