@@ -47,13 +47,33 @@ POSTINGS_SCHEMA = (
 STATS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT"
 
 
+def _recover(table_path: str) -> None:
+    """Heal compaction crash windows before reading or writing: a
+    ``X._old`` with no ``X`` means the swap died between its two renames
+    — restore the original (complete by construction); any leftover
+    ``._staging`` is an unpublished partial and is dropped."""
+    if not os.path.isdir(table_path):
+        return
+    for d in os.listdir(table_path):
+        full = os.path.join(table_path, d)
+        if d.endswith("._old"):
+            target = full[: -len("._old")]
+            if not os.path.isdir(target):
+                os.rename(full, target)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+        elif d.endswith("._staging"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def _batch_dirs(table_path: str) -> list[str]:
     if not os.path.isdir(table_path):
         return []
+    _recover(table_path)
     return sorted(
         os.path.join(table_path, d)
         for d in os.listdir(table_path)
-        if d.startswith("batch_") and not d.endswith("._staging")
+        if d.startswith("batch_") and "._" not in d
     )
 
 
@@ -114,8 +134,17 @@ def merge_index_batch(
     fragment, publish as one ``batch_<id>`` directory via staging +
     atomic rename.  Returns False for an already-published (replayed)
     batch id — foreachBatch is at-least-once and the rename is the
-    idempotency record."""
+    idempotency record.  The guard is MONOTONIC (not exact-dir): batch
+    ids only grow within one checkpoint, and compaction folds old
+    directories into the highest absorbed id, so "any published id >=
+    mine" still proves this batch was absorbed even after its own
+    directory is gone."""
     out_dir = os.path.join(table_path, f"batch_{batch_id:010d}")
+    published = _batch_dirs(table_path)
+    if published:
+        max_id = int(os.path.basename(published[-1]).split("_")[1])
+        if batch_id <= max_id:
+            return False
     if os.path.isdir(out_dir):
         return False
     postings, _ = build_term_index(batch, id_col, text_col)
@@ -208,4 +237,61 @@ __all__ = [
     "stored_postings",
     "stored_index_stats",
     "start_index_stream",
+    "compact_index",
 ]
+
+
+def compact_index(spark: SparkSession, table_path: str) -> int:
+    """Fold every published batch directory into ONE, so the serve-time
+    union stays narrow as batches accumulate (the log-structured-store
+    discipline: appends are cheap, periodic compaction bounds read
+    amplification).
+
+    Postings rows are immutable and stats fragments additive, so
+    compaction is a pure rewrite: read all batches, write a single
+    ``batch_<max_id>`` replacement, then atomically swap it in and drop
+    the originals.  The replacement keeps the HIGHEST compacted batch
+    id, so the replay guard still no-ops every batch id the store has
+    absorbed.  Single-maintainer operation (run it from the stream
+    owner between triggers, like any checkpoint maintenance) — the
+    stream itself never rewrites, so a crash mid-compaction leaves
+    either the old directories or the completed swap, never a mix
+    (the swap directory publishes before any original is removed;
+    leftover originals are re-dropped on the next compaction).
+
+    Returns the number of batch directories folded (0/1 = nothing to
+    do).
+    """
+    _recover(table_path)
+    dirs = _batch_dirs(table_path)
+    if len(dirs) <= 1:
+        return 0
+    max_id = int(os.path.basename(dirs[-1]).split("_")[1])
+    postings = stored_postings(spark, table_path)
+    stats = spark.read.schema(STATS_SCHEMA).parquet(
+        *[os.path.join(d, "stats") for d in dirs]
+    ).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+    out_dir = os.path.join(table_path, f"batch_{max_id:010d}")
+    staging = out_dir + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    postings.write.mode("overwrite").partitionBy("_term_bucket").parquet(
+        os.path.join(staging, "postings")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "stats")
+    )
+    # two-rename swap with a recoverable window: between the renames the
+    # max-id directory exists only as X._old, which _recover() restores
+    # on the next read/merge/compact if the second rename never ran —
+    # the same healing the sketch sink's publish has
+    old = out_dir + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(out_dir, old)
+    os.rename(staging, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    for d in dirs[:-1]:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(dirs)

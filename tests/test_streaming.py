@@ -647,3 +647,68 @@ def test_index_stream_matches_batch_bm25(spark, tmp_path):
             table,
             str(tmp_path / "ckpt2"),
         )
+
+
+def test_index_compaction_preserves_serving_and_replay(spark, tmp_path):
+    """compact_index folds N batch dirs into one: served scores are
+    unchanged, absorbed batch ids still no-op on replay, and a simulated
+    crash between the swap renames self-heals."""
+    import os as _os
+    import shutil as _shutil
+
+    from high_throughput_etl_pipeline_spark.streaming.index_stream import (
+        _batch_dirs,
+        bm25_from_stream_index,
+        compact_index,
+        merge_index_batch,
+        stored_index_stats,
+    )
+
+    table = str(tmp_path / "store")
+    schema = "doc_id BIGINT, text STRING"
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta")], schema
+    )
+    b1 = spark.createDataFrame([(3, "beta beta beta epsilon")], schema)
+    b2 = spark.createDataFrame([(4, "gamma delta")], schema)
+    assert merge_index_batch(b0, 0, table)
+    assert merge_index_batch(b1, 1, table)
+    assert merge_index_batch(b2, 2, table)
+
+    terms = ["alpha", "beta"]
+    before = {
+        r["doc_id"]: (r["dl"], r["score"])
+        for r in bm25_from_stream_index(spark, table, terms).collect()
+    }
+    assert set(before) == {1, 2, 3}
+
+    assert compact_index(spark, table) == 3
+    assert len(_batch_dirs(table)) == 1
+    after = {
+        r["doc_id"]: (r["dl"], r["score"])
+        for r in bm25_from_stream_index(spark, table, terms).collect()
+    }
+    assert after == before
+    assert stored_index_stats(spark, table).first()["_n"] == 4.0
+
+    # replaying ANY absorbed batch id no-ops (monotonic guard), and a
+    # genuinely new batch still lands
+    assert not merge_index_batch(b0, 0, table)
+    assert not merge_index_batch(b2, 2, table)
+    assert merge_index_batch(
+        spark.createDataFrame([(5, "epsilon alpha")], schema), 3, table
+    )
+    assert stored_index_stats(spark, table).first()["_n"] == 5.0
+
+    # crash window: max-id dir renamed to ._old, replacement never
+    # landed — the next read restores it and serving is intact
+    dirs = _batch_dirs(table)
+    _os.rename(dirs[-1], dirs[-1] + "._old")
+    healed = {
+        r["doc_id"]: (r["dl"], r["score"])
+        for r in bm25_from_stream_index(spark, table, terms).collect()
+    }
+    assert set(healed) == {1, 2, 3, 5}
+    # leftover staging is dropped, not served
+    _os.makedirs(dirs[-1] + "._staging", exist_ok=True)
+    assert len(_batch_dirs(table)) == 2
