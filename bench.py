@@ -109,6 +109,8 @@ HEADLINE = [
     "customer_fuzzy_match",
     "events_k_anonymity",
     "events_anonymity_report",
+    "embedding_hard_negatives",
+    "embedding_knn_label_eval",
 ]
 
 

@@ -967,3 +967,128 @@ def center_embeddings(
         )
         .drop("_mu")
     )
+
+
+# -- embedding evaluation: label-aware neighbor ops -----------------------
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most-similar vectors whose label DIFFERS from the
+    anchor's — the highest-loss negatives a triplet/InfoNCE batch can
+    use.
+
+    Plan shape: broadcast the (small) anchor set, one pass over the
+    vector table, label-mismatch filter BEFORE the window so same-label
+    rows never rank, per-anchor top-k window.  Cosine rounds 6 dp
+    before ranking so the order (ties by id) is engine-stable.
+    Returns (anchor_id, anchor_label, negative_id, negative_label,
+    cosine, rank).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("_q"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(a))
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round(
+                _dot(F.col("_v"), F.col("_q"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), "negative_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_label_vote(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label prediction — the standard embedding-quality probe
+    (does geometric neighborhood recover the label?).
+
+    For each query: exact top-``k`` cosine neighbors EXCLUDING itself,
+    majority label vote (ties broken toward the smaller label — both
+    engines agree on a total order).  Returns (query_id, true_label,
+    predicted_label, votes).  Broadcast queries, one scan, two windows
+    — no iterative fitting, nothing driver-side.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("n_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_label"),
+        F.col(vec_col).alias("_q"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "n_id",
+            "n_label",
+            F.round(
+                _dot(F.col("_v"), F.col("_q"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wn = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "n_id")
+    nn = scored.withColumn("_r", F.row_number().over(wn)).filter(
+        F.col("_r") <= k
+    )
+    votes = nn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), "n_label"
+    )
+    return (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("predicted_label"),
+            "votes",
+        )
+    )

@@ -1523,3 +1523,40 @@ def test_fuzzy_neighborhood_equals_blocked(spark):
         ).collect()
     }
     assert got == {(1, 2): 1}
+
+
+def test_hard_negatives_and_knn_vote(spark):
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        hard_negatives,
+        knn_label_vote,
+    )
+
+    # 2D-ish geometry in 4 dims: two tight clusters with labels 0/1, one
+    # cross-label vector sitting next to cluster 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        (2, [0.98, 0.05, 0.1, 0.0], 0),
+        (3, [0.97, 0.0, 0.0, 0.2], 1),   # hard negative for label 0
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.99, 0.1, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    neg = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["negative_id"] for r in neg] == [3, 4]  # 3 is the hardest
+    assert all(r["negative_label"] != 0 for r in neg)
+    assert neg[0]["cosine"] > neg[1]["cosine"]
+
+    pred = {
+        r["query_id"]: r
+        for r in knn_label_vote(df, df, k=3).collect()
+    }
+    # query 0's 3-NN = {1, 2, 3} -> votes 0:2, 1:1 -> predicted 0
+    assert pred[0]["predicted_label"] == 0 and pred[0]["votes"] == 2
+    # query 4's 3-NN = {5, ...}: 5 is the only near one; ties in the
+    # remaining votes resolve deterministically toward the smaller label
+    assert pred[4]["true_label"] == 1
+    # self is never its own neighbor: every query got exactly one row
+    assert set(pred) == {0, 1, 2, 3, 4, 5}
