@@ -27,7 +27,6 @@ postings); compose upstream exact/near-dup dedup
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 
@@ -40,41 +39,14 @@ from high_throughput_etl_pipeline_spark.operators.retrieval import (
     query_term_buckets,
     score_postings,
 )
+from high_throughput_etl_pipeline_spark.streaming import store as _store
+
+_batch_dirs = _store.batch_dirs
 
 POSTINGS_SCHEMA = (
     "term STRING, doc_id BIGINT, dl INT, tf BIGINT, _term_bucket INT"
 )
 STATS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT"
-
-
-def _recover(table_path: str) -> None:
-    """Heal compaction crash windows before reading or writing: a
-    ``X._old`` with no ``X`` means the swap died between its two renames
-    — restore the original (complete by construction); any leftover
-    ``._staging`` is an unpublished partial and is dropped."""
-    if not os.path.isdir(table_path):
-        return
-    for d in os.listdir(table_path):
-        full = os.path.join(table_path, d)
-        if d.endswith("._old"):
-            target = full[: -len("._old")]
-            if not os.path.isdir(target):
-                os.rename(full, target)
-            else:
-                shutil.rmtree(full, ignore_errors=True)
-        elif d.endswith("._staging"):
-            shutil.rmtree(full, ignore_errors=True)
-
-
-def _batch_dirs(table_path: str) -> list[str]:
-    if not os.path.isdir(table_path):
-        return []
-    _recover(table_path)
-    return sorted(
-        os.path.join(table_path, d)
-        for d in os.listdir(table_path)
-        if d.startswith("batch_") and "._" not in d
-    )
 
 
 def stored_postings(
@@ -139,14 +111,9 @@ def merge_index_batch(
     directories into the highest absorbed id, so "any published id >=
     mine" still proves this batch was absorbed even after its own
     directory is gone."""
-    out_dir = os.path.join(table_path, f"batch_{batch_id:010d}")
-    published = _batch_dirs(table_path)
-    if published:
-        max_id = int(os.path.basename(published[-1]).split("_")[1])
-        if batch_id <= max_id:
-            return False
-    if os.path.isdir(out_dir):
+    if _store.already_absorbed(table_path, batch_id):
         return False
+    out_dir = _store.batch_dir(table_path, batch_id)
     postings, _ = build_term_index(batch, id_col, text_col)
     frag = batch.select(
         F.size(norm_words(F.col(text_col))).alias("_dl")
@@ -162,7 +129,7 @@ def merge_index_batch(
     frag.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(staging, "stats")
     )
-    os.rename(staging, out_dir)
+    _store.publish(staging, out_dir)
     return True
 
 
@@ -199,24 +166,7 @@ def start_index_stream(
     checkpoint restarts batch ids at 0 and would silently skip-as-
     replayed against an existing table — that mismatch fails loudly
     instead (same fencing as ``dedup_stream``)."""
-    os.makedirs(table_path, exist_ok=True)
-    sid = hashlib.sha1(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
-    sid_file = os.path.join(table_path, "_stream_id")
-    if os.path.exists(sid_file):
-        with open(sid_file) as f:
-            prior = f.read().strip()
-        if prior != sid:
-            raise RuntimeError(
-                f"index table {table_path} belongs to stream {prior!r}, "
-                f"not {sid!r} (fresh/relocated checkpoint?). Delete the "
-                "table with the checkpoint to rebuild, or restore the "
-                "original checkpoint."
-            )
-    else:
-        with open(sid_file, "w") as f:
-            f.write(sid)
+    _store.stamp_stream_id(table_path, checkpoint_dir, "index")
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         merge_index_batch(batch, batch_id, table_path, id_col, text_col)
@@ -262,7 +212,6 @@ def compact_index(spark: SparkSession, table_path: str) -> int:
     Returns the number of batch directories folded (0/1 = nothing to
     do).
     """
-    _recover(table_path)
     dirs = _batch_dirs(table_path)
     if len(dirs) <= 1:
         return 0
@@ -274,7 +223,7 @@ def compact_index(spark: SparkSession, table_path: str) -> int:
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("sum_dl").cast("bigint").alias("sum_dl"),
     )
-    out_dir = os.path.join(table_path, f"batch_{max_id:010d}")
+    out_dir = _store.batch_dir(table_path, max_id)
     staging = out_dir + "._staging"
     shutil.rmtree(staging, ignore_errors=True)
     postings.write.mode("overwrite").partitionBy("_term_bucket").parquet(
@@ -284,14 +233,10 @@ def compact_index(spark: SparkSession, table_path: str) -> int:
         os.path.join(staging, "stats")
     )
     # two-rename swap with a recoverable window: between the renames the
-    # max-id directory exists only as X._old, which _recover() restores
-    # on the next read/merge/compact if the second rename never ran —
-    # the same healing the sketch sink's publish has
-    old = out_dir + "._old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(out_dir, old)
-    os.rename(staging, out_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    # max-id directory exists only as X._old, which store.recover()
+    # restores on the next read/merge/compact if the second rename never
+    # ran — the same healing the sketch sink's publish has
+    _store.swap(staging, out_dir)
     for d in dirs[:-1]:
         shutil.rmtree(d, ignore_errors=True)
     return len(dirs)

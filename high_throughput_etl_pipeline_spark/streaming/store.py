@@ -1,0 +1,119 @@
+"""Shared mechanics for log-structured streaming stores.
+
+Three streaming sinks in this package (the near-dup band store, the
+posting-list index, the IVF vector index) share one storage discipline:
+
+- each micro-batch publishes ONE ``batch_<id>`` directory via staging +
+  atomic rename — the rename is the commit record, so foreachBatch's
+  at-least-once delivery becomes exactly-once without a transaction log;
+- batch ids are monotonic per checkpoint, so "any published id >= mine"
+  proves a batch was absorbed (this survives compaction, which folds old
+  directories into the highest absorbed id);
+- the table is stamped with a stream identity (checkpoint-path hash): a
+  fresh checkpoint restarts ids at 0 and would silently no-op against an
+  existing table — that mismatch fails loudly instead;
+- crash windows self-heal on the next read: a ``X._old`` with no ``X``
+  is a swap that died between its two renames (restore it — it is
+  complete by construction), a leftover ``._staging`` is an unpublished
+  partial (drop it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+
+def recover(table_path: str) -> None:
+    """Heal compaction/publish crash windows (idempotent, cheap)."""
+    if not os.path.isdir(table_path):
+        return
+    for d in os.listdir(table_path):
+        full = os.path.join(table_path, d)
+        if d.endswith("._old"):
+            target = full[: -len("._old")]
+            if not os.path.isdir(target):
+                os.rename(full, target)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+        elif d.endswith("._staging"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def batch_dirs(table_path: str) -> list[str]:
+    """Published batch directories, oldest first (recovers first)."""
+    if not os.path.isdir(table_path):
+        return []
+    recover(table_path)
+    return sorted(
+        os.path.join(table_path, d)
+        for d in os.listdir(table_path)
+        if d.startswith("batch_") and "._" not in d
+    )
+
+
+def max_batch_id(table_path: str) -> int:
+    """Highest published batch id, or -1 for an empty store."""
+    dirs = batch_dirs(table_path)
+    if not dirs:
+        return -1
+    return int(os.path.basename(dirs[-1]).split("_")[1])
+
+
+def batch_dir(table_path: str, batch_id: int) -> str:
+    return os.path.join(table_path, f"batch_{batch_id:010d}")
+
+
+def already_absorbed(table_path: str, batch_id: int) -> bool:
+    """Monotonic replay guard (see module docstring)."""
+    return batch_id <= max_batch_id(table_path)
+
+
+def publish(staging: str, out_dir: str) -> None:
+    """Atomically commit a staged batch directory."""
+    os.rename(staging, out_dir)
+
+
+def swap(staging: str, out_dir: str) -> None:
+    """Replace an EXISTING directory via the recoverable two-rename
+    pattern (used by compaction)."""
+    old = out_dir + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(out_dir, old)
+    os.rename(staging, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def stamp_stream_id(table_path: str, checkpoint_dir: str, kind: str) -> None:
+    """Fence the table to one checkpoint lineage; raise on mismatch."""
+    os.makedirs(table_path, exist_ok=True)
+    sid = hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    sid_file = os.path.join(table_path, "_stream_id")
+    if os.path.exists(sid_file):
+        with open(sid_file) as f:
+            prior = f.read().strip()
+        if prior != sid:
+            raise RuntimeError(
+                f"{kind} table {table_path} belongs to stream {prior!r}, "
+                f"not {sid!r} (fresh/relocated checkpoint?). Delete the "
+                "table with the checkpoint to rebuild, or restore the "
+                "original checkpoint."
+            )
+    else:
+        with open(sid_file, "w") as f:
+            f.write(sid)
+
+
+__all__ = [
+    "recover",
+    "batch_dirs",
+    "max_batch_id",
+    "batch_dir",
+    "already_absorbed",
+    "publish",
+    "swap",
+    "stamp_stream_id",
+]

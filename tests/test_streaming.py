@@ -712,3 +712,65 @@ def test_index_compaction_preserves_serving_and_replay(spark, tmp_path):
     # leftover staging is dropped, not served
     _os.makedirs(dirs[-1] + "._staging", exist_ok=True)
     assert len(_batch_dirs(table)) == 2
+
+
+def test_vector_stream_matches_batch_ivf(spark, tmp_path):
+    """Streaming IVF maintenance: after N batches the streamed index
+    answers exactly like the in-memory ivf_topk over the union, with
+    fixed centroids; compaction preserves answers and replay no-ops."""
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from high_throughput_etl_pipeline_spark.streaming.vector_stream import (
+        compact_vectors,
+        ivf_topk_stream_index,
+        merge_vector_batch,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    table = str(tmp_path / "vec_store")
+
+    # ingest the corpus in 3 uneven batches
+    assert merge_vector_batch(e.filter(F.col("vec_id") < 100), 0, table, centers)
+    assert merge_vector_batch(
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 350)),
+        1, table, centers,
+    )
+    assert merge_vector_batch(
+        e.filter(F.col("vec_id") >= 350), 2, table, centers
+    )
+
+    rows = lambda d: [
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in d.orderBy("query_id", "rank").collect()
+    ]
+    base = rows(ivf_topk(e, q, k=5, nprobe=4, centers=centers))
+    served = rows(
+        ivf_topk_stream_index(spark, table, q, centers, k=5, nprobe=4)
+    )
+    assert served == base
+
+    # the probe filter prunes each batch scan to the probed lists
+    d = ivf_topk_stream_index(spark, table, q, centers, k=5, nprobe=4)
+    d.collect()
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan
+
+    # compaction: one directory, same answers, absorbed ids no-op
+    assert compact_vectors(spark, table) == 3
+    assert rows(
+        ivf_topk_stream_index(spark, table, q, centers, k=5, nprobe=4)
+    ) == base
+    assert not merge_vector_batch(e.limit(5), 1, table, centers)
