@@ -111,6 +111,7 @@ HEADLINE = [
     "events_anonymity_report",
     "embedding_hard_negatives",
     "embedding_knn_label_eval",
+    "corpus_weighted_sample",
 ]
 
 

@@ -534,3 +534,41 @@ def stratified_sample(
             F.col(stratum_col) == name, F.lit(int(round(rate * _BUCKETS)))
         ).otherwise(hi)
     return df.filter(bucket < hi)
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col,
+    n: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, ``n`` per
+    group: Efraimidis-Spirakis exponential sort keys.
+
+    Each row draws a uniform ``u`` from its id hash (portable md5
+    arithmetic, so any engine reproduces the draw) and gets key
+    ``-ln(u) / w`` — the ``n`` SMALLEST keys per group are exactly a
+    weight-proportional sample without replacement (E-S'06: u^(1/w)
+    descending ≡ -ln(u)/w ascending).  This is how a curation pipeline
+    samples quality-weighted documents reproducibly: no RNG state, no
+    driver involvement, one window per group, re-runs and engines
+    agree row-for-row.
+
+    ``weight_col`` may be a name or a Column expression; weights must
+    be > 0.  Returns the sampled rows with ``sample_rank`` (1 = most
+    favored draw).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in (0, 1]: md5 low-60-bit integer + 1, over 2^60
+    u = (md5_64(F.col(id_col).cast("string")) + F.lit(1)) / F.lit(
+        float(1 << 60)
+    )
+    key = -F.log(u) / w.cast("double")
+    win = Window.partitionBy(*group_cols).orderBy(
+        key.asc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("sample_rank") <= n)
+    )

@@ -6548,6 +6548,41 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_weighted_sample",
+    oracle="""
+    SELECT source, doc_id, n_chars, sample_rank FROM (
+        SELECT source, doc_id, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY -ln(
+                       (('0x' || substr(md5(doc_id::VARCHAR), 18, 15))::BIGINT
+                        + 1) / 1152921504606846976.0
+                   ) / CAST(n_chars AS DOUBLE) ASC, doc_id
+               ) AS INT) AS sample_rank
+        FROM documents WHERE n_chars > 0
+    ) WHERE sample_rank <= 5
+    ORDER BY source, sample_rank
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: 5 docs per source, probability
+    proportional to length (Efraimidis-Spirakis exponential keys over
+    portable hash-derived uniforms) — reproducible weight-proportional
+    sampling with no RNG state; any engine replays the identical
+    draw."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        weighted_sample(d, ["source"], "doc_id", "n_chars", n=5)
+        .select("source", "doc_id", "n_chars", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The round driver's correctness gate records the FIRST
 # 50 entries of ``queries()``; HEADLINE curates that window so every operator

@@ -1560,3 +1560,45 @@ def test_hard_negatives_and_knn_vote(spark):
     assert pred[4]["true_label"] == 1
     # self is never its own neighbor: every query got exactly one row
     assert set(pred) == {0, 1, 2, 3, 4, 5}
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    # one group, extreme weights: the heavy item must essentially always
+    # be drawn first; two runs agree exactly (no RNG state)
+    rows = [(i, "g", 1.0 if i else 10_000.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id BIGINT, grp STRING, w DOUBLE")
+    s1 = [
+        (r["id"], r["sample_rank"])
+        for r in weighted_sample(df, ["grp"], "id", "w", n=3)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    s2 = [
+        (r["id"], r["sample_rank"])
+        for r in weighted_sample(df, ["grp"], "id", "w", n=3)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert s1 == s2
+    assert s1[0][0] == 0  # weight 10000 vs 1: P(not first) < 0.02
+    # sampling without replacement: distinct ids, ranks 1..3
+    assert len({i for i, _ in s1}) == 3
+    assert [rk for _, rk in s1] == [1, 2, 3]
+
+    # aggregate proportionality: with w=9 vs w=1 split evenly over 400
+    # ids, the heavy class should win the first draw ~90% of the time
+    # across many independent groups
+    many = [
+        (g * 1000 + i, f"g{g}", 9.0 if i < 5 else 1.0)
+        for g in range(100)
+        for i in range(10)
+    ]
+    df2 = spark.createDataFrame(many, "id BIGINT, grp STRING, w DOUBLE")
+    first = weighted_sample(df2, ["grp"], "id", "w", n=1).collect()
+    heavy_wins = sum(1 for r in first if r["id"] % 1000 < 5)
+    # E[wins] = 100 * 45/50 = 90; binomial sd ~3 — accept a wide band
+    assert 75 <= heavy_wins <= 99
