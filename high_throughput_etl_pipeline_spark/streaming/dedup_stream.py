@@ -81,7 +81,6 @@ def deduped_stream(
 
 
 
-import hashlib
 import os
 import shutil
 
@@ -92,6 +91,7 @@ from high_throughput_etl_pipeline_spark.operators.dedup import (
     minhash_band_index,
 )
 from high_throughput_etl_pipeline_spark.operators.graph import dedup_clusters
+from high_throughput_etl_pipeline_spark.streaming import store as _store
 
 BAND_SCHEMA = (
     "doc_id BIGINT, band_id INT, band_hash STRING, sig ARRAY<BIGINT>"
@@ -99,14 +99,7 @@ BAND_SCHEMA = (
 DECISION_SCHEMA = "doc_id BIGINT, dup_of BIGINT, est_jaccard DOUBLE"
 
 
-def _batch_dirs(table_path: str) -> list[str]:
-    if not os.path.isdir(table_path):
-        return []
-    return sorted(
-        os.path.join(table_path, d)
-        for d in os.listdir(table_path)
-        if d.startswith("batch_") and not d.endswith("._staging")
-    )
+_batch_dirs = _store.batch_dirs
 
 
 def stored_band_index(spark: SparkSession, table_path: str) -> DataFrame:
@@ -153,9 +146,11 @@ def merge_dedup_batch(
 ) -> bool:
     """The foreachBatch body.  Returns False for an already-published
     (replayed) batch id."""
-    out_dir = os.path.join(table_path, f"batch_{batch_id:010d}")
-    if os.path.isdir(out_dir):
-        return False  # at-least-once replay: the rename already committed
+    if _store.already_absorbed(table_path, batch_id):
+        # at-least-once replay: a published id >= ours proves absorption
+        # (monotonic — survives compaction folding old dirs into one)
+        return False
+    out_dir = _store.batch_dir(table_path, batch_id)
     spark = batch.sparkSession
 
     idx = minhash_band_index(
@@ -250,7 +245,7 @@ def merge_dedup_batch(
     kept_idx.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(staging, "bands")
     )
-    os.rename(staging, out_dir)
+    _store.publish(staging, out_dir)
     return True
 
 
@@ -268,27 +263,7 @@ def start_dedup_stream(
 ):
     """Maintain an incremental near-dup index from a streaming document
     frame; every doc gets a durable accept/dup decision."""
-    os.makedirs(table_path, exist_ok=True)
-    # a batch directory name is the replay marker; stamp the table with
-    # the stream identity so a fresh checkpoint (batch ids restart at 0)
-    # cannot silently interleave with an existing table's history
-    sid = hashlib.sha1(os.path.abspath(checkpoint_dir).encode()).hexdigest()[
-        :12
-    ]
-    sid_file = os.path.join(table_path, "_stream_id")
-    if os.path.exists(sid_file):
-        with open(sid_file) as f:
-            prior = f.read().strip()
-        if prior != sid:
-            raise RuntimeError(
-                f"dedup table {table_path} belongs to stream {prior!r}, "
-                f"not {sid!r} (fresh/relocated checkpoint?). Delete the "
-                "table with the checkpoint to rebuild, or restore the "
-                "original checkpoint."
-            )
-    else:
-        with open(sid_file, "w") as f:
-            f.write(sid)
+    _store.stamp_stream_id(table_path, checkpoint_dir, "dedup")
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         merge_dedup_batch(
@@ -304,3 +279,31 @@ def start_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_dedup_store(spark: SparkSession, table_path: str) -> int:
+    """Fold every published batch directory into one (highest absorbed
+    id), preserving BOTH halves of the store — the full decision
+    history and the accepted docs' band index.  Both are append-only
+    unions, so compaction is a pure rewrite; replay stays idempotent
+    through the monotonic guard.  Same recoverable swap as the
+    posting-list / vector stores."""
+    dirs = _batch_dirs(table_path)
+    if len(dirs) <= 1:
+        return 0
+    max_id = _store.max_batch_id(table_path)
+    bands = stored_band_index(spark, table_path)
+    decisions = dedup_decisions(spark, table_path)
+    out_dir = _store.batch_dir(table_path, max_id)
+    staging = out_dir + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    bands.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "bands")
+    )
+    decisions.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "decisions")
+    )
+    _store.swap(staging, out_dir)
+    for d in dirs[:-1]:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(dirs)

@@ -774,3 +774,56 @@ def test_vector_stream_matches_batch_ivf(spark, tmp_path):
         ivf_topk_stream_index(spark, table, q, centers, k=5, nprobe=4)
     ) == base
     assert not merge_vector_batch(e.limit(5), 1, table, centers)
+
+
+def test_dedup_store_compaction(spark, tmp_path):
+    """Folding the band store preserves decisions, the accepted index,
+    and replay idempotency; incremental matching keeps working after."""
+    from high_throughput_etl_pipeline_spark.streaming.dedup_stream import (
+        compact_dedup_store,
+        dedup_decisions,
+        merge_dedup_batch,
+        stored_band_index,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field toward the river"
+    )
+    b0 = spark.createDataFrame([(1, base), (2, base + " tonight")], schema)
+    b1 = spark.createDataFrame(
+        [(3, "completely different content about shuffle planning and "
+             "adaptive execution in distributed query engines today")],
+        schema,
+    )
+    table = str(tmp_path / "store")
+    assert merge_dedup_batch(b0, 0, table)
+    assert merge_dedup_batch(b1, 1, table)
+
+    dec_before = {
+        r["doc_id"]: r["dup_of"]
+        for r in dedup_decisions(spark, table).collect()
+    }
+    kept_before = {
+        r["doc_id"] for r in stored_band_index(spark, table).collect()
+    }
+    assert compact_dedup_store(spark, table) == 2
+    assert {
+        r["doc_id"]: r["dup_of"]
+        for r in dedup_decisions(spark, table).collect()
+    } == dec_before
+    assert {
+        r["doc_id"] for r in stored_band_index(spark, table).collect()
+    } == kept_before
+
+    # absorbed ids no-op; a store-dup in a NEW batch still resolves
+    # against the compacted index
+    assert not merge_dedup_batch(b0, 0, table)
+    b2 = spark.createDataFrame([(10, base + " again")], schema)
+    assert merge_dedup_batch(b2, 2, table)
+    dec = {
+        r["doc_id"]: r["dup_of"]
+        for r in dedup_decisions(spark, table).collect()
+    }
+    assert dec[10] == 1
