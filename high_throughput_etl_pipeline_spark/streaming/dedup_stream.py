@@ -303,6 +303,7 @@ def compact_dedup_store(spark: SparkSession, table_path: str) -> int:
     decisions.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(staging, "decisions")
     )
+    _store.write_absorbed_marker(staging, max_id)
     _store.swap(staging, out_dir)
     for d in dirs[:-1]:
         shutil.rmtree(d, ignore_errors=True)

@@ -236,6 +236,7 @@ def compact_index(spark: SparkSession, table_path: str) -> int:
     # max-id directory exists only as X._old, which store.recover()
     # restores on the next read/merge/compact if the second rename never
     # ran — the same healing the sketch sink's publish has
+    _store.write_absorbed_marker(staging, max_id)
     _store.swap(staging, out_dir)
     for d in dirs[:-1]:
         shutil.rmtree(d, ignore_errors=True)

@@ -15,7 +15,13 @@ posting-list index, the IVF vector index) share one storage discipline:
 - crash windows self-heal on the next read: a ``X._old`` with no ``X``
   is a swap that died between its two renames (restore it — it is
   complete by construction), a leftover ``._staging`` is an unpublished
-  partial (drop it).
+  partial (drop it);
+- compaction publishes an ``_absorbed_through`` marker INSIDE the
+  compacted directory before the swap: N directories cannot be removed
+  atomically, so a crash after the swap but before the removals leaves
+  absorbed originals on disk — readers exclude (and lazily delete) any
+  directory whose id is covered by a newer marker, so the union never
+  double-counts.
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+
+ABSORBED_MARKER = "_absorbed_through"
 
 
 def recover(table_path: str) -> None:
@@ -41,16 +49,54 @@ def recover(table_path: str) -> None:
             shutil.rmtree(full, ignore_errors=True)
 
 
+def _dir_id(d: str) -> int:
+    return int(os.path.basename(d).split("_")[1])
+
+
+def _marker_value(d: str) -> int | None:
+    f = os.path.join(d, ABSORBED_MARKER)
+    if not os.path.isfile(f):
+        return None
+    with open(f) as fh:
+        return int(fh.read().strip())
+
+
 def batch_dirs(table_path: str) -> list[str]:
-    """Published batch directories, oldest first (recovers first)."""
+    """Published batch directories, oldest first (recovers first).
+
+    Honors compaction markers: a directory carrying
+    ``_absorbed_through: t`` contains every batch with id <= t, so any
+    OTHER directory with id <= t is an absorbed original whose removal
+    crashed — it is excluded from reads and lazily deleted here."""
     if not os.path.isdir(table_path):
         return []
     recover(table_path)
-    return sorted(
-        os.path.join(table_path, d)
-        for d in os.listdir(table_path)
-        if d.startswith("batch_") and "._" not in d
+    dirs = sorted(
+        (
+            os.path.join(table_path, d)
+            for d in os.listdir(table_path)
+            if d.startswith("batch_") and "._" not in d
+        )
     )
+    markers = {d: _marker_value(d) for d in dirs}
+    absorbed_through = max(
+        (v for v in markers.values() if v is not None), default=-1
+    )
+    out = []
+    for d in dirs:
+        if _dir_id(d) <= absorbed_through and markers[d] != absorbed_through:
+            shutil.rmtree(d, ignore_errors=True)  # leftover original
+        else:
+            out.append(d)
+    return out
+
+
+def write_absorbed_marker(staging_dir: str, through_id: int) -> None:
+    """Stamp a staged compacted directory with the highest batch id it
+    absorbs (call BEFORE publish/swap, so the marker and the data become
+    visible in the same rename)."""
+    with open(os.path.join(staging_dir, ABSORBED_MARKER), "w") as f:
+        f.write(str(through_id))
 
 
 def max_batch_id(table_path: str) -> int:
@@ -58,7 +104,7 @@ def max_batch_id(table_path: str) -> int:
     dirs = batch_dirs(table_path)
     if not dirs:
         return -1
-    return int(os.path.basename(dirs[-1]).split("_")[1])
+    return _dir_id(dirs[-1])
 
 
 def batch_dir(table_path: str, batch_id: int) -> str:
@@ -109,6 +155,7 @@ def stamp_stream_id(table_path: str, checkpoint_dir: str, kind: str) -> None:
 
 __all__ = [
     "recover",
+    "write_absorbed_marker",
     "batch_dirs",
     "max_batch_id",
     "batch_dir",

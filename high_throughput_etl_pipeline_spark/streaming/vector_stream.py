@@ -133,6 +133,7 @@ def compact_vectors(spark: SparkSession, table_path: str) -> int:
     vectors.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(staging, "vectors")
     )
+    _store.write_absorbed_marker(staging, max_id)
     _store.swap(staging, out_dir)
     for d in dirs[:-1]:
         shutil.rmtree(d, ignore_errors=True)

@@ -827,3 +827,51 @@ def test_dedup_store_compaction(spark, tmp_path):
         for r in dedup_decisions(spark, table).collect()
     }
     assert dec[10] == 1
+
+
+def test_compaction_marker_excludes_leftover_originals(spark, tmp_path):
+    """A crash AFTER the compaction swap but BEFORE the absorbed
+    originals are removed must not double-count: the marker inside the
+    compacted directory excludes (and lazily deletes) the leftovers."""
+    import os as _os
+
+    from high_throughput_etl_pipeline_spark.streaming import store as _store
+    from high_throughput_etl_pipeline_spark.streaming.index_stream import (
+        bm25_from_stream_index,
+        compact_index,
+        merge_index_batch,
+        stored_index_stats,
+    )
+
+    table = str(tmp_path / "store")
+    schema = "doc_id BIGINT, text STRING"
+    b0 = spark.createDataFrame([(1, "alpha beta"), (2, "alpha gamma")], schema)
+    b1 = spark.createDataFrame([(3, "beta beta delta")], schema)
+    assert merge_index_batch(b0, 0, table)
+    assert merge_index_batch(b1, 1, table)
+    before = {
+        r["doc_id"]: (r["dl"], r["score"])
+        for r in bm25_from_stream_index(spark, table, ["alpha", "beta"]).collect()
+    }
+
+    # simulate the crash: compact, then resurrect an absorbed original
+    # (copy the compacted dir under the old id WITHOUT its marker)
+    assert compact_index(spark, table) == 2
+    compacted = _store.batch_dirs(table)[0]
+    leftover = _store.batch_dir(table, 0)
+    import shutil as _shutil
+
+    _shutil.copytree(compacted, leftover)
+    _os.remove(_os.path.join(leftover, "_absorbed_through"))
+    # raw listing sees two dirs; the reader sees one and cleans up
+    raw = [d for d in _os.listdir(table) if d.startswith("batch_")]
+    assert len(raw) == 2
+    assert len(_store.batch_dirs(table)) == 1
+    assert not _os.path.isdir(leftover)
+    # and served results never double-counted
+    after = {
+        r["doc_id"]: (r["dl"], r["score"])
+        for r in bm25_from_stream_index(spark, table, ["alpha", "beta"]).collect()
+    }
+    assert after == before
+    assert stored_index_stats(spark, table).first()["_n"] == 3.0
