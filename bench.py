@@ -112,6 +112,7 @@ HEADLINE = [
     "embedding_hard_negatives",
     "embedding_knn_label_eval",
     "corpus_weighted_sample",
+    "data_quality_report",
 ]
 
 

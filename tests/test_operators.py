@@ -1602,3 +1602,61 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     heavy_wins = sum(1 for r in first if r["id"] % 1000 < 5)
     # E[wins] = 100 * 45/50 = 90; binomial sd ~3 — accept a wide band
     assert 75 <= heavy_wins <= 99
+
+
+def test_quality_checks_single_pass_and_verdicts(spark):
+    from high_throughput_etl_pipeline_spark.operators.quality import (
+        accepted_values,
+        check_ref_integrity,
+        in_range,
+        not_null,
+        positive,
+        run_checks,
+        unique,
+    )
+
+    rows = [
+        (1, 10.0, "A"),
+        (2, -5.0, "B"),    # violates positive
+        (2, 3.0, "A"),     # duplicate id
+        (None, 2.0, "Z"),  # null id, bad enum
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, amt DOUBLE, status STRING")
+    out = {
+        r["check"]: r
+        for r in run_checks(
+            df,
+            [
+                unique("id"),
+                not_null("id"),
+                positive("amt"),
+                accepted_values("status", ["A", "B"]),
+                in_range("amt", -10, 100),
+            ],
+        ).collect()
+    }
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["unique(id)"]["n_violations"] == 1  # 3 non-null, 2 distinct
+    assert not out["unique(id)"]["passed"]
+    assert out["not_null(id)"]["n_violations"] == 1
+    assert out["positive(amt)"]["n_violations"] == 1
+    assert out["accepted_values(status)"]["n_violations"] == 1
+    assert out["in_range(amt,-10,100)"]["passed"]
+    # ONE aggregation pass: no joins/windows/exchanges beyond the agg
+    plan = run_checks(df, [unique("id"), positive("amt")])._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk BIGINT")
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk BIGINT"
+    )
+    ref = check_ref_integrity(child, parent, "fk", "pk").first()
+    assert ref["n_rows"] == 4
+    assert ref["n_violations"] == 1  # 9 is an orphan; NULL is not
+    assert not ref["passed"]
+
+    # empty table: content checks pass vacuously, no NULL leakage
+    empty = spark.createDataFrame([], "id BIGINT, amt DOUBLE, status STRING")
+    for r in run_checks(empty, [unique("id"), positive("amt")]).collect():
+        assert r["n_violations"] == 0 and r["passed"]
