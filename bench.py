@@ -113,6 +113,7 @@ HEADLINE = [
     "embedding_knn_label_eval",
     "corpus_weighted_sample",
     "data_quality_report",
+    "customer_snapshot_diff",
 ]
 
 

@@ -172,3 +172,125 @@ def merge_upsert(
         .parquet(target_path)
     )
     return n
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two snapshots of the same table: per key,
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` plus which
+    compared columns changed — the regression audit a pipeline runs
+    against yesterday's output before publishing today's.
+
+    One full-outer join on the key, one null-safe inequality per
+    compared column (``NOT (a <=> b)``, so NULL→value and value→NULL
+    count as changes), no windows.  Returns the key columns, ``status``,
+    ``n_cols_changed``, and one boolean ``chg_<col>`` per compared
+    column.  Aggregate downstream for the summary (`diff_summary`).
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+            for k in key_cols
+        ],
+    )
+    j = o.join(n, on=cond, how="full_outer")
+    chg = [
+        (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).alias(f"chg_{c}")
+        for c in compare_cols
+    ]
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            reduce(or_, [F.col(f"chg_{c}") for c in compare_cols]),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    with_chg = j.select(
+        *[
+            F.coalesce(F.col(f"_kn_{k}"), F.col(f"_ko_{k}")).alias(k)
+            for k in key_cols
+        ],
+        "_in_old",
+        "_in_new",
+        *chg,
+    )
+    n_changed = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(
+                F.col("_in_old").isNotNull()
+                & F.col("_in_new").isNotNull()
+                & F.col(f"chg_{c}"),
+                1,
+            ).otherwise(0)
+            for c in compare_cols
+        ],
+    )
+    return with_chg.select(
+        *key_cols,
+        status.alias("status"),
+        n_changed.cast("int").alias("n_cols_changed"),
+        *[
+            (
+                F.col("_in_old").isNotNull()
+                & F.col("_in_new").isNotNull()
+                & F.col(f"chg_{c}")
+            ).alias(f"chg_{c}")
+            for c in compare_cols
+        ],
+    )
+
+
+def diff_summary(diff: DataFrame, compare_cols: list[str]) -> DataFrame:
+    """One row per metric from a :func:`snapshot_diff` frame: the four
+    status counts plus a per-column change count — the verdict table a
+    publish gate reads.  One aggregation pass."""
+    row = diff.agg(
+        *[
+            F.sum((F.col("status") == s).cast("long")).alias(f"_s_{s}")
+            for s in ("added", "removed", "changed", "unchanged")
+        ],
+        *[
+            F.sum(F.col(f"chg_{c}").cast("long")).alias(f"_c_{c}")
+            for c in compare_cols
+        ],
+    )
+    metrics = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("metric"),
+                    F.coalesce(F.col(f"_s_{s}"), F.lit(0)).alias("n_rows"),
+                )
+                for s in ("added", "removed", "changed", "unchanged")
+            ],
+            *[
+                F.struct(
+                    F.lit(f"changed:{c}").alias("metric"),
+                    F.coalesce(F.col(f"_c_{c}"), F.lit(0)).alias("n_rows"),
+                )
+                for c in compare_cols
+            ],
+        )
+    )
+    return row.select(metrics.alias("_m")).select(
+        F.col("_m.metric").alias("metric"),
+        F.col("_m.n_rows").cast("bigint").alias("n_rows"),
+    )

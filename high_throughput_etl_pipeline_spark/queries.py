@@ -6688,6 +6688,99 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.orderBy("check")
 
 
+@query(
+    "customer_snapshot_diff",
+    oracle="""
+    WITH nw AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 13 = 0 THEN 'DRIFTED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 211 = 0
+    ), d AS (
+        SELECT o.c_custkey AS ko, nw.c_custkey AS kn,
+               (o.c_custkey IS NOT NULL AND nw.c_custkey IS NOT NULL
+                AND NOT (o.c_acctbal IS NOT DISTINCT FROM nw.c_acctbal))
+                   AS chg_bal,
+               (o.c_custkey IS NOT NULL AND nw.c_custkey IS NOT NULL
+                AND NOT (o.c_mktsegment IS NOT DISTINCT FROM
+                         nw.c_mktsegment)) AS chg_seg,
+               (o.c_custkey IS NOT NULL AND nw.c_custkey IS NOT NULL
+                AND NOT (o.c_nationkey IS NOT DISTINCT FROM
+                         nw.c_nationkey)) AS chg_nat
+        FROM customer o FULL OUTER JOIN nw ON o.c_custkey = nw.c_custkey
+    )
+    SELECT metric, n_rows FROM (
+        SELECT 'added' AS metric,
+               CAST(sum(CASE WHEN ko IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rows FROM d
+        UNION ALL
+        SELECT 'removed',
+               CAST(sum(CASE WHEN kn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d
+        UNION ALL
+        SELECT 'changed',
+               CAST(sum(CASE WHEN chg_bal OR chg_seg OR chg_nat
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'unchanged',
+               CAST(sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                             AND NOT (chg_bal OR chg_seg OR chg_nat)
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'changed:c_acctbal',
+               CAST(sum(CASE WHEN chg_bal THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d
+        UNION ALL
+        SELECT 'changed:c_mktsegment',
+               CAST(sum(CASE WHEN chg_seg THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d
+        UNION ALL
+        SELECT 'changed:c_nationkey',
+               CAST(sum(CASE WHEN chg_nat THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d
+    ) ORDER BY metric
+    """,
+)
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot regression audit: diff today's customer dimension
+    against yesterday's (simulated deterministically: ~1% of keys
+    removed, balances bumped on keys % 7, segments drifted on keys
+    % 13, ~0.5% new keys) — per-status counts plus per-column change
+    counts from ONE full-outer join and ONE aggregation pass.  The
+    publish gate a pipeline runs before overwriting a dimension."""
+    from high_throughput_etl_pipeline_spark.operators.merge import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = _t(spark, sf_dir, "customer")
+    base = old.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("DRIFTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    added = old.filter(F.col("c_custkey") % 211 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    new = base.unionByName(added)
+    cmp_cols = ["c_acctbal", "c_mktsegment", "c_nationkey"]
+    d = snapshot_diff(old, new, ["c_custkey"], cmp_cols)
+    return diff_summary(d, cmp_cols).orderBy("metric")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The round driver's correctness gate records the FIRST
 # 50 entries of ``queries()``; HEADLINE curates that window so every operator

@@ -1660,3 +1660,48 @@ def test_quality_checks_single_pass_and_verdicts(spark):
     empty = spark.createDataFrame([], "id BIGINT, amt DOUBLE, status STRING")
     for r in run_checks(empty, [unique("id"), positive("amt")]).collect():
         assert r["n_violations"] == 0 and r["passed"]
+
+
+def test_snapshot_diff_statuses(spark):
+    from high_throughput_etl_pipeline_spark.operators.merge import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, None, "z")],
+        "id BIGINT, v DOUBLE, s STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "x"),      # unchanged
+         (2, 21.0, "y"),      # changed v
+         (3, 5.0, "q"),       # NULL->value counts as change, s changed
+         (4, 1.0, "w")],      # added
+        "id BIGINT, v DOUBLE, s STRING",
+    )
+    d = {
+        r["id"]: r
+        for r in snapshot_diff(old, new, ["id"], ["v", "s"]).collect()
+    }
+    assert d[1]["status"] == "unchanged" and d[1]["n_cols_changed"] == 0
+    assert d[2]["status"] == "changed" and d[2]["chg_v"] and not d[2]["chg_s"]
+    assert d[3]["status"] == "changed" and d[3]["n_cols_changed"] == 2
+    assert d[4]["status"] == "added"
+    # removal: drop id 2 from new
+    d2 = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            old, new.filter("id <> 2"), ["id"], ["v"]
+        ).collect()
+    }
+    assert d2[2] == "removed"
+    summ = {
+        r["metric"]: r["n_rows"]
+        for r in diff_summary(
+            snapshot_diff(old, new, ["id"], ["v", "s"]), ["v", "s"]
+        ).collect()
+    }
+    assert summ == {
+        "added": 1, "removed": 0, "changed": 2, "unchanged": 1,
+        "changed:v": 2, "changed:s": 1,
+    }
