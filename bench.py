@@ -114,6 +114,7 @@ HEADLINE = [
     "corpus_weighted_sample",
     "data_quality_report",
     "customer_snapshot_diff",
+    "audio_window_grid",
 ]
 
 

@@ -165,3 +165,69 @@ def sample_frames(
             )
 
     return grid.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def make_audio_table(documents: DataFrame) -> DataFrame:
+    """Derive a synthetic AUDIO table from `documents` (payload = utf-8
+    text bytes; duration = n_chars ms, 16 kHz) — the test stand-in for a
+    speech corpus."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit("audio/wav").alias("mime"),
+            F.lit(16000).alias("sample_rate"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def audio_windows(
+    audio: DataFrame,
+    win_ms: int = 400,
+    hop_ms: int = 200,
+    max_windows: int = 8,
+) -> DataFrame:
+    """Overlapping analysis windows over audio clips — the framing grid
+    every speech-feature pipeline (fbank, wav2vec chunks) starts from.
+
+    Pure Column algebra: window count/offsets come from the metadata
+    (``meta.duration_ms``, ``meta.sample_rate``), the row multiplication
+    is a JVM-side ``explode(sequence(...))``, and sample offsets are
+    integer arithmetic — the actual waveform decode (the only part that
+    would need an audio lib) stays behind the same Arrow-batched stub
+    boundary as ``extract_features``.  A clip shorter than one window
+    yields ONE truncated window ([0, duration)); otherwise full windows
+    at ``hop_ms`` strides, capped at ``max_windows``.
+
+    Returns (media_id, window_index, start_ms, end_ms, start_sample,
+    end_sample, n_windows).
+    """
+    dur = F.col("meta.duration_ms")
+    rate = F.col("meta.sample_rate")
+    n_full = (
+        F.floor((dur - F.lit(win_ms)) / F.lit(hop_ms)).cast("int") + 1
+    )
+    n_win = F.when(dur < win_ms, F.lit(1)).otherwise(
+        F.least(n_full, F.lit(max_windows))
+    )
+    g = audio.select(
+        "media_id",
+        dur.alias("_dur"),
+        rate.alias("_rate"),
+        n_win.alias("n_windows"),
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("window_index"),
+    )
+    start = F.col("window_index") * F.lit(hop_ms)
+    end = F.least(start + F.lit(win_ms), F.col("_dur"))
+    return g.select(
+        "media_id",
+        "window_index",
+        start.cast("int").alias("start_ms"),
+        end.cast("int").alias("end_ms"),
+        (start * F.col("_rate") / 1000).cast("bigint").alias("start_sample"),
+        (end * F.col("_rate") / 1000).cast("bigint").alias("end_sample"),
+        "n_windows",
+    )

@@ -6781,6 +6781,47 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_summary(d, cmp_cols).orderBy("metric")
 
 
+@query(
+    "audio_window_grid",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS media_id,
+               CAST(n_chars AS INT) AS dur,
+               16000 AS rate,
+               CASE WHEN n_chars < 40 THEN 1
+                    ELSE least(CAST(floor((n_chars - 40) / 20.0) AS INT)
+                               + 1, 8)
+               END AS n_windows
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS window_index,
+           CAST(w * 20 AS INT) AS start_ms,
+           CAST(least(w * 20 + 40, dur) AS INT) AS end_ms,
+           CAST(w * 20 * rate / 1000 AS BIGINT) AS start_sample,
+           CAST(least(w * 20 + 40, dur) * rate / 1000 AS BIGINT)
+               AS end_sample,
+           n_windows
+    FROM a, unnest(range(n_windows)) AS t(w)
+    ORDER BY media_id, window_index
+    """,
+)
+def audio_window_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing grid (40 ms windows, 20 ms hop, 16 kHz): the
+    offsets every speech-feature stage consumes, computed entirely from
+    typed metadata with JVM-side explode — binary never leaves the
+    payload column, decode stays behind the Arrow stub boundary."""
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        audio_windows,
+        make_audio_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return audio_windows(
+        make_audio_table(d), win_ms=40, hop_ms=20, max_windows=8
+    ).orderBy("media_id", "window_index")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The round driver's correctness gate records the FIRST
 # 50 entries of ``queries()``; HEADLINE curates that window so every operator

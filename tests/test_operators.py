@@ -1705,3 +1705,39 @@ def test_snapshot_diff_statuses(spark):
         "added": 1, "removed": 0, "changed": 2, "unchanged": 1,
         "changed:v": 2, "changed:s": 1,
     }
+
+
+def test_audio_windows_grid(spark):
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        audio_windows,
+    )
+
+    rows = [
+        (1, b"", ("audio", "audio/wav", 16000, 1000, "s")),  # 1000 ms
+        (2, b"", ("audio", "audio/wav", 16000, 30, "s")),    # < one window
+        (3, b"", ("audio", "audio/wav", 8000, 100, "s")),    # cap-free
+    ]
+    schema = (
+        "media_id BIGINT, payload BINARY, meta STRUCT<kind: STRING, "
+        "mime: STRING, sample_rate: INT, duration_ms: INT, source: STRING>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = audio_windows(df, win_ms=40, hop_ms=20, max_windows=8)
+    g = {}
+    for r in out.collect():
+        g.setdefault(r["media_id"], []).append(r)
+    # clip 1: (1000-40)/20+1 = 49 full windows -> capped at 8
+    assert len(g[1]) == 8 and g[1][0]["n_windows"] == 8
+    assert [r["start_ms"] for r in sorted(g[1], key=lambda r: r["window_index"])] == [
+        0, 20, 40, 60, 80, 100, 120, 140
+    ]
+    assert all(r["end_ms"] - r["start_ms"] == 40 for r in g[1])
+    # 16 kHz: 40 ms = 640 samples
+    w0 = min(g[1], key=lambda r: r["window_index"])
+    assert w0["start_sample"] == 0 and w0["end_sample"] == 640
+    # clip 2 shorter than a window: one truncated window [0, 30)
+    assert len(g[2]) == 1
+    assert g[2][0]["start_ms"] == 0 and g[2][0]["end_ms"] == 30
+    # clip 3: (100-40)/20+1 = 4 windows at 8 kHz (40 ms = 320 samples)
+    assert len(g[3]) == 4
+    assert min(g[3], key=lambda r: r["window_index"])["end_sample"] == 320
