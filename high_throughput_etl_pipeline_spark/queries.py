@@ -6863,11 +6863,16 @@ HEADLINE: list[str] = [
     # green r4-r5 and dedup_minhash_md5 green r4-r5 rotate to the tail)
     "embedding_hard_negatives",
     "embedding_knn_label_eval",
-    # --- events/scalar representatives (green r5; the rotated-out
-    # events_daily_pivot / derive_run_status / union_report_sources stay
-    # oracle-checked by tools/check_correctness.py over the full registry)
-    "events_percentiles",
-    "events_peak_hour",
+    # --- r6 final additions: release-gating (quality checks, snapshot
+    # diff), reproducible weighted sampling, and the audio framing grid
+    # — first driver rows; rotated out to the tail: events_percentiles
+    # (A7, green r3-r5), events_peak_hour (A9/W1, green r3-r5),
+    # ingest_velocity (A8, green r5), next_view_after_purchase (green
+    # r5) — all stay oracle-checked in the full-registry local gate
+    "data_quality_report",
+    "customer_snapshot_diff",
+    "corpus_weighted_sample",
+    "audio_window_grid",
     # events_rolling_stats (green r5) rotates to the tail for the
     # count-min sketch — the first VALUE-checked sketch query (HLL/KLL/
     # theta stay rows-only by nature; CMS arithmetic is exact)
@@ -6878,7 +6883,6 @@ HEADLINE: list[str] = [
     # robust-clipping query — the percentile machinery keeps
     # events_percentiles in-window
     "events_winsorized",
-    "ingest_velocity",
     # sorted_distinct_users (O2, green r5) and events_value_histogram
     # (green r5) rotate to the tail to make room — both families keep
     # in-window representatives (distinct/order-by rides every query;
@@ -6917,7 +6921,6 @@ HEADLINE: list[str] = [
     # corpus_doc_chunks (green r4/r5) rotates to the tail — chunking is
     # also replayed inside dataprep_training_batches' 4-stage oracle
     "dataprep_training_batches",
-    "next_view_after_purchase",
     # --- one representative per remaining family (all multi-round green;
     # the displaced green queries stay oracle-checked by
     # tools/check_correctness.py over the full 99-query registry)
