@@ -496,3 +496,31 @@ def test_bm25_index_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "_term_bucket" in m.group(1), plan
     assert f"/{N_TERM_BUCKETS}" not in m.group(1)  # sanity: real filter
+
+
+def test_weighted_sample_window_is_partitioned(spark):
+    # E-S sampling must rank within each group's partition, never a
+    # single-task global window
+    plan = _plan(spark, "corpus_weighted_sample")
+    # the row_number window hash-partitions on the group key (and the
+    # top-k filter pushes down as WindowGroupLimit)
+    assert "hashpartitioning(source" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_window_grid_is_map_side(spark):
+    # metadata framing: explode over sequence, no joins, no shuffles
+    # beyond the final presentation sort
+    plan = _plan(spark, "audio_window_grid")
+    assert "Join" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_snapshot_diff_single_outer_join(spark):
+    # one full-outer join on the key; no windows, no repeated scans of
+    # the dimension beyond old/new
+    plan = _plan(spark, "customer_snapshot_diff")
+    assert plan.count("FullOuter") >= 1, plan
+    assert plan.count("Join") == plan.count("FullOuter"), plan
+    assert "Window" not in plan
