@@ -115,6 +115,7 @@ HEADLINE = [
     "data_quality_report",
     "customer_snapshot_diff",
     "audio_window_grid",
+    "maxsim_multivector_topk",
 ]
 
 

@@ -1092,3 +1092,93 @@ def knn_label_vote(
             "votes",
         )
     )
+
+
+def subvectors(vec_col, n_sub: int, sub_dim: int) -> F.Column:
+    """Split a flat embedding into ``n_sub`` contiguous ``sub_dim``-d
+    token vectors (array<array<double>>) — the multi-vector view a
+    late-interaction scorer consumes."""
+    return F.array(
+        *[
+            F.transform(
+                F.slice(vec_col, i * sub_dim + 1, sub_dim),
+                lambda x: x.cast("double"),
+            )
+            for i in range(n_sub)
+        ]
+    )
+
+
+def maxsim_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim): score =
+    Σ_i max_j cos(q_i, d_j) over the two sides' token vectors — finer
+    than single-vector cosine because each query token matches its own
+    best document token.
+
+    Here the token vectors are contiguous ``dim/n_sub``-d slices of the
+    stored embedding (the multi-vector plumbing; swap the slicer for
+    real per-token vectors without touching the scorer).  Plan shape:
+    subvector split and per-side norms are map-side projections,
+    queries broadcast, the n_sub × n_sub interaction runs as nested
+    HOFs over fixed-size arrays (constant work per pair), per-query
+    top-k window.  Score rounds 6 dp, ties break by id.
+    """
+    sub_dim = dim // n_sub
+    v = vectors.select(
+        F.col(id_col),
+        subvectors(F.col(vec_col), n_sub, sub_dim).alias("_dsubs"),
+    ).select(
+        id_col,
+        "_dsubs",
+        F.transform(F.col("_dsubs"), lambda s: F.sqrt(_dot(s, s))).alias(
+            "_dnorms"
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        subvectors(F.col(vec_col), n_sub, sub_dim).alias("_qsubs"),
+    ).select(
+        query_id_col,
+        "_qsubs",
+        F.transform(F.col("_qsubs"), lambda s: F.sqrt(_dot(s, s))).alias(
+            "_qnorms"
+        ),
+    )
+    # Σ over query tokens of the best document-token cosine.  Indexed
+    # lambdas pull the matching norms; zip_with pairs (subvector, norm).
+    pairs_best = F.aggregate(
+        F.zip_with(
+            F.col("_qsubs"),
+            F.col("_qnorms"),
+            lambda qs, qn: F.array_max(
+                F.zip_with(
+                    F.col("_dsubs"),
+                    F.col("_dnorms"),
+                    lambda ds, dn: _dot(qs, ds) / (qn * dn),
+                )
+            ),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(pairs_best, 6).alias("maxsim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("maxsim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

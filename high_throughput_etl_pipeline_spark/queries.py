@@ -6822,6 +6822,63 @@ def audio_window_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "window_index")
 
 
+def _maxsim_oracle(n_sub: int = 4, sub_dim: int = 16) -> str:
+    def sl(col: str, i: int) -> str:
+        return f"list_slice({col}, {i * sub_dim + 1}, {(i + 1) * sub_dim})"
+
+    def cos(i: int, j: int) -> str:
+        qs, ds = sl("qe", i), sl("e", j)
+        return (
+            f"list_dot_product({qs}, {ds})"
+            f" / (sqrt(list_dot_product({qs}, {qs}))"
+            f" * sqrt(list_dot_product({ds}, {ds})))"
+        )
+
+    score = " + ".join(
+        "greatest(" + ", ".join(cos(i, j) for j in range(n_sub)) + ")"
+        for i in range(n_sub)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, v.vec_id,
+               round({score}, 6) AS maxsim
+        FROM v CROSS JOIN q
+    )
+    SELECT query_id, vec_id, maxsim, rank FROM (
+        SELECT query_id, vec_id, maxsim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY maxsim DESC, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("maxsim_multivector_topk", oracle=_maxsim_oracle())
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim): each side's
+    embedding viewed as 4 x 16-d token vectors, score = per-query-token
+    best document-token cosine, summed.  Broadcast queries, map-side
+    subvector split + norms, constant-size nested-HOF interaction,
+    per-query top-5."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return maxsim_topk(e, q, k=5, n_sub=4, dim=64).select(
+        "query_id", "vec_id", "maxsim", "rank"
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The round driver's correctness gate records the FIRST
 # 50 entries of ``queries()``; HEADLINE curates that window so every operator

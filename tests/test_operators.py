@@ -1741,3 +1741,36 @@ def test_audio_windows_grid(spark):
     # clip 3: (100-40)/20+1 = 4 windows at 8 kHz (40 ms = 320 samples)
     assert len(g[3]) == 4
     assert min(g[3], key=lambda r: r["window_index"])["end_sample"] == 320
+
+
+def test_maxsim_late_interaction(spark):
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    # 4-d embeddings as 2 x 2-d tokens.  Query tokens: (1,0) and (0,1).
+    # doc 1 has both tokens (maxsim 2.0); doc 2 matches token 1 only in
+    # its best position (maxsim 1 + cos45 = 1.7071); doc 3 is orthogonal
+    # to token 0 but matches token 1
+    rows = [
+        (1, [1.0, 0.0, 0.0, 1.0]),
+        (2, [1.0, 0.0, 1.0, 1.0]),
+        (3, [0.0, 1.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 1.0])],
+        "query_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in maxsim_topk(df, q, k=3, n_sub=2, dim=4).collect()
+    }
+    assert out[1]["maxsim"] == 2.0 and out[1]["rank"] == 1
+    assert out[2]["maxsim"] == pytest.approx(1 + 2 ** -0.5, abs=1e-6)
+    # doc 3: token0 best cos = max(0, cos((1,0),(0,1)))=0... token0 vs
+    # (0,1)=0 and vs (0,1)=0 -> 0; token1 vs both = 1 -> total 1.0
+    assert out[3]["maxsim"] == pytest.approx(1.0, abs=1e-6)
+    # single-vector cosine would rank doc 2 ABOVE doc 3 equally well —
+    # late interaction separates per-token matches
+    assert out[2]["rank"] == 2 and out[3]["rank"] == 3
