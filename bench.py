@@ -116,6 +116,7 @@ HEADLINE = [
     "customer_snapshot_diff",
     "audio_window_grid",
     "maxsim_multivector_topk",
+    "user_retention_cohorts",
 ]
 
 

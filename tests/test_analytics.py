@@ -124,3 +124,30 @@ def test_metrics_plans(spark):
     assert peak["file_count"] >= 4
     hb = metrics.hourly_breakdown(df)
     assert hb.count() == 24
+
+
+def test_retention_cohorts_counts(spark):
+    from high_throughput_etl_pipeline_spark.queries import QUERIES
+
+    import datetime
+
+    rows = []
+    # user 1: first seen d0, active d0 and d2 (two events d2 — distinct!)
+    # user 2: first seen d0 only; user 3: first seen d1, active d1, d2
+    d = lambda i: datetime.datetime(2026, 1, 1 + i, 12, 0)
+    rows += [(1, d(0)), (1, d(2)), (1, d(2)), (2, d(0)), (3, d(1)), (3, d(2))]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        # reuse the registered query by pointing it at a temp sf_dir
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {
+            (r["cohort_date"], r["day_offset"]): r["n_users"]
+            for r in QUERIES["user_retention_cohorts"](spark, td).collect()
+        }
+    assert out == {
+        ("2026-01-01", 0): 2,  # users 1, 2
+        ("2026-01-01", 2): 1,  # user 1 returns once (dedup within day)
+        ("2026-01-02", 0): 1,  # user 3
+        ("2026-01-02", 1): 1,  # user 3 returns
+    }
