@@ -6937,6 +6937,10 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checked by ``tools/check_correctness.py``, just after row 50.
 # ---------------------------------------------------------------------------
 
+# r7 rotation queue — tail queries with oracles but no driver row yet:
+# maxsim_multivector_topk, user_retention_cohorts (registered after the
+# r6 window was full).  Usual trade: swap them in for the longest-green
+# in-window rows once this round's first-timers go green.
 HEADLINE: list[str] = [
     # --- r6 rotation: the 4 queries with no driver row ever (VERDICT r5
     # weak list) — the 3 sketch queries (registered r5, never in the
