@@ -198,3 +198,77 @@ def test_span_dedup_matches_reference(spark, word_lists, span_words):
         ]
         want[doc] = (len(mine), len(kept), " ".join(kept))
     assert got == want
+
+
+def _py_deletion_variants(s: str) -> set[str]:
+    """Plain-Python mirror of entity.deletion_variants semantics."""
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.text(alphabet="abcdef", min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=11),
+    st.sampled_from(["sub", "ins", "del"]),
+    st.sampled_from("abcdefX"),
+)
+def test_deletion_neighborhood_identity(base, pos, kind, ch):
+    """The SymSpell identity the neighborhood matcher's COMPLETENESS
+    rests on: any pair within ONE edit shares a single-deletion
+    variant.  Pure-Python mirror (the Spark expression is pinned
+    against small cases in test_operators); randomized edits cover
+    substitution, insertion and deletion at arbitrary positions."""
+    pos = min(pos, len(base))
+    if kind == "sub":
+        if pos >= len(base):
+            return
+        other = base[:pos] + ch + base[pos + 1 :]
+    elif kind == "ins":
+        other = base[:pos] + ch + base[pos:]
+    else:
+        if len(base) <= 1 or pos >= len(base):
+            return
+        other = base[:pos] + base[pos + 1 :]
+    # levenshtein(base, other) <= 1 by construction
+    assert _py_deletion_variants(base) & _py_deletion_variants(other), (
+        base,
+        other,
+        kind,
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+                min_size=2, max_size=12, unique=True))
+def test_neighborhood_equals_bruteforce_matching(spark, names):
+    """fuzzy_matches_neighborhood == brute-force distance-1 pairs for
+    ARBITRARY name sets (one block) — completeness AND soundness."""
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        fuzzy_matches_neighborhood,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rows = [(i, n, "g") for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id BIGINT, name STRING, grp STRING")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_matches_neighborhood(
+            df, ["grp"], "id", "name"
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
