@@ -272,3 +272,65 @@ def test_neighborhood_equals_bruteforce_matching(spark, names):
         if lev(names[i], names[j]) <= 1
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.1, max_value=1000, allow_nan=False),
+        min_size=3,
+        max_size=_N,
+    ),
+    st.floats(min_value=0.01, max_value=100, allow_nan=False),
+)
+def test_weighted_sample_scale_invariance(spark, weights, scale):
+    """E-S keys are -ln(u)/w: multiplying EVERY weight by a constant
+    scales every key equally, so the sample (and its order) must not
+    change — the property that makes relative weights the only thing
+    that matters."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    rows = [(i, "g", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id BIGINT, grp STRING, w DOUBLE")
+    df2 = df.withColumn("w", F.col("w") * scale)
+    pick = lambda d: [
+        (r["id"], r["sample_rank"])
+        for r in weighted_sample(d, ["grp"], "id", "w", n=3)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert pick(df) == pick(df2)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False),
+            min_size=8,
+            max_size=8,
+        ).filter(lambda v: sum(x * x for x in v[:4]) > 1e-6
+                 and sum(x * x for x in v[4:]) > 1e-6),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_maxsim_bounds_and_self_similarity(spark, vecs):
+    """maxsim over n_sub token vectors is bounded by n_sub (each term is
+    a cosine <= 1), and a vector against itself attains exactly n_sub."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1])], "query_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    out = maxsim_topk(df, q, k=len(rows), n_sub=2, dim=8).collect()
+    assert all(r["maxsim"] <= 2.0 + 1e-9 for r in out)
+    self_row = [r for r in out if r["vec_id"] == 0][0]
+    assert abs(self_row["maxsim"] - 2.0) < 1e-5
+    assert self_row["rank"] == 1
