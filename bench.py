@@ -117,6 +117,7 @@ HEADLINE = [
     "audio_window_grid",
     "maxsim_multivector_topk",
     "user_retention_cohorts",
+    "weekly_revenue_growth",
 ]
 
 

@@ -6937,9 +6937,60 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checked by ``tools/check_correctness.py``, just after row 50.
 # ---------------------------------------------------------------------------
 
+@query(
+    "weekly_revenue_growth",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS VARCHAR) AS week,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT week, revenue, n_orders,
+           round(lag(revenue) OVER (ORDER BY week), 2) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY week) IS NULL THEN NULL
+                ELSE round((revenue - lag(revenue) OVER (ORDER BY week))
+                           / lag(revenue) OVER (ORDER BY week) * 100, 4)
+           END AS growth_pct
+    FROM w ORDER BY week
+    """,
+)
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: aggregate first (weeks are
+    metadata-scale — tens of rows per year), THEN lag over the tiny
+    aggregate.  The unpartitioned window is safe exactly because it
+    runs after the reduction; the repo's ranking machinery exists for
+    the cases where it would not be."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        o.groupBy(
+            F.date_trunc("week", F.col("o_orderdate"))
+            .cast("date")
+            .cast("string")
+            .alias("week")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    win = Window.orderBy("week")
+    prev = F.lag("revenue").over(win)
+    return (
+        w.withColumn("prev_revenue", F.round(prev, 2))
+        .withColumn(
+            "growth_pct",
+            F.when(prev.isNull(), F.lit(None)).otherwise(
+                F.round((F.col("revenue") - prev) / prev * 100, 4)
+            ),
+        )
+        .orderBy("week")
+    )
+
+
 # r7 rotation queue — tail queries with oracles but no driver row yet:
-# maxsim_multivector_topk, user_retention_cohorts (registered after the
-# r6 window was full).  Usual trade: swap them in for the longest-green
+# maxsim_multivector_topk, user_retention_cohorts,
+# weekly_revenue_growth (registered after the r6 window was full).  Usual trade: swap them in for the longest-green
 # in-window rows once this round's first-timers go green.
 HEADLINE: list[str] = [
     # --- r6 rotation: the 4 queries with no driver row ever (VERDICT r5
