@@ -118,6 +118,7 @@ HEADLINE = [
     "maxsim_multivector_topk",
     "user_retention_cohorts",
     "weekly_revenue_growth",
+    "events_outlier_audit",
 ]
 
 

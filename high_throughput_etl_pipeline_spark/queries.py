@@ -6988,9 +6988,67 @@ def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_outlier_audit",
+    oracle="""
+    WITH f AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(f.q1, 4) AS q1,
+           round(f.q3, 4) AS q3,
+           round(f.q1 - 1.5 * (f.q3 - f.q1), 4) AS lo_fence,
+           round(f.q3 + 1.5 * (f.q3 - f.q1), 4) AS hi_fence,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                          OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN f USING (event_type)
+    GROUP BY e.event_type, f.q1, f.q3
+    ORDER BY e.event_type
+    """,
+)
+def events_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (Tukey fences): per event type, exact
+    quartiles -> IQR fences -> count of values outside them.  One tiny
+    per-group percentile aggregate broadcast back over the scan (the
+    same shape as the winsorization operator); swap approx_percentile
+    in when groups carry billions of rows."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("_q1"),
+        F.expr("percentile(value, 0.75)").alias("_q3"),
+    )
+    lo = F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))
+    return (
+        ev.join(F.broadcast(f), on="event_type")
+        .groupBy(
+            "event_type",
+            F.round("_q1", 4).alias("q1"),
+            F.round("_q3", 4).alias("q3"),
+            F.round(lo, 4).alias("lo_fence"),
+            F.round(hi, 4).alias("hi_fence"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                ((F.col("value") < lo) | (F.col("value") > hi)).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # r7 rotation queue — tail queries with oracles but no driver row yet:
 # maxsim_multivector_topk, user_retention_cohorts,
-# weekly_revenue_growth (registered after the r6 window was full).  Usual trade: swap them in for the longest-green
+# weekly_revenue_growth, events_outlier_audit (registered after the r6
+# window was full).  Usual trade: swap them in for the longest-green
 # in-window rows once this round's first-timers go green.
 HEADLINE: list[str] = [
     # --- r6 rotation: the 4 queries with no driver row ever (VERDICT r5
