@@ -39,12 +39,16 @@ def fuzzy_matches(
     """Within-block pairs whose ``name_col`` values are within
     ``max_edit`` Levenshtein distance.
 
-    ``length_band`` adds a derived block key ``len(name) // band`` —
-    cheap prefiltering, since edit distance >= length difference (names
-    whose lengths differ by more than ``max_edit`` can never match, so
-    banding by length only risks splitting near-boundary pairs when
-    ``band < max_edit``; pass ``band >= max_edit + 1`` to keep recall
-    for same-band pairs exact).
+    ``length_band`` adds a derived length-bucket key
+    ``len(name) // band`` as an extra blocking dimension — cheap
+    prefiltering, since edit distance >= length difference.  With
+    ``band >= max_edit`` a matchable pair's lengths differ by at most
+    ``band``, so their buckets differ by at most 1; the probe side
+    therefore joins against its own bucket AND both neighbors (explode
+    ``[b-1, b, b+1]``), which keeps recall EXACT — including pairs
+    whose lengths straddle a bucket boundary — at the cost of 3x probe
+    rows.  ``band < max_edit`` would let a pair skip past the adjacent
+    bucket and silently drop it, so that configuration raises.
 
     ``salt_groups`` (g) grid-decomposes every block's self-join into
     g × g cells (row tagged ``hash(id) % g`` on one axis, replicated
@@ -59,30 +63,46 @@ def fuzzy_matches(
 
     Returns (id_a, id_b, name_a, name_b, edit_distance), id_a < id_b.
     """
-    keys = [F.col(c) for c in block_cols]
-    if length_band is not None:
-        keys = keys + [
-            (F.length(F.col(name_col)) / F.lit(length_band))
-            .cast("int")
-            .alias("_lenband")
-        ]
+    if length_band is not None and length_band < max_edit:
+        raise ValueError(
+            f"length_band={length_band} < max_edit={max_edit} would drop "
+            "true matches (bucket gap can exceed the adjacent-bucket "
+            "probe); use length_band >= max_edit"
+        )
     base = df.select(
-        *keys, F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
     )
     join_keys = [c for c in block_cols] + (
         ["_lenband"] if length_band is not None else []
     )
+    lb = (
+        (F.length(F.col("_name")) / F.lit(length_band)).cast("int")
+        if length_band is not None
+        else None
+    )
     g = max(int(salt_groups), 1)
     grid = F.explode(F.array(*[F.lit(j) for j in range(g)]))
     own = F.pmod(F.xxhash64(F.col("_id")), F.lit(g)).cast("int")
-    a = base.select(
+    a = base
+    if lb is not None:
+        # probe side covers its own length bucket and both neighbors:
+        # |len_a - len_b| <= max_edit <= band  ⟹  bucket diff <= 1, so
+        # the 3-bucket probe restores the boundary-straddling pairs a
+        # single-bucket equi-join silently drops
+        a = a.withColumn("_lenband", F.explode(F.array(lb - 1, lb, lb + 1)))
+    a = a.select(
         *join_keys,
         F.col("_id").alias("id_a"),
         F.col("_name").alias("name_a"),
         own.alias("_gi"),
         grid.alias("_gj"),
     )
-    b = base.select(
+    b = base
+    if lb is not None:
+        b = b.withColumn("_lenband", lb)
+    b = b.select(
         *join_keys,
         F.col("_id").alias("id_b"),
         F.col("_name").alias("name_b"),

@@ -125,24 +125,39 @@ def check_ref_integrity(
     name: str | None = None,
 ) -> DataFrame:
     """Orphaned-foreign-key check: child rows (non-null fk) whose key has
-    no parent.  One left-anti join — broadcast by Catalyst when the
-    parent key set is dimension-sized; NULL fks are not orphans (gate
-    them with ``not_null`` if required)."""
-    n = child.count()
-    orphans = (
-        child.filter(F.col(fk).isNotNull())
-        .join(
-            parent.select(F.col(pk).alias(fk)).distinct(),
-            on=fk,
-            how="left_anti",
-        )
-        .count()
-    )
-    spark = child.sparkSession
+    no parent.  NULL fks are not orphans (gate them with ``not_null``
+    if required).
+
+    Lazy like every other check — composes into ``run_checks`` output
+    without triggering jobs at construction — and ONE scan of the child:
+    a left join against the distinct parent key set (broadcast by
+    Catalyst when the parent is dimension-sized) flags orphans, and a
+    single aggregation reads off both the row count and the violation
+    count."""
     label = name or f"ref_integrity({fk}->{pk})"
-    return spark.createDataFrame(
-        [(label, n, orphans, orphans == 0)],
-        "check STRING, n_rows BIGINT, n_violations BIGINT, passed BOOLEAN",
+    flagged = child.select(F.col(fk).alias("_fk")).join(
+        F.broadcast(
+            parent.select(F.col(pk).alias("_fk"))
+            .distinct()
+            .withColumn("_has_parent", F.lit(True))
+        ),
+        on="_fk",
+        how="left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("_fk").isNotNull() & F.col("_has_parent").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit(label).alias("check"),
+        "n_rows",
+        F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+        (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
     )
 
 

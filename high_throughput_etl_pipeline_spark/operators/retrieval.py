@@ -143,7 +143,7 @@ def bm25_sql(
     return f"""tok AS (
         SELECT {id_col},
                string_split_regex(trim(lower({text_col})),
-                                  '[ \\t\\n\\r]+') AS _words
+                                  '[ \\t\\n\\r\\f\\x0b]+') AS _words
         FROM {table}
     ), tf AS (
         SELECT {id_col}, len(_words) AS dl, {tf_exprs} FROM tok

@@ -789,6 +789,14 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Bound the cache lifetime: materialize the (tiny, two-int) pair set
+    # now and release the bucket index immediately — a bare persist()
+    # stays registered in the CacheManager forever, so repeated calls in
+    # a long-lived session would accumulate cached blocks until eviction
+    # pressure.  localCheckpoint blocks are cleaned by the ContextCleaner
+    # when the plan is GC'd, so the call leaves no residue.
+    pairs = pairs.localCheckpoint(eager=True)
+    narrow.unpersist()
     u = vectors.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),

@@ -1959,7 +1959,7 @@ def metrics_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS docs,
            CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'))
                     END) AS BIGINT) AS total_tokens,
            CAST(SUM(len(regexp_extract_all(text, '{BPE_PIECE_RE}'))) AS BIGINT)
                AS total_bpe_pieces,
@@ -3310,7 +3310,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
         SELECT doc_id, source,
-               unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS term
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS term
         FROM documents WHERE trim(text) <> ''
     ), wcounts AS (
         SELECT doc_id, source, term, count(*) AS c
@@ -3323,7 +3323,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wcounts GROUP BY 1, 2
     ), wlists AS (
         SELECT doc_id,
-               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS w
+               string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+') AS w
         FROM documents WHERE trim(text) <> ''
     ), bigrams AS (
         SELECT doc_id,
@@ -3383,7 +3383,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH terms AS (
         SELECT source AS grp,
                unnest(string_split_regex(trim(lower(text)),
-                                         '[ \\t\\n\\r]+')) AS term
+                                         '[ \\t\\n\\r\\f\\x0b]+')) AS term
         FROM documents WHERE trim(text) <> ''
     ), tf AS (
         SELECT grp, term, CAST(count(*) AS BIGINT) AS tf
@@ -3511,7 +3511,7 @@ def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id,
                unnest(string_split_regex(trim(lower(text)),
-                                         '[ \\t\\n\\r]+')) AS w
+                                         '[ \\t\\n\\r\\f\\x0b]+')) AS w
         FROM documents WHERE trim(text) <> ''
     ), vocab AS (
         SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
@@ -3559,7 +3559,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tr AS (
         SELECT doc_id,
                list_prepend('<s>', string_split_regex(trim(lower(text)),
-                                                      '[ \\t\\n\\r]+')) AS t
+                                                      '[ \\t\\n\\r\\f\\x0b]+')) AS t
         FROM documents WHERE trim(text) <> '' AND doc_id % 10 < 8
     ), trb AS (
         SELECT t[i] AS prev, t[i+1] AS w
@@ -3574,7 +3574,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sc AS (
         SELECT doc_id,
                list_prepend('<s>', string_split_regex(trim(lower(text)),
-                                                      '[ \\t\\n\\r]+')) AS t
+                                                      '[ \\t\\n\\r\\f\\x0b]+')) AS t
         FROM documents WHERE trim(text) <> '' AND doc_id % 10 >= 8
     ), scb AS (
         SELECT doc_id, t[i] AS prev, t[i+1] AS w
@@ -3660,7 +3660,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id, source,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'))
                     END AS nt
         FROM documents
     ), per_src AS (
@@ -3936,7 +3936,7 @@ def events_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM generate_series(0, 4095) t(i)
     ), tok AS (
         SELECT doc_id, source,
-               unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS tok
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS tok
         FROM documents WHERE trim(text) <> ''
     ), feat AS (
         SELECT doc_id, source,
@@ -4190,7 +4190,7 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
         SELECT doc_id,
-               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+               string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+') AS words
         FROM documents WHERE trim(text) <> ''
     ), g AS (
         SELECT doc_id,
@@ -4234,7 +4234,7 @@ def benchmark_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH w AS (
         SELECT doc_id,
-               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+               string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+') AS words
         FROM documents WHERE trim(text) <> ''
     ), g AS (
         SELECT doc_id,
@@ -4394,7 +4394,7 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
         SELECT source,
-               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+               string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+') AS words
         FROM documents WHERE trim(text) <> ''
     ), g AS (
         SELECT source,
@@ -4490,7 +4490,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT source, doc_id,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'))
                     END AS n_tokens
         FROM documents
     ), bucketed AS (
@@ -4559,7 +4559,7 @@ def corpus_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT source, doc_id,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'))
                     END AS n_tokens
         FROM documents
     ), bucketed AS (
@@ -4613,7 +4613,7 @@ def corpus_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT doc_id,
-               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+               string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+') AS words
         FROM documents
         WHERE len(trim(text)) > 0
     ), grams AS (
@@ -4816,7 +4816,7 @@ def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT doc_id,
-               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+               string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+') AS words
         FROM documents
         WHERE len(trim(text)) > 0
     ), n AS (
@@ -5749,7 +5749,7 @@ def dataprep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM filtered
     ), kept AS (
         SELECT doc_id, source,
-               string_split_regex(trim(text), '[ \\t\\n\\r]+') AS words
+               string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+') AS words
         FROM ranked WHERE rn = 1 AND len(trim(text)) > 0
     ), sized AS (
         SELECT doc_id, source, words, len(words) AS n_tok,

@@ -288,7 +288,7 @@ def compact_dedup_store(spark: SparkSession, table_path: str) -> int:
     unions, so compaction is a pure rewrite; replay stays idempotent
     through the monotonic guard.  Same recoverable swap as the
     posting-list / vector stores."""
-    dirs = _batch_dirs(table_path)
+    dirs = _batch_dirs(table_path, heal=True)
     if len(dirs) <= 1:
         return 0
     max_id = _store.max_batch_id(table_path)

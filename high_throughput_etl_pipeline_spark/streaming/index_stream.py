@@ -212,7 +212,7 @@ def compact_index(spark: SparkSession, table_path: str) -> int:
     Returns the number of batch directories folded (0/1 = nothing to
     do).
     """
-    dirs = _batch_dirs(table_path)
+    dirs = _batch_dirs(table_path, heal=True)
     if len(dirs) <= 1:
         return 0
     max_id = int(os.path.basename(dirs[-1]).split("_")[1])
@@ -233,9 +233,9 @@ def compact_index(spark: SparkSession, table_path: str) -> int:
         os.path.join(staging, "stats")
     )
     # two-rename swap with a recoverable window: between the renames the
-    # max-id directory exists only as X._old, which store.recover()
-    # restores on the next read/merge/compact if the second rename never
-    # ran — the same healing the sketch sink's publish has
+    # max-id directory exists only as X._old, which readers interpret
+    # as the published stand-in (non-destructively) and the next
+    # maintainer call (batch_dirs(heal=True)) restores in place
     _store.write_absorbed_marker(staging, max_id)
     _store.swap(staging, out_dir)
     for d in dirs[:-1]:

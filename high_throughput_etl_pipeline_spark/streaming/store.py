@@ -50,7 +50,10 @@ def recover(table_path: str) -> None:
 
 
 def _dir_id(d: str) -> int:
-    return int(os.path.basename(d).split("_")[1])
+    base = os.path.basename(d)
+    if base.endswith("._old"):
+        base = base[: -len("._old")]
+    return int(base.split("_")[1])
 
 
 def _marker_value(d: str) -> int | None:
@@ -61,23 +64,49 @@ def _marker_value(d: str) -> int | None:
         return int(fh.read().strip())
 
 
-def batch_dirs(table_path: str) -> list[str]:
-    """Published batch directories, oldest first (recovers first).
+def batch_dirs(table_path: str, heal: bool = False) -> list[str]:
+    """Published batch directories, oldest first.
 
-    Honors compaction markers: a directory carrying
+    Default (``heal=False``) is a NON-DESTRUCTIVE read-side view: a
+    serving query must be able to list the store while the maintainer
+    is mid-compaction, without renaming or deleting anything an
+    in-flight lazy scan may still reference.  Crash artifacts are
+    *interpreted* rather than repaired — a ``X._old`` with no ``X`` is
+    a swap that died between its two renames, and its contents are
+    complete by construction, so it is returned as the readable
+    stand-in for ``X``; ``._staging`` partials and originals absorbed
+    by a newer compaction marker are excluded but left on disk.
+
+    ``heal=True`` (maintainer path only: compactors and the
+    foreachBatch writer, which are single-threaded per store)
+    additionally repairs in place: restores orphaned ``._old`` swaps,
+    drops ``._staging`` partials, and deletes absorbed originals.
+
+    Both modes honor compaction markers: a directory carrying
     ``_absorbed_through: t`` contains every batch with id <= t, so any
     OTHER directory with id <= t is an absorbed original whose removal
-    crashed — it is excluded from reads and lazily deleted here."""
+    crashed."""
     if not os.path.isdir(table_path):
         return []
-    recover(table_path)
-    dirs = sorted(
-        (
-            os.path.join(table_path, d)
-            for d in os.listdir(table_path)
-            if d.startswith("batch_") and "._" not in d
-        )
-    )
+    if heal:
+        recover(table_path)
+    entries = os.listdir(table_path)
+    names = set(entries)
+    dirs = []
+    for d in entries:
+        if not d.startswith("batch_"):
+            continue
+        if d.endswith("._old"):
+            # orphaned swap (published target gone): complete by
+            # construction -> readable stand-in; shadowed ._old (target
+            # exists) is a finished swap's leftover -> skip
+            if d[: -len("._old")] not in names:
+                dirs.append(os.path.join(table_path, d))
+            continue
+        if "._" in d:
+            continue
+        dirs.append(os.path.join(table_path, d))
+    dirs.sort(key=_dir_id)
     markers = {d: _marker_value(d) for d in dirs}
     absorbed_through = max(
         (v for v in markers.values() if v is not None), default=-1
@@ -85,7 +114,8 @@ def batch_dirs(table_path: str) -> list[str]:
     out = []
     for d in dirs:
         if _dir_id(d) <= absorbed_through and markers[d] != absorbed_through:
-            shutil.rmtree(d, ignore_errors=True)  # leftover original
+            if heal:
+                shutil.rmtree(d, ignore_errors=True)  # leftover original
         else:
             out.append(d)
     return out

@@ -122,7 +122,7 @@ def ivf_topk_stream_index(
 def compact_vectors(spark: SparkSession, table_path: str) -> int:
     """Fold every published batch into one (keeping the highest
     absorbed id) — same recoverable swap as the posting-list store."""
-    dirs = _store.batch_dirs(table_path)
+    dirs = _store.batch_dirs(table_path, heal=True)
     if len(dirs) <= 1:
         return 0
     max_id = _store.max_batch_id(table_path)

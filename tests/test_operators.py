@@ -1430,10 +1430,12 @@ def test_fuzzy_matches_length_band_guarantee(spark):
         fuzzy_matches,
     )
 
-    # same-band pairs keep exact recall; the docstring's band >= max_edit+1
-    # rule means a pair split across bands always has length diff >= 1,
-    # which CAN still be <= max_edit — verify the documented trade shows
-    # up only for cross-band pairs
+    import pytest
+
+    # adjacent-bucket probing keeps recall EXACT even for pairs whose
+    # lengths straddle a bucket boundary: "abcd" (len 4, bucket 0) and
+    # "abcde" (len 5, bucket 1) with band=5 land in different buckets
+    # but must still pair (edit distance 1)
     rows = [(1, "abcd", "x"), (2, "abcde", "x"), (3, "abcdx", "x")]
     df = spark.createDataFrame(rows, "id BIGINT, name STRING, country STRING")
     unbanded = {
@@ -1448,8 +1450,14 @@ def test_fuzzy_matches_length_band_guarantee(spark):
             df, ["country"], "id", "name", max_edit=1, length_band=5
         ).collect()
     }
-    assert (2, 3) in banded  # same length -> same band, kept
-    assert banded <= unbanded
+    assert (1, 2) in banded  # cross-boundary pair restored
+    assert (2, 3) in banded  # same length -> same bucket, kept
+    assert banded == unbanded  # banding is now a pure prefilter
+    # band < max_edit can skip past the adjacent bucket -> loud failure
+    with pytest.raises(ValueError, match="length_band"):
+        fuzzy_matches(
+            df, ["country"], "id", "name", max_edit=2, length_band=1
+        )
 
 
 # -- privacy audits -------------------------------------------------------

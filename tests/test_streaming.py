@@ -863,11 +863,15 @@ def test_compaction_marker_excludes_leftover_originals(spark, tmp_path):
 
     _shutil.copytree(compacted, leftover)
     _os.remove(_os.path.join(leftover, "_absorbed_through"))
-    # raw listing sees two dirs; the reader sees one and cleans up
+    # raw listing sees two dirs; the reader sees one but mutates NOTHING
+    # (a concurrent serving query must never delete directories another
+    # in-flight scan references) — only the maintainer path cleans up
     raw = [d for d in _os.listdir(table) if d.startswith("batch_")]
     assert len(raw) == 2
     assert len(_store.batch_dirs(table)) == 1
-    assert not _os.path.isdir(leftover)
+    assert _os.path.isdir(leftover)  # read left it on disk
+    assert len(_store.batch_dirs(table, heal=True)) == 1  # maintainer
+    assert not _os.path.isdir(leftover)  # ...deleted it
     # and served results never double-counted
     after = {
         r["doc_id"]: (r["dl"], r["score"])
