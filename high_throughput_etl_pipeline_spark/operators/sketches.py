@@ -81,6 +81,38 @@ def distinct_rollup(
     return per_day.unionByName(merged)
 
 
+def distinct_rollup_verified(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tol: float = 0.05,
+) -> DataFrame:
+    """:func:`distinct_rollup` with the estimate BOUND to a checkable
+    tolerance: the output carries only engine-portable values — the
+    exact distinct count, the row count, and ``within_tol`` =
+    |approx − exact| / exact <= tol — so an independent SQL engine can
+    verify the whole row (it computes the exact side and expects the
+    boolean TRUE; a drifting estimate flips the boolean).
+
+    The exact counts are the *verification harness* and cost one extra
+    count-distinct pass — at 100 TB serve :func:`distinct_rollup`
+    itself (sketches only) and run this gate on a sampled partition.
+    """
+    roll = distinct_rollup(df, key_col, ts_col)
+    exact_all = df.agg(
+        F.count_distinct(key_col).alias("_exact_all")
+    )
+    exact = F.coalesce(F.col("exact_keys"), F.col("_exact_all"))
+    return roll.crossJoin(F.broadcast(exact_all)).select(
+        "date",
+        exact.alias("exact_keys"),
+        "n_rows",
+        (
+            F.abs(F.col("approx_keys") - exact) <= F.lit(tol) * exact
+        ).alias("within_tol"),
+    )
+
+
 def value_quantile_sketches(
     df: DataFrame,
     value_col: str = "value",
@@ -116,6 +148,60 @@ def value_quantile_sketches(
         F.sum("n").alias("n"),
     ).select(F.lit("ALL").alias("grp"), "n", *qcols(F.col("m")))
     return per_group.unionByName(merged)
+
+
+def quantile_ranks_verified(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 200,
+    tol: float = 0.05,
+) -> DataFrame:
+    """:func:`value_quantile_sketches` with each estimate BOUND to its
+    rank-error contract, in engine-portable form: for every group (and
+    the merged ALL row) the output is ``(grp, n_rows, r50_ok, ...)``
+    where ``rQ_ok`` verifies the sketch's returned quantile value v
+    really sits within ``tol`` of normalized rank Q —
+    ``count(x < v)/n <= Q + tol`` and ``count(x <= v)/n >= Q - tol``
+    (the two-sided form is exact under ties/mass points).  KLL with
+    k=200 guarantees ~2% rank error, so tol=0.05 is conservative.
+
+    An independent engine verifies the exact side (group sizes) and
+    expects every boolean TRUE; a drifting estimate flips its boolean.
+    The rank check is one broadcast of the tiny quantile frame over one
+    extra scan — the verification harness, not the serving path.
+    """
+    qs = value_quantile_sketches(df, value_col, group_col, quantiles, k)
+    ev = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    j = ev.join(
+        F.broadcast(qs),
+        (F.col("grp") == F.col("_g")) | (F.col("grp") == F.lit("ALL")),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for q in quantiles:
+        c = f"q{int(q * 100)}"
+        aggs.append(
+            F.sum(
+                F.when(F.col("_v") < F.col(c), 1).otherwise(0)
+            ).alias(f"_lt_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("_v") <= F.col(c), 1).otherwise(0)
+            ).alias(f"_le_{c}")
+        )
+    g = j.groupBy("grp").agg(*aggs)
+    cols = [F.col("grp"), F.col("n_rows")]
+    for q in quantiles:
+        c = f"q{int(q * 100)}"
+        ok = (
+            F.col(f"_lt_{c}") <= (F.lit(q + tol) * F.col("n_rows"))
+        ) & (F.col(f"_le_{c}") >= (F.lit(q - tol) * F.col("n_rows")))
+        cols.append(ok.alias(f"r{int(q * 100)}_ok"))
+    return g.select(*cols)
 
 
 def segment_overlap(
@@ -178,6 +264,65 @@ def segment_overlap(
             "jaccard_est",
             F.round(F.col("intersect_est") / F.col("union_est"), 4),
         )
+    )
+
+
+def segment_overlap_verified(
+    df: DataFrame,
+    key_col: str = "user_id",
+    seg_col: str = "event_type",
+    lg_k: int = LG_CONFIG_K,
+    tol: float = 0.05,
+) -> DataFrame:
+    """:func:`segment_overlap` with every set-algebra estimate BOUND to
+    the theta-sketch error contract in engine-portable form: exact
+    pairwise intersection/union ride along (computable by any SQL
+    engine from distinct (key, segment) rows) and each estimate
+    collapses to a boolean ``|est − exact| <= tol · exact_union`` —
+    theta intersection error is bounded relative to the UNION size
+    (Dasgupta et al., "Theta Sketch Framework"), so that is the right
+    normalizer for all three.
+
+    Output: (seg_a, seg_b, exact_a, exact_b, exact_intersect,
+    exact_union, union_ok, intersect_ok, diff_ok).  The exact pair
+    join is the verification harness — at 100 TB serve
+    :func:`segment_overlap` (sketch-only) and gate on a sample.
+    """
+    est = segment_overlap(df, key_col, seg_col, lg_k)
+    d = df.select(
+        F.col(seg_col).alias("_s"), F.col(key_col).alias("_k")
+    ).distinct()
+    inter = (
+        d.select(F.col("_s").alias("seg_a"), "_k")
+        .join(d.select(F.col("_s").alias("seg_b"), "_k"), on="_k")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    j = est.join(inter, on=["seg_a", "seg_b"], how="left").withColumn(
+        "exact_intersect",
+        F.coalesce(F.col("exact_intersect"), F.lit(0)).cast("bigint"),
+    )
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_intersect")
+    )
+    bound = F.lit(tol) * exact_union
+
+    def ok(est_col: str, exact) -> F.Column:
+        return F.abs(F.col(est_col) - exact) <= bound
+
+    return j.select(
+        "seg_a",
+        "seg_b",
+        "exact_a",
+        "exact_b",
+        "exact_intersect",
+        exact_union.cast("bigint").alias("exact_union"),
+        ok("union_est", exact_union).alias("union_ok"),
+        ok("intersect_est", F.col("exact_intersect")).alias("intersect_ok"),
+        ok("a_only_est", F.col("exact_a") - F.col("exact_intersect")).alias(
+            "diff_ok"
+        ),
     )
 
 

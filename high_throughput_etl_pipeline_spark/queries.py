@@ -6122,51 +6122,121 @@ def events_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("events_distinct_sketch")
+@query(
+    "events_distinct_sketch",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS date,
+               COUNT(DISTINCT user_id)  AS exact_keys,
+               COUNT(*)                 AS n_rows
+        FROM events GROUP BY 1
+    ), total AS (
+        SELECT 'ALL' AS date,
+               COUNT(DISTINCT user_id) AS exact_keys,
+               COUNT(*)                AS n_rows
+        FROM events
+    )
+    SELECT date, exact_keys, n_rows, TRUE AS within_tol
+    FROM (SELECT * FROM daily UNION ALL SELECT * FROM total)
+    ORDER BY date
+    """,
+)
 def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per day + an ALL row merged FROM
     the daily sketches (never re-reading rows) — the pre-aggregated-
     sketch rollup that replaces exact COUNT(DISTINCT) at 100 TB.
-    Rows-only at the driver gate (estimates are engine-specific);
-    tests/test_sketches.py gates realized error vs exact at 5% and pins
+
+    Value-checked at the driver gate via tolerance binding: the output
+    carries only engine-portable values (exact counts) plus
+    ``within_tol`` = |estimate − exact| <= 5% · exact, so the oracle
+    computes the exact side and expects TRUE — a drifting estimate
+    flips the boolean and fails the hash (same pattern as
+    ``events_freq_sketch``).  tests/test_sketches.py additionally pins
     the merge identity (union-of-days == whole-table sketch)."""
     from high_throughput_etl_pipeline_spark.operators.sketches import (
-        distinct_rollup,
+        distinct_rollup_verified,
     )
 
     ev = _t(spark, sf_dir, "events")
-    return distinct_rollup(ev, "user_id", "ts").orderBy("date")
+    return distinct_rollup_verified(ev, "user_id", "ts").orderBy("date")
 
 
-@query("events_quantile_sketch")
+@query(
+    "events_quantile_sketch",
+    oracle="""
+    WITH per_grp AS (
+        SELECT event_type AS grp, COUNT(*) AS n_rows
+        FROM events GROUP BY 1
+    ), total AS (
+        SELECT 'ALL' AS grp, COUNT(*) AS n_rows FROM events
+    )
+    SELECT grp, n_rows,
+           TRUE AS r50_ok, TRUE AS r90_ok, TRUE AS r99_ok
+    FROM (SELECT * FROM per_grp UNION ALL SELECT * FROM total)
+    ORDER BY grp
+    """,
+)
 def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketches of event value per type + merged ALL row —
     bounded-size percentile summaries that merge across partitions/days
     (an exact percentile is a sort; this is a KB summary with provable
-    rank error).  Rows-only at the driver gate; tests gate quantile
-    rank-error vs exact."""
+    rank error).
+
+    Value-checked via rank binding: each returned quantile value v
+    collapses to ``rQ_ok`` = v sits within 5% of normalized rank Q in
+    the real data (two-sided count(< v)/count(<= v) form, exact under
+    ties).  The oracle computes group sizes and expects every boolean
+    TRUE, so a sketch regression fails the hash even though the
+    estimates themselves are engine-specific."""
     from high_throughput_etl_pipeline_spark.operators.sketches import (
-        value_quantile_sketches,
+        quantile_ranks_verified,
     )
 
     ev = _t(spark, sf_dir, "events")
-    return value_quantile_sketches(ev, "value", "event_type").orderBy("grp")
+    return quantile_ranks_verified(ev, "value", "event_type").orderBy("grp")
 
 
-@query("events_segment_overlap")
+@query(
+    "events_segment_overlap",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT event_type AS seg, user_id FROM events
+    ), seg AS (
+        SELECT seg, COUNT(*) AS exact FROM d GROUP BY seg
+    ), pair AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b, COUNT(*) AS exact_intersect
+        FROM d a JOIN d b ON a.user_id = b.user_id AND a.seg < b.seg
+        GROUP BY 1, 2
+    )
+    SELECT sa.seg AS seg_a, sb.seg AS seg_b,
+           sa.exact AS exact_a, sb.exact AS exact_b,
+           COALESCE(p.exact_intersect, 0) AS exact_intersect,
+           sa.exact + sb.exact - COALESCE(p.exact_intersect, 0)
+               AS exact_union,
+           TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok
+    FROM seg sa JOIN seg sb ON sa.seg < sb.seg
+    LEFT JOIN pair p ON p.seg_a = sa.seg AND p.seg_b = sb.seg
+    ORDER BY seg_a, seg_b
+    """,
+)
 def events_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch audience overlap: distinct-user intersection/union/
     difference between every event-type pair, from ONE sketch per
     segment — the set algebra HLL cannot do (union-only), replacing a
-    distinct self-join per pair at 100 TB.  Rows-only at the driver
-    gate; tests gate estimates vs exact overlaps and the
-    inclusion-exclusion identity."""
+    distinct self-join per pair at 100 TB.
+
+    Value-checked via tolerance binding: exact pair overlaps (portable
+    SQL over distinct (user, segment) rows) ride along and every
+    estimate collapses to ``|est − exact| <= 5% · exact_union`` — the
+    union-normalized bound the theta-sketch error contract actually
+    guarantees.  The oracle recomputes the exact side and expects every
+    boolean TRUE."""
     from high_throughput_etl_pipeline_spark.operators.sketches import (
-        segment_overlap,
+        segment_overlap_verified,
     )
 
     ev = _t(spark, sf_dir, "events")
-    return segment_overlap(ev, "user_id", "event_type").orderBy(
+    return segment_overlap_verified(ev, "user_id", "event_type").orderBy(
         "seg_a", "seg_b"
     )
 

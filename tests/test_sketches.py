@@ -117,3 +117,40 @@ def test_theta_segment_overlap_accuracy_and_identity(spark):
             assert err <= 0.05, (r["seg_a"], r["seg_b"], est, exact)
         incl_excl = r["exact_a"] + r["exact_b"] - r["intersect_est"]
         assert abs(r["union_est"] - incl_excl) / r["union_est"] <= 0.05
+
+
+def test_verified_wrappers_bind_estimates(spark):
+    """The tolerance-bound wrappers emit engine-portable exacts plus
+    booleans, every boolean TRUE at realized sketch accuracy — and the
+    binding is LIVE: an impossible tolerance flips booleans false, so a
+    drifting estimate cannot pass the driver hash."""
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        distinct_rollup_verified,
+        quantile_ranks_verified,
+        segment_overlap_verified,
+    )
+
+    ev = _t(spark, SF, "events")
+
+    dr = distinct_rollup_verified(ev, "user_id", "ts").collect()
+    assert {r["date"] for r in dr} >= {"ALL"}
+    assert all(r["within_tol"] for r in dr)
+    assert all(r["exact_keys"] is not None for r in dr)  # ALL row bound too
+
+    qr = quantile_ranks_verified(ev, "value", "event_type").collect()
+    assert {r["grp"] for r in qr} >= {"ALL"}
+    for r in qr:
+        assert r["r50_ok"] and r["r90_ok"] and r["r99_ok"], r
+
+    so = segment_overlap_verified(ev, "user_id", "event_type").collect()
+    assert so
+    for r in so:
+        assert r["union_ok"] and r["intersect_ok"] and r["diff_ok"], r
+        assert (
+            r["exact_union"]
+            == r["exact_a"] + r["exact_b"] - r["exact_intersect"]
+        )
+
+    # negative control: tol < 0 is unsatisfiable -> booleans go false
+    neg = distinct_rollup_verified(ev, "user_id", "ts", tol=-1.0).collect()
+    assert not any(r["within_tol"] for r in neg)
