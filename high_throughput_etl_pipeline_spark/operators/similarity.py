@@ -1141,29 +1141,51 @@ def maxsim_topk(
     top-k window.  Score rounds 6 dp, ties break by id.
     """
     sub_dim = dim // n_sub
-    v = vectors.select(
-        F.col(id_col),
-        subvectors(F.col(vec_col), n_sub, sub_dim).alias("_dsubs"),
-    ).select(
-        id_col,
-        "_dsubs",
-        F.transform(F.col("_dsubs"), lambda s: F.sqrt(_dot(s, s))).alias(
-            "_dnorms"
-        ),
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        subvectors(F.col(vec_col), n_sub, sub_dim).alias("_qsubs"),
-    ).select(
+    v = _maxsim_side(vectors, [id_col], vec_col, n_sub, sub_dim, "d")
+    q = _maxsim_side(queries, [query_id_col], vec_col, n_sub, sub_dim, "q")
+    scored = v.crossJoin(F.broadcast(q)).select(
         query_id_col,
-        "_qsubs",
-        F.transform(F.col("_qsubs"), lambda s: F.sqrt(_dot(s, s))).alias(
-            "_qnorms"
-        ),
+        id_col,
+        F.round(_maxsim_score(), 6).alias("maxsim"),
     )
-    # Σ over query tokens of the best document-token cosine.  Indexed
-    # lambdas pull the matching norms; zip_with pairs (subvector, norm).
-    pairs_best = F.aggregate(
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("maxsim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _maxsim_side(
+    df: DataFrame,
+    keep_cols: list[str],
+    vec_col: str,
+    n_sub: int,
+    sub_dim: int,
+    side: str,
+) -> DataFrame:
+    """Map-side multi-vector projection for one side of the MaxSim
+    interaction: token subvectors + their norms (``side`` = 'q'/'d'
+    picks the column names the scorer expects)."""
+    return df.select(
+        *keep_cols,
+        subvectors(F.col(vec_col), n_sub, sub_dim).alias(f"_{side}subs"),
+    ).select(
+        *keep_cols,
+        f"_{side}subs",
+        F.transform(
+            F.col(f"_{side}subs"), lambda s: F.sqrt(_dot(s, s))
+        ).alias(f"_{side}norms"),
+    )
+
+
+def _maxsim_score() -> F.Column:
+    """Σ over query tokens of the best document-token cosine, over the
+    ``_qsubs/_qnorms/_dsubs/_dnorms`` columns :func:`_maxsim_side`
+    projects.  Indexed lambdas pull the matching norms; zip_with pairs
+    (subvector, norm)."""
+    return F.aggregate(
         F.zip_with(
             F.col("_qsubs"),
             F.col("_qnorms"),
@@ -1178,10 +1200,76 @@ def maxsim_topk(
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
-    scored = v.crossJoin(F.broadcast(q)).select(
+
+
+def maxsim_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centers: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    dim: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage late-interaction serving — the standard ColBERT shape
+    (ColBERTv2/PLAID: ANN candidates, exact MaxSim re-rank): an IVF
+    coarse quantizer over the SINGLE-vector embedding prunes the corpus
+    to the queries' ``nprobe`` lists, and the n_sub × n_sub MaxSim
+    interaction runs only on the survivors.
+
+    :func:`maxsim_topk` re-scans the full corpus per query batch —
+    fine as the recall oracle, wrong as the serving path at 100 TB;
+    here the list equi-join IS the pruning (~nprobe/nlist of the corpus
+    scored), and :func:`maxsim_ann_indexed` composes the same re-rank
+    with the on-disk ``list_id``-partitioned index so the probe filter
+    becomes partition pruning at the scan.
+
+    Candidate semantics: a document is scored for a query iff its
+    (single) list assignment is among the query's ``nprobe`` nearest
+    lists; survivors get the EXACT MaxSim score (identical scorer to
+    :func:`maxsim_topk`), per-query top-k, 6 dp round, ties by id.
+    With frozen ``centers`` every stage is engine-portable and
+    value-checkable.
+    """
+    v_assigned = _ivf_assign(vectors, centers, id_col, vec_col, 1).select(
+        id_col, vec_col, "list_id"
+    )
+    q_probes = _ivf_assign(
+        queries, centers, query_id_col, vec_col, nprobe
+    ).select(query_id_col, vec_col, "list_id")
+    return _maxsim_rerank(
+        v_assigned, q_probes, k, n_sub, dim, id_col, vec_col, query_id_col
+    )
+
+
+def _maxsim_rerank(
+    v_assigned: DataFrame,
+    q_probes: DataFrame,
+    k: int,
+    n_sub: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """MaxSim re-rank of IVF candidates: broadcast the (tiny) probe set,
+    equi-join on ``list_id`` (a doc holds ONE list, a query probes
+    nprobe distinct lists — each pair meets at most once), score the
+    survivors with the exact interaction."""
+    sub_dim = dim // n_sub
+    v = _maxsim_side(
+        v_assigned, [id_col, "list_id"], vec_col, n_sub, sub_dim, "d"
+    )
+    q = _maxsim_side(
+        q_probes, [query_id_col, "list_id"], vec_col, n_sub, sub_dim, "q"
+    )
+    scored = v.join(F.broadcast(q), on="list_id").select(
         query_id_col,
         id_col,
-        F.round(pairs_best, 6).alias("maxsim"),
+        F.round(_maxsim_score(), 6).alias("maxsim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("maxsim"), F.col(id_col)
@@ -1189,4 +1277,38 @@ def maxsim_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def maxsim_ann_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centers: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    dim: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve two-stage MaxSim from an :func:`ivf_write_index` layout:
+    the probed list ids collect to a literal IN-filter on the partition
+    column, so the index scan prunes to the probed lists before a
+    single vector is read (same discipline as :func:`ivf_topk_indexed`;
+    plan-pinned in tests/test_plans.py), then the exact MaxSim re-rank
+    scores only what was read.  Indexed ≡ in-memory results by
+    construction (same helpers)."""
+    q_probes = _ivf_assign(
+        queries, centers, query_id_col, vec_col, nprobe
+    ).select(query_id_col, vec_col, "list_id")
+    probe_ids = sorted(
+        r["list_id"] for r in q_probes.select("list_id").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(
+        F.col("list_id").isin(probe_ids)
+    )
+    return _maxsim_rerank(
+        index, q_probes, k, n_sub, dim, id_col, vec_col, query_id_col
     )

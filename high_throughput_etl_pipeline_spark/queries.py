@@ -6949,6 +6949,92 @@ def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _maxsim_ann_oracle(n_sub: int = 4, sub_dim: int = 16) -> str:
+    def sl(col: str, i: int) -> str:
+        return f"list_slice({col}, {i * sub_dim + 1}, {(i + 1) * sub_dim})"
+
+    def cos(i: int, j: int) -> str:
+        qs, ds = sl("qv", i), sl("ev", j)
+        return (
+            f"list_dot_product({qs}, {ds})"
+            f" / (sqrt(list_dot_product({qs}, {qs}))"
+            f" * sqrt(list_dot_product({ds}, {ds})))"
+        )
+
+    score = " + ".join(
+        "greatest(" + ", ".join(cos(i, j) for j in range(n_sub)) + ")"
+        for i in range(n_sub)
+    )
+    assign = """row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.ev)),
+                       i -> (v.ev[i] - c.center[i]) * (v.ev[i] - c.center[i])
+                   )), c.list_id
+               ) AS rn"""
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), c AS (
+        SELECT CAST(vec_id AS INT) AS list_id, ev AS center
+        FROM v WHERE vec_id < 8
+    ), vd AS (
+        SELECT v.vec_id, v.ev, c.list_id, {assign}
+        FROM v CROSS JOIN c
+    ), va AS (
+        SELECT vec_id, ev, list_id FROM vd WHERE rn = 1
+    ), qd AS (
+        SELECT v.vec_id AS query_id, v.ev AS qv, c.list_id, {assign}
+        FROM v CROSS JOIN c WHERE v.vec_id < 3
+    ), qp AS (
+        SELECT query_id, qv, list_id FROM qd WHERE rn <= 4
+    ), scored AS (
+        SELECT qp.query_id, va.vec_id,
+               round({score}, 6) AS maxsim
+        FROM va JOIN qp ON va.list_id = qp.list_id
+    )
+    SELECT query_id, vec_id, maxsim, rank FROM (
+        SELECT query_id, vec_id, maxsim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY maxsim DESC, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("maxsim_ann_rerank", oracle=_maxsim_ann_oracle())
+def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage late-interaction serving (ColBERTv2/PLAID shape): an
+    IVF coarse quantizer (FROZEN first-8-vectors centers, nprobe=4 —
+    same frozen-quantizer trick as ann_ivf_topk) prunes the corpus to
+    the queries' probe lists, then the exact 4×16 MaxSim interaction
+    re-ranks only the survivors.  maxsim_multivector_topk stays the
+    full-scan eval oracle; THIS is the serving path — at 100 TB it
+    scores ~nprobe/nlist of the corpus, and maxsim_ann_indexed turns
+    the probe filter into partition pruning at the scan.  Every stage
+    (assignment argmin, probe selection, interaction, ranking) is
+    engine-portable and value-checked."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        maxsim_ann_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        maxsim_ann_topk(e, q, centers, k=5, n_sub=4, dim=64, nprobe=4)
+        .select("query_id", "vec_id", "maxsim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "user_retention_cohorts",
     oracle="""

@@ -524,3 +524,54 @@ def test_snapshot_diff_single_outer_join(spark):
     assert plan.count("FullOuter") >= 1, plan
     assert plan.count("Join") == plan.count("FullOuter"), plan
     assert "Window" not in plan
+
+
+def test_maxsim_ann_indexed_partition_pruning(spark, tmp_path):
+    """Two-stage MaxSim serving: indexed ≡ in-memory results, candidates
+    come from the IVF lists, and the probe filter reaches the index scan
+    as PARTITION pruning (only probed lists' directories are read)."""
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        ivf_write_index,
+        maxsim_ann_indexed,
+        maxsim_ann_topk,
+        maxsim_topk,
+    )
+
+    e = spark.read.parquet(SF + "/embeddings.parquet")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(e, path, centers)
+
+    base = maxsim_ann_topk(e, q, centers, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+    idx = maxsim_ann_indexed(spark, path, q, centers, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+    rows = lambda d: [
+        (r["query_id"], r["rank"], r["vec_id"], r["maxsim"])
+        for r in d.collect()
+    ]
+    got = rows(idx)
+    assert got == rows(base)
+    # pruned serving loses nothing the full-scan eval oracle would rank
+    # inside the probed lists: every hit's exact score matches the
+    # brute-force scorer (same interaction, same round)
+    brute = {
+        (r["query_id"], r["vec_id"]): r["maxsim"]
+        for r in maxsim_topk(e, q, k=10_000, n_sub=4, dim=64).collect()
+    }
+    for query_id, _rank, vec_id, score in got:
+        assert brute[(query_id, vec_id)] == score
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
+    assert m, plan
+    assert "IN (" in m.group(1) or "isin" in m.group(1).lower() or "IN " in m.group(1), m.group(1)
