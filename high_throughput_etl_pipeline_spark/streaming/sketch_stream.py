@@ -7,112 +7,46 @@ per-day sketch is the UNION of the stored blob with the batch blob —
 a read-modify-write of KBs, never a rescan of history.  Any later
 date-range question unions the stored blobs in milliseconds.
 
-Exactly-once shape: the merge into the state table runs inside
-``foreachBatch`` keyed by (date); replaying an uncommitted batch
-re-merges the same rows into the same day.  HLL union is NOT idempotent
+Storage discipline: shared with the band/posting/IVF stores
+(``streaming/store.py``) — this is a SNAPSHOT store expressed in the
+same batch-directory algebra.  Each merge publishes the full merged
+table as ``batch_<id>`` carrying an ``_absorbed_through: id`` marker,
+which makes every older snapshot an absorbed original: readers serve
+the latest marker-consistent directory non-destructively, and the
+writer (the single maintainer) heals superseded snapshots in place
+after each publish.  Publish is ONE atomic rename — the two-rename
+``._old`` window the private pre-``store.py`` implementation had does
+not exist here.  Replay guard (monotonic batch ids) and fresh-
+checkpoint fencing (``_stream_id``) are also ``store.py``'s.
+
+Exactly-once shape: the merge runs inside ``foreachBatch`` keyed by
+(date); the published snapshot id IS the replay marker, made visible
+in the same rename as the data, so a crash can never record a batch as
+merged without its rows or vice versa.  HLL union is NOT idempotent
 under replay in general — re-unioning the same batch blob IS (union is
-idempotent for identical sketches: max-register semantics), which is
-what makes this sink safe under foreachBatch's at-least-once contract.
+idempotent for identical sketches: max-register semantics), but the
+n_rows recount is not, hence the id guard.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from high_throughput_etl_pipeline_spark.operators.sketches import LG_CONFIG_K
+from high_throughput_etl_pipeline_spark.streaming import store as _store
 
 SKETCH_SCHEMA = "date STRING, sketch BINARY, n_rows BIGINT"
 
 
-def _recover_table(table_path: str) -> None:
-    """Heal the one crash window the two-rename publish leaves open: a
-    death between ``rename(table, ._old)`` and ``rename(._staging,
-    table)`` leaves no table but a complete ``._old`` — without this,
-    the next merge would find neither table nor marker and silently
-    rebuild from the current batch alone, losing all accumulated
-    history.  ``._old`` is always a complete previous version (it only
-    ever exists post-rename), so restoring it is safe; a leftover
-    ``._staging`` is possibly partial and is discarded (its batch was
-    never recorded as merged, so it will be re-merged)."""
-    old = table_path + "._old"
-    if os.path.isdir(old):
-        if not os.path.isdir(table_path):
-            os.rename(old, table_path)
-        else:
-            # crash after the publish rename but before cleanup: the
-            # table is current, ._old is just debris
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
-    staging = table_path + "._staging"
-    if os.path.isdir(staging):
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
-
-
-def _read_marker(table_path: str) -> tuple[str | None, int]:
-    """(stream_id, batch_id) from the replay marker; legacy bare-int
-    markers (no stream id) return stream_id=None."""
-    try:
-        with open(os.path.join(table_path, "_last_batch_id")) as f:
-            raw = f.read().strip()
-    except OSError:
-        return None, -1
-    parts = raw.split()
-    try:
-        if len(parts) == 2:
-            return parts[0], int(parts[1])
-        return None, int(parts[0])
-    except ValueError:
-        return None, -1
-
-
-def _merge_day_sketches(
-    spark: SparkSession,
-    table_path: str,
-    batch_daily: DataFrame,
-    batch_id: int,
-    stream_id: str | None = None,
-) -> None:
-    """Union the batch's per-day sketches into the stored table.
-
-    Full-read + union + overwrite of a KB-per-day table — metadata-scale
-    IO regardless of stream volume.  The merged batch id travels INSIDE
-    the staged directory (parquet readers ignore ``_``-prefixed files),
-    so the atomic rename publishes data + replay marker together: a
-    crash between writes can never record a batch as merged without its
-    rows, or vice versa.  (On a lakehouse this is a MERGE on ``date``
-    with the batch id in the commit metadata.)
-    """
-    if os.path.isdir(table_path):
-        stored = spark.read.schema(SKETCH_SCHEMA).parquet(table_path)
-        merged = (
-            stored.unionByName(batch_daily)
-            .groupBy("date")
-            .agg(
-                F.expr("hll_union_agg(sketch)").alias("sketch"),
-                F.sum("n_rows").alias("n_rows"),
-            )
-        )
-    else:
-        merged = batch_daily
-    tmp = table_path + "._staging"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    marker = f"{stream_id} {batch_id}" if stream_id else str(batch_id)
-    with open(os.path.join(tmp, "_last_batch_id"), "w") as f:
-        f.write(marker)
-    swap = table_path + "._old"
-    if os.path.isdir(table_path):
-        os.rename(table_path, swap)
-    os.rename(tmp, table_path)
-    if os.path.isdir(swap):
-        import shutil
-
-        shutil.rmtree(swap, ignore_errors=True)
+def _current_snapshot(table_path: str) -> str | None:
+    """Latest marker-consistent snapshot directory (non-destructive)."""
+    dirs = _store.batch_dirs(table_path)
+    return dirs[-1] if dirs else None
 
 
 def merge_batch(
@@ -123,48 +57,57 @@ def merge_batch(
     ts_col: str = "ts",
     stream_id: str | None = None,
 ) -> bool:
-    """The foreachBatch body: sketch the batch per day and union into
-    the stored table.  Returns False (no-op) for a replayed batch id —
-    foreachBatch is at-least-once, and while the sketch union alone is
-    replay-idempotent, the n_rows recount is not.
+    """The foreachBatch body: sketch the batch per day, union into the
+    stored table, publish the merged snapshot as ``batch_<id>``.
+    Returns False (no-op) for a replayed batch id — foreachBatch is
+    at-least-once, and while the sketch union alone is replay-
+    idempotent, the n_rows recount is not.
 
-    The replay marker records WHICH stream wrote it (``stream_id``,
-    derived from the checkpoint location): Structured Streaming batch
-    ids restart at 0 with a fresh checkpoint, so a bare ``>= batch_id``
-    guard against a marker from a previous checkpoint would silently
-    drop every new batch until the new ids grow past the stored one.  A
-    marker from a DIFFERENT stream is a table/checkpoint mismatch and
-    raises: merging a fresh checkpoint's replayed history would
-    double-count.  Reset procedure — delete the sketch table together
-    with the checkpoint (full rebuild), or keep both as-is to resume the
-    original checkpoint.
+    ``stream_id`` (derived from the checkpoint location) fences the
+    table to one checkpoint lineage via ``store.stamp_raw_stream_id``:
+    Structured Streaming batch ids restart at 0 with a fresh
+    checkpoint, so the bare monotonic guard alone would silently drop
+    every new batch against a stale high-water mark; a marker from a
+    DIFFERENT stream raises instead.  Reset procedure — delete the
+    sketch table together with the checkpoint (full rebuild), or keep
+    both as-is to resume the original checkpoint.
     """
-    _recover_table(table_path)
-    marker_stream, marker_batch = _read_marker(table_path)
-    if marker_stream is not None and stream_id is not None:
-        if marker_stream != stream_id:
-            raise RuntimeError(
-                f"sketch table {table_path} was written by stream "
-                f"{marker_stream!r} but this stream is {stream_id!r} "
-                "(fresh/relocated checkpoint?). Delete the table with "
-                "the checkpoint to rebuild, or restore the original "
-                "checkpoint."
-            )
-        if marker_batch >= batch_id:
-            return False
-    elif marker_batch >= batch_id:
-        # legacy marker (no stream id) or no stream identity supplied:
-        # fall back to the plain monotonic guard
+    if stream_id is not None:
+        _store.stamp_raw_stream_id(table_path, stream_id, "sketch")
+    if _store.already_absorbed(table_path, batch_id):
         return False
+    spark = batch.sparkSession
     daily = batch.groupBy(
         F.to_date(ts_col).cast("string").alias("date")
     ).agg(
         F.hll_sketch_agg(key_col, F.lit(LG_CONFIG_K)).alias("sketch"),
         F.count("*").alias("n_rows"),
     )
-    _merge_day_sketches(
-        batch.sparkSession, table_path, daily, batch_id, stream_id
-    )
+    cur = _current_snapshot(table_path)
+    if cur is not None:
+        stored = spark.read.schema(SKETCH_SCHEMA).parquet(cur)
+        merged = (
+            stored.unionByName(daily)
+            .groupBy("date")
+            .agg(
+                F.expr("hll_union_agg(sketch)").alias("sketch"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    else:
+        merged = daily
+    out_dir = _store.batch_dir(table_path, batch_id)
+    staging = out_dir + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    # marker INSIDE the staged dir: the atomic publish rename makes the
+    # data, the absorbed-through fact, and the replay high-water mark
+    # visible together
+    _store.write_absorbed_marker(staging, batch_id)
+    _store.publish(staging, out_dir)
+    # superseded snapshots are now absorbed originals; the foreachBatch
+    # writer IS the single maintainer, so heal them in place
+    _store.batch_dirs(table_path, heal=True)
     return True
 
 
@@ -181,12 +124,9 @@ def start_sketch_stream(
     Each micro-batch aggregates to (date, sketch, n_rows) — a handful of
     rows — then merges into the stored table.  Restart from the same
     checkpoint must not double-count: foreachBatch is at-least-once, so
-    a replayed batch id is detected via the marker published atomically
-    with the data and skipped (the sketch union alone would be
-    idempotent; the n_rows recount would not be).
+    a replayed batch id is detected via the published snapshot id and
+    skipped.
     """
-
-    import hashlib
 
     stream_id = hashlib.sha1(
         os.path.abspath(checkpoint_dir).encode()
@@ -209,9 +149,16 @@ def stored_distinct_estimates(
     spark: SparkSession, table_path: str
 ) -> DataFrame:
     """Answer distinct-per-day and total from the STORED sketches alone:
-    (date, approx_keys, n_rows) plus an ALL row unioned from the blobs."""
-    _recover_table(table_path)
-    t = spark.read.schema(SKETCH_SCHEMA).parquet(table_path)
+    (date, approx_keys, n_rows) plus an ALL row unioned from the blobs.
+    Non-destructive read — serves the latest snapshot even mid-crash-
+    window (orphaned staging / superseded originals are interpreted,
+    never repaired here)."""
+    cur = _current_snapshot(table_path)
+    if cur is None:
+        return spark.createDataFrame(
+            [], "date STRING, approx_keys BIGINT, n_rows BIGINT"
+        )
+    t = spark.read.schema(SKETCH_SCHEMA).parquet(cur)
     per_day = t.select(
         "date",
         F.hll_sketch_estimate("sketch").alias("approx_keys"),

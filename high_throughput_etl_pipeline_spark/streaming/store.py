@@ -163,10 +163,16 @@ def swap(staging: str, out_dir: str) -> None:
 
 def stamp_stream_id(table_path: str, checkpoint_dir: str, kind: str) -> None:
     """Fence the table to one checkpoint lineage; raise on mismatch."""
-    os.makedirs(table_path, exist_ok=True)
     sid = hashlib.sha1(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:12]
+    stamp_raw_stream_id(table_path, sid, kind)
+
+
+def stamp_raw_stream_id(table_path: str, sid: str, kind: str) -> None:
+    """:func:`stamp_stream_id` for callers that already derived the
+    stream identity string themselves."""
+    os.makedirs(table_path, exist_ok=True)
     sid_file = os.path.join(table_path, "_stream_id")
     if os.path.exists(sid_file):
         with open(sid_file) as f:
@@ -193,4 +199,5 @@ __all__ = [
     "publish",
     "swap",
     "stamp_stream_id",
+    "stamp_raw_stream_id",
 ]

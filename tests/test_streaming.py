@@ -416,15 +416,15 @@ def test_sketch_stream_incremental_rollup(spark, tmp_path):
 
     # an actual REPLAY (foreachBatch re-delivers an already-merged batch
     # id after a crash between table swap and checkpoint commit): the
-    # batch-id marker published atomically with the data must skip the
-    # merge — n_rows would double-count without it
+    # published snapshot id — visible in the same rename as the data —
+    # must skip the merge; n_rows would double-count without it
+    from high_throughput_etl_pipeline_spark.streaming import store as _sk_store
     from high_throughput_etl_pipeline_spark.streaming.sketch_stream import (
-        _read_marker,
         merge_batch,
     )
 
-    marker_stream, last = _read_marker(table)
-    assert marker_stream is not None and last >= 0
+    last = _sk_store.max_batch_id(table)
+    assert last >= 0
     assert merge_batch(batch, last, table) is False  # replay: skipped
     assert merge_batch(batch, last - 1, table) is False
     replayed = {
@@ -443,21 +443,34 @@ def test_sketch_stream_incremental_rollup(spark, tmp_path):
     assert final["2026-08-12"] == (8, 8)
     assert final["ALL"] == (10, 15)
 
-    # crash window: death between rename(table, ._old) and
-    # rename(._staging, table) leaves only ._old — the next reader/merge
-    # must restore it, not silently rebuild from scratch
+    # crash windows (shared store.py mechanics): (a) a death between
+    # staging write and publish leaves a ._staging partial — excluded
+    # from reads, its batch re-merges on replay; (b) a death between
+    # publish and superseded-snapshot cleanup leaves TWO snapshot dirs —
+    # the marker picks the latest.  Reads interpret both
+    # non-destructively; the single-maintainer heal cleans them up.
     import os as _os
     import shutil as _shutil
 
-    _os.rename(table, table + "._old")
-    _shutil.copytree(table + "._old", table + "._staging")  # stale staging
+    dirs = _sk_store.batch_dirs(table)
+    assert len(dirs) == 1  # each publish absorbs every prior snapshot
+    latest = dirs[-1]
+    lid = _sk_store.max_batch_id(table)
+    _shutil.copytree(latest, latest + "._staging")  # (a) stale partial
+    leftover = _sk_store.batch_dir(table, lid - 1)  # (b) superseded dir
+    _shutil.copytree(latest, leftover)
+    with open(_os.path.join(leftover, "_absorbed_through"), "w") as _f:
+        _f.write(str(lid - 1))
     recovered = {
         r["date"]: (r["approx_keys"], r["n_rows"])
         for r in stored_distinct_estimates(spark, table).collect()
     }
-    assert recovered == final
-    assert not _os.path.isdir(table + "._old")
-    assert not _os.path.isdir(table + "._staging")
+    assert recovered == final  # served latest, never double-counted
+    assert _os.path.isdir(leftover)  # read mutated nothing
+    assert _os.path.isdir(latest + "._staging")
+    _sk_store.batch_dirs(table, heal=True)  # maintainer path cleans up
+    assert not _os.path.isdir(leftover)
+    assert not _os.path.isdir(latest + "._staging")
 
     # fresh-checkpoint guard: a marker written by stream A must make a
     # merge from stream B fail loudly (batch ids restart at 0 with a new
