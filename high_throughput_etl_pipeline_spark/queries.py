@@ -7201,19 +7201,33 @@ def events_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r7 rotation queue — tail queries with oracles but no driver row yet:
-# maxsim_multivector_topk, user_retention_cohorts,
-# weekly_revenue_growth, events_outlier_audit (registered after the r6
-# window was full).  Usual trade: swap them in for the longest-green
-# in-window rows once this round's first-timers go green.
 HEADLINE: list[str] = [
-    # --- r6 rotation: the 4 queries with no driver row ever (VERDICT r5
-    # weak list) — the 3 sketch queries (registered r5, never in the
-    # window) and multimodal_features (rows-only r1, now oracle-backed)
+    # --- r7 rotation: the sketch trio stays for its FIRST value-checked
+    # rows (now tolerance-bound — estimates collapse to booleans the
+    # oracle can verify, closing r6's three no_oracle rows)
     "events_distinct_sketch",
     "events_quantile_sketch",
     "events_segment_overlap",
+    # multimodal_features keeps its window slot for a second green round
+    # (first driver row was r6, via the portable hex replica oracle)
     "multimodal_features",
+    # --- r7: the four oracle-green tail queries with no driver row yet
+    # (r6 verification debt), the new two-stage MaxSim serving path,
+    # and the two BPE queries recorded once (no_oracle by nature —
+    # iterative argmax training; reference-parity pytest is the value
+    # gate).  Rotated to the tail for room: q1_pricing_summary (green
+    # r1-r6), user_sessions (r5-r6), events_cube_matrix (r5-r6),
+    # corpus_epoch_shuffle (r6), events_salted_rollup (r5-r6),
+    # user_funnel_conversion (r5-r6), embedding_dedup_clusters (r5-r6),
+    # multimodal_features (r6) — all stay oracle-checked in the
+    # full-registry local gate.
+    "maxsim_multivector_topk",
+    "maxsim_ann_rerank",
+    "user_retention_cohorts",
+    "weekly_revenue_growth",
+    "events_outlier_audit",
+    "bpe_vocab_merges",
+    "bpe_encode_docs",
     # --- new in r6: span-level dedup and Bloom-prefilter decontamination
     # (benchmark_contamination, green r4/r5, rotates to the tail — the
     # bloom variant exercises the same exact semantics plus the prune)
@@ -7260,21 +7274,12 @@ HEADLINE: list[str] = [
     "events_winsorized",
     # sorted_distinct_users (O2, green r5) and events_value_histogram
     # (green r5) rotate to the tail to make room — both families keep
-    # in-window representatives (distinct/order-by rides every query;
-    # events keeps 9 rows)
-    "user_sessions",
+    # in-window representatives (distinct/order-by rides every query)
     "purchase_attribution_asof",
-    # --- round-5 first-window queries, kept for a second green round
-    # (events_range_window, green r5, rotates to the tail — the events
-    # family keeps 8 in-window rows)
-    "events_cube_matrix",
-    "events_salted_rollup",
     # events_hopping_windows (green r5, second round done) rotates to
     # the tail for the packed-sequence view — time-window semantics stay
-    # in-window via user_sessions/purchase_attribution_asof
+    # in-window via purchase_attribution_asof
     "corpus_packed_sequences",
-    "user_funnel_conversion",
-    "embedding_dedup_clusters",
     "dedup_cc_rounds",
     # dedup_keep_best (green r5) rotates to the tail for the new
     # cross-corpus fuzzy decontamination (dedup family keeps 6 rows)
@@ -7297,11 +7302,9 @@ HEADLINE: list[str] = [
     # also replayed inside dataprep_training_batches' 4-stage oracle
     "dataprep_training_batches",
     # --- one representative per remaining family (all multi-round green;
-    # the displaced green queries stay oracle-checked by
-    # tools/check_correctness.py over the full 99-query registry)
-    "q1_pricing_summary",
-    # q3_top_revenue_orders (green r1-r5, five rounds) rotates to the
-    # tail — TPC-H keeps q1 in-window; centering is a first driver row
+    # the displaced green queries — including the whole TPC-H block,
+    # q1 green r1-r6 — stay oracle-checked by tools/check_correctness.py
+    # over the full registry)
     "embedding_centering",
     # q21_waiting_suppliers (green r3-r5) rotates to the tail; the
     # multi-join TPC-H family keeps q1/q3 in-window
@@ -7313,13 +7316,9 @@ HEADLINE: list[str] = [
     # rotated to the tail to make room)
     "events_zorder_buckets",
     # customers_without_orders (J4 anti-join, green r5) rotates to the
-    # tail for the SCD2 merge — the join family keeps q1/q3 plus the
-    # full-outer conditional merge in-window
+    # tail for the SCD2 merge — the join family keeps the full-outer
+    # conditional merge in-window
     "scd2_customer_merge",
-    # doc_word_counts (J2 explode+join, green r5) rotates to the tail —
-    # the explode family keeps tfidf_top_terms/doc_unigram_logprob
-    # in-window; the epoch shuffle is a first driver row
-    "corpus_epoch_shuffle",
     # text_token_stats (green r5) rotates to the tail for
     # doc_bigram_perplexity — token counting stays exercised in-window
     # via corpus_token_packing/text_repetition_stats oracles
