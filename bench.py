@@ -119,8 +119,13 @@ HEADLINE = [
     "user_retention_cohorts",
     "weekly_revenue_growth",
     "events_outlier_audit",
-    # r7: two-stage ColBERT serving (ANN prefilter -> MaxSim re-rank)
+    # r7: two-stage ColBERT serving (ANN prefilter -> MaxSim re-rank),
+    # CDC apply, DP release, importance resampling, skew diagnostics
     "maxsim_ann_rerank",
+    "orders_cdc_apply",
+    "events_dp_release",
+    "corpus_length_match_sample",
+    "events_skew_profile",
 ]
 
 

@@ -572,3 +572,84 @@ def weighted_sample(
         df.withColumn("sample_rank", F.row_number().over(win).cast("int"))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def distribution_matched_sample(
+    df: DataFrame,
+    ref: DataFrame,
+    bucket_col,
+    id_col: str = "doc_id",
+    salt: str = "match-v1",
+) -> DataFrame:
+    """Importance resampling: downsample ``df`` so its distribution over
+    ``bucket_col`` matches ``ref``'s — the curation move that reshapes a
+    crawl source to a target profile (match web docs to wiki's length
+    histogram, a raw dump to a vetted corpus' quality-score shape)
+    without touching the reference rows.
+
+    Per-bucket keep rate = ``c · ref_frac_b / src_frac_b`` with
+    ``c = min_b (src_frac_b / ref_frac_b)`` over buckets present in
+    BOTH frames — the largest uniform scale-down for which every rate
+    stays <= 1, so the kept set is the biggest subsample of ``df``
+    whose bucket shares are exactly proportional to ``ref``'s (in
+    expectation; realized by the deterministic keyed-hash filter, no
+    RNG).  Buckets missing from ``ref`` drop entirely (rate 0); buckets
+    missing from ``df`` simply cannot be represented and do not
+    constrain ``c``.
+
+    Shape: two grouped aggregates build the per-bucket frequency tables
+    (one row per bucket — tiny), one broadcast of the rate table, and a
+    map-side filter; the cutoff arithmetic (floor of one double
+    expression over exact bigint counts) is written identically in the
+    SQL oracle, so boundary buckets agree bit-for-bit.
+
+    ``bucket_col`` may be a name or a Column expression (e.g. a length
+    decile); it must be computable on both frames.
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    src = df.select(b.alias("_b"), F.col(id_col).alias("_id"))
+    src_n = src.groupBy("_b").agg(F.count(F.lit(1)).alias("_sn"))
+    ref_n = (
+        ref.select(b.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_rn"))
+    )
+    src_tot = src_n.agg(F.sum("_sn").alias("_st"))
+    ref_tot = ref_n.agg(F.sum("_rn").alias("_rt"))
+    # src_frac/ref_frac = (sn/st)/(rn/rt) = sn*rt / (rn*st): keep the
+    # ratio in exact integer products as long as possible — c and the
+    # cutoffs then depend on ONE floating division each, same term
+    # order as the oracle
+    joined = (
+        src_n.join(ref_n, on="_b")
+        .crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(ref_tot))
+    )
+    c = joined.agg(
+        F.min(
+            (F.col("_sn") * F.col("_rt")).cast("double")
+            / (F.col("_rn") * F.col("_st")).cast("double")
+        ).alias("_c")
+    )
+    rates = joined.crossJoin(F.broadcast(c)).select(
+        "_b",
+        F.least(
+            F.lit(_BUCKETS).cast("bigint"),
+            F.floor(
+                F.lit(float(_BUCKETS))
+                * F.col("_c")
+                * (F.col("_rn") * F.col("_st")).cast("double")
+                / (F.col("_sn") * F.col("_rt")).cast("double")
+            ).cast("bigint"),
+        ).alias("_cutoff"),
+    )
+    hbucket = F.pmod(
+        md5_64(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(_BUCKETS),
+    )
+    return (
+        df.withColumn("_b", b)
+        .join(F.broadcast(rates), on="_b")
+        .filter(hbucket < F.col("_cutoff"))
+        .drop("_b", "_cutoff")
+    )

@@ -88,4 +88,49 @@ def anonymity_report(
     return groups.agg(*aggs)
 
 
-__all__ = ["k_anonymity_audit", "anonymity_report"]
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: str = "dp-v1",
+) -> DataFrame:
+    """ε-differentially-private histogram release: per-group counts with
+    Laplace(sensitivity/ε) noise — the mechanism behind every "publish
+    aggregate stats about a sensitive corpus" step (Dwork et al. '06).
+
+    Noise is drawn by a keyed PRF instead of driver RNG: each group's
+    uniform comes from portable md5 arithmetic over (seed, group key),
+    inverse-CDF'd to Laplace — ``-b·sign(u)·ln(1-2|u|)`` for
+    ``u ∈ (-0.5, 0.5)``.  That is how production DP pipelines make a
+    release REPRODUCIBLE (re-running the job re-derives the identical
+    release; auditable, idempotent under retries — the seed is the
+    secret: an adversary who learns it can denoise, so at release time
+    it lives in a KMS, and at test scale it is pinned so an independent
+    engine re-derives the same draws and the whole release is
+    value-checkable).
+
+    One grouped aggregation + map-side noise — the release costs what a
+    rollup costs at any scale.  Emits ``noisy_count`` (6 dp) ONLY — the
+    exact count never leaves the operator, that is the point.
+    """
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    b = float(sensitivity) / float(epsilon)
+    key = F.concat_ws(
+        "|", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    # u strictly inside (-0.5, 0.5): (h + 0.5) / 2^60 - 0.5 over the
+    # 60-bit hash h — never hits the ln(0) endpoint
+    u = (md5_64(key) + F.lit(0.5)) / F.lit(float(1 << 60)) - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    return df.groupBy(*group_cols).agg(
+        F.round(F.count(F.lit(1)) + noise, 6).alias("noisy_count")
+    )
+
+
+__all__ = ["k_anonymity_audit", "anonymity_report", "dp_noisy_counts"]

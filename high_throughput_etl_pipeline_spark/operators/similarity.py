@@ -776,7 +776,15 @@ def embedding_near_duplicates(
     # ints per (vector, table) — linear in N, spills cleanly under
     # MEMORY_AND_DISK; at warehouse scale this is the same index
     # ``build_lsh_index`` says to persist bucketed on disk.
-    narrow = narrow.persist()
+    # localCheckpoint, NOT persist(): a bare persist stays registered in
+    # the CacheManager until someone unpersists, so repeated calls in a
+    # long-lived session accumulate cached blocks; checkpoint blocks are
+    # reclaimed by the ContextCleaner when the plan is GC'd, while
+    # compute-once reuse across the two join branches is identical.
+    # (Caveat shared with every localCheckpoint: blocks don't survive
+    # executor loss — on a cluster serving this continuously, write the
+    # index to disk via build_lsh_index instead.)
+    narrow = narrow.localCheckpoint(eager=False)
     a = narrow.select(
         "_table", "_bucket", F.col("_id").alias("id_a")
     )
@@ -789,14 +797,6 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Bound the cache lifetime: materialize the (tiny, two-int) pair set
-    # now and release the bucket index immediately — a bare persist()
-    # stays registered in the CacheManager forever, so repeated calls in
-    # a long-lived session would accumulate cached blocks until eviction
-    # pressure.  localCheckpoint blocks are cleaned by the ContextCleaner
-    # when the plan is GC'd, so the call leaves no residue.
-    pairs = pairs.localCheckpoint(eager=True)
-    narrow.unpersist()
     u = vectors.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),

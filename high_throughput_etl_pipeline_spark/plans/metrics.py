@@ -9,7 +9,7 @@ groupBy does.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -106,4 +106,51 @@ def winsorize(
         .withColumn("value_w", F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
         .withColumn("clipped_lo", (v < F.col("_lo")).cast("int"))
         .withColumn("clipped_hi", (v > F.col("_hi")).cast("int"))
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Shuffle-skew diagnostics for a prospective join/groupBy key: the
+    ``top_n`` heaviest keys with their load share, plus the key count
+    and the Herfindahl concentration index (Σ share² — the expected
+    fraction of pair-comparisons landing on one key, i.e. exactly the
+    quantity that decides whether a self-join on this key needs
+    salting).  This is the measurement behind the salt/cap decisions in
+    ``dedup.jaccard_pairs`` and ``entity.fuzzy_matches``.
+
+    Scale shape: one grouped count, one metadata-scale aggregate over
+    the (distinct-key-sized) count table, top-n via sort+limit
+    (TakeOrdered — never a global window).  The concentration index is
+    computed from EXACT integer sums (Σn² / T²) so a single final
+    division makes it engine-portable.
+
+    Output: (rank, key, n_rows, share, n_keys, herfindahl).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("_t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).alias("_sq"),
+    )
+    return (
+        counts.orderBy(F.desc("n_rows"), "key")
+        .limit(top_n)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_rows"), "key"))
+            .cast("int")
+            .alias("rank"),
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_t"), 6).alias("share"),
+            "n_keys",
+            F.round(
+                F.col("_sq") / (F.col("_t") * F.col("_t")), 9
+            ).alias("herfindahl"),
+        )
     )

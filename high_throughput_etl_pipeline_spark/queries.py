@@ -7201,6 +7201,245 @@ def events_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_cdc_apply",
+    oracle="""
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 10 < 8
+    ), ins AS (
+        SELECT *, 1 AS seq, 'I' AS op FROM orders WHERE o_orderkey % 10 >= 8
+    ), upd AS (
+        SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice),
+               2 AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), del AS (
+        SELECT *, 3 AS seq, 'D' AS op FROM orders WHERE o_orderkey % 7 = 0
+    ), cdc_log AS (
+        SELECT * FROM ins UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM del
+    ), latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, op DESC
+            ) AS rn FROM cdc_log
+        ) WHERE rn = 1
+    ), applied AS (
+        SELECT b.* FROM base b
+        LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+        WHERE l.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM latest WHERE op <> 'D'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS total_price
+    FROM applied GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC application (operators/cdc.py): fold a deterministic
+    Debezium-style I/U/D change log (synthesized from orders itself —
+    late inserts, 10% price updates, deletes, with overlapping keys so
+    real I→U→D chains exercise latest-op-wins) into a base snapshot.
+    One window collapses the log per key, one anti-join + union applies
+    it — both shuffles on the merge key only.  Summary rollup keeps the
+    checked output compact; the oracle replays the identical MERGE
+    semantics as plain SQL."""
+    from high_throughput_etl_pipeline_spark.operators.cdc import apply_cdc
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = o.filter(key % 10 < 8)
+    ins = o.filter(key % 10 >= 8).withColumns(
+        {"seq": F.lit(1), "op": F.lit("I")}
+    )
+    upd = (
+        o.filter(key % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumns({"seq": F.lit(2), "op": F.lit("U")})
+    )
+    dels = o.filter(key % 7 == 0).withColumns(
+        {"seq": F.lit(3), "op": F.lit("D")}
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    snap = apply_cdc(base, log, ["o_orderkey"], "seq", "op")
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+            # sum exact integer cents, not doubles: float summation is
+            # order-dependent and engines reduce in different orders —
+            # the per-row cent rounding is deterministic on both sides
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "events_dp_release",
+    oracle="""
+    SELECT event_type, hr, round(
+        COUNT(*) + (
+            (-1.0 * sign(u)) * ln(1.0 - 2.0 * abs(u))
+        ), 6) AS noisy_count
+    FROM (
+        SELECT event_type, hr,
+               (('0x' || substr(md5(concat_ws('|', 'dp-v1', event_type,
+                    CAST(hr AS VARCHAR))), 18, 15))::BIGINT + 0.5)
+                   / 1152921504606846976.0 - 0.5 AS u
+        FROM (
+            SELECT event_type, CAST(hour(ts) AS INT) AS hr FROM events
+        )
+    )
+    GROUP BY event_type, hr, u
+    ORDER BY event_type, hr
+    """,
+)
+def events_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram release (ε=1 Laplace
+    mechanism) of event counts per (type, hour) — the privacy family's
+    publication side: k-anonymity AUDITS a release, this one PRODUCES
+    one.  Noise comes from a keyed PRF (portable md5 arithmetic →
+    inverse-CDF Laplace), the reproducible-release pattern — no driver
+    RNG, identical draws on every engine, so the whole release is
+    value-checked even though it is noise."""
+    from high_throughput_etl_pipeline_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    )
+    return dp_noisy_counts(
+        ev, ["event_type", "hr"], epsilon=1.0
+    ).orderBy("event_type", "hr")
+
+
+@query(
+    "corpus_length_match_sample",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               least(9, CAST(floor(length(text) / 200) AS INT)) AS b
+        FROM documents WHERE source = 'src0'
+    ), r AS (
+        SELECT least(9, CAST(floor(length(text) / 200) AS INT)) AS b
+        FROM documents WHERE source = 'src1'
+    ), sn AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS sn FROM s GROUP BY b
+    ), rn AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS rn FROM r GROUP BY b
+    ), st AS (SELECT CAST(SUM(sn) AS BIGINT) AS st FROM sn),
+    rt AS (SELECT CAST(SUM(rn) AS BIGINT) AS rt FROM rn),
+    j AS (
+        SELECT sn.b, sn.sn, rn.rn, st.st, rt.rt
+        FROM sn JOIN rn USING (b) CROSS JOIN st CROSS JOIN rt
+    ), c AS (
+        SELECT MIN(CAST(sn * rt AS DOUBLE) / CAST(rn * st AS DOUBLE)) AS c
+        FROM j
+    ), rates AS (
+        SELECT b, least(10000, CAST(floor(
+            10000.0 * c.c
+            * CAST(rn * st AS DOUBLE) / CAST(sn * rt AS DOUBLE)
+        ) AS BIGINT)) AS cutoff
+        FROM j CROSS JOIN c
+    ), kept AS (
+        SELECT s.doc_id, s.b FROM s JOIN rates USING (b)
+        WHERE ('0x' || substr(md5('match-v1:' ||
+                   CAST(s.doc_id AS VARCHAR)), 18, 15))::BIGINT % 10000
+              < rates.cutoff
+    )
+    SELECT b AS length_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY b ORDER BY length_bucket
+    """,
+)
+def corpus_length_match_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling (operators/corpus.py:
+    distribution_matched_sample): reshape src0's length-bucket
+    distribution to match src1's — the curation move that fits a crawl
+    source to a vetted corpus' profile.  Keep rate per bucket =
+    c·ref_frac/src_frac with c the largest uniform scale keeping every
+    rate ≤ 1; exact-integer frequency ratios, one floating division per
+    rate (same term order as the oracle), deterministic keyed-hash
+    filter — two tiny grouped aggregates, one broadcast, map-side
+    filter."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        distribution_matched_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.lit(9), F.floor(F.length("text") / 200).cast("int")
+    )
+    src = d.filter(F.col("source") == "src0")
+    ref = d.filter(F.col("source") == "src1")
+    kept = distribution_matched_sample(src, ref, bucket, id_col="doc_id")
+    return (
+        kept.groupBy(bucket.alias("length_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("length_bucket")
+    )
+
+
+@query(
+    "events_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_rows * n_rows) AS BIGINT) AS sq
+        FROM counts
+    ), top AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY n_rows DESC, user_id
+               ) AS INT) AS rank,
+               user_id AS key, n_rows
+        FROM counts
+    )
+    SELECT rank, key, n_rows,
+           round(n_rows / t, 6) AS share,
+           n_keys,
+           round(sq / (t * t), 9) AS herfindahl
+    FROM top CROSS JOIN tot
+    WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics (plans/metrics.py:key_skew_profile) for
+    events.user_id as a prospective join/groupBy key: top-10 heavy
+    hitters with load share plus the Herfindahl concentration index
+    (Σ share² from EXACT integer sums — the expected fraction of
+    pair-work landing on one key, the number that decides whether a
+    self-join needs salting).  One grouped count, one metadata-scale
+    aggregate, TakeOrdered top-n."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        key_skew_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=10).orderBy("rank")
+
+
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
@@ -7228,11 +7467,20 @@ HEADLINE: list[str] = [
     "events_outlier_audit",
     "bpe_vocab_merges",
     "bpe_encode_docs",
+    # --- r7 new capabilities, first driver rows: CDC latest-op-wins
+    # apply, DP noisy-histogram release, importance resampling to a
+    # reference distribution, and key-skew diagnostics.  Rotated out
+    # for room (multi-round green): purchase_attribution_asof (r5-r6),
+    # events_zorder_buckets (r5-r6), sample_frames (r5-r6),
+    # dedup_spans_within_doc (r6; dedup_spans keeps the family slot)
+    "orders_cdc_apply",
+    "events_dp_release",
+    "corpus_length_match_sample",
+    "events_skew_profile",
     # --- new in r6: span-level dedup and Bloom-prefilter decontamination
     # (benchmark_contamination, green r4/r5, rotates to the tail — the
     # bloom variant exercises the same exact semantics plus the prune)
     "dedup_spans",
-    "dedup_spans_within_doc",
     "contamination_bloom",
     "doc_bigram_perplexity",
     "quality_percentile_filter",
@@ -7274,8 +7522,8 @@ HEADLINE: list[str] = [
     "events_winsorized",
     # sorted_distinct_users (O2, green r5) and events_value_histogram
     # (green r5) rotate to the tail to make room — both families keep
-    # in-window representatives (distinct/order-by rides every query)
-    "purchase_attribution_asof",
+    # in-window representatives (distinct/order-by rides every query;
+    # purchase_attribution_asof, green r5-r6, rotates to the tail)
     # events_hopping_windows (green r5, second round done) rotates to
     # the tail for the packed-sequence view — time-window semantics stay
     # in-window via purchase_attribution_asof
@@ -7314,7 +7562,6 @@ HEADLINE: list[str] = [
     "source_overlap_matrix",
     # z-order layout algebra (new in r5; s3_path_parse, green r1-r4,
     # rotated to the tail to make room)
-    "events_zorder_buckets",
     # customers_without_orders (J4 anti-join, green r5) rotates to the
     # tail for the SCD2 merge — the join family keeps the full-outer
     # conditional merge in-window
@@ -7326,7 +7573,6 @@ HEADLINE: list[str] = [
     # machinery is exercised in-window via the ANN verify paths;
     # corpus_hash_split (green r3-r5) rotates for the mixture sampler
     "corpus_mixture_sample",
-    "sample_frames",
 ]
 
 

@@ -1782,3 +1782,129 @@ def test_maxsim_late_interaction(spark):
     # single-vector cosine would rank doc 2 ABOVE doc 3 equally well —
     # late interaction separates per-token matches
     assert out[2]["rank"] == 2 and out[3]["rank"] == 3
+
+
+# -- CDC apply ------------------------------------------------------------
+
+
+def test_apply_cdc_latest_op_wins(spark):
+    from high_throughput_etl_pipeline_spark.operators.cdc import (
+        apply_cdc,
+        cdc_latest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id BIGINT, name STRING, val DOUBLE",
+    )
+    log = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 1, "U"),   # update existing
+            (3, None, 0.0, 1, "D"),    # delete existing
+            (4, "d", 40.0, 1, "I"),    # insert new
+            (4, "d2", 41.0, 2, "U"),   # ...then update it: U wins
+            (5, "e", 50.0, 1, "I"),    # insert...
+            (5, None, 0.0, 2, "D"),    # ...then delete: never lands
+            (6, "f2", 60.0, 1, "U"),   # update of a MISSING key inserts
+            (7, None, 0.0, 1, "D"),    # delete of a missing key no-ops
+        ],
+        "id BIGINT, name STRING, val DOUBLE, seq BIGINT, op STRING",
+    )
+    got = {
+        r["id"]: (r["name"], r["val"])
+        for r in apply_cdc(base, log, ["id"]).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        4: ("d2", 41.0),
+        6: ("f2", 60.0),
+    }
+    # flip-flop chains collapse to ONE surviving change per key
+    latest = cdc_latest(log, ["id"]).collect()
+    assert len(latest) == len({r["id"] for r in latest})
+
+
+# -- DP noisy release -----------------------------------------------------
+
+
+def test_dp_noisy_counts_deterministic_and_calibrated(spark):
+    from high_throughput_etl_pipeline_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    rows = [(f"g{i % 20}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp STRING, x BIGINT")
+    a = {r["grp"]: r["noisy_count"] for r in dp_noisy_counts(df, ["grp"]).collect()}
+    b = {r["grp"]: r["noisy_count"] for r in dp_noisy_counts(df, ["grp"]).collect()}
+    assert a == b  # keyed PRF: re-running re-derives the release
+    errs = [abs(v - 100.0) for v in a.values()]
+    assert all(e > 0 for e in errs)  # exact counts never published
+    assert all(e < 50 for e in errs)  # Laplace(b=1) tail sanity
+    assert sum(errs) / len(errs) < 5  # mean |noise| ~= b = 1
+    # epsilon scales the noise: smaller epsilon -> strictly wider draws
+    wide = {
+        r["grp"]: r["noisy_count"]
+        for r in dp_noisy_counts(df, ["grp"], epsilon=0.1).collect()
+    }
+    assert all(
+        abs(abs(wide[g] - 100.0) - 10 * abs(a[g] - 100.0)) < 1e-4 for g in a
+    )  # same uniform, b scaled 10x (up to the 6 dp output round)
+
+
+# -- distribution-matched resampling --------------------------------------
+
+
+def test_distribution_matched_sample_matches_ref_shape(spark):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        distribution_matched_sample,
+    )
+    from pyspark.sql import functions as F
+
+    # src is 90/10 over buckets 0/1 (plus a bucket ref lacks);
+    # ref is 50/50 -> bucket 0 must downsample ~9x, bucket 2 must drop
+    src_rows = (
+        [(i, 0) for i in range(9000)]
+        + [(10_000 + i, 1) for i in range(1000)]
+        + [(30_000 + i, 2) for i in range(500)]
+    )
+    ref_rows = [(i, 0) for i in range(500)] + [(i, 1) for i in range(500)]
+    src = spark.createDataFrame(src_rows, "doc_id BIGINT, b INT")
+    ref = spark.createDataFrame(ref_rows, "doc_id BIGINT, b INT")
+    kept = distribution_matched_sample(src, ref, "b", id_col="doc_id")
+    by_b = {
+        r["b"]: r["n"]
+        for r in kept.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 2 not in by_b  # bucket missing from ref drops entirely
+    # binding bucket (1: src 1000 vs ref 500) keeps everything, bucket 0
+    # downsamples to match: kept shares within hash-sampling noise of 50/50
+    assert by_b[1] == 1000
+    total = sum(by_b.values())
+    assert abs(by_b[0] / total - 0.5) < 0.03
+    # deterministic: same kept set on re-run
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in distribution_matched_sample(
+            src, ref, "b", id_col="doc_id"
+        ).collect()
+    )
+    assert ids == ids2
+
+
+# -- key-skew diagnostics -------------------------------------------------
+
+
+def test_key_skew_profile_exact(spark):
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("k1",)] * 5 + [("k2",)] * 5
+    df = spark.createDataFrame(rows, "k STRING")
+    got = key_skew_profile(df, "k", top_n=2).orderBy("rank").collect()
+    assert [(r["key"], r["n_rows"]) for r in got] == [("hot", 60), ("warm", 30)]
+    assert got[0]["share"] == 0.6 and got[0]["n_keys"] == 4
+    # herfindahl from exact integer sums: (60^2+30^2+25+25)/100^2
+    assert got[0]["herfindahl"] == (3600 + 900 + 25 + 25) / 10_000
