@@ -1,0 +1,171 @@
+"""Streaming CDC table maintenance: a change-log store whose serving
+view is always the latest-op-wins snapshot (ST4/ST6/ST8 × the
+``operators/cdc.py`` family).
+
+The streaming half of CDC application.  The batch operator
+(``apply_cdc``) folds a complete log into a snapshot; here the log
+ARRIVES as micro-batches (Debezium/DMS topic, binlog tail) and the
+table must stay serveable between batches without rewriting O(table)
+per batch.  The answer is the lakehouse answer (Delta/Hudi MOR,
+Kafka compacted topics), expressed on the shared log-structured store
+(``streaming/store.py``):
+
+- each micro-batch pre-collapses ITS OWN rows per key (cheap window),
+  stamps them with the batch id, and appends ONE ``batch_<id>``
+  directory — rename commit, monotonic replay guard, stream fencing,
+  all inherited;
+- the serving view collapses across directories on read: global change
+  order is ``(_cdc_batch, seq)`` — batch ids strictly increase, so a
+  later batch's change beats any earlier one and intra-batch order is
+  the source's ``seq``;
+- compaction folds the directories into one pre-collapsed directory,
+  KEEPING tombstones (a delete must keep shadowing re-inserts of
+  absorbed batches) — read cost returns to one window over one
+  directory of live+dead keys.
+
+Write amplification per batch is O(batch), not O(table); the full
+collapse happens on read/compaction, the classic merge-on-read trade.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from high_throughput_etl_pipeline_spark.operators.cdc import cdc_latest
+from high_throughput_etl_pipeline_spark.streaming import store as _store
+
+BATCH_COL = "_cdc_batch"
+
+
+def merge_cdc_batch(
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> bool:
+    """The foreachBatch body: collapse the batch per key (latest seq
+    wins — flip-flops never hit disk), stamp the batch id, publish as
+    one directory.  Monotonic replay guard, rename commit."""
+    if _store.already_absorbed(table_path, batch_id):
+        return False
+    out_dir = _store.batch_dir(table_path, batch_id)
+    collapsed = cdc_latest(batch, key_cols, seq_col, op_col).withColumn(
+        BATCH_COL, F.lit(batch_id).cast("bigint")
+    )
+    staging = out_dir + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    collapsed.write.mode("overwrite").parquet(staging)
+    _store.publish(staging, out_dir)
+    return True
+
+
+def stored_changes(spark: SparkSession, table_path: str) -> DataFrame:
+    """The collapsed change rows of every published batch (with
+    ``_cdc_batch``); empty store raises — callers guard with
+    ``store.max_batch_id``."""
+    dirs = _store.batch_dirs(table_path)
+    if not dirs:
+        raise FileNotFoundError(f"empty CDC store: {table_path}")
+    return spark.read.parquet(*dirs)
+
+
+def cdc_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Latest-op-wins serving view over everything ingested so far:
+    one window ordered by ``(_cdc_batch, seq)`` per key, tombstones
+    filtered.  Returns the change schema minus the bookkeeping columns
+    — identical rows to running ``operators.cdc.apply_cdc`` over the
+    concatenated batch history (pinned by tests)."""
+    log = stored_changes(spark, table_path)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(BATCH_COL).desc(), F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_rn", BATCH_COL, seq_col, op_col)
+    )
+
+
+def compact_cdc_store(
+    spark: SparkSession,
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> int:
+    """Fold every published directory into one holding the cross-batch
+    collapsed log — INCLUDING tombstones, which must survive to keep
+    shadowing the keys they deleted (dropping them would resurrect a
+    row if an absorbed I re-appeared via replay of a foreign log copy;
+    they also document the delete for downstream consumers).  Same
+    recoverable swap + absorbed-through marker as every other store."""
+    dirs = _store.batch_dirs(table_path, heal=True)
+    if len(dirs) <= 1:
+        return 0
+    max_id = _store.max_batch_id(table_path)
+    log = spark.read.parquet(*dirs)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(BATCH_COL).desc(), F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    collapsed = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out_dir = _store.batch_dir(table_path, max_id)
+    staging = out_dir + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    collapsed.write.mode("overwrite").parquet(staging)
+    _store.write_absorbed_marker(staging, max_id)
+    _store.swap(staging, out_dir)
+    for d in dirs[:-1]:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(dirs)
+
+
+def start_cdc_stream(
+    changes: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    available_now: bool = True,
+):
+    """Wire a streaming change-log source into the CDC store."""
+    _store.stamp_stream_id(table_path, checkpoint_dir, "cdc")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        merge_cdc_batch(
+            batch, batch_id, table_path, key_cols, seq_col, op_col
+        )
+
+    writer = (
+        changes.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+__all__ = [
+    "merge_cdc_batch",
+    "stored_changes",
+    "cdc_snapshot",
+    "compact_cdc_store",
+    "start_cdc_stream",
+]

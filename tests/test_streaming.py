@@ -892,3 +892,95 @@ def test_compaction_marker_excludes_leftover_originals(spark, tmp_path):
     }
     assert after == before
     assert stored_index_stats(spark, table).first()["_n"] == 3.0
+
+
+def test_cdc_stream_matches_batch_apply(spark, tmp_path):
+    """Streaming CDC store: the serving snapshot after N batches equals
+    operators.cdc.apply_cdc over the concatenated history; replay
+    no-ops; compaction preserves answers and KEEPS tombstones; crash
+    leftovers are interpreted non-destructively."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.cdc import apply_cdc
+    from high_throughput_etl_pipeline_spark.streaming import store as _store
+    from high_throughput_etl_pipeline_spark.streaming.cdc_stream import (
+        cdc_snapshot,
+        compact_cdc_store,
+        merge_cdc_batch,
+    )
+
+    table = str(tmp_path / "cdc")
+    schema = "id BIGINT, name STRING, val DOUBLE, seq BIGINT, op STRING"
+    batches = [
+        # b0: initial inserts, one intra-batch flip-flop (id 3 I->U)
+        [
+            (1, "a", 1.0, 1, "I"),
+            (2, "b", 2.0, 1, "I"),
+            (3, "c", 3.0, 1, "I"),
+            (3, "c2", 3.5, 2, "U"),
+        ],
+        # b1: update 1, delete 2, insert 4
+        [(1, "a2", 1.5, 1, "U"), (2, None, 0.0, 1, "D"), (4, "d", 4.0, 1, "I")],
+        # b2: re-insert 2 (later batch beats b1's delete), delete 3
+        [(2, "b2", 2.5, 1, "I"), (3, None, 0.0, 1, "D")],
+    ]
+    frames = [spark.createDataFrame(rows, schema) for rows in batches]
+    for i, f in enumerate(frames):
+        assert merge_cdc_batch(f, i, table, ["id"])
+
+    def snap():
+        return {
+            r["id"]: (r["name"], r["val"])
+            for r in cdc_snapshot(spark, table, ["id"]).collect()
+        }
+
+    got = snap()
+    assert got == {1: ("a2", 1.5), 2: ("b2", 2.5), 4: ("d", 4.0)}
+    # identical to the batch operator over the concatenated history
+    # (batch order folded into the ordering key)
+    hist = None
+    for i, f in enumerate(frames):
+        f2 = f.withColumn(
+            "seq", F.col("seq") + F.lit(i * 1000)
+        )  # same total order
+        hist = f2 if hist is None else hist.unionByName(f2)
+    empty = spark.createDataFrame([], "id BIGINT, name STRING, val DOUBLE")
+    ref = {
+        r["id"]: (r["name"], r["val"])
+        for r in apply_cdc(empty, hist, ["id"]).collect()
+    }
+    assert got == ref
+
+    # replay no-ops
+    assert not merge_cdc_batch(frames[0], 0, table, ["id"])
+    assert not merge_cdc_batch(frames[2], 2, table, ["id"])
+    assert snap() == got
+
+    # compaction: one dir, same answers, tombstones retained
+    assert compact_cdc_store(spark, table, ["id"]) == 3
+    assert len(_store.batch_dirs(table)) == 1
+    assert snap() == got
+    ops = {
+        (r["id"], r["op"])
+        for r in spark.read.parquet(*_store.batch_dirs(table)).collect()
+    }
+    assert (3, "D") in ops  # delete survives compaction
+
+    # absorbed-id replay still no-ops after compaction; new batch lands
+    assert not merge_cdc_batch(frames[1], 1, table, ["id"])
+    b3 = spark.createDataFrame([(5, "e", 5.0, 1, "I")], schema)
+    assert merge_cdc_batch(b3, 3, table, ["id"])
+    assert snap() == {**got, 5: ("e", 5.0)}
+
+    # crash window: swap died between renames -> only ._old remains;
+    # reads interpret the stand-in, serving stays intact, nothing mutated
+    dirs = _store.batch_dirs(table)
+    _os.rename(dirs[0], dirs[0] + "._old")
+    assert snap() == {**got, 5: ("e", 5.0)}
+    assert _os.path.isdir(dirs[0] + "._old")  # read didn't rename it back
+    # maintainer heal restores it in place
+    _store.batch_dirs(table, heal=True)
+    assert _os.path.isdir(dirs[0])
