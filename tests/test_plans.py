@@ -575,3 +575,30 @@ def test_maxsim_ann_indexed_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
     assert m, plan
     assert "IN (" in m.group(1) or "isin" in m.group(1).lower() or "IN " in m.group(1), m.group(1)
+
+
+def test_dp_release_single_rollup_pass(spark):
+    # the DP release must cost what a rollup costs: ONE grouped
+    # aggregation (noise is map-side arithmetic over the group key),
+    # no joins, no second pass
+    plan = _plan(spark, "events_dp_release")
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Join" not in final and "CartesianProduct" not in final
+
+
+def test_cdc_apply_keyed_shuffles_only(spark):
+    # log collapse (window) and application (anti-join) both partition
+    # on the merge key; nothing quadratic anywhere
+    plan = _plan(spark, "orders_cdc_apply")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(o_orderkey" in plan
+
+
+def test_skew_profile_takeordered_no_global_window(spark):
+    # heavy hitters come from TakeOrdered over the per-key counts —
+    # only the tiny top-n rides the rank window, never the key table
+    plan = _plan(spark, "events_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
