@@ -334,3 +334,45 @@ def test_maxsim_bounds_and_self_similarity(spark, vecs):
     self_row = [r for r in out if r["vec_id"] == 0][0]
     assert abs(self_row["maxsim"] - 2.0) < 1e-5
     assert self_row["rank"] == 1
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),            # key
+            st.sampled_from(["I", "U", "D"]),                 # op
+            st.integers(min_value=0, max_value=99),           # payload
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=4),                    # n splits
+)
+def test_cdc_apply_split_invariance(spark, ops, n_splits):
+    """Folding a change log through ANY micro-batch partitioning gives
+    the same snapshot as one batch application — the property that makes
+    streaming CDC (per-batch collapse, collapse-on-read) correct: the
+    (batch, seq) order is a refinement of the log order, so collapsing
+    early never changes the outcome."""
+    from high_throughput_etl_pipeline_spark.operators.cdc import apply_cdc
+
+    schema = "id BIGINT, val BIGINT, seq BIGINT, op STRING"
+    rows = [
+        (key, payload, i, op) for i, (key, op, payload) in enumerate(ops)
+    ]
+    empty = spark.createDataFrame([], "id BIGINT, val BIGINT")
+
+    whole = spark.createDataFrame(rows, schema)
+    expected = {
+        (r["id"], r["val"]) for r in apply_cdc(empty, whole, ["id"]).collect()
+    }
+
+    # split the log into consecutive chunks and fold them in sequence
+    snap = empty
+    size = max(1, len(rows) // n_splits)
+    for i in range(0, len(rows), size):
+        chunk = spark.createDataFrame(rows[i : i + size], schema)
+        snap = apply_cdc(snap, chunk, ["id"])
+    got = {(r["id"], r["val"]) for r in snap.collect()}
+    assert got == expected
