@@ -254,9 +254,10 @@ def main() -> None:
     # tail capture has truncated the 80+-query line mid-stream before
     # (BENCH_r06 recorded parsed:null), so the durable copy lives in the
     # repo where the judge can always read it...
+    sf_tag = f"{result['sf']:g}"  # 1.0 -> "1", 0.1 -> "0.1"
     out_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_sf{result['sf']}.json",
+        f"BENCH_sf{sf_tag}.json",
     )
     try:
         with open(out_file, "w") as f:
