@@ -126,6 +126,7 @@ HEADLINE = [
     "events_dp_release",
     "corpus_length_match_sample",
     "events_skew_profile",
+    "join_size_audit",
 ]
 
 

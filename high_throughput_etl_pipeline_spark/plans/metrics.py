@@ -154,3 +154,82 @@ def key_skew_profile(
             ).alias("herfindahl"),
         )
     )
+
+
+def join_size_estimate(
+    a: DataFrame, b: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """EXACT output cardinality of the equi-join ``a ⋈ b`` computed
+    WITHOUT running it: Σ_k n_a(k)·n_b(k) over the two per-key count
+    tables — the pre-flight check for fan-out blowups (a skewed or
+    low-selectivity key turns a "join" into a cross product; this
+    measures it for the cost of two grouped counts and a join of
+    distinct-key-sized frames, never materializing a single output
+    row).
+
+    One row: (join_rows, a_rows, b_rows, matched_keys, max_key_pairs,
+    fanout_a) where ``max_key_pairs`` is the single worst key's
+    contribution (the straggler-task bound before salting) and
+    ``fanout_a`` = join_rows / a_rows (output amplification).
+    """
+    ca = a.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_na"))
+    cb = b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_nb"))
+    ta = ca.agg(F.sum("_na").alias("a_rows"))
+    tb = cb.agg(F.sum("_nb").alias("b_rows"))
+    per_key = ca.join(cb, on=key_cols).select(
+        (F.col("_na") * F.col("_nb")).alias("_pairs")
+    )
+    return (
+        per_key.agg(
+            F.coalesce(F.sum("_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("join_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+            F.coalesce(F.max("_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("max_key_pairs"),
+        )
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "join_rows",
+            F.col("a_rows").cast("bigint").alias("a_rows"),
+            F.col("b_rows").cast("bigint").alias("b_rows"),
+            "matched_keys",
+            "max_key_pairs",
+            F.round(F.col("join_rows") / F.col("a_rows"), 6).alias(
+                "fanout_a"
+            ),
+        )
+    )
+
+
+def assert_join_bounded(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    max_rows: int,
+    max_key_pairs: int | None = None,
+) -> DataFrame:
+    """Guardrail form of :func:`join_size_estimate`: raise before a
+    runaway join is ever scheduled.  ``max_rows`` bounds total output;
+    ``max_key_pairs`` (optional) bounds the worst single key — the
+    quantity that decides whether the biggest task finishes.  Returns
+    the one-row estimate (already computed) on success so callers can
+    log it.  Cost: one metadata-scale job, the cheapest insurance a
+    100 TB join can buy."""
+    est = join_size_estimate(a, b, key_cols).first()
+    if est["join_rows"] > max_rows:
+        raise ValueError(
+            f"join on {key_cols} would produce {est['join_rows']} rows "
+            f"(> {max_rows}); worst key contributes "
+            f"{est['max_key_pairs']} — salt, pre-aggregate, or rethink"
+        )
+    if max_key_pairs is not None and est["max_key_pairs"] > max_key_pairs:
+        raise ValueError(
+            f"join on {key_cols}: a single key contributes "
+            f"{est['max_key_pairs']} pairs (> {max_key_pairs}) — the "
+            "straggler task will not finish; salt this key"
+        )
+    spark = a.sparkSession
+    return spark.createDataFrame([est.asDict()])

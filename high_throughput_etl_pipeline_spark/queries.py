@@ -7440,6 +7440,58 @@ def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(ev, "user_id", top_n=10).orderBy("rank")
 
 
+@query(
+    "join_size_audit",
+    oracle="""
+    WITH ca AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na
+        FROM orders GROUP BY 1
+    ), cb AS (
+        SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM customer GROUP BY 1
+    ), ta AS (SELECT CAST(SUM(na) AS BIGINT) AS a_rows FROM ca),
+    tb AS (SELECT CAST(SUM(nb) AS BIGINT) AS b_rows FROM cb),
+    pairs AS (
+        SELECT ca.na * cb.nb AS p FROM ca JOIN cb USING (k)
+    ), agg AS (
+        SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS join_rows,
+               CAST(COUNT(*) AS BIGINT) AS matched_keys,
+               CAST(COALESCE(MAX(p), 0) AS BIGINT) AS max_key_pairs
+        FROM pairs
+    )
+    SELECT join_rows, matched_keys, max_key_pairs, a_rows, b_rows,
+           round(join_rows / a_rows, 6) AS fanout_a
+    FROM agg CROSS JOIN ta CROSS JOIN tb
+    """,
+)
+def join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight (plans/metrics.py:join_size_estimate):
+    the EXACT output size of orders ⋈ customer on custkey — Σ n_a·n_b
+    over the per-key count tables — computed without materializing a
+    single join row.  With key_skew_profile this is the measurement
+    pair that decides broadcast/salt/pre-aggregate BEFORE a 100 TB
+    join is scheduled: total output, worst single key (the straggler
+    bound), and amplification."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        join_size_estimate,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return join_size_estimate(
+        o.select(F.col("o_custkey").alias("k")),
+        c.select(F.col("c_custkey").alias("k")),
+        ["k"],
+    ).select(
+        "join_rows",
+        "matched_keys",
+        "max_key_pairs",
+        "a_rows",
+        "b_rows",
+        "fanout_a",
+    )
+
+
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
@@ -7546,9 +7598,10 @@ HEADLINE: list[str] = [
     # hashed-classifier inference pass — LM/scoring family keeps
     # doc_bigram_perplexity in-window
     "text_classifier_scores",
-    # corpus_doc_chunks (green r4/r5) rotates to the tail — chunking is
-    # also replayed inside dataprep_training_batches' 4-stage oracle
-    "dataprep_training_batches",
+    # dataprep_training_batches (green r4-r6; replays corpus_doc_chunks'
+    # chunking inside its 4-stage oracle) rotates to the tail for the
+    # join-cardinality pre-flight — a first driver row
+    "join_size_audit",
     # --- one representative per remaining family (all multi-round green;
     # the displaced green queries — including the whole TPC-H block,
     # q1 green r1-r6 — stay oracle-checked by tools/check_correctness.py

@@ -1908,3 +1908,41 @@ def test_key_skew_profile_exact(spark):
     assert got[0]["share"] == 0.6 and got[0]["n_keys"] == 4
     # herfindahl from exact integer sums: (60^2+30^2+25+25)/100^2
     assert got[0]["herfindahl"] == (3600 + 900 + 25 + 25) / 10_000
+
+
+def test_join_size_estimate_and_guardrail(spark):
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        assert_join_bounded,
+        join_size_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1] * 100 + [2] * 10 + [3]], "k BIGINT"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 2 + [4]], "k BIGINT"
+    )
+    est = join_size_estimate(a, b, ["k"]).first()
+    # exact: 100*50 + 10*2 = 5020, worst key 5000, key 3/4 unmatched
+    assert est["join_rows"] == 5020
+    assert est["max_key_pairs"] == 5000
+    assert est["matched_keys"] == 2
+    assert est["a_rows"] == 111 and est["b_rows"] == 53
+    # the estimate IS the real join size
+    assert a.join(b, on="k").count() == 5020
+
+    ok = assert_join_bounded(a, b, ["k"], max_rows=10_000).first()
+    assert ok["join_rows"] == 5020
+    import pytest
+
+    with pytest.raises(ValueError, match="salt"):
+        assert_join_bounded(a, b, ["k"], max_rows=1000)
+    with pytest.raises(ValueError, match="straggler"):
+        assert_join_bounded(
+            a, b, ["k"], max_rows=10_000, max_key_pairs=100
+        )
+    # empty intersection: zero, not null
+    c = spark.createDataFrame([(9,)], "k BIGINT")
+    assert join_size_estimate(a, c, ["k"]).first()["join_rows"] == 0
