@@ -127,6 +127,7 @@ HEADLINE = [
     "corpus_length_match_sample",
     "events_skew_profile",
     "join_size_audit",
+    "doc_token_weighted_length",
 ]
 
 

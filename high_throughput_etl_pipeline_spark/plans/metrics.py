@@ -233,3 +233,58 @@ def assert_join_bounded(
         )
     spark = a.sparkSession
     return spark.createDataFrame([est.asDict()])
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles per group: the smallest ``value`` at
+    which the running weight mass reaches q·W (lower weighted
+    quantile).  The corpus-composition tool plain quantiles get wrong:
+    "the median document BY TOKEN MASS" weighs a 10k-token doc 100×
+    a 100-token doc — exactly what a training-mixture decision needs.
+
+    Shape: one ordered window per group for the cumulative weight, one
+    grouped aggregate to read off each crossing (min value where
+    cum >= q·W) — the same per-group-sort cost as any exact percentile;
+    for hot groups swap in the KLL sketch family
+    (``operators/sketches.py``), which trades the sort for bounded rank
+    error.  With integer weights every comparison is exact and the
+    whole computation is engine-portable.
+
+    ``id_col`` breaks ordering ties deterministically (required for
+    engine parity when equal values carry different weights).
+    Output: (*group_cols, total_weight, wq50, wq90, ...).
+    """
+    order = [F.col(value_col)] + (
+        [F.col(id_col)] if id_col is not None else []
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    cum = F.sum(weight_col).over(wcum)
+    tot = F.sum(weight_col).over(wtot)
+    staged = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        cum.alias("_cum"),
+        tot.alias("_tot"),
+    )
+    aggs = [F.max("_tot").cast("bigint").alias("total_weight")]
+    for q in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.lit(q) * F.col("_tot"), F.col("_v")
+                )
+            ).alias(f"wq{int(q * 100)}")
+        )
+    return staged.groupBy(*group_cols).agg(*aggs)

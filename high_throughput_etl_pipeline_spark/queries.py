@@ -7492,6 +7492,67 @@ def join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_token_weighted_length",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, length(text) AS len,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text),
+                             '[ \\t\\n\\r\\f\\x0b]+'))
+                    END AS nt
+        FROM documents
+    ), c AS (
+        SELECT source, len, nt,
+               SUM(nt) OVER (
+                   PARTITION BY source ORDER BY len, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(nt) OVER (PARTITION BY source) AS tot
+        FROM t
+    )
+    SELECT source,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN cum >= 0.5 * tot THEN len END) AS INT)
+               AS wq50,
+           CAST(MIN(CASE WHEN cum >= 0.9 * tot THEN len END) AS INT)
+               AS wq90
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def doc_token_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted length quantiles per source (plans/metrics.py:
+    weighted_quantiles): the char-length at which half (90%) of the
+    TOKEN MASS sits in shorter docs — the corpus-composition statistic
+    plain quantiles get wrong (a 10k-token doc weighs 100× a 100-token
+    doc in a training mixture).  One ordered window per group +
+    one grouped crossing read-off; integer weights keep every
+    comparison exact and engine-portable."""
+    from high_throughput_etl_pipeline_spark.operators.text import token_count
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        weighted_quantiles,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").cast("int").alias("len"),
+        token_count(F.col("text")).cast("bigint").alias("nt"),
+    )
+    return (
+        weighted_quantiles(
+            d, "len", "nt", ["source"], quantiles=(0.5, 0.9), id_col="doc_id"
+        )
+        .select(
+            "source",
+            "total_weight",
+            F.col("wq50").cast("int").alias("wq50"),
+            F.col("wq90").cast("int").alias("wq90"),
+        )
+        .orderBy("source")
+    )
+
+
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the

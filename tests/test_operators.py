@@ -1946,3 +1946,31 @@ def test_join_size_estimate_and_guardrail(spark):
     # empty intersection: zero, not null
     c = spark.createDataFrame([(9,)], "k BIGINT")
     assert join_size_estimate(a, c, ["k"]).first()["join_rows"] == 0
+
+
+def test_weighted_quantiles_exact(spark):
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        weighted_quantiles,
+    )
+
+    # group g: values 1..4 with weights 1,1,1,7 (total 10) — the
+    # token-mass median sits at value 4 (cum 3 < 5 at value 3), while
+    # the PLAIN median of values is 2.x — the whole point of weighting
+    rows = [
+        ("g", 1, 1, 1),
+        ("g", 2, 2, 1),
+        ("g", 3, 3, 1),
+        ("g", 4, 4, 7),
+        ("h", 1, 10, 5),
+        ("h", 2, 20, 5),
+    ]
+    df = spark.createDataFrame(rows, "grp STRING, id INT, v INT, w INT")
+    got = {
+        r["grp"]: (r["total_weight"], r["wq50"], r["wq90"])
+        for r in weighted_quantiles(
+            df, "v", "w", ["grp"], quantiles=(0.5, 0.9), id_col="id"
+        ).collect()
+    }
+    assert got["g"] == (10, 4, 4)
+    # h: cum at v=10 is 5 = 0.5*10 -> inclusive lower quantile picks 10
+    assert got["h"] == (10, 10, 20)
