@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from high_throughput_etl_pipeline_spark.operators.similarity import (
     _ivf_assign,
     _ivf_rank,
+    _maxsim_rerank,
 )
 from high_throughput_etl_pipeline_spark.streaming import store as _store
 
@@ -119,6 +120,37 @@ def ivf_topk_stream_index(
     )
 
 
+def maxsim_stream_index(
+    spark: SparkSession,
+    table_path: str,
+    queries: DataFrame,
+    centers: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    dim: int = 64,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage MaxSim served from the STREAMING-maintained IVF store:
+    probe ids prune the per-batch scans (same pruning as
+    ``ivf_topk_stream_index``), then the exact late-interaction re-rank
+    scores only what was read — the ColBERT serving shape over an index
+    that grows by micro-batch.  Identical results to
+    ``similarity.maxsim_ann_topk`` over the ingested union (same
+    helpers; pinned in tests)."""
+    q_probes = _ivf_assign(
+        queries, centers, query_id_col, "embedding", nprobe
+    ).select(query_id_col, "embedding", "list_id")
+    probe_ids = sorted(
+        r["list_id"]
+        for r in q_probes.select("list_id").distinct().collect()
+    )
+    index = stored_vectors(spark, table_path, probe_ids)
+    return _maxsim_rerank(
+        index, q_probes, k, n_sub, dim, "vec_id", "embedding", query_id_col
+    )
+
+
 def compact_vectors(spark: SparkSession, table_path: str) -> int:
     """Fold every published batch into one (keeping the highest
     absorbed id) — same recoverable swap as the posting-list store."""
@@ -170,6 +202,7 @@ def start_vector_stream(
 __all__ = [
     "merge_vector_batch",
     "ivf_topk_stream_index",
+    "maxsim_stream_index",
     "stored_vectors",
     "compact_vectors",
     "start_vector_stream",

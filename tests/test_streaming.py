@@ -984,3 +984,39 @@ def test_cdc_stream_matches_batch_apply(spark, tmp_path):
     # maintainer heal restores it in place
     _store.batch_dirs(table, heal=True)
     assert _os.path.isdir(dirs[0])
+
+
+def test_maxsim_stream_index_matches_in_memory(spark, tmp_path):
+    """Two-stage MaxSim over the streaming IVF store answers exactly
+    like maxsim_ann_topk over the ingested union (fixed centers)."""
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        maxsim_ann_topk,
+    )
+    from high_throughput_etl_pipeline_spark.streaming.vector_stream import (
+        maxsim_stream_index,
+        merge_vector_batch,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    table = str(tmp_path / "vstore")
+    b0 = e.filter(F.col("vec_id") % 2 == 0)
+    b1 = e.filter(F.col("vec_id") % 2 == 1)
+    assert merge_vector_batch(b0, 0, table, centers)
+    assert merge_vector_batch(b1, 1, table, centers)
+
+    rows = lambda d: [
+        (r["query_id"], r["rank"], r["vec_id"], r["maxsim"])
+        for r in d.orderBy("query_id", "rank").collect()
+    ]
+    got = rows(maxsim_stream_index(spark, table, q, centers, k=5))
+    ref = rows(maxsim_ann_topk(e, q, centers, k=5))
+    assert got == ref and len(got) == 15
