@@ -127,59 +127,29 @@ def bloom_contamination(
     left is the per-doc count of true matches — proportional to actual
     contamination, not corpus size.
 
-    The filter build aggregates ``(word, bit)`` entries to ``m_bits/64``
-    rows and collects them — metadata-scale, independent of benchmark
-    row count.
+    Build/probe mechanics live in ``operators/runtime_filter.py`` (the
+    general Bloom-pruned-join module this operator was extracted into);
+    the filter build is metadata-scale — ``m_bits/64`` longs collected,
+    independent of benchmark row count — and rides as a broadcast
+    one-row column, never an ``F.lit`` array (a 2^19-bit literal embeds
+    8192 constants into generated code and the projection falls out of
+    codegen: measured 6.5 s vs 2.4 s at sf0.1).
     """
-    n_words = m_bits // 64
+    from high_throughput_etl_pipeline_spark.operators.runtime_filter import (
+        bloom_build,
+        might_contain,
+    )
+
     bench_grams = _doc_grams(benchmark, id_col, text_col, ngram_n)
     bench_set = bench_grams.select("_gh").distinct()
-
-    def positions(gh: F.Column) -> list[F.Column]:
-        # k double-hashes of the 60-bit gram hash; xxhash64 seeds the
-        # lane by a literal column so lanes are independent
-        return [
-            F.pmod(F.xxhash64(gh, F.lit(i)), F.lit(m_bits)) for i in range(k)
-        ]
-
-    # signed-int64 single-bit masks, indexed by bit position (bit 63 is
-    # int64-min); used on both the build and probe sides
-    masks = F.lit([(1 << b) - ((1 << 64) if b == 63 else 0) for b in range(64)])
-    bit_of = lambda pos: F.element_at(  # noqa: E731
-        masks, F.pmod(pos, F.lit(64)).cast("int") + 1
-    )
-    word_of = lambda pos: (pos / 64).cast("int")  # noqa: E731
-
-    entries = bench_set.select(
-        F.explode(F.array(*positions(F.col("_gh")))).alias("_pos")
-    ).select(
-        word_of(F.col("_pos")).alias("_w"),
-        bit_of(F.col("_pos")).alias("_m"),
-    )
-    filled = {
-        r["_w"]: r["_bits"]
-        for r in entries.groupBy("_w").agg(F.bit_or("_m").alias("_bits")).collect()
-    }
-    arr = [filled.get(w, 0) for w in range(n_words)]
-    # carry the filter as a broadcast 1-row column, NOT an F.lit array:
-    # a 2^19-bit literal embeds 8192 constants into the generated code
-    # and the projection falls out of codegen — measured 6.5 s vs 2.4 s
-    # at sf0.1 for the identical probe as a broadcast column (the same
-    # janino-size failure class as SCALE.md's flat-SQL note); this is
-    # also the form that generalizes to a real broadcast variable
-    bloom_df = corpus.sparkSession.createDataFrame(
-        [(arr,)], "_bloom array<bigint>"
-    )
+    bloom_df = bloom_build(bench_set, "_gh", m_bits, k)
 
     corpus_grams = _doc_grams(corpus, id_col, text_col, ngram_n)
-    probe = corpus_grams.crossJoin(F.broadcast(bloom_df))
-    bloom = F.col("_bloom")
-    might = None
-    for pos in positions(F.col("_gh")):
-        mask = bit_of(pos)
-        hit = F.element_at(bloom, word_of(pos) + 1).bitwiseAND(mask) != 0
-        might = hit if might is None else (might & hit)
-    candidates = probe.filter(might).select("_id", "_gh")
+    candidates = (
+        corpus_grams.crossJoin(F.broadcast(bloom_df))
+        .filter(might_contain(F.col("_gh"), m_bits=m_bits, k=k))
+        .select("_id", "_gh")
+    )
     return (
         candidates.join(bench_set, on="_gh")
         .groupBy("_id")

@@ -1974,3 +1974,43 @@ def test_weighted_quantiles_exact(spark):
     assert got["g"] == (10, 4, 4)
     # h: cum at v=10 is 5 = 0.5*10 -> inclusive lower quantile picks 10
     assert got["h"] == (10, 10, 20)
+
+
+def test_bloom_semi_join_exact_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.runtime_filter import (
+        bloom_build,
+        bloom_semi_join,
+        might_contain,
+    )
+
+    probe = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(500)], "k BIGINT, payload STRING"
+    )
+    build = spark.createDataFrame(
+        [(i * 7,) for i in range(40)], "k BIGINT"
+    )  # keys 0,7,...,273 — 40 of them, some beyond probe range
+    got = sorted(
+        r["k"] for r in bloom_semi_join(probe, build, "k").collect()
+    )
+    ref = sorted(
+        r["k"]
+        for r in probe.join(build.distinct(), on="k", how="left_semi").collect()
+    )
+    assert got == ref  # bit-identical to the plain semi-join
+    # no false negatives at the bloom layer: every true key passes
+    bloom_df = bloom_build(build, "k")
+    passed = (
+        build.crossJoin(F.broadcast(bloom_df))
+        .filter(might_contain(F.col("k")))
+        .count()
+    )
+    assert passed == build.count()
+    # a tiny filter (64 bits, k=1) must STILL be exact — the confirm
+    # join removes the flood of false positives
+    got_small = sorted(
+        r["k"]
+        for r in bloom_semi_join(probe, build, "k", m_bits=64, k=1).collect()
+    )
+    assert got_small == ref
