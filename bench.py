@@ -128,6 +128,7 @@ HEADLINE = [
     "events_skew_profile",
     "join_size_audit",
     "doc_token_weighted_length",
+    "customer_hierarchy_rollup",
 ]
 
 

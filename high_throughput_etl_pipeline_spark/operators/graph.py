@@ -251,3 +251,74 @@ def dedup_clusters(
     out directly: keep rows where node == cluster_id."""
     cc = connected_components(pairs, src=id_a, dst=id_b)
     return cc.select(F.col("node"), F.col("component").alias("cluster_id"))
+
+
+def ancestor_closure(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id, root, depth) for every node of a FOREST given as
+    (id, parent) rows — parent NULL marks a root.  The recursive-CTE
+    workload (org charts, BOM explosions, category trees, thread
+    reply chains) Spark SQL cannot express natively.
+
+    Algorithm: pointer doubling (path halving).  State per node is its
+    currently-known ancestor pointer and the step distance to it;
+    roots self-loop at distance 0.  Each round composes the pointer
+    with itself — ``anc ← anc(anc)``, ``d ← d + d(anc)`` — so the
+    reached ancestor distance DOUBLES per round: O(log depth) keyed
+    self-joins total, not O(depth) (a 1M-deep chain resolves in 20
+    rounds).  Each round is one shuffle join on the pointer key; state
+    is three long columns; ``localCheckpoint`` truncates lineage per
+    round like :func:`connected_components`.  Convergence is a
+    metadata-scale per-round aggregate (count of pointers not yet at a
+    root).  Cycles (bad data) never terminate by reaching a root, so
+    they surface as ``max_rounds`` exhaustion → ValueError rather than
+    silent wrong output.
+    """
+    state = nodes.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("_anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("_d"),
+        F.col(parent_col).isNull().alias("_root"),
+    ).localCheckpoint(eager=False)
+    roots = nodes.filter(F.col(parent_col).isNull()).select(
+        F.col(id_col).alias("_anc")
+    )
+    for _ in range(max_rounds):
+        # a pointer is settled when it already aims at a root
+        settled = state.join(F.broadcast(roots), on="_anc", how="left_semi")
+        remaining = state.count() - settled.count()
+        if remaining == 0:
+            break
+        hop = state.select(
+            F.col("_id").alias("_anc"),
+            F.col("_anc").alias("_anc2"),
+            F.col("_d").alias("_d2"),
+        )
+        state = (
+            state.join(hop, on="_anc")
+            .select(
+                "_id",
+                F.col("_anc2").alias("_anc"),
+                (F.col("_d") + F.col("_d2")).alias("_d"),
+                "_root",
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise ValueError(
+            f"ancestor_closure did not converge in {max_rounds} rounds — "
+            "a parent cycle or depth > 2^rounds; fix the data or raise "
+            "max_rounds"
+        )
+    return state.select(
+        F.col("_id").alias(id_col),
+        F.col("_anc").alias("root"),
+        F.col("_d").cast("int").alias("depth"),
+    )

@@ -7553,6 +7553,69 @@ def doc_token_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT c_custkey AS id, c_custkey AS root, 0 AS depth
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, r.root, r.depth + 1
+        FROM customer c
+        JOIN r ON CAST(floor(c.c_custkey / 10) AS BIGINT) = r.id
+        WHERE c.c_custkey >= 10
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           round(SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS total_acctbal
+    FROM r JOIN customer c ON c.c_custkey = r.id
+    GROUP BY depth ORDER BY depth
+    """,
+)
+def customer_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy closure (operators/graph.py:
+    ancestor_closure): a synthetic referral forest over customers
+    (parent = custkey/10, keys < 10 are roots) resolved to
+    (id, root, depth) by POINTER DOUBLING — O(log depth) keyed
+    self-joins where a recursive CTE walks O(depth), the org-chart /
+    BOM / thread-chain workload Spark SQL cannot express natively.
+    The oracle IS DuckDB's recursive CTE, so the whole closure is
+    value-checked against the real recursion; rollup sums exact
+    integer cents."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        ancestor_closure,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") < 10, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(F.col("c_custkey") / 10).cast("bigint"))
+        .alias("parent"),
+    )
+    closure = ancestor_closure(nodes, "id", "parent")
+    return (
+        closure.join(
+            c.select(F.col("c_custkey").alias("id"), "c_acctbal"), on="id"
+        )
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.count_distinct("root").cast("bigint").alias("n_roots"),
+            F.round(
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("total_acctbal"),
+        )
+        .orderBy("depth")
+    )
+
+
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the

@@ -2014,3 +2014,39 @@ def test_bloom_semi_join_exact_semantics(spark):
         for r in bloom_semi_join(probe, build, "k", m_bits=64, k=1).collect()
     )
     assert got_small == ref
+
+
+def test_ancestor_closure_pointer_doubling(spark):
+    import pytest
+
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        ancestor_closure,
+    )
+
+    # two trees + a deep chain (depth 9 needs 4 doubling rounds, not 9)
+    rows = (
+        [(1, None), (2, 1), (3, 1), (4, 2)]          # tree rooted at 1
+        + [(10, None), (11, 10)]                      # tree rooted at 10
+        + [(100 + i, 100 + i - 1) for i in range(1, 10)]
+        + [(100, None)]                               # chain 100..109
+    )
+    df = spark.createDataFrame(rows, "id BIGINT, parent BIGINT")
+    got = {
+        r["id"]: (r["root"], r["depth"])
+        for r in ancestor_closure(df, "id", "parent").collect()
+    }
+    assert got[1] == (1, 0) and got[4] == (1, 2) and got[3] == (1, 1)
+    assert got[11] == (10, 1)
+    assert got[109] == (100, 9)
+    assert len(got) == len(rows)
+    # a depth-9 chain must converge within ceil(log2(9))+1 = 5 rounds
+    assert {
+        r["id"]: (r["root"], r["depth"])
+        for r in ancestor_closure(df, "id", "parent", max_rounds=5).collect()
+    } == got
+    # cycles fail loudly, never silently mislabel
+    bad = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, None)], "id BIGINT, parent BIGINT"
+    )
+    with pytest.raises(ValueError, match="converge"):
+        ancestor_closure(bad, "id", "parent", max_rounds=6)
