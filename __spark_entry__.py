@@ -28,14 +28,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every hash-checkable query; the few
-    without an entry (xxhash64 fast paths, k-means-trained ANN,
-    HLL/KLL/theta sketch estimates) are non-SQL-expressible or
-    engine-specific and take the rows-only check — each has a
-    value-checked portable twin, a recall gate, or an exactness gate in
-    pytest (dedup_minhash_md5/dedup_simhash_md5 pin the LSH algebra;
+    without an entry (xxhash64 fast paths, k-means-trained ANN, the
+    iterative BPE trainer) are non-SQL-expressible or engine-specific
+    and take the rows-only check — each has a value-checked portable
+    twin, a recall gate, or an exactness gate in pytest
+    (dedup_minhash_md5/dedup_simhash_md5 pin the LSH algebra;
     ann_ivf_topk/ann_pq_topk/ann_ivfpq_topk pin IVF pruning AND the
     PQ encode→ADC→rank pipeline with fixed data-derived quantizers;
-    tests/test_sketches.py gates sketch error vs exact;
-    multimodal_features value-checks the md5 fake decoder through an
-    engine-portable hex replica)."""
+    BPE has a reference-parity pytest).  The HLL/KLL/theta sketch
+    queries are hash-checked as of r7 via tolerance binding: the output
+    carries engine-portable exact values plus booleans asserting the
+    estimate sits within its error contract, so the oracle computes the
+    exact side and a drifting estimate flips the hash."""
     return dict(ORACLES)
