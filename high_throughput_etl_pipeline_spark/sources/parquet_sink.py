@@ -51,12 +51,17 @@ def write_date_partitioned_parquet(
     mode: str = "append",
     avg_row_bytes: float | None = None,
     compact: bool = False,
+    file_format: str = "parquet",
 ) -> None:
-    """Write Snappy parquet, ~target_file_mb files.
+    """Write Snappy columnar files, ~target_file_mb each.
 
     With ``date_col`` set, uses Hive-style ``partitionBy`` so readers get
     partition pruning for free (improves on the reference's bare
     `merged-parquet-YYYY-MM-DD` dir naming, glue_batch_job.py:170-178).
+    ``file_format`` accepts ``parquet`` (default) or ``orc`` — the
+    sizing/partitioning/compaction discipline is identical; ORC serves
+    Hive-ecosystem consumers that predicate-push through its own
+    indexes.
     """
     if avg_row_bytes is None:
         avg_row_bytes = estimate_avg_row_bytes(df)
@@ -80,7 +85,7 @@ def write_date_partitioned_parquet(
     )
     if date_col:
         writer = writer.partitionBy(date_col)
-    writer.parquet(out_dir)
+    writer.format(file_format).save(out_dir)
 
 
 def compact_partition(

@@ -212,3 +212,76 @@ def test_compact_partition_reduces_files(spark, tmp_path):
     assert back.filter(F.col("_date") == "2026-08-11").count() == 50
     ids = [r["id"] for r in back.filter(F.col("_date") == "2026-08-12").collect()]
     assert len(set(ids)) == 4000
+
+
+def test_read_csv_quarantine_and_roundtrip(spark, tmp_path):
+    """CSV source mirrors the NDJSON contract: explicit schema,
+    malformed rows take the row-level quarantine (shared
+    split_corrupt), good rows flow into the same sized sink."""
+    from high_throughput_etl_pipeline_spark.sources.delimited import read_csv
+    from high_throughput_etl_pipeline_spark.sources.ndjson import (
+        split_corrupt,
+    )
+
+    f = tmp_path / "drop.csv"
+    f.write_text(
+        "id,kind,value\n"
+        "1,a,10.5\n"
+        "2,b,20.0\n"
+        "not-a-number,c,xx,extra\n"  # malformed: wrong arity + types
+        "4,d,40.25\n"
+    )
+    df = read_csv(
+        spark,
+        str(f),
+        schema="id BIGINT, kind STRING, value DOUBLE",
+        keep_corrupt=True,
+    )
+    good, bad = split_corrupt(df)
+    assert sorted(r["id"] for r in good.collect()) == [1, 2, 4]
+    assert bad.count() == 1
+    assert "not-a-number" in bad.collect()[0]["_corrupt_record"]
+    # TSV flavor
+    t = tmp_path / "drop.tsv"
+    t.write_text("id\tkind\n7\tx\n")
+    tsv = read_csv(
+        spark, str(t), schema="id BIGINT, kind STRING", delimiter="\t"
+    )
+    assert tsv.collect()[0]["id"] == 7
+
+
+def test_orc_sink_parity(spark, tmp_path):
+    """The sized/partitioned sink writes ORC with the same discipline
+    as parquet: identical rows back, Hive date partitions, snappy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.sources.parquet_sink import (
+        write_date_partitioned_parquet,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.when(F.col("id") % 2 == 0, "2026-08-11")
+        .otherwise("2026-08-12")
+        .alias("_date"),
+    )
+    out = str(tmp_path / "orc_out")
+    write_date_partitioned_parquet(
+        df, out, date_col="_date", file_format="orc"
+    )
+    back = spark.read.orc(out)
+    assert back.count() == 1000
+    # partition discovery may type the dir values as DATE — compare as str
+    assert {
+        str(r["_date"]) for r in back.select("_date").distinct().collect()
+    } == {"2026-08-11", "2026-08-12"}
+    parts = [d for d in os.listdir(out) if d.startswith("_date=")]
+    assert len(parts) == 2
+    assert any(
+        name.endswith(".orc")
+        for d in parts
+        for name in os.listdir(os.path.join(out, d))
+    )
