@@ -7616,6 +7616,10 @@ def customer_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r8 rotation queue — tail queries with oracles but no driver row yet
+# (registered after the r7 window was set): doc_token_weighted_length,
+# customer_hierarchy_rollup.  Usual trade: swap them in for the
+# longest-green in-window rows once this round's first-timers go green.
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
