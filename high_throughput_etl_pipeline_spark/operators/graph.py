@@ -269,15 +269,30 @@ def ancestor_closure(
     roots self-loop at distance 0.  Each round composes the pointer
     with itself — ``anc ← anc(anc)``, ``d ← d + d(anc)`` — so the
     reached ancestor distance DOUBLES per round: O(log depth) keyed
-    self-joins total, not O(depth) (a 1M-deep chain resolves in 20
-    rounds).  Each round is one shuffle join on the pointer key; state
-    is three long columns; ``localCheckpoint`` truncates lineage per
-    round like :func:`connected_components`.  Convergence is a
-    metadata-scale per-round aggregate (count of pointers not yet at a
-    root).  Cycles (bad data) never terminate by reaching a root, so
-    they surface as ``max_rounds`` exhaustion → ValueError rather than
-    silent wrong output.
+    self-joins total, not O(depth) — ``max_rounds`` hops handle any
+    depth up to ``2^max_rounds`` (a 1M-deep chain needs 20).  Each
+    round is one shuffle join on the pointer key; state is three long
+    columns; ``localCheckpoint`` truncates lineage per round like
+    :func:`connected_components`.  Convergence is ONE metadata-scale
+    anti-join count per round (pointers not yet at a root).  Bad data
+    fails LOUDLY, never silently: a parent id that is not itself a
+    node raises up front (an inner hop join would otherwise drop the
+    row), and a parent cycle never reaches a root so it surfaces as
+    ``max_rounds`` exhaustion → ValueError.
     """
+    ids = nodes.select(F.col(id_col).alias("_pid"))
+    dangling = (
+        nodes.filter(F.col(parent_col).isNotNull())
+        .select(F.col(parent_col).alias("_pid"))
+        .join(ids, on="_pid", how="left_anti")
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            f"ancestor_closure: {dangling} parent reference(s) point at "
+            "ids that are not nodes — the closure would silently drop "
+            "those subtrees; repair the forest first"
+        )
     state = nodes.select(
         F.col(id_col).alias("_id"),
         F.coalesce(F.col(parent_col), F.col(id_col)).alias("_anc"),
@@ -285,16 +300,20 @@ def ancestor_closure(
         .otherwise(F.lit(1))
         .cast("bigint")
         .alias("_d"),
-        F.col(parent_col).isNull().alias("_root"),
     ).localCheckpoint(eager=False)
     roots = nodes.filter(F.col(parent_col).isNull()).select(
         F.col(id_col).alias("_anc")
     )
+
+    def _remaining() -> int:
+        # pointers not yet aimed at a root — one anti-join count
+        return state.join(
+            F.broadcast(roots), on="_anc", how="left_anti"
+        ).count()
+
+    done = _remaining() == 0
     for _ in range(max_rounds):
-        # a pointer is settled when it already aims at a root
-        settled = state.join(F.broadcast(roots), on="_anc", how="left_semi")
-        remaining = state.count() - settled.count()
-        if remaining == 0:
+        if done:
             break
         hop = state.select(
             F.col("_id").alias("_anc"),
@@ -307,15 +326,15 @@ def ancestor_closure(
                 "_id",
                 F.col("_anc2").alias("_anc"),
                 (F.col("_d") + F.col("_d2")).alias("_d"),
-                "_root",
             )
             .localCheckpoint(eager=False)
         )
-    else:
+        done = _remaining() == 0
+    if not done:
         raise ValueError(
             f"ancestor_closure did not converge in {max_rounds} rounds — "
-            "a parent cycle or depth > 2^rounds; fix the data or raise "
-            "max_rounds"
+            f"a parent cycle or depth > 2^{max_rounds}; fix the data or "
+            "raise max_rounds"
         )
     return state.select(
         F.col("_id").alias(id_col),

@@ -131,16 +131,15 @@ def check_ref_integrity(
     Lazy like every other check — composes into ``run_checks`` output
     without triggering jobs at construction — and ONE scan of the child:
     a left join against the distinct parent key set (broadcast by
-    Catalyst when the parent is dimension-sized) flags orphans, and a
-    single aggregation reads off both the row count and the violation
-    count."""
+    Catalyst when the parent is dimension-sized; deliberately NOT
+    hinted, so a fact-sized parent degrades to a shuffle join instead
+    of OOMing the driver) flags orphans, and a single aggregation reads
+    off both the row count and the violation count."""
     label = name or f"ref_integrity({fk}->{pk})"
     flagged = child.select(F.col(fk).alias("_fk")).join(
-        F.broadcast(
-            parent.select(F.col(pk).alias("_fk"))
-            .distinct()
-            .withColumn("_has_parent", F.lit(True))
-        ),
+        parent.select(F.col(pk).alias("_fk"))
+        .distinct()
+        .withColumn("_has_parent", F.lit(True)),
         on="_fk",
         how="left",
     )

@@ -39,6 +39,14 @@ _MASKS = [(1 << b) - ((1 << 64) if b == 63 else 0) for b in range(64)]
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """k double-hash bit positions for ``key`` — xxhash64 seeded per
     lane by a literal column, so lanes are independent."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        # positions range over [0, m_bits) but the filter array covers
+        # m_bits//64 words — a ragged tail would drop its bits on build
+        # and NULL out the probe predicate: silent FALSE NEGATIVES,
+        # the one failure mode a Bloom filter must never have
+        raise ValueError(
+            f"m_bits={m_bits} must be a positive multiple of 64"
+        )
     return [
         F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
     ]

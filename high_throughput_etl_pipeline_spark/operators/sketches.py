@@ -178,7 +178,11 @@ def quantile_ranks_verified(
     )
     j = ev.join(
         F.broadcast(qs),
-        (F.col("grp") == F.col("_g")) | (F.col("grp") == F.lit("ALL")),
+        # null-safe on the group key: a NULL group is a real group to
+        # value_quantile_sketches (and to the oracle's GROUP BY) — a
+        # plain == would NULL the predicate and drop its row
+        F.col("grp").eqNullSafe(F.col("_g"))
+        | (F.col("grp") == F.lit("ALL")),
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for q in quantiles:

@@ -23,11 +23,18 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 # Explicit ASCII class, not \s: Java regex (Spark) and RE2 (DuckDB oracle)
-# disagree on Unicode whitespace membership for \s.
-_WORD_SPLIT = r"[ \t\n\r]+"
+# disagree on Unicode whitespace membership for \s.  Matches Java's \s
+# ASCII membership exactly ([ \t\n\x0B\f\r]) AND the oracle-side class
+# used throughout queries.py — the three tokenizer surfaces (this,
+# dedup._norm's \s+, the oracles) must agree on every byte or a \f/\x0b
+# in one document silently diverges the hash gate.
+_WORD_SPLIT = r"[ \t\n\r\f\x0b]+"
 # BPE-ish token pieces: runs of word chars OR single non-space symbol —
 # a cheap stand-in for subword tokenization with the same column shape.
-BPE_PIECE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+# Explicit whitespace class for the same reason as _WORD_SPLIT (Java \s
+# includes \x0B, RE2's does not — this constant is interpolated into
+# the DuckDB oracles, so both engines read the identical pattern).
+BPE_PIECE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"
 
 
 def tokens(col) -> F.Column:

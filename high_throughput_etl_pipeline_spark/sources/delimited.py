@@ -40,6 +40,13 @@ def read_csv(
     ``_corrupt_record`` holding each unparseable line; filter it with
     ``ndjson.split_corrupt``.
     """
+    if keep_corrupt and schema is None:
+        raise ValueError(
+            "keep_corrupt=True requires an explicit schema — Spark only "
+            "routes malformed rows to the corrupt column when parsing "
+            "against a declared shape; silently ignoring the flag would "
+            "let bad rows pass as all-null data"
+        )
     reader = (
         spark.read.option("header", str(header).lower())
         .option("sep", delimiter)

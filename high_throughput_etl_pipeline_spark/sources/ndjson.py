@@ -49,6 +49,13 @@ def read_ndjson(
     analog of the reference's file-level quarantine: callers filter it
     into a quarantine sink instead of failing the batch.
     """
+    if keep_corrupt and schema is None:
+        raise ValueError(
+            "keep_corrupt=True requires an explicit schema — Spark only "
+            "routes malformed rows to the corrupt column when parsing "
+            "against a declared shape; silently ignoring the flag would "
+            "let bad rows pass as all-null data"
+        )
     reader = spark.read
     if schema is not None:
         if keep_corrupt:

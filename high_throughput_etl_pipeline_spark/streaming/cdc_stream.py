@@ -14,10 +14,17 @@ Kafka compacted topics), expressed on the shared log-structured store
   stamps them with the batch id, and appends ONE ``batch_<id>``
   directory — rename commit, monotonic replay guard, stream fencing,
   all inherited;
-- the serving view collapses across directories on read: global change
-  order is ``(_cdc_batch, seq)`` — batch ids strictly increase, so a
-  later batch's change beats any earlier one and intra-batch order is
-  the source's ``seq``;
+- the serving view collapses across directories on read.  Default
+  change order is ``(_cdc_batch, seq)``: micro-batch ARRIVAL order is
+  authoritative across batches (a Structured Streaming source delivers
+  a key's changes in order and batch ids strictly increase; replay of
+  a whole batch is fenced by the monotonic guard), and ``seq`` orders
+  within a batch — this is exactly folding each batch through
+  ``apply_cdc`` in sequence.  If ``seq`` is a GLOBAL LSN and
+  out-of-order redelivery can cross batch boundaries (topic backfill,
+  a re-emitted foreign log copy), pass ``global_seq=True`` to make the
+  source sequence the authority — ``(seq, _cdc_batch)`` — so a late
+  arrival of an old change never overrides a newer one;
 - compaction folds the directories into one pre-collapsed directory,
   KEEPING tombstones (a delete must keep shadowing re-inserts of
   absorbed batches) — read cost returns to one window over one
@@ -75,21 +82,43 @@ def stored_changes(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
+def _change_order(
+    seq_col: str, op_col: str, global_seq: bool
+) -> list:
+    """Arrival-authoritative (default) vs source-sequence-authoritative
+    change ordering — see the module docstring for when each is right."""
+    if global_seq:
+        return [
+            F.col(seq_col).desc(),
+            F.col(BATCH_COL).desc(),
+            F.col(op_col).desc(),
+        ]
+    return [
+        F.col(BATCH_COL).desc(),
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+    ]
+
+
 def cdc_snapshot(
     spark: SparkSession,
     table_path: str,
     key_cols: list[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    global_seq: bool = False,
 ) -> DataFrame:
     """Latest-op-wins serving view over everything ingested so far:
-    one window ordered by ``(_cdc_batch, seq)`` per key, tombstones
-    filtered.  Returns the change schema minus the bookkeeping columns
-    — identical rows to running ``operators.cdc.apply_cdc`` over the
-    concatenated batch history (pinned by tests)."""
+    one window per key over the change order (see module docstring and
+    ``global_seq``), tombstones filtered.  Returns the change schema
+    minus the bookkeeping columns.  With the default arrival order this
+    is identical to folding each batch through
+    ``operators.cdc.apply_cdc`` in sequence (pinned by tests); with
+    ``global_seq=True`` the source sequence wins across batches, which
+    sequential folding cannot express."""
     log = stored_changes(spark, table_path)
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(BATCH_COL).desc(), F.col(seq_col).desc(), F.col(op_col).desc()
+        *_change_order(seq_col, op_col, global_seq)
     )
     return (
         log.withColumn("_rn", F.row_number().over(w))
@@ -104,6 +133,7 @@ def compact_cdc_store(
     key_cols: list[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    global_seq: bool = False,
 ) -> int:
     """Fold every published directory into one holding the cross-batch
     collapsed log — INCLUDING tombstones, which must survive to keep
@@ -117,7 +147,7 @@ def compact_cdc_store(
     max_id = _store.max_batch_id(table_path)
     log = spark.read.parquet(*dirs)
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(BATCH_COL).desc(), F.col(seq_col).desc(), F.col(op_col).desc()
+        *_change_order(seq_col, op_col, global_seq)
     )
     collapsed = (
         log.withColumn("_rn", F.row_number().over(w))

@@ -2039,10 +2039,10 @@ def test_ancestor_closure_pointer_doubling(spark):
     assert got[11] == (10, 1)
     assert got[109] == (100, 9)
     assert len(got) == len(rows)
-    # a depth-9 chain must converge within ceil(log2(9))+1 = 5 rounds
+    # a depth-9 chain must converge within ceil(log2(9)) = 4 hops
     assert {
         r["id"]: (r["root"], r["depth"])
-        for r in ancestor_closure(df, "id", "parent", max_rounds=5).collect()
+        for r in ancestor_closure(df, "id", "parent", max_rounds=4).collect()
     } == got
     # cycles fail loudly, never silently mislabel
     bad = spark.createDataFrame(
@@ -2050,3 +2050,10 @@ def test_ancestor_closure_pointer_doubling(spark):
     )
     with pytest.raises(ValueError, match="converge"):
         ancestor_closure(bad, "id", "parent", max_rounds=6)
+    # dangling parent references fail loudly too — an inner hop join
+    # would otherwise silently drop the subtree
+    dangling = spark.createDataFrame(
+        [(1, None), (2, 99)], "id BIGINT, parent BIGINT"
+    )
+    with pytest.raises(ValueError, match="not nodes"):
+        ancestor_closure(dangling, "id", "parent")

@@ -1020,3 +1020,94 @@ def test_maxsim_stream_index_matches_in_memory(spark, tmp_path):
     got = rows(maxsim_stream_index(spark, table, q, centers, k=5))
     ref = rows(maxsim_ann_topk(e, q, centers, k=5))
     assert got == ref and len(got) == 15
+
+
+def test_sketch_store_legacy_layout_migration(spark, tmp_path):
+    """A table written by the pre-store.py layout (parquet files +
+    _last_batch_id directly in the table dir) keeps serving its
+    accumulated history: reads fall back to the legacy files
+    non-destructively, and the first maintainer merge migrates the
+    layout in place — history unioned, replay guard carried over."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.sketches import (
+        LG_CONFIG_K,
+    )
+    from high_throughput_etl_pipeline_spark.streaming import store as _store
+    from high_throughput_etl_pipeline_spark.streaming.sketch_stream import (
+        merge_batch,
+        stored_distinct_estimates,
+    )
+
+    table = str(tmp_path / "legacy")
+    hist = spark.createDataFrame(
+        [(f"2026-08-1{d}", i) for d in (1, 2) for i in range(5)],
+        "date STRING, user_id BIGINT",
+    )
+    legacy = hist.groupBy("date").agg(
+        F.hll_sketch_agg("user_id", F.lit(LG_CONFIG_K)).alias("sketch"),
+        F.count("*").alias("n_rows"),
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(table)
+    with open(_os.path.join(table, "_last_batch_id"), "w") as f:
+        f.write("legacy-sid 3")
+
+    # read path serves the legacy layout as-is, mutating nothing
+    got = {
+        r["date"]: r["n_rows"]
+        for r in stored_distinct_estimates(spark, table).collect()
+    }
+    assert got["2026-08-11"] == 5 and got["ALL"] == 10
+    assert _os.path.isfile(_os.path.join(table, "_last_batch_id"))
+
+    # replayed batch ids up to the legacy high-water mark still no-op
+    schema = "ts TIMESTAMP, user_id BIGINT"
+    batch = spark.createDataFrame([], schema)
+    assert merge_batch(batch, 3, table) is False  # migrates, then guards
+    assert not _os.path.isfile(_os.path.join(table, "_last_batch_id"))
+    assert _store.max_batch_id(table) == 3
+    # the fresh-checkpoint fence carried over from the legacy marker
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        merge_batch(batch, 4, table, stream_id="другой".encode().hex())
+
+    # and a genuinely new batch unions INTO the migrated history
+    newer = spark.createDataFrame(
+        [("2026-08-13 00:00:00", 100 + i) for i in range(3)],
+        "ts STRING, user_id BIGINT",
+    ).select(F.to_timestamp("ts").alias("ts"), "user_id")
+    assert merge_batch(newer, 4, table, stream_id="legacy-sid")
+    final = {
+        r["date"]: r["n_rows"]
+        for r in stored_distinct_estimates(spark, table).collect()
+    }
+    assert final["2026-08-11"] == 5          # history survived
+    assert final["2026-08-13"] == 3
+    assert final["ALL"] == 13
+
+
+def test_cdc_global_seq_ordering(spark, tmp_path):
+    """With global_seq=True the source LSN is the authority: a stale
+    change arriving in a LATER micro-batch (backfill/redelivery) never
+    overrides a newer one; the default arrival order takes the later
+    batch."""
+    from high_throughput_etl_pipeline_spark.streaming.cdc_stream import (
+        cdc_snapshot,
+        merge_cdc_batch,
+    )
+
+    schema = "id BIGINT, name STRING, seq BIGINT, op STRING"
+    table = str(tmp_path / "cdc_lsn")
+    assert merge_cdc_batch(
+        spark.createDataFrame([(1, "new", 5, "U")], schema), 0, table, ["id"]
+    )
+    assert merge_cdc_batch(
+        spark.createDataFrame([(1, "stale", 3, "U")], schema), 1, table, ["id"]
+    )
+    arrival = cdc_snapshot(spark, table, ["id"]).collect()
+    assert arrival[0]["name"] == "stale"  # batch order wins by default
+    lsn = cdc_snapshot(spark, table, ["id"], global_seq=True).collect()
+    assert lsn[0]["name"] == "new"  # seq wins under global_seq
