@@ -129,6 +129,7 @@ HEADLINE = [
     "join_size_audit",
     "doc_token_weighted_length",
     "customer_hierarchy_rollup",
+    "text_tfidf_knn",
 ]
 
 

@@ -466,3 +466,90 @@ def linear_quality_score(
         )
         .drop("_toks", "_wmap")
     )
+
+
+def hashed_tfidf(
+    docs,
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l2_normalize: bool = True,
+):
+    """Feature-hashed TF-IDF vectors (the HashingTF/IDF "hashing trick",
+    Weinberger et al. '09) — the text→vector bridge that makes the
+    whole similarity stack (brute-force/LSH/IVF top-k, near-dup
+    clustering, hard negatives) applicable to raw text WITHOUT an
+    embedding model: token → md5 bucket (portable arithmetic, no vocab
+    to build or broadcast), tf·idf per bucket, dense ``array<double>``
+    out.
+
+    idf is the smoothed form ``ln((N+1)/(df+1)) + 1`` (sklearn's);
+    ``l2_normalize`` makes dot product = cosine.  Documents with zero
+    tokens have no features and drop from the output (a zero vector
+    has no direction to compare).
+
+    Scale shape: explode → two grouped counts (the (doc, bucket) tf
+    table and the ≤dim-row df table) → broadcast df + the one-row doc
+    count back → map_from_entries densification, all JVM-side.  The
+    shuffle carries (doc, bucket) partials, never tokens.  Engine
+    parity note: the dense ascending-index sums used downstream equal
+    any sparse bucket-ordered sum BIT-FOR-BIT because adding exact 0.0
+    terms is the identity — which is what lets an independent engine
+    verify cosines over these vectors from its sparse form.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    tf = (
+        tok.select("_id", F.pmod(md5_64(F.col("_t")), F.lit(dim)).alias("_b"))
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_b").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    vals = (
+        tf.join(F.broadcast(dfreq), on="_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "_b",
+            (
+                F.col("_tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1.0))
+                        / (F.col("_df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("_v"),
+        )
+    )
+    dense = vals.groupBy("_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    ).select(
+        "_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0.0)
+            ),
+        ).alias("tfidf"),
+    )
+    if l2_normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col("tfidf"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        )
+        dense = dense.select(
+            "_id",
+            F.transform(F.col("tfidf"), lambda x: x / nrm).alias("tfidf"),
+        )
+    return dense.select(F.col("_id").alias(id_col), "tfidf")

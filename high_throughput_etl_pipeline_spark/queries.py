@@ -7616,10 +7616,92 @@ def customer_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf_knn",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text),
+                                         '[ \\t\\n\\r\\f\\x0b]+')) AS t
+        FROM documents
+    ), tf AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 18, 15))::BIGINT % 256 AS b,
+               CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok WHERE t <> '' GROUP BY doc_id, b
+    ), dfreq AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY b
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), vals AS (
+        SELECT tf.doc_id, tf.b,
+               tf.tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS v
+        FROM tf JOIN dfreq USING (b) CROSS JOIN nd
+    ), norms AS (
+        SELECT doc_id, sqrt(list_sum(list(v * v ORDER BY b))) AS nrm
+        FROM vals GROUP BY doc_id
+    ), unit AS (
+        SELECT vals.doc_id, b, v / nrm AS u
+        FROM vals JOIN norms USING (doc_id)
+    ), qv AS (
+        SELECT b, u AS qu FROM unit WHERE doc_id = 0
+    ), scored AS (
+        SELECT u.doc_id,
+               round(list_sum(list(u.u * qv.qu ORDER BY u.b)), 6) AS cosine
+        FROM unit u JOIN qv ON u.b = qv.b
+        WHERE u.doc_id <> 0
+        GROUP BY u.doc_id
+    )
+    SELECT doc_id, cosine, rank FROM (
+        SELECT doc_id, cosine,
+               CAST(row_number() OVER (
+                   ORDER BY cosine DESC, doc_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical k-NN over hashed TF-IDF vectors (operators/text.py:
+    hashed_tfidf — the HashingTF/IDF trick): doc 0's 10 nearest
+    documents by cosine, no embedding model, no vocabulary broadcast —
+    token→md5-bucket arithmetic an independent engine reproduces
+    exactly.  Engine parity rides on exact-zero addition: the Spark
+    side's dense ascending-index sums equal the oracle's sparse
+    bucket-ordered sums bit-for-bit because the missing buckets
+    contribute exact 0.0 terms.  Zero-overlap docs (cosine 0, i.e. no
+    shared bucket — tf-idf components are strictly positive) are
+    excluded on both sides."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_tfidf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v = hashed_tfidf(d, dim=256)
+    q = v.filter(F.col("doc_id") == 0).select(F.col("tfidf").alias("_qv"))
+    cos = F.aggregate(
+        F.zip_with(F.col("tfidf"), F.col("_qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.orderBy(F.desc("cosine"), "doc_id")
+    return (
+        v.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", cos.alias("_cos"))
+        .filter(F.col("_cos") > 0)
+        .select("doc_id", F.round("_cos", 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
 # r8 rotation queue — tail queries with oracles but no driver row yet
 # (registered after the r7 window was set): doc_token_weighted_length,
-# customer_hierarchy_rollup.  Usual trade: swap them in for the
-# longest-green in-window rows once this round's first-timers go green.
+# customer_hierarchy_rollup, text_tfidf_knn.  Usual trade: swap them in
+# for the longest-green in-window rows once this round's first-timers
+# go green.
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the

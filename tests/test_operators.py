@@ -2057,3 +2057,43 @@ def test_ancestor_closure_pointer_doubling(spark):
     )
     with pytest.raises(ValueError, match="not nodes"):
         ancestor_closure(dangling, "id", "parent")
+
+
+def test_hashed_tfidf_vectors(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_tfidf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "apple banana"),
+            (2, "cherry cherry cherry"),
+            (3, "   "),  # token-less: no features, drops
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    v = {r["doc_id"]: r["tfidf"] for r in hashed_tfidf(docs, dim=32).collect()}
+    assert set(v) == {0, 1, 2}  # empty doc dropped
+    for vec in v.values():
+        assert len(vec) == 32
+        assert abs(math.sqrt(sum(x * x for x in vec)) - 1.0) < 1e-9
+    # docs sharing all terms are more similar than disjoint ones
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))
+    assert dot(v[0], v[1]) > 0.9
+    assert dot(v[0], v[2]) == 0.0  # disjoint vocab -> orthogonal
+    # tf matters: doc 0 has apple twice, so apple's bucket dominates
+    raw = {
+        r["doc_id"]: r["tfidf"]
+        for r in hashed_tfidf(docs, dim=32, l2_normalize=False).collect()
+    }
+    assert max(raw[0]) > max(raw[1])
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["tfidf"] for r in hashed_tfidf(docs, dim=32).collect()
+    }
+    assert again == v
