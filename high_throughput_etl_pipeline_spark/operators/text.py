@@ -473,7 +473,7 @@ def hashed_tfidf(
     dim: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
-    l2_normalize: bool = True,
+    with_norm: bool = True,
 ):
     """Feature-hashed TF-IDF vectors (the HashingTF/IDF "hashing trick",
     Weinberger et al. '09) — the text→vector bridge that makes the
@@ -484,9 +484,15 @@ def hashed_tfidf(
     out.
 
     idf is the smoothed form ``ln((N+1)/(df+1)) + 1`` (sklearn's);
-    ``l2_normalize`` makes dot product = cosine.  Documents with zero
-    tokens have no features and drop from the output (a zero vector
-    has no direction to compare).
+    ``with_norm`` adds an ``l2_norm`` column so callers score
+    ``dot(a, b) / (norm_a · norm_b)`` — normalization happens at
+    SCORING time as a plain column, deliberately NOT by rescaling the
+    array: a ``transform(vec, x -> x / sqrt(aggregate(vec, ...)))``
+    re-evaluates the captured norm expression PER ELEMENT (the HOF
+    trap — measured O(dim²) per row, 20 s vs 2 s at sf0.1), and the
+    separate-norm form is also what the IVF/MaxSim scorers already
+    consume.  Documents with zero tokens have no features and drop
+    from the output (a zero vector has no direction to compare).
 
     Scale shape: explode → two grouped counts (the (doc, bucket) tf
     table and the ≤dim-row df table) → broadcast df + the one-row doc
@@ -540,16 +546,13 @@ def hashed_tfidf(
             ),
         ).alias("tfidf"),
     )
-    if l2_normalize:
-        nrm = F.sqrt(
-            F.aggregate(
-                F.col("tfidf"),
-                F.lit(0.0),
-                lambda a, x: a + x * x,
-            )
+    out = [F.col("_id").alias(id_col), F.col("tfidf")]
+    if with_norm:
+        out.append(
+            F.sqrt(
+                F.aggregate(
+                    F.col("tfidf"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ).alias("l2_norm")
         )
-        dense = dense.select(
-            "_id",
-            F.transform(F.col("tfidf"), lambda x: x / nrm).alias("tfidf"),
-        )
-    return dense.select(F.col("_id").alias(id_col), "tfidf")
+    return dense.select(*out)

@@ -7640,17 +7640,20 @@ def customer_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), norms AS (
         SELECT doc_id, sqrt(list_sum(list(v * v ORDER BY b))) AS nrm
         FROM vals GROUP BY doc_id
-    ), unit AS (
-        SELECT vals.doc_id, b, v / nrm AS u
-        FROM vals JOIN norms USING (doc_id)
     ), qv AS (
-        SELECT b, u AS qu FROM unit WHERE doc_id = 0
+        SELECT b, v AS qv FROM vals WHERE doc_id = 0
+    ), qn AS (
+        SELECT nrm AS qnrm FROM norms WHERE doc_id = 0
     ), scored AS (
-        SELECT u.doc_id,
-               round(list_sum(list(u.u * qv.qu ORDER BY u.b)), 6) AS cosine
-        FROM unit u JOIN qv ON u.b = qv.b
-        WHERE u.doc_id <> 0
-        GROUP BY u.doc_id
+        SELECT a.doc_id,
+               round(list_sum(list(a.v * qv.qv ORDER BY a.b))
+                     / (n.nrm * qn.qnrm), 6) AS cosine
+        FROM vals a
+        JOIN qv ON a.b = qv.b
+        JOIN norms n ON n.doc_id = a.doc_id
+        CROSS JOIN qn
+        WHERE a.doc_id <> 0
+        GROUP BY a.doc_id, n.nrm, qn.qnrm
     )
     SELECT doc_id, cosine, rank FROM (
         SELECT doc_id, cosine,
@@ -7669,17 +7672,20 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.  Engine parity rides on exact-zero addition: the Spark
     side's dense ascending-index sums equal the oracle's sparse
     bucket-ordered sums bit-for-bit because the missing buckets
-    contribute exact 0.0 terms.  Zero-overlap docs (cosine 0, i.e. no
-    shared bucket — tf-idf components are strictly positive) are
-    excluded on both sides."""
+    contribute exact 0.0 terms; norms ride as plain columns (the
+    IVF/MaxSim scoring shape) so nothing re-normalizes per element.
+    Zero-overlap docs (cosine 0, i.e. no shared bucket — tf-idf
+    components are strictly positive) are excluded on both sides."""
     from high_throughput_etl_pipeline_spark.operators.text import (
         hashed_tfidf,
     )
 
     d = _t(spark, sf_dir, "documents")
     v = hashed_tfidf(d, dim=256)
-    q = v.filter(F.col("doc_id") == 0).select(F.col("tfidf").alias("_qv"))
-    cos = F.aggregate(
+    q = v.filter(F.col("doc_id") == 0).select(
+        F.col("tfidf").alias("_qv"), F.col("l2_norm").alias("_qn")
+    )
+    dot = F.aggregate(
         F.zip_with(F.col("tfidf"), F.col("_qv"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -7688,9 +7694,15 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.filter(F.col("doc_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("doc_id", cos.alias("_cos"))
-        .filter(F.col("_cos") > 0)
-        .select("doc_id", F.round("_cos", 6).alias("cosine"))
+        .select(
+            "doc_id",
+            dot.alias("_dot"),
+            (F.col("l2_norm") * F.col("_qn")).alias("_nn"),
+        )
+        .filter(F.col("_dot") > 0)
+        .select(
+            "doc_id", F.round(F.col("_dot") / F.col("_nn"), 6).alias("cosine")
+        )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 10)
         .orderBy("rank")

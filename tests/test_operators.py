@@ -2077,21 +2077,23 @@ def test_hashed_tfidf_vectors(spark):
         ],
         "doc_id BIGINT, text STRING",
     )
-    v = {r["doc_id"]: r["tfidf"] for r in hashed_tfidf(docs, dim=32).collect()}
-    assert set(v) == {0, 1, 2}  # empty doc dropped
-    for vec in v.values():
+    rows = {r["doc_id"]: r for r in hashed_tfidf(docs, dim=32).collect()}
+    assert set(rows) == {0, 1, 2}  # empty doc dropped
+    v = {k: r["tfidf"] for k, r in rows.items()}
+    for k, vec in v.items():
         assert len(vec) == 32
-        assert abs(math.sqrt(sum(x * x for x in vec)) - 1.0) < 1e-9
+        # l2_norm column matches the vector's actual norm
+        assert abs(
+            math.sqrt(sum(x * x for x in vec)) - rows[k]["l2_norm"]
+        ) < 1e-9
     # docs sharing all terms are more similar than disjoint ones
-    dot = lambda a, b: sum(x * y for x, y in zip(a, b))
-    assert dot(v[0], v[1]) > 0.9
-    assert dot(v[0], v[2]) == 0.0  # disjoint vocab -> orthogonal
+    cos = lambda a, b: sum(
+        x * y for x, y in zip(v[a], v[b])
+    ) / (rows[a]["l2_norm"] * rows[b]["l2_norm"])
+    assert cos(0, 1) > 0.9
+    assert cos(0, 2) == 0.0  # disjoint vocab -> orthogonal
     # tf matters: doc 0 has apple twice, so apple's bucket dominates
-    raw = {
-        r["doc_id"]: r["tfidf"]
-        for r in hashed_tfidf(docs, dim=32, l2_normalize=False).collect()
-    }
-    assert max(raw[0]) > max(raw[1])
+    assert max(v[0]) > max(v[1])
     # deterministic across runs
     again = {
         r["doc_id"]: r["tfidf"] for r in hashed_tfidf(docs, dim=32).collect()
