@@ -376,3 +376,53 @@ def test_cdc_apply_split_invariance(spark, ops, n_splits):
         snap = apply_cdc(snap, chunk, ["id"])
     got = {(r["id"], r["val"]) for r in snap.collect()}
     assert got == expected
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=40),
+)
+def test_join_size_estimate_equals_actual(spark, a_keys, b_keys):
+    """The pre-flight estimate IS the real join size, for any key
+    multiset pair — Σ n_a(k)·n_b(k) is exact, not a heuristic."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(k,) for k in a_keys], "k BIGINT")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k BIGINT")
+    est = join_size_estimate(a, b, ["k"]).first()
+    assert est["join_rows"] == a.join(b, on="k").count()
+    assert est["a_rows"] == len(a_keys) and est["b_rows"] == len(b_keys)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=30),
+    st.sampled_from([64, 128, 1 << 12]),
+)
+def test_bloom_semi_join_equals_plain_semi_join(spark, probe_keys, build_keys, m_bits):
+    """Bloom pruning + exact confirm is bit-identical to the plain
+    left-semi join for ANY inputs and ANY (valid) filter size — false
+    positives are removed, false negatives are impossible."""
+    from high_throughput_etl_pipeline_spark.operators.runtime_filter import (
+        bloom_semi_join,
+    )
+
+    probe = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(probe_keys)], "k BIGINT, row BIGINT"
+    )
+    build = spark.createDataFrame([(k,) for k in build_keys], "k BIGINT")
+    got = sorted(
+        (r["k"], r["row"])
+        for r in bloom_semi_join(probe, build, "k", m_bits=m_bits, k=3).collect()
+    )
+    ref = sorted(
+        (r["k"], r["row"])
+        for r in probe.join(
+            build.distinct(), on="k", how="left_semi"
+        ).collect()
+    )
+    assert got == ref
