@@ -48,6 +48,7 @@ def process_manifest(
     date_prefix: str | None = None,
     schema=None,
     compact: bool = False,
+    source_format: str = "ndjson",
 ) -> int:
     """Run one manifest end-to-end; returns records written.
 
@@ -55,11 +56,25 @@ def process_manifest(
     plain list of paths.  Output lands under ``output_dir`` partitioned by
     ``_date`` (Hive layout superseding the reference's
     `merged-parquet-YYYY-MM-DD` dir naming so readers prune partitions).
+    ``source_format`` accepts ``ndjson`` (the reference's drop-zone
+    format) or ``csv`` — same downstream shape either way (metadata
+    columns, all-string cast, sized date-partitioned sink).
     """
     paths = (
         manifest if isinstance(manifest, list) else resolve_manifest(manifest)
     )
-    raw = read_ndjson(spark, paths, schema=schema)
+    if source_format == "ndjson":
+        raw = read_ndjson(spark, paths, schema=schema)
+    elif source_format == "csv":
+        from high_throughput_etl_pipeline_spark.sources.delimited import (
+            read_csv,
+        )
+
+        raw = read_csv(spark, paths, schema=schema)
+    else:
+        raise ValueError(
+            f"unknown source_format {source_format!r} (ndjson|csv)"
+        )
     # estimate row size from a plain copy FIRST: the sampling action would
     # otherwise consume the observation below and report a partial count
     from high_throughput_etl_pipeline_spark.sources.parquet_sink import (

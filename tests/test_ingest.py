@@ -285,3 +285,35 @@ def test_orc_sink_parity(spark, tmp_path):
         for d in parts
         for name in os.listdir(os.path.join(out, d))
     )
+
+
+def test_process_manifest_csv_source(spark, tmp_path):
+    """CSV manifests flow through the same single-pass pipeline: metadata
+    columns, all-string cast, _date-partitioned sized parquet."""
+    from high_throughput_etl_pipeline_spark.ingest import process_manifest
+
+    f = tmp_path / "2026-08-12-drop.csv"
+    f.write_text("id,kind\n" + "\n".join(f"{i},k" for i in range(50)) + "\n")
+    out = str(tmp_path / "out")
+    n = process_manifest(
+        spark,
+        [str(f)],
+        out,
+        schema="id BIGINT, kind STRING",
+        source_format="csv",
+    )
+    assert n == 50
+    df = spark.read.parquet(out)
+    assert df.count() == 50
+    assert all(
+        fld.dataType.simpleString() == "string"
+        for fld in df.schema.fields
+        if fld.name != "_date"
+    )
+    assert {str(r["_date"]) for r in df.select("_date").distinct().collect()} == {
+        "2026-08-12"
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="source_format"):
+        process_manifest(spark, [str(f)], out, source_format="xml")
