@@ -294,7 +294,7 @@ def compact_dedup_store(spark: SparkSession, table_path: str) -> int:
     max_id = _store.max_batch_id(table_path)
     bands = stored_band_index(spark, table_path)
     decisions = dedup_decisions(spark, table_path)
-    out_dir = _store.batch_dir(table_path, max_id)
+    out_dir = _store.next_compaction_dir(table_path, max_id)
     staging = out_dir + "._staging"
     shutil.rmtree(staging, ignore_errors=True)
     bands.coalesce(1).write.mode("overwrite").parquet(
@@ -304,7 +304,14 @@ def compact_dedup_store(spark: SparkSession, table_path: str) -> int:
         os.path.join(staging, "decisions")
     )
     _store.write_absorbed_marker(staging, max_id)
-    _store.swap(staging, out_dir)
-    for d in dirs[:-1]:
-        shutil.rmtree(d, ignore_errors=True)
+    _store.publish(staging, out_dir)
+    # absorbed originals are NOT deleted here: the marker inside the
+    # swapped directory already hides them from every new read, and an
+    # in-flight serving scan may still hold references to their paths —
+    # immediate rmtree is exactly the serve-while-compacting race the
+    # concurrency test pins.  They are retained until the NEXT
+    # maintainer operation (batch_dirs(heal=True) at the top of this
+    # function / the writer), the same retention discipline as Delta
+    # VACUUM: a read only has to survive the compaction running WHILE
+    # it scans, never the one after it finishes.
     return len(dirs)

@@ -223,7 +223,7 @@ def compact_index(spark: SparkSession, table_path: str) -> int:
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("sum_dl").cast("bigint").alias("sum_dl"),
     )
-    out_dir = _store.batch_dir(table_path, max_id)
+    out_dir = _store.next_compaction_dir(table_path, max_id)
     staging = out_dir + "._staging"
     shutil.rmtree(staging, ignore_errors=True)
     postings.write.mode("overwrite").partitionBy("_term_bucket").parquet(
@@ -232,12 +232,18 @@ def compact_index(spark: SparkSession, table_path: str) -> int:
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(staging, "stats")
     )
-    # two-rename swap with a recoverable window: between the renames the
-    # max-id directory exists only as X._old, which readers interpret
-    # as the published stand-in (non-destructively) and the next
-    # maintainer call (batch_dirs(heal=True)) restores in place
+    # fresh-name publish (batch_<max>.c<gen>): one atomic rename, no
+    # in-place swap — published paths stay immutable so a concurrent
+    # serving scan can never resolve old names to new content
     _store.write_absorbed_marker(staging, max_id)
-    _store.swap(staging, out_dir)
-    for d in dirs[:-1]:
-        shutil.rmtree(d, ignore_errors=True)
+    _store.publish(staging, out_dir)
+    # absorbed originals are NOT deleted here: the marker inside the
+    # swapped directory already hides them from every new read, and an
+    # in-flight serving scan may still hold references to their paths —
+    # immediate rmtree is exactly the serve-while-compacting race the
+    # concurrency test pins.  They are retained until the NEXT
+    # maintainer operation (batch_dirs(heal=True) at the top of this
+    # function / the writer), the same retention discipline as Delta
+    # VACUUM: a read only has to survive the compaction running WHILE
+    # it scans, never the one after it finishes.
     return len(dirs)

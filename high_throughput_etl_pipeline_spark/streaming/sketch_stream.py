@@ -135,6 +135,11 @@ def merge_batch(
     """
     if os.path.isdir(table_path):
         _migrate_legacy(table_path)
+        # deferred retention: snapshots superseded by PREVIOUS merges
+        # are healed here, at the START of the next maintainer call —
+        # never right after a publish, when a concurrent serving scan
+        # may still reference the just-superseded directory
+        _store.batch_dirs(table_path, heal=True)
     if stream_id is not None:
         _store.stamp_raw_stream_id(table_path, stream_id, "sketch")
     if _store.already_absorbed(table_path, batch_id):
@@ -168,9 +173,10 @@ def merge_batch(
     # visible together
     _store.write_absorbed_marker(staging, batch_id)
     _store.publish(staging, out_dir)
-    # superseded snapshots are now absorbed originals; the foreachBatch
-    # writer IS the single maintainer, so heal them in place
-    _store.batch_dirs(table_path, heal=True)
+    # the superseded snapshot is now an absorbed original — hidden from
+    # every new read by the marker, but NOT deleted here: a concurrent
+    # serving scan may still reference it.  The next merge's
+    # start-of-call heal retires it (deferred retention, see above).
     return True
 
 

@@ -12,16 +12,21 @@ posting-list index, the IVF vector index) share one storage discipline:
 - the table is stamped with a stream identity (checkpoint-path hash): a
   fresh checkpoint restarts ids at 0 and would silently no-op against an
   existing table — that mismatch fails loudly instead;
-- crash windows self-heal on the next read: a ``X._old`` with no ``X``
-  is a swap that died between its two renames (restore it — it is
-  complete by construction), a leftover ``._staging`` is an unpublished
-  partial (drop it);
-- compaction publishes an ``_absorbed_through`` marker INSIDE the
-  compacted directory before the swap: N directories cannot be removed
-  atomically, so a crash after the swap but before the removals leaves
-  absorbed originals on disk — readers exclude (and lazily delete) any
-  directory whose id is covered by a newer marker, so the union never
-  double-counts.
+- PUBLISHED PATHS ARE IMMUTABLE: compaction never swaps content into
+  an existing directory (a concurrent serving scan resolves paths
+  after listing them — an in-place swap would hand it new content
+  under an old name and double every row).  A compacted fold publishes
+  under a fresh generation name ``batch_<id>.c<gen>`` carrying an
+  ``_absorbed_through`` marker INSIDE it, made visible by the same
+  atomic rename as the data;
+- readers are NON-DESTRUCTIVE: directories covered by a newer marker
+  are excluded from the listing but left on disk until the next
+  MAINTAINER call (``batch_dirs(heal=True)`` — deferred retention, the
+  VACUUM discipline), so an in-flight scan that listed them keeps its
+  files; a leftover ``._staging`` is an unpublished partial (excluded;
+  dropped by the maintainer); a ``X._old`` with no ``X`` (legacy
+  swap-crash artifact from older builds) serves as the readable
+  stand-in and is restored by the maintainer.
 """
 
 from __future__ import annotations
@@ -53,7 +58,16 @@ def _dir_id(d: str) -> int:
     base = os.path.basename(d)
     if base.endswith("._old"):
         base = base[: -len("._old")]
-    return int(base.split("_")[1])
+    return int(base.split("_")[1].split(".")[0])
+
+
+def _dir_gen(d: str) -> int:
+    """Compaction generation: ``batch_X`` is 0, ``batch_X.cN`` is N."""
+    base = os.path.basename(d)
+    if base.endswith("._old"):
+        base = base[: -len("._old")]
+    parts = base.split(".")
+    return int(parts[1][1:]) if len(parts) > 1 else 0
 
 
 def _marker_value(d: str) -> int | None:
@@ -106,14 +120,19 @@ def batch_dirs(table_path: str, heal: bool = False) -> list[str]:
         if "._" in d:
             continue
         dirs.append(os.path.join(table_path, d))
-    dirs.sort(key=_dir_id)
+    dirs.sort(key=lambda d: (_dir_id(d), _dir_gen(d)))
     markers = {d: _marker_value(d) for d in dirs}
     absorbed_through = max(
         (v for v in markers.values() if v is not None), default=-1
     )
+    # among marker-carriers for the absorbed-through id, only the
+    # HIGHEST compaction generation is canonical (a crash between a
+    # re-compaction's publish and the next heal can leave two)
+    carriers = [d for d in dirs if markers[d] == absorbed_through]
+    canonical = carriers[-1] if carriers else None  # (id, gen)-sorted
     out = []
     for d in dirs:
-        if _dir_id(d) <= absorbed_through and markers[d] != absorbed_through:
+        if _dir_id(d) <= absorbed_through and d != canonical:
             if heal:
                 shutil.rmtree(d, ignore_errors=True)  # leftover original
         else:
@@ -141,6 +160,29 @@ def batch_dir(table_path: str, batch_id: int) -> str:
     return os.path.join(table_path, f"batch_{batch_id:010d}")
 
 
+def next_compaction_dir(table_path: str, batch_id: int) -> str:
+    """A FRESH directory name for a compacted fold of everything up to
+    ``batch_id``: ``batch_<id>.c<gen+1>``.
+
+    Compaction must never swap content into an already-published path:
+    a concurrent serving scan resolves paths AFTER listing them, so an
+    in-place swap hands it the new compacted data under the old name —
+    unioned with the originals it also listed, every row doubles (the
+    TOCTOU the serve-while-compacting test pins).  Publishing under a
+    new name keeps every published path immutable; the originals retire
+    via deferred heal."""
+    gen = 0
+    if os.path.isdir(table_path):
+        for d in os.listdir(table_path):
+            if (
+                d.startswith("batch_")
+                and "._" not in d
+                and _dir_id(d) == batch_id
+            ):
+                gen = max(gen, _dir_gen(d))
+    return os.path.join(table_path, f"batch_{batch_id:010d}.c{gen + 1}")
+
+
 def already_absorbed(table_path: str, batch_id: int) -> bool:
     """Monotonic replay guard (see module docstring)."""
     return batch_id <= max_batch_id(table_path)
@@ -153,7 +195,11 @@ def publish(staging: str, out_dir: str) -> None:
 
 def swap(staging: str, out_dir: str) -> None:
     """Replace an EXISTING directory via the recoverable two-rename
-    pattern (used by compaction)."""
+    pattern.  LEGACY — no current writer swaps in place (compaction
+    publishes under a fresh ``.c<gen>`` name precisely because a swap
+    changes a path's content under a concurrent reader); kept so
+    ``recover`` retains its ``._old`` healing for tables written by
+    older builds."""
     old = out_dir + "._old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(out_dir, old)

@@ -443,34 +443,39 @@ def test_sketch_stream_incremental_rollup(spark, tmp_path):
     assert final["2026-08-12"] == (8, 8)
     assert final["ALL"] == (10, 15)
 
-    # crash windows (shared store.py mechanics): (a) a death between
-    # staging write and publish leaves a ._staging partial — excluded
-    # from reads, its batch re-merges on replay; (b) a death between
-    # publish and superseded-snapshot cleanup leaves TWO snapshot dirs —
-    # the marker picks the latest.  Reads interpret both
-    # non-destructively; the single-maintainer heal cleans them up.
+    # crash windows + deferred retention (shared store.py mechanics):
+    # the snapshot superseded by the LAST merge is REALLY still on disk
+    # (retired only at the next maintainer call, so an in-flight reader
+    # survives), hidden from listings by the marker; a stale ._staging
+    # partial is excluded from reads.  Reads mutate nothing; the
+    # maintainer heal retires both.
     import os as _os
     import shutil as _shutil
 
     dirs = _sk_store.batch_dirs(table)
-    assert len(dirs) == 1  # each publish absorbs every prior snapshot
+    assert len(dirs) == 1  # listing shows only the current snapshot
     latest = dirs[-1]
-    lid = _sk_store.max_batch_id(table)
-    _shutil.copytree(latest, latest + "._staging")  # (a) stale partial
-    leftover = _sk_store.batch_dir(table, lid - 1)  # (b) superseded dir
-    _shutil.copytree(latest, leftover)
-    with open(_os.path.join(leftover, "_absorbed_through"), "w") as _f:
-        _f.write(str(lid - 1))
+    raw = [
+        d
+        for d in _os.listdir(table)
+        if d.startswith("batch_") and "._" not in d
+    ]
+    assert len(raw) >= 2  # superseded snapshot retained on disk
+    _shutil.copytree(latest, latest + "._staging")  # stale partial
     recovered = {
         r["date"]: (r["approx_keys"], r["n_rows"])
         for r in stored_distinct_estimates(spark, table).collect()
     }
     assert recovered == final  # served latest, never double-counted
-    assert _os.path.isdir(leftover)  # read mutated nothing
-    assert _os.path.isdir(latest + "._staging")
+    assert _os.path.isdir(latest + "._staging")  # read mutated nothing
     _sk_store.batch_dirs(table, heal=True)  # maintainer path cleans up
-    assert not _os.path.isdir(leftover)
     assert not _os.path.isdir(latest + "._staging")
+    raw2 = [
+        d
+        for d in _os.listdir(table)
+        if d.startswith("batch_") and "._" not in d
+    ]
+    assert len(raw2) == 1  # retention retired by the maintainer
 
     # fresh-checkpoint guard: a marker written by stream A must make a
     # merge from stream B fail loudly (batch ids restart at 0 with a new
@@ -867,24 +872,24 @@ def test_compaction_marker_excludes_leftover_originals(spark, tmp_path):
         for r in bm25_from_stream_index(spark, table, ["alpha", "beta"]).collect()
     }
 
-    # simulate the crash: compact, then resurrect an absorbed original
-    # (copy the compacted dir under the old id WITHOUT its marker)
+    # compaction publishes under a FRESH generation name and leaves the
+    # absorbed originals on disk (deferred retention — an in-flight
+    # serving scan may still reference them); the marker excludes them
+    # from every listing, so nothing double-counts
     assert compact_index(spark, table) == 2
-    compacted = _store.batch_dirs(table)[0]
+    dirs = _store.batch_dirs(table)
+    assert len(dirs) == 1
+    assert _os.path.basename(dirs[0]).endswith(".c1")  # fresh name
     leftover = _store.batch_dir(table, 0)
-    import shutil as _shutil
-
-    _shutil.copytree(compacted, leftover)
-    _os.remove(_os.path.join(leftover, "_absorbed_through"))
-    # raw listing sees two dirs; the reader sees one but mutates NOTHING
-    # (a concurrent serving query must never delete directories another
-    # in-flight scan references) — only the maintainer path cleans up
-    raw = [d for d in _os.listdir(table) if d.startswith("batch_")]
-    assert len(raw) == 2
-    assert len(_store.batch_dirs(table)) == 1
-    assert _os.path.isdir(leftover)  # read left it on disk
+    raw = [
+        d
+        for d in _os.listdir(table)
+        if d.startswith("batch_") and "._" not in d
+    ]
+    assert len(raw) == 3  # both originals retained alongside the fold
+    assert _os.path.isdir(leftover)  # reads mutate NOTHING
     assert len(_store.batch_dirs(table, heal=True)) == 1  # maintainer
-    assert not _os.path.isdir(leftover)  # ...deleted it
+    assert not _os.path.isdir(leftover)  # ...retired the originals
     # and served results never double-counted
     after = {
         r["doc_id"]: (r["dl"], r["score"])
@@ -1111,3 +1116,69 @@ def test_cdc_global_seq_ordering(spark, tmp_path):
     assert arrival[0]["name"] == "stale"  # batch order wins by default
     lsn = cdc_snapshot(spark, table, ["id"], global_seq=True).collect()
     assert lsn[0]["name"] == "new"  # seq wins under global_seq
+
+
+def test_store_serves_during_compaction(spark, tmp_path):
+    """The ADVICE-r6 operating mode, end-to-end: serving queries run
+    CONCURRENTLY with compaction and every read returns the correct
+    result — possible only because reads are non-destructive (they
+    interpret crash artifacts instead of renaming/deleting directories
+    an in-flight scan may reference).  Best-effort interleaving (the
+    reader loops while the maintainer compacts); even without overlap
+    the invariant assertions hold."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.streaming.vector_stream import (
+        compact_vectors,
+        ivf_topk_stream_index,
+        merge_vector_batch,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    table = str(tmp_path / "vstore")
+    for i in range(5):
+        assert merge_vector_batch(
+            e.filter(F.col("vec_id") % 5 == i), i, table, centers
+        )
+
+    def serve():
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+            for r in ivf_topk_stream_index(
+                spark, table, q, centers, k=5
+            ).collect()
+        )
+
+    expected = serve()
+    errors: list[Exception] = []
+    results: list[list] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                results.append(serve())
+        except Exception as exc:  # pragma: no cover - failure capture
+            errors.append(exc)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        assert compact_vectors(spark, table) == 5
+        # a few more post-compaction reads race the leftover cleanup too
+        for _ in range(2):
+            results.append(serve())
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors
+    assert results and all(r == expected for r in results)
