@@ -130,6 +130,7 @@ HEADLINE = [
     "doc_token_weighted_length",
     "customer_hierarchy_rollup",
     "text_tfidf_knn",
+    "corpus_leakage_safe_split",
 ]
 
 

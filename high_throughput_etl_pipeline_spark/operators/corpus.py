@@ -623,3 +623,67 @@ def distribution_matched_sample(
         .filter(hbucket < F.col("_cutoff"))
         .drop("_b", "_cutoff")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicate CLUSTERS inherit
+    atomically — the split a training pipeline actually needs: a naive
+    per-document hash split leaks near-duplicates across train and
+    eval (the model "memorizes" the eval set through its training-side
+    twins), silently inflating benchmark scores.
+
+    ``pairs`` is any near-dup pair list (MinHash/SimHash/embedding —
+    the dedup family's output); pairs close transitively to clusters
+    (:func:`~..graph.dedup_clusters`), singletons are their own
+    cluster, and the keyed-hash split is a function of the CLUSTER id,
+    so by construction no cluster straddles splits — deterministic, no
+    RNG, nested cutoffs (raising a ratio only grows that split).
+
+    Returns (``id_col``, cluster_id, split).  Scale shape: the CC
+    rounds dominate (O(diameter) keyed joins over the pair list);
+    assignment itself is one left join + a map-side hash — the same
+    cost as the unsafe split it replaces.
+    """
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    if splits is None:
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    cc = dedup_clusters(pairs)
+    base = (
+        docs.select(F.col(id_col))
+        .join(cc, on=docs[id_col] == cc["node"], how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    bucket = F.pmod(
+        md5_64(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col("cluster_id").cast("string")
+            )
+        ),
+        F.lit(_BUCKETS),
+    )
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    # nested cutoffs, last split takes the remainder
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        expr = F.when(
+            expr.isNull() & (bucket < int(round(cum * _BUCKETS))),
+            F.lit(name),
+        ).otherwise(expr)
+    expr = F.coalesce(expr, F.lit(names[-1]))
+    return base.select(id_col, "cluster_id", expr.alias("split"))

@@ -7709,11 +7709,125 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_BUCKET = (
+    "('0x' || substr(md5('split-v1:' || CAST({col} AS VARCHAR)), 18, 15))"
+    "::BIGINT % 10000"
+)
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {{pairs_cte}},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+    assigned AS (
+        SELECT doc.doc_id,
+               COALESCE(cc.cluster_id, doc.doc_id) AS cluster_id
+        FROM documents doc LEFT JOIN cc ON cc.node = doc.doc_id
+    ),
+    labeled AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN {_SPLIT_BUCKET.format(col='cluster_id')} < 8000
+                        THEN 'train'
+                    WHEN {_SPLIT_BUCKET.format(col='cluster_id')} < 9000
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN {_SPLIT_BUCKET.format(col='doc_id')} < 8000
+                        THEN 'train'
+                    WHEN {_SPLIT_BUCKET.format(col='doc_id')} < 9000
+                        THEN 'val'
+                    ELSE 'test' END AS naive_split
+        FROM assigned
+    ),
+    straddle AS (
+        SELECT CAST(SUM(CASE WHEN ss > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS leaked_clusters,
+               CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS naive_leaked_clusters
+        FROM (
+            SELECT cluster_id,
+                   COUNT(DISTINCT split) AS ss,
+                   COUNT(DISTINCT naive_split) AS ns
+            FROM labeled GROUP BY cluster_id
+        )
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           leaked_clusters, naive_leaked_clusters
+    FROM labeled CROSS JOIN straddle
+    GROUP BY split, leaked_clusters, naive_leaked_clusters
+    ORDER BY split
+    """.replace("{pairs_cte}", _JACCARD_MINHASH_PAIRS_CTE),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/corpus.py:
+    leakage_safe_split): near-dup clusters (MinHash-banded pairs →
+    connected components, singletons their own cluster) inherit ONE
+    split atomically — a naive per-document hash split leaks
+    near-duplicates across train and eval, and the output PROVES the
+    difference: ``leaked_clusters`` (clusters straddling splits) is 0
+    under cluster assignment while ``naive_leaked_clusters`` counts how
+    many the per-doc split would have torn apart, from the SAME hash
+    family.  The oracle replays banding, a recursive-CTE closure, and
+    both assignments value-for-value."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_via_minhash(
+        d, num_hashes=8, bands=4, shingle_n=2, threshold=0.05
+    )
+    assigned = leakage_safe_split(
+        d, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    naive_bucket = F.pmod(
+        md5_64(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))),
+        F.lit(10_000),
+    )
+    naive = F.when(naive_bucket < 8000, "train").when(
+        naive_bucket < 9000, "val"
+    ).otherwise("test")
+    j = assigned.withColumn("naive_split", naive)
+    per_cluster = j.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("_ss"),
+        F.count_distinct("naive_split").alias("_ns"),
+    )
+    straddle = per_cluster.agg(
+        F.sum((F.col("_ss") > 1).cast("int"))
+        .cast("bigint")
+        .alias("leaked_clusters"),
+        F.sum((F.col("_ns") > 1).cast("int"))
+        .cast("bigint")
+        .alias("naive_leaked_clusters"),
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .orderBy("split")
+    )
+
+
 # r8 rotation queue — tail queries with oracles but no driver row yet
 # (registered after the r7 window was set): doc_token_weighted_length,
-# customer_hierarchy_rollup, text_tfidf_knn.  Usual trade: swap them in
-# for the longest-green in-window rows once this round's first-timers
-# go green.
+# customer_hierarchy_rollup, text_tfidf_knn,
+# corpus_leakage_safe_split.  Usual trade: swap them in for the
+# longest-green in-window rows once this round's first-timers go green.
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the

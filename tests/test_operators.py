@@ -2099,3 +2099,63 @@ def test_hashed_tfidf_vectors(spark):
         r["doc_id"]: r["tfidf"] for r in hashed_tfidf(docs, dim=32).collect()
     }
     assert again == v
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+
+    # 60 docs; pairs chain 0-1-2, 10-11, and a larger ring 20..24
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id BIGINT")
+    pair_rows = [(0, 1), (1, 2), (10, 11)] + [
+        (20 + i, 20 + (i + 1) % 5) for i in range(5)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "id_a BIGINT, id_b BIGINT")
+    out = leakage_safe_split(docs, pairs, "doc_id").collect()
+    assert len(out) == 60  # every doc assigned, singletons included
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # the contract: no cluster straddles splits
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert by_cluster.keys() >= {0, 10, 20}  # min-label canonical ids
+    # chained docs share their component even without a direct pair
+    row = {r["doc_id"]: r for r in out}
+    assert row[2]["cluster_id"] == 0 and row[24]["cluster_id"] == 20
+    # all three splits realized over 50+ singletons (sanity, det. hash)
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    # non-vacuity at corpus scale: the naive per-doc split DOES tear
+    # real near-dup clusters apart where the cluster split cannot
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        jaccard_pairs_via_minhash,
+        md5_64,
+    )
+
+    real_pairs = jaccard_pairs_via_minhash(
+        d, num_hashes=8, bands=4, shingle_n=2, threshold=0.05
+    )
+    assigned = leakage_safe_split(d, real_pairs, "doc_id")
+    naive_bucket = F.pmod(
+        md5_64(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))),
+        F.lit(10_000),
+    )
+    j = assigned.withColumn(
+        "naive",
+        F.when(naive_bucket < 8000, "train")
+        .when(naive_bucket < 9000, "val")
+        .otherwise("test"),
+    )
+    per = j.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("ss"),
+        F.count_distinct("naive").alias("ns"),
+    )
+    agg = per.agg(
+        F.sum((F.col("ss") > 1).cast("int")).alias("safe_leaks"),
+        F.sum((F.col("ns") > 1).cast("int")).alias("naive_leaks"),
+    ).first()
+    assert agg["safe_leaks"] == 0
+    assert agg["naive_leaks"] > 0  # the failure mode is real in-data
