@@ -131,6 +131,7 @@ HEADLINE = [
     "customer_hierarchy_rollup",
     "text_tfidf_knn",
     "corpus_leakage_safe_split",
+    "events_forward_fill",
 ]
 
 

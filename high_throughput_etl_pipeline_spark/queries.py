@@ -7823,11 +7823,76 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_forward_fill",
+    oracle="""
+    WITH filled AS (
+        SELECT user_id,
+               last_value(
+                   CASE WHEN event_type = 'purchase' THEN value END
+                   IGNORE NULLS
+               ) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS lpv
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN lpv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_filled,
+           CAST(SUM(CASE WHEN lpv IS NULL THEN 0
+                    ELSE CAST(round(lpv * 100, 0) AS BIGINT) END) AS BIGINT)
+               AS filled_cents
+    FROM filled GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): every
+    event carries the user's most recent purchase value, the standard
+    gap-filling move for sparse observations over a dense timeline
+    (sensor readings, prices, feature snapshots).  One ordered window
+    per user with ``last(..., ignorenulls=True)`` — the IGNORE NULLS
+    frame semantics — deterministic ties by (ts, event_id); the rollup
+    sums exact integer cents so the check is order-independent across
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("_lpv"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("_lpv").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_filled"),
+            F.sum(
+                F.when(
+                    F.col("_lpv").isNull(), F.lit(0).cast("bigint")
+                ).otherwise(
+                    F.round(F.col("_lpv") * 100, 0).cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("filled_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # r8 rotation queue — tail queries with oracles but no driver row yet
 # (registered after the r7 window was set): doc_token_weighted_length,
-# customer_hierarchy_rollup, text_tfidf_knn,
-# corpus_leakage_safe_split.  Usual trade: swap them in for the
-# longest-green in-window rows once this round's first-timers go green.
+# customer_hierarchy_rollup, text_tfidf_knn, corpus_leakage_safe_split,
+# events_forward_fill.  Usual trade: swap them in for the longest-green
+# in-window rows once this round's first-timers go green.
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
