@@ -132,6 +132,7 @@ HEADLINE = [
     "text_tfidf_knn",
     "corpus_leakage_safe_split",
     "events_forward_fill",
+    "events_session_window_native",
 ]
 
 

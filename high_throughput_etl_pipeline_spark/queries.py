@@ -7888,11 +7888,83 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_session_window_native",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(prev_ts)) AS BIGINT) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ), ids AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM ids
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window``
+    aggregation — the engine-native form of user_sessions' manual
+    lag/cumsum plan (one grouped pass, merge-able session state; the
+    same operator drives streaming session aggregation with
+    watermarks).  Boundary semantics differ from the manual variant and
+    are pinned here: the built-in closes a session when the gap is
+    REACHED (an event exactly 30 min after the last starts a NEW
+    session; its window end = last event + gap), so the oracle flags
+    ``>= 1800`` where user_sessions' uses ``> 1800``.  Exact-cents sum
+    keeps the rollup order-independent across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("_w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("_w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # r8 rotation queue — tail queries with oracles but no driver row yet
 # (registered after the r7 window was set): doc_token_weighted_length,
 # customer_hierarchy_rollup, text_tfidf_knn, corpus_leakage_safe_split,
-# events_forward_fill.  Usual trade: swap them in for the longest-green
-# in-window rows once this round's first-timers go green.
+# events_forward_fill, events_session_window_native.  Usual trade: swap
+# them in for the longest-green in-window rows once this round's
+# first-timers go green.
 HEADLINE: list[str] = [
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
