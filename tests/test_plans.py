@@ -602,3 +602,21 @@ def test_skew_profile_takeordered_no_global_window(spark):
     plan = _plan(spark, "events_skew_profile")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_forward_fill_window_is_partitioned(spark):
+    # LOCF must never run an empty-partition-spec window (a global sort
+    # on one task); the frame partitions by user_id
+    plan = _plan(spark, "events_forward_fill")
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_native_session_window_single_agg_pass(spark):
+    # the built-in session_window is ONE grouped aggregation over
+    # (user_id, session state) — no self-join, no lag window pass
+    plan = _plan(spark, "events_session_window_native")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final and "CartesianProduct" not in final
+    assert "session_window" in final or "SessionWindow" in final
