@@ -426,3 +426,82 @@ def test_bloom_semi_join_equals_plain_semi_join(spark, probe_keys, build_keys, m
         ).collect()
     )
     assert got == ref
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=19),
+            st.integers(min_value=0, max_value=19),
+        ),
+        max_size=15,
+    )
+)
+def test_leakage_safe_split_never_straddles(spark, raw_pairs):
+    """For ANY pair graph (self-loops and duplicates included), every
+    connected component lands in exactly one split and every document
+    is assigned exactly once."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id BIGINT")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in raw_pairs if a != b] or [(0, 0)],
+        "id_a BIGINT, id_b BIGINT",
+    ).filter("id_a <> id_b")
+    out = leakage_safe_split(docs, pairs, "doc_id").collect()
+    assert len(out) == 20
+    assert len({r["doc_id"] for r in out}) == 20
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),            # key
+            st.sampled_from(["I", "U", "D"]),                 # op
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cdc_orderings_agree_on_inorder_logs(spark, ops):
+    """When seq is globally monotone and batches arrive in order (the
+    normal case), arrival-order and global-seq serving views are
+    identical — the two orderings only diverge on out-of-order
+    cross-batch redelivery, which global_seq exists to fix."""
+    from high_throughput_etl_pipeline_spark.streaming.cdc_stream import (
+        cdc_snapshot,
+        merge_cdc_batch,
+    )
+    import tempfile
+
+    schema = "id BIGINT, v BIGINT, seq BIGINT, op STRING"
+    rows = [(k, i, i, op) for i, (k, op) in enumerate(ops)]
+    with tempfile.TemporaryDirectory() as d:
+        table = f"{d}/cdc"
+        half = max(1, len(rows) // 2)
+        assert merge_cdc_batch(
+            spark.createDataFrame(rows[:half], schema), 0, table, ["id"]
+        )
+        if rows[half:]:
+            assert merge_cdc_batch(
+                spark.createDataFrame(rows[half:], schema), 1, table, ["id"]
+            )
+        arrival = {
+            (r["id"], r["v"])
+            for r in cdc_snapshot(spark, table, ["id"]).collect()
+        }
+        lsn = {
+            (r["id"], r["v"])
+            for r in cdc_snapshot(
+                spark, table, ["id"], global_seq=True
+            ).collect()
+        }
+        assert arrival == lsn
