@@ -36,6 +36,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def take_top_k(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact global top-``k`` under ``order_cols`` with 1-based
+    ``rank_col``, all-parallel.
+
+    ``orderBy(...).limit(k)`` compiles to ``TakeOrderedAndProject`` —
+    every partition keeps a bounded k-row heap and the driver merges
+    ``k × partitions`` candidates — so no row outside the top-k ever
+    crosses an exchange, and there is NO SinglePartition sort of the
+    scored corpus.  The rank is then assigned by a window over the
+    k-row survivor set only (k rows, one task, by construction tiny) —
+    the same rank-after-reduction shape as ``key_skew_profile``.
+
+    ``order_cols`` must be a total ordering (include a unique
+    tie-break) or ranks at the k boundary are run-dependent.
+    """
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_col, F.row_number().over(w).cast("int"))
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[Column],

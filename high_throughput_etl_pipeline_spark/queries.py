@@ -6275,16 +6275,17 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf (no inverted index, no explode), ONE single-row corpus-stats
     aggregate broadcast back over the scan, TakeOrdered top-k — the
     lexical half of a hybrid retrieval stack at warehouse scale."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
     from high_throughput_etl_pipeline_spark.operators.retrieval import (
         bm25_scores,
     )
 
     d = _t(spark, sf_dir, "documents")
     scored = bm25_scores(d, _BM25_TERMS)
-    w = Window.orderBy(F.desc("score"), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
+        take_top_k(scored, [F.desc("score"), F.col("doc_id")], 10)
         .select("doc_id", "dl", "score", "rank")
         .orderBy("rank")
     )
@@ -6336,6 +6337,9 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion is ONE union + groupBy over narrow (id, rank) rows — rank
     lists fuse without an outer-join ladder however many retrievers
     contribute."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
     from high_throughput_etl_pipeline_spark.operators.retrieval import (
         bm25_scores,
         rrf_fuse,
@@ -6343,13 +6347,11 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    wl = Window.orderBy(F.desc("score"), "doc_id")
-    lex = (
-        bm25_scores(d, _BM25_TERMS)
-        .withColumn("rank", F.row_number().over(wl))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "rank")
-    )
+    lex = take_top_k(
+        bm25_scores(d, _BM25_TERMS),
+        [F.desc("score"), F.col("doc_id")],
+        20,
+    ).select("doc_id", "rank")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )
@@ -6361,15 +6363,13 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    wd = Window.orderBy(F.desc("cosine"), "doc_id")
-    dense = (
+    dense = take_top_k(
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(wd))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "rank")
-    )
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine")),
+        [F.desc("cosine"), F.col("doc_id")],
+        20,
+    ).select("doc_id", "rank")
     return (
         rrf_fuse([lex, dense], k=60, id_col="doc_id")
         .orderBy(F.desc("rrf_score"), "doc_id")
@@ -7676,6 +7676,9 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/MaxSim scoring shape) so nothing re-normalizes per element.
     Zero-overlap docs (cosine 0, i.e. no shared bucket — tf-idf
     components are strictly positive) are excluded on both sides."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
     from high_throughput_etl_pipeline_spark.operators.text import (
         hashed_tfidf,
     )
@@ -7690,8 +7693,7 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.orderBy(F.desc("cosine"), "doc_id")
-    return (
+    scored = (
         v.filter(F.col("doc_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
@@ -7703,10 +7705,10 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.round(F.col("_dot") / F.col("_nn"), 6).alias("cosine")
         )
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
-        .orderBy("rank")
     )
+    return take_top_k(
+        scored, [F.desc("cosine"), F.col("doc_id")], 10
+    ).orderBy("rank")
 
 
 _SPLIT_BUCKET = (

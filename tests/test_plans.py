@@ -425,6 +425,20 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert "IN (" in m.group(1) or "isin" in m.group(1).lower() or "IN " in m.group(1), m.group(1)
 
 
+def _assert_distributed_topk(plan):
+    """Every rank window must ride a TakeOrderedAndProject (k-row
+    input), never the full scored corpus.  The corpus-wide anti-pattern
+    renders as ``Window`` directly over ``Sort`` (fed by an
+    ``Exchange SinglePartition``); the fixed shape is ``Window`` over
+    ``TakeOrderedAndProject``.  Strict on purpose — the r7 pin accepted
+    ``"Window" in plan`` and passed vacuously."""
+    assert plan.count("TakeOrderedAndProject") >= 1, plan
+    for m in re.finditer(r"Window \[[^\n]*\n(\s*[+:|-]+\s*)(\w+)", plan):
+        assert m.group(2) == "TakeOrderedAndProject", (
+            "rank window not riding TakeOrderedAndProject:\n" + m.group(0)
+        )
+
+
 def test_bm25_no_explode_single_stats_broadcast(spark):
     # BM25 must not build an inverted index for a bounded term set: no
     # explode/generate stage, corpus stats broadcast as ONE row, top-k
@@ -433,15 +447,24 @@ def test_bm25_no_explode_single_stats_broadcast(spark):
     assert "Generate" not in plan  # explode would appear as Generate
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("TakeOrderedAndProject") >= 1 or "Window" in plan
+    _assert_distributed_topk(plan)
 
 
 def test_hybrid_rrf_one_fusion_shuffle(spark):
     # fusion is union + groupBy over (id, rank): exactly one aggregate
-    # exchange for the fusion itself (rank lists are tiny top-20 windows)
+    # exchange for the fusion itself (rank lists are tiny top-20 results)
     plan = _plan(spark, "hybrid_rrf_topk")
     assert "Union" in plan
     assert "CartesianProduct" not in plan
+    _assert_distributed_topk(plan)
+
+
+def test_tfidf_knn_distributed_topk(spark):
+    # the final top-10 must be TakeOrderedAndProject, not a single-task
+    # global-window rank of every scored document
+    plan = _plan(spark, "text_tfidf_knn")
+    assert "CartesianProduct" not in plan
+    _assert_distributed_topk(plan)
 
 
 def test_fuzzy_match_blocked_join_not_cartesian(spark):
