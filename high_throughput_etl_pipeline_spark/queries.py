@@ -3632,19 +3632,85 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(spark, bpe_train(d, n_merges=12)).orderBy("rank")
 
 
-@query("bpe_encode_docs")
-def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize the corpus with the merges learned from it: map-side
-    fold chain (one fold per merge, no shuffle, no Python).  Output is
-    value-sensitive via the token-stream md5 even though the query is
-    rows-only (trained artifact upstream → no static SQL oracle)."""
-    from high_throughput_etl_pipeline_spark.operators.bpe import (
-        bpe_encode,
-        bpe_train,
+# Frozen BPE merge table (rank order) — the sf0.01 bpe_train(n_merges=12)
+# output, frozen as a literal exactly like the ann_ivf_topk quantizer:
+# a tokenizer is trained once and shipped as an artifact, so the ENCODER
+# is a deterministic fold any engine can replay.  bpe_vocab_merges keeps
+# exercising the live training loop (its own honest no_oracle row).
+_BPE_FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    """Greedy BPE encoding as pure SQL: per word TYPE, a recursive-CTE
+    fixpoint of space-delimited ``replace`` per merge rank.  Leftmost
+    non-overlapping ``replace`` equals the greedy left-to-right fold
+    because a merge never creates a new (left, right) adjacency — the
+    only divergence (a consumed separator hiding the next run pair) is
+    exactly what the per-rank fixpoint iteration repairs."""
+    vals = ",\n        ".join(
+        f"({i}, ' {l} {r} ', ' {l}{r} ')"
+        for i, (l, r) in enumerate(_BPE_FROZEN_MERGES)
     )
+    n = len(_BPE_FROZEN_MERGES)
+    return f"""
+    WITH RECURSIVE m(rank, pat, rep) AS (VALUES {vals}),
+    t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)),
+                                  '[ \\t\\n\\r\\f\\x0b]+') AS words
+        FROM documents WHERE len(trim(text)) > 0
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos, words[i] AS word
+        FROM t, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i)
+    ),
+    enc AS (
+        SELECT word,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                   || '</w> ' AS s,
+               0 AS r
+        FROM (SELECT DISTINCT word FROM occ)
+        UNION ALL
+        SELECT word,
+               CASE WHEN replace(s, m.pat, m.rep) <> s
+                    THEN replace(s, m.pat, m.rep) ELSE s END,
+               CASE WHEN replace(s, m.pat, m.rep) <> s
+                    THEN r ELSE r + 1 END
+        FROM enc JOIN m ON m.rank = enc.r
+    ),
+    done AS (
+        SELECT word, trim(s) AS toks,
+               len(string_split(trim(s), ' ')) AS n_toks
+        FROM enc WHERE r = {n}
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens,
+           md5(string_agg(d.toks, ' ' ORDER BY o.pos)) AS tokens_md5
+    FROM occ o JOIN done d ON o.word = d.word
+    GROUP BY o.doc_id ORDER BY o.doc_id
+    """
+
+
+@query("bpe_encode_docs", oracle=_bpe_encode_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a FROZEN merge list (the trained
+    artifact): map-side fold chain, one array fold per merge rank, no
+    shuffle, no Python.  Equal words encode identically, so the hash
+    gate binds the whole greedy encoder — merge order, overlap
+    resolution, end-of-word handling — against the oracle's
+    recursive-CTE replay (see _bpe_encode_oracle)."""
+    from high_throughput_etl_pipeline_spark.operators.bpe import bpe_encode
 
     d = _t(spark, sf_dir, "documents")
-    merges = bpe_train(d, n_merges=12)
+    merges = [
+        {"rank": i, "left": l, "right": r, "merged": l + r, "freq": 0}
+        for i, (l, r) in enumerate(_BPE_FROZEN_MERGES)
+    ]
     enc = bpe_encode(d, merges)
     return enc.select(
         "doc_id",
@@ -7961,22 +8027,30 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r8 rotation queue — tail queries with oracles but no driver row yet
-# (registered after the r7 window was set): doc_token_weighted_length,
-# customer_hierarchy_rollup, text_tfidf_knn, corpus_leakage_safe_split,
-# events_forward_fill, events_session_window_native.  Usual trade: swap
-# them in for the longest-green in-window rows once this round's
-# first-timers go green.
+# r8 rotation: the six r7-tail queries with oracles but no driver row
+# yet all enter the window (ever-driver-checked goes to 150/150).
+# Rotated out for room — all two-round green (r6+r7) and still
+# oracle-checked in the full-registry local gate: multimodal_features,
+# quality_percentile_filter, text_sentiment_by_lang,
+# cluster_balanced_sample, events_props_json, validation_split.
 HEADLINE: list[str] = [
+    # --- r8 first-timers: leakage-safe splitting (CC + atomic cluster
+    # assignment), recursive hierarchy closure (pointer doubling),
+    # exact weighted quantiles, LOCF forward fill, native
+    # session_window semantics, and hashed TF-IDF lexical k-NN (now on
+    # the TakeOrdered top-k path)
+    "corpus_leakage_safe_split",
+    "customer_hierarchy_rollup",
+    "doc_token_weighted_length",
+    "events_forward_fill",
+    "events_session_window_native",
+    "text_tfidf_knn",
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
     # oracle can verify, closing r6's three no_oracle rows)
     "events_distinct_sketch",
     "events_quantile_sketch",
     "events_segment_overlap",
-    # multimodal_features keeps its window slot for a second green round
-    # (first driver row was r6, via the portable hex replica oracle)
-    "multimodal_features",
     # --- r7: the four oracle-green tail queries with no driver row yet
     # (r6 verification debt), the new two-stage MaxSim serving path,
     # and the two BPE queries recorded once (no_oracle by nature —
@@ -8010,9 +8084,6 @@ HEADLINE: list[str] = [
     "dedup_spans",
     "contamination_bloom",
     "doc_bigram_perplexity",
-    "quality_percentile_filter",
-    "text_sentiment_by_lang",
-    "cluster_balanced_sample",
     # --- new in r6 (late): retrieval / entity-resolution / privacy
     # families get their FIRST driver rows; the rotated-out multi-round
     # greens (events_daily_rollup r1-r5, events_unit_metrics r5,
@@ -8041,8 +8112,6 @@ HEADLINE: list[str] = [
     # count-min sketch — the first VALUE-checked sketch query (HLL/KLL/
     # theta stay rows-only by nature; CMS arithmetic is exact)
     "events_freq_sketch",
-    "events_props_json",
-    "validation_split",
     # metrics_size_profile (A6, green r5) rotates to the tail for the
     # robust-clipping query — the percentile machinery keeps
     # events_percentiles in-window
