@@ -22,118 +22,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from high_throughput_etl_pipeline_spark.queries import QUERIES
+from high_throughput_etl_pipeline_spark.queries import ORACLES, QUERIES
 from high_throughput_etl_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "events_daily_rollup",
-    "events_type_stats",
-    "events_hourly_breakdown",
-    "metrics_size_profile",
-    "top_customers_by_revenue",
-    "doc_word_counts",
-    "text_quality_by_source",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_jaccard_pairs",
-    "knn_bruteforce",
-    "embedding_near_dup",
-    "user_sessions",
-    "top_customers_per_nation",
-    "q6_forecast_revenue",
-    "q17_small_quantity_parts",
-    "q7_volume_shipping",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "purchase_attribution_asof",
-    "error_context_rangejoin",
-    "lsh_topk",
-    "sample_frames",
-    "q21_waiting_suppliers",
-    "events_rolling_stats",
-    "dedup_cc_clusters",
-    # r3 additions: CC propagation isolated from pair generation, the
-    # MinHash-candidate pair path (now the cc default), the corpus
-    # family, and the de-globalized ranking query
-    "dedup_cc_rounds",
-    "dedup_jaccard_minhash",
-    "corpus_hash_split",
-    "corpus_stratified_sample",
-    "benchmark_contamination",
-    "corpus_token_packing",
-    "customer_value_ntiles",
-    "corpus_doc_chunks",
-    "events_hopping_windows",
-    "corpus_vocab_topk",
-    "dataprep_training_batches",
-    # r5 additions: the broadcast-joined PQ/ADC family, z-order layout
-    # algebra, and the mergeable-sketch family
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "events_zorder_buckets",
-    "events_distinct_sketch",
-    "events_quantile_sketch",
-    "events_segment_overlap",
-    # r6: the Arrow-batched mapInPandas stage (now value-checked), span-
-    # level dedup, and the Bloom-prefilter decontamination path
-    "multimodal_features",
-    "dedup_spans",
-    "contamination_bloom",
-    "dedup_spans_within_doc",
-    "doc_bigram_perplexity",
-    "quality_percentile_filter",
-    "bpe_vocab_merges",
-    "text_sentiment_by_lang",
-    "cluster_balanced_sample",
-    "decontamination_fuzzy",
-    "corpus_mixture_sample",
-    "scd2_customer_merge",
-    "corpus_epoch_shuffle",
-    "text_classifier_scores",
-    "events_freq_sketch",
-    "corpus_datacard",
-    "corpus_packed_sequences",
-    "events_winsorized",
-    "source_overlap_matrix",
-    "embedding_centering",
-    # r6 late additions: lexical/hybrid retrieval, blocked entity
-    # resolution, and the privacy-audit rollups
-    "text_bm25_topk",
-    "hybrid_rrf_topk",
-    "customer_fuzzy_match",
-    "events_k_anonymity",
-    "events_anonymity_report",
-    "embedding_hard_negatives",
-    "embedding_knn_label_eval",
-    "corpus_weighted_sample",
-    "data_quality_report",
-    "customer_snapshot_diff",
-    "audio_window_grid",
-    "maxsim_multivector_topk",
-    "user_retention_cohorts",
-    "weekly_revenue_growth",
-    "events_outlier_audit",
-    # r7: two-stage ColBERT serving (ANN prefilter -> MaxSim re-rank),
-    # CDC apply, DP release, importance resampling, skew diagnostics
-    "maxsim_ann_rerank",
-    "orders_cdc_apply",
-    "events_dp_release",
-    "corpus_length_match_sample",
-    "events_skew_profile",
-    "join_size_audit",
-    "doc_token_weighted_length",
-    "customer_hierarchy_rollup",
-    "text_tfidf_knn",
-    "corpus_leakage_safe_split",
-    "events_forward_fill",
-    "events_session_window_native",
-]
+# The bench list IS the registry (driver-window order first, then the
+# tail) — derived, not maintained by hand: a hand-kept twin of
+# queries.py's HEADLINE silently dropped new queries twice in past
+# rounds.  Every @query registration is benched the moment it exists;
+# the assert documents that nothing is filtered.
+HEADLINE = list(QUERIES)
+assert set(HEADLINE) >= set(ORACLES), "oracle query missing from bench"
 
 
 def _sf_label(sf_dir: str) -> float:

@@ -94,6 +94,7 @@ def dp_noisy_counts(
     epsilon: float = 1.0,
     sensitivity: float = 1.0,
     seed: str = "dp-v1",
+    release_id: str = "release-0",
 ) -> DataFrame:
     """ε-differentially-private histogram release: per-group counts with
     Laplace(sensitivity/ε) noise — the mechanism behind every "publish
@@ -110,6 +111,15 @@ def dp_noisy_counts(
     engine re-derives the same draws and the whole release is
     value-checkable).
 
+    ``release_id`` is mixed into the PRF key: RETRIES of the same
+    release (same id) stay idempotent, but a NEW release over evolved
+    data must carry a fresh id, or the per-group noise would repeat and
+    differencing two published releases would reveal exact count deltas
+    with no seed knowledge at all.  Each distinct release_id spends a
+    fresh ``epsilon`` — composition across releases is the caller's
+    budget to account (k releases at ε each ⇒ kε total against a row
+    present in all of them).
+
     One grouped aggregation + map-side noise — the release costs what a
     rollup costs at any scale.  Emits ``noisy_count`` (6 dp) ONLY — the
     exact count never leaves the operator, that is the point.
@@ -118,7 +128,10 @@ def dp_noisy_counts(
 
     b = float(sensitivity) / float(epsilon)
     key = F.concat_ws(
-        "|", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+        "|",
+        F.lit(seed),
+        F.lit(release_id),
+        *[F.col(c).cast("string") for c in group_cols],
     )
     # u strictly inside (-0.5, 0.5): (h + 0.5) / 2^60 - 0.5 over the
     # 60-bit hash h — never hits the ln(0) endpoint

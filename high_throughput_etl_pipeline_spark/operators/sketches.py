@@ -125,7 +125,11 @@ def value_quantile_sketches(
     percentile is a sort; a KLL sketch is a bounded-size summary with
     provable rank error ~1/k).
 
-    Output: (group, n, q50, q90, q99) — one row per group plus 'ALL'.
+    Output: (grp, is_merged, n, q50, q90, q99) — one row per group plus
+    the all-groups merge.  ``is_merged`` is an explicit boolean, NOT a
+    sentinel group name: a real group whose value happens to be the
+    string 'ALL' stays distinguishable from the merged row everywhere
+    downstream (join predicates, group-bys, oracles).
     """
     sk = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.kll_sketch_agg_double(value_col, F.lit(k)).alias("sketch"),
@@ -140,13 +144,20 @@ def value_quantile_sketches(
             for q in quantiles
         ]
 
-    per_group = sk.select("grp", "n", *qcols(F.col("sketch")))
+    per_group = sk.select(
+        "grp", F.lit(False).alias("is_merged"), "n", *qcols(F.col("sketch"))
+    )
     # kll_merge_agg_double is a true aggregate over sketch blobs —
     # map-side combinable, the shape that merges 10⁵ partition sketches
     merged = sk.agg(
         F.expr("kll_merge_agg_double(sketch)").alias("m"),
         F.sum("n").alias("n"),
-    ).select(F.lit("ALL").alias("grp"), "n", *qcols(F.col("m")))
+    ).select(
+        F.lit("ALL").alias("grp"),
+        F.lit(True).alias("is_merged"),
+        "n",
+        *qcols(F.col("m")),
+    )
     return per_group.unionByName(merged)
 
 
@@ -160,7 +171,8 @@ def quantile_ranks_verified(
 ) -> DataFrame:
     """:func:`value_quantile_sketches` with each estimate BOUND to its
     rank-error contract, in engine-portable form: for every group (and
-    the merged ALL row) the output is ``(grp, n_rows, r50_ok, ...)``
+    the merged row) the output is ``(grp, is_merged, n_rows, r50_ok,
+    ...)``
     where ``rQ_ok`` verifies the sketch's returned quantile value v
     really sits within ``tol`` of normalized rank Q —
     ``count(x < v)/n <= Q + tol`` and ``count(x <= v)/n >= Q - tol``
@@ -180,9 +192,12 @@ def quantile_ranks_verified(
         F.broadcast(qs),
         # null-safe on the group key: a NULL group is a real group to
         # value_quantile_sketches (and to the oracle's GROUP BY) — a
-        # plain == would NULL the predicate and drop its row
-        F.col("grp").eqNullSafe(F.col("_g"))
-        | (F.col("grp") == F.lit("ALL")),
+        # plain == would NULL the predicate and drop its row.  The
+        # merged row matches every event via the explicit is_merged
+        # boolean, never via a group-name sentinel (a real group
+        # literally named 'ALL' must not absorb the whole table).
+        (~F.col("is_merged") & F.col("grp").eqNullSafe(F.col("_g")))
+        | F.col("is_merged"),
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for q in quantiles:
@@ -197,8 +212,8 @@ def quantile_ranks_verified(
                 F.when(F.col("_v") <= F.col(c), 1).otherwise(0)
             ).alias(f"_le_{c}")
         )
-    g = j.groupBy("grp").agg(*aggs)
-    cols = [F.col("grp"), F.col("n_rows")]
+    g = j.groupBy("grp", "is_merged").agg(*aggs)
+    cols = [F.col("grp"), F.col("is_merged"), F.col("n_rows")]
     for q in quantiles:
         c = f"q{int(q * 100)}"
         ok = (

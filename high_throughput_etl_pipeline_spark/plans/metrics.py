@@ -131,10 +131,16 @@ def key_skew_profile(
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+    # Σn² in decimal(38,0): a multi-billion-row hot key squares past
+    # int64 (1e10² = 1e20 > 9.2e18) and non-ANSI bigint arithmetic
+    # would wrap NEGATIVE — the diagnostic must not lie exactly when
+    # skew is worst.  The final divisions go through double (no wrap).
     tot = counts.agg(
         F.sum("n_rows").alias("_t"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-        F.sum(F.col("n_rows") * F.col("n_rows")).alias("_sq"),
+        F.sum(
+            F.col("n_rows").cast("decimal(38,0)") * F.col("n_rows")
+        ).alias("_sq"),
     )
     return (
         counts.orderBy(F.desc("n_rows"), "key")
@@ -150,7 +156,9 @@ def key_skew_profile(
             F.round(F.col("n_rows") / F.col("_t"), 6).alias("share"),
             "n_keys",
             F.round(
-                F.col("_sq") / (F.col("_t") * F.col("_t")), 9
+                F.col("_sq").cast("double")
+                / (F.col("_t").cast("double") * F.col("_t").cast("double")),
+                9,
             ).alias("herfindahl"),
         )
     )
@@ -172,35 +180,49 @@ def join_size_estimate(
     contribution (the straggler-task bound before salting) and
     ``fanout_a`` = join_rows / a_rows (output amplification).
     """
+    est = _join_size_estimate_exact(a, b, key_cols)
+    # public shape keeps bigint columns; the sums were computed in
+    # decimal(38,0), so a value past int64 surfaces as NULL (non-ANSI
+    # decimal→bigint overflow) — visible, never a wrapped negative
+    return est.select(
+        F.col("join_rows").cast("bigint").alias("join_rows"),
+        "a_rows",
+        "b_rows",
+        "matched_keys",
+        F.col("max_key_pairs").cast("bigint").alias("max_key_pairs"),
+        F.round(
+            F.col("join_rows").cast("double") / F.col("a_rows"), 6
+        ).alias("fanout_a"),
+    )
+
+
+def _join_size_estimate_exact(
+    a: DataFrame, b: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """One-row estimate with ``join_rows``/``max_key_pairs`` as
+    decimal(38,0): two billion-row sides on one hot key exceed int64
+    pair counts (1e10·1e10 = 1e20), and a silent int64 wrap would make
+    the guardrail fail OPEN in exactly the blowup it exists to catch."""
+    dec = "decimal(38,0)"
     ca = a.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_na"))
     cb = b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_nb"))
-    ta = ca.agg(F.sum("_na").alias("a_rows"))
-    tb = cb.agg(F.sum("_nb").alias("b_rows"))
+    ta = ca.agg(F.coalesce(F.sum("_na"), F.lit(0)).cast("bigint").alias("a_rows"))
+    tb = cb.agg(F.coalesce(F.sum("_nb"), F.lit(0)).cast("bigint").alias("b_rows"))
     per_key = ca.join(cb, on=key_cols).select(
-        (F.col("_na") * F.col("_nb")).alias("_pairs")
+        (F.col("_na").cast(dec) * F.col("_nb")).alias("_pairs")
     )
     return (
         per_key.agg(
-            F.coalesce(F.sum("_pairs"), F.lit(0))
-            .cast("bigint")
+            F.coalesce(F.sum("_pairs"), F.lit(0).cast(dec))
+            .cast(dec)
             .alias("join_rows"),
             F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
-            F.coalesce(F.max("_pairs"), F.lit(0))
-            .cast("bigint")
+            F.coalesce(F.max("_pairs"), F.lit(0).cast(dec))
+            .cast(dec)
             .alias("max_key_pairs"),
         )
         .crossJoin(F.broadcast(ta))
         .crossJoin(F.broadcast(tb))
-        .select(
-            "join_rows",
-            F.col("a_rows").cast("bigint").alias("a_rows"),
-            F.col("b_rows").cast("bigint").alias("b_rows"),
-            "matched_keys",
-            "max_key_pairs",
-            F.round(F.col("join_rows") / F.col("a_rows"), 6).alias(
-                "fanout_a"
-            ),
-        )
     )
 
 
@@ -218,21 +240,41 @@ def assert_join_bounded(
     the one-row estimate (already computed) on success so callers can
     log it.  Cost: one metadata-scale job, the cheapest insurance a
     100 TB join can buy."""
-    est = join_size_estimate(a, b, key_cols).first()
-    if est["join_rows"] > max_rows:
+    # compare against the EXACT decimal estimate (int64 wraps negative
+    # on cross-product-scale joins, which would fail the check open)
+    est = _join_size_estimate_exact(a, b, key_cols).first()
+    join_rows = int(est["join_rows"])
+    worst = int(est["max_key_pairs"])
+    if join_rows > max_rows:
         raise ValueError(
-            f"join on {key_cols} would produce {est['join_rows']} rows "
+            f"join on {key_cols} would produce {join_rows} rows "
             f"(> {max_rows}); worst key contributes "
-            f"{est['max_key_pairs']} — salt, pre-aggregate, or rethink"
+            f"{worst} — salt, pre-aggregate, or rethink"
         )
-    if max_key_pairs is not None and est["max_key_pairs"] > max_key_pairs:
+    if max_key_pairs is not None and worst > max_key_pairs:
         raise ValueError(
             f"join on {key_cols}: a single key contributes "
-            f"{est['max_key_pairs']} pairs (> {max_key_pairs}) — the "
+            f"{worst} pairs (> {max_key_pairs}) — the "
             "straggler task will not finish; salt this key"
         )
     spark = a.sparkSession
-    return spark.createDataFrame([est.asDict()])
+    a_rows = int(est["a_rows"])
+    # explicit schema: with an empty `a` side fanout_a is undefined
+    # (0/0) — inference over a None field would crash the SUCCESS path
+    return spark.createDataFrame(
+        [
+            (
+                join_rows,
+                a_rows,
+                int(est["b_rows"]),
+                int(est["matched_keys"]),
+                worst,
+                round(join_rows / a_rows, 6) if a_rows else 0.0,
+            )
+        ],
+        "join_rows BIGINT, a_rows BIGINT, b_rows BIGINT, "
+        "matched_keys BIGINT, max_key_pairs BIGINT, fanout_a DOUBLE",
+    )
 
 
 def weighted_quantiles(

@@ -6231,12 +6231,13 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_quantile_sketch",
     oracle="""
     WITH per_grp AS (
-        SELECT event_type AS grp, COUNT(*) AS n_rows
+        SELECT event_type AS grp, FALSE AS is_merged, COUNT(*) AS n_rows
         FROM events GROUP BY 1
     ), total AS (
-        SELECT 'ALL' AS grp, COUNT(*) AS n_rows FROM events
+        SELECT 'ALL' AS grp, TRUE AS is_merged, COUNT(*) AS n_rows
+        FROM events
     )
-    SELECT grp, n_rows,
+    SELECT grp, is_merged, n_rows,
            TRUE AS r50_ok, TRUE AS r90_ok, TRUE AS r99_ok
     FROM (SELECT * FROM per_grp UNION ALL SELECT * FROM total)
     ORDER BY grp
@@ -7362,7 +7363,8 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), 6) AS noisy_count
     FROM (
         SELECT event_type, hr,
-               (('0x' || substr(md5(concat_ws('|', 'dp-v1', event_type,
+               (('0x' || substr(md5(concat_ws('|', 'dp-v1', 'release-0',
+                    event_type,
                     CAST(hr AS VARCHAR))), 18, 15))::BIGINT + 0.5)
                    / 1152921504606846976.0 - 0.5 AS u
         FROM (

@@ -45,69 +45,24 @@ SKETCH_SCHEMA = "date STRING, sketch BINARY, n_rows BIGINT"
 
 def _current_snapshot(table_path: str) -> str | None:
     """Latest marker-consistent snapshot directory (non-destructive).
-    Falls back to the table path itself for a legacy pre-``store.py``
-    layout (parquet files + ``_last_batch_id`` directly in the table
-    dir) so readers keep serving accumulated history across the
-    format upgrade — reads never mutate; :func:`_migrate_legacy`
-    rewrites the layout from the maintainer path."""
-    dirs = _store.batch_dirs(table_path)
-    if dirs:
-        return dirs[-1]
-    if os.path.isfile(os.path.join(table_path, "_last_batch_id")):
-        return table_path
-    return None
 
-
-def _migrate_legacy(table_path: str) -> None:
-    """One-shot in-place upgrade of the pre-``store.py`` layout.
-
-    The old sink kept parquet files plus a ``_last_batch_id`` replay
-    marker (optionally ``<stream_id> <batch>``) directly in the table
-    directory.  Without migration, ``batch_dirs`` sees an empty store:
-    the next merge would silently rebuild from the current batch alone
-    — abandoning all accumulated per-day history — and the replay
-    guard would reset to -1.  This moves the data files into
-    ``batch_<last_id>`` (marker inside, atomic publish), carries the
-    stream identity into ``_stream_id``, and removes the legacy
-    marker.  Maintainer-path only (called from ``merge_batch``)."""
+    The pre-``store.py`` layout (parquet files + ``_last_batch_id``
+    directly in the table dir) was auto-migrated for one round after
+    the r7 format change and is no longer supported: serving it
+    silently as an empty store would abandon accumulated history, so
+    an explicit layout assert raises instead."""
     marker = os.path.join(table_path, "_last_batch_id")
-    if not os.path.isfile(marker):
-        return
-    with open(marker) as f:
-        raw = f.read().strip().split()
-    legacy_sid, batch_id = (
-        (raw[0], int(raw[1])) if len(raw) == 2 else (None, int(raw[0]))
-    )
-    out_dir = _store.batch_dir(table_path, batch_id)
-    if os.path.isdir(out_dir):
-        # a previous migration crashed between publish and marker
-        # removal — the data already lives in the snapshot dir, so just
-        # finish the bookkeeping
-        os.remove(marker)
-        if legacy_sid and not os.path.exists(
-            os.path.join(table_path, "_stream_id")
-        ):
-            with open(os.path.join(table_path, "_stream_id"), "w") as f:
-                f.write(legacy_sid)
-        return
-    staging = out_dir + "._staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    os.makedirs(staging)
-    for name in os.listdir(table_path):
-        full = os.path.join(table_path, name)
-        if not os.path.isfile(full):
-            continue
-        if name in ("_last_batch_id", "_stream_id"):
-            continue
-        os.rename(full, os.path.join(staging, name))
-    _store.write_absorbed_marker(staging, batch_id)
-    _store.publish(staging, out_dir)
-    os.remove(marker)
-    if legacy_sid:
-        sid_file = os.path.join(table_path, "_stream_id")
-        if not os.path.exists(sid_file):
-            with open(sid_file, "w") as f:
-                f.write(legacy_sid)
+    if os.path.isfile(marker):
+        raise RuntimeError(
+            f"{table_path}: legacy pre-store.py sketch layout "
+            "(_last_batch_id at the table root) — the one-round "
+            "migration shim was retired; rebuild the table from the "
+            "stream (delete table + checkpoint) or move the parquet "
+            "files into a batch_<id> directory with an "
+            "_absorbed_through marker"
+        )
+    dirs = _store.batch_dirs(table_path)
+    return dirs[-1] if dirs else None
 
 
 def merge_batch(
@@ -134,7 +89,7 @@ def merge_batch(
     both as-is to resume the original checkpoint.
     """
     if os.path.isdir(table_path):
-        _migrate_legacy(table_path)
+        _current_snapshot(table_path)  # layout assert (legacy raises)
         # deferred retention: snapshots superseded by PREVIOUS merges
         # are healed here, at the START of the next maintainer call —
         # never right after a publish, when a concurrent serving scan

@@ -1027,71 +1027,32 @@ def test_maxsim_stream_index_matches_in_memory(spark, tmp_path):
     assert got == ref and len(got) == 15
 
 
-def test_sketch_store_legacy_layout_migration(spark, tmp_path):
-    """A table written by the pre-store.py layout (parquet files +
-    _last_batch_id directly in the table dir) keeps serving its
-    accumulated history: reads fall back to the legacy files
-    non-destructively, and the first maintainer merge migrates the
-    layout in place — history unioned, replay guard carried over."""
+def test_sketch_store_legacy_layout_rejected(spark, tmp_path):
+    """The pre-store.py layout shim was a one-round migration (r7) and
+    is retired: a table with _last_batch_id at its root must fail LOUD
+    on both the read and maintainer paths — serving it as an empty
+    store would silently abandon accumulated history."""
     import os as _os
 
-    from pyspark.sql import functions as F
+    import pytest as _pytest
 
-    from high_throughput_etl_pipeline_spark.operators.sketches import (
-        LG_CONFIG_K,
-    )
-    from high_throughput_etl_pipeline_spark.streaming import store as _store
     from high_throughput_etl_pipeline_spark.streaming.sketch_stream import (
         merge_batch,
         stored_distinct_estimates,
     )
 
     table = str(tmp_path / "legacy")
-    hist = spark.createDataFrame(
-        [(f"2026-08-1{d}", i) for d in (1, 2) for i in range(5)],
-        "date STRING, user_id BIGINT",
-    )
-    legacy = hist.groupBy("date").agg(
-        F.hll_sketch_agg("user_id", F.lit(LG_CONFIG_K)).alias("sketch"),
-        F.count("*").alias("n_rows"),
-    )
-    legacy.coalesce(1).write.mode("overwrite").parquet(table)
+    _os.makedirs(table)
     with open(_os.path.join(table, "_last_batch_id"), "w") as f:
         f.write("legacy-sid 3")
 
-    # read path serves the legacy layout as-is, mutating nothing
-    got = {
-        r["date"]: r["n_rows"]
-        for r in stored_distinct_estimates(spark, table).collect()
-    }
-    assert got["2026-08-11"] == 5 and got["ALL"] == 10
-    assert _os.path.isfile(_os.path.join(table, "_last_batch_id"))
-
-    # replayed batch ids up to the legacy high-water mark still no-op
-    schema = "ts TIMESTAMP, user_id BIGINT"
-    batch = spark.createDataFrame([], schema)
-    assert merge_batch(batch, 3, table) is False  # migrates, then guards
-    assert not _os.path.isfile(_os.path.join(table, "_last_batch_id"))
-    assert _store.max_batch_id(table) == 3
-    # the fresh-checkpoint fence carried over from the legacy marker
-    import pytest as _pytest
-
-    with _pytest.raises(RuntimeError, match="checkpoint"):
-        merge_batch(batch, 4, table, stream_id="другой".encode().hex())
-
-    # and a genuinely new batch unions INTO the migrated history
-    newer = spark.createDataFrame(
-        [("2026-08-13 00:00:00", 100 + i) for i in range(3)],
-        "ts STRING, user_id BIGINT",
-    ).select(F.to_timestamp("ts").alias("ts"), "user_id")
-    assert merge_batch(newer, 4, table, stream_id="legacy-sid")
-    final = {
-        r["date"]: r["n_rows"]
-        for r in stored_distinct_estimates(spark, table).collect()
-    }
-    assert final["2026-08-11"] == 5          # history survived
-    assert final["2026-08-13"] == 3
-    assert final["ALL"] == 13
+    with _pytest.raises(RuntimeError, match="legacy"):
+        stored_distinct_estimates(spark, table)
+    batch = spark.createDataFrame([], "ts TIMESTAMP, user_id BIGINT")
+    with _pytest.raises(RuntimeError, match="legacy"):
+        merge_batch(batch, 4, table)
+    # nothing was mutated by the failed calls
+    assert _os.listdir(table) == ["_last_batch_id"]
 
 
 def test_cdc_global_seq_ordering(spark, tmp_path):
