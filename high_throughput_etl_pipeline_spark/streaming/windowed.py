@@ -42,3 +42,42 @@ def windowed_counts(
         *(group_cols or []),
         *[c for c in ("n_events", "total_value") if c in out.columns],
     )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Native ``session_window`` sessionization, batch or streaming.
+
+    The streaming side is the part a manual lag-sessionizer cannot do:
+    the engine keeps per-key OPEN sessions in state, MERGES a session
+    whose events arrive split across micro-batches (or out of order
+    within the watermark), and seals a session only when the watermark
+    passes its gap — the batch run of the identical plan is the oracle
+    (tests pin set-equality of sealed sessions).
+
+    Same gap semantics as the batch query ``events_session_window_native``:
+    a new session starts when the gap is REACHED (delta >= gap).  State
+    size is bounded by open sessions per key — watermark eviction is
+    what makes this run forever at 100 TB/day.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    aggs = [F.count("*").alias("n_events")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 4).alias("total_value"))
+    out = df.groupBy(
+        F.session_window(ts_col, gap).alias("sess"), F.col(key_col)
+    ).agg(*aggs)
+    return out.select(
+        F.col(key_col),
+        F.col("sess.start").alias("session_start"),
+        F.col("sess.end").alias("session_end"),
+        *[c for c in ("n_events", "total_value") if c in out.columns],
+    )

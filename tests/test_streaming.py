@@ -146,6 +146,87 @@ def test_windowed_counts_stream_and_batch_agree(spark, tmp_path):
     assert len(expected) == 3
 
 
+def test_session_window_merges_across_microbatches(spark, tmp_path):
+    """Streaming twin of events_session_window_native: one user's
+    session arrives SPLIT across micro-batches (maxFilesPerTrigger=1),
+    so the stateful session_window operator must merge the open session
+    in state rather than emit two fragments.  Sealed-session output
+    must equal the batch run of the identical plan — set equality, so
+    a split session (two rows) or a missed merge fails loudly."""
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.streaming.windowed import (
+        session_counts,
+    )
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    # file 0: user 1 session A (2 events), user 2 session (1 event)
+    # file 1: user 1 session A CONTINUES (within 30 min gap) + a new
+    #         session B for user 1 an hour later
+    # file 2: far-future flush event (user 999) advances the watermark
+    #         past every real session's gap; its own session stays open
+    #         in state and is never emitted
+    files = [
+        [
+            {"user_id": 1, "ts": "2026-08-12 10:00:00", "value": 1.0},
+            {"user_id": 1, "ts": "2026-08-12 10:10:00", "value": 2.0},
+            {"user_id": 2, "ts": "2026-08-12 10:05:00", "value": 5.0},
+        ],
+        [
+            {"user_id": 1, "ts": "2026-08-12 10:25:00", "value": 3.0},
+            {"user_id": 1, "ts": "2026-08-12 12:00:00", "value": 4.0},
+        ],
+        [
+            {"user_id": 999, "ts": "2026-08-13 12:00:00", "value": 0.0},
+        ],
+    ]
+    for i, rows in enumerate(files):
+        with open(ind / f"f{i}.ndjson", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "user_id BIGINT, ts STRING, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ind))
+        .select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+    )
+    q = (
+        session_counts(stream, gap="30 minutes", watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.schema(schema).json(str(ind))
+        .select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+    )
+    key = lambda r: (
+        r["user_id"],
+        str(r["session_start"]),
+        str(r["session_end"]),
+        r["n_events"],
+        r["total_value"],
+    )
+    expected = {
+        key(r)
+        for r in session_counts(batch, gap="30 minutes").collect()
+        if r["user_id"] != 999
+    }
+    got = {key(r) for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert got == expected
+    # the cross-batch merge really happened: user 1's first session
+    # spans files 0 and 1 as ONE 3-event row
+    assert (1, "2026-08-12 10:00:00", "2026-08-12 10:55:00", 3, 6.0) in got
+
+
 def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
     """ST6 streaming form: duplicate (id, ts) events across micro-batches
     collapse to one row; the batch run of the same plan is the oracle."""
