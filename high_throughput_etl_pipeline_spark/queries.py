@@ -8029,6 +8029,133 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_funnel_chained",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s0 AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND e.ts > s0.t0
+        GROUP BY e.user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           strftime(s0.t0, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(CASE WHEN s2.t2 IS NOT NULL THEN 3
+                     WHEN s1.t1 IS NOT NULL THEN 2
+                     WHEN s0.t0 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS steps_completed,
+           (s2.t2 IS NOT NULL
+            AND CAST(floor(epoch(s2.t2)) AS BIGINT)
+                - CAST(floor(epoch(s0.t0)) AS BIGINT) <= 86400)
+               AS converted,
+           CASE WHEN s2.t2 IS NOT NULL
+                 AND CAST(floor(epoch(s2.t2)) AS BIGINT)
+                     - CAST(floor(epoch(s0.t0)) AS BIGINT) <= 86400
+                THEN CAST(floor(epoch(s2.t2)) AS BIGINT)
+                     - CAST(floor(epoch(s0.t0)) AS BIGINT)
+           END AS seconds_to_convert
+    FROM u LEFT JOIN s0 ON u.user_id = s0.user_id
+           LEFT JOIN s1 ON u.user_id = s1.user_id
+           LEFT JOIN s2 ON u.user_id = s2.user_id
+    ORDER BY u.user_id
+    """,
+)
+def user_funnel_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-first-occurrence funnel (view → click → purchase, 24 h
+    conversion window): each stage binds to the EARLIEST event of its
+    type strictly after the previously bound stage — strictly stronger
+    than the first-touch funnel (user_funnel_conversion), and computed
+    in ONE grouped pass (sorted-array fold, operators/sequence.py)
+    where the naive form is a scan + join per stage.  The oracle
+    replays the walk as nested chained-MIN subqueries."""
+    from high_throughput_etl_pipeline_spark.operators.sequence import (
+        funnel_walk,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = funnel_walk(
+        e, ["view", "click", "purchase"], within_seconds=86400
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return w.select(
+        "user_id",
+        F.date_format("t_0", fmt).alias("view_ts"),
+        F.date_format("t_1", fmt).alias("click_ts"),
+        F.date_format("t_2", fmt).alias("purchase_ts"),
+        "steps_completed",
+        "converted",
+        "seconds_to_convert",
+    ).orderBy("user_id")
+
+
+@query(
+    "user_event_patterns",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    WHEN 'error' THEN 'e' END AS ch
+        FROM events
+    ), seqs AS (
+        SELECT user_id,
+               string_agg(ch, '' ORDER BY ts, event_id) AS seq
+        FROM coded WHERE ch IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vp')) AS INT)
+               AS n_direct_convert,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS INT)
+               AS n_error_bursts,
+           CAST(len(regexp_extract_all(seq, 'v+c')) AS INT)
+               AS n_view_runs_clicked
+    FROM seqs ORDER BY user_id
+    """,
+)
+def user_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex CEP over per-user event-type strings: each user's history
+    collapses to one chronologically ordered character string (tie
+    broken by event_id — REQUIRED for engine-stable sequences), then
+    any regular expression is a pattern query.  Counted here:
+    immediate view→purchase adjacency, error bursts (runs ≥ 2), and
+    view-runs ending in a click — the product-analytics questions a
+    fixed funnel cannot ask.  One shuffle; patterns evaluate map-side
+    (operators/sequence.py:event_type_patterns)."""
+    from high_throughput_etl_pipeline_spark.operators.sequence import (
+        event_type_patterns,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return event_type_patterns(
+        e,
+        alphabet={
+            "view": "v",
+            "click": "c",
+            "purchase": "p",
+            "signup": "s",
+            "error": "e",
+        },
+        patterns={
+            "direct_convert": "vp",
+            "error_bursts": "ee+",
+            "view_runs_clicked": "v+c",
+        },
+        tie_col="event_id",
+    ).orderBy("user_id")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150).
 # Rotated out for room — all two-round green (r6+r7) and still

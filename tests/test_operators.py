@@ -2159,3 +2159,90 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     ).first()
     assert agg["safe_leaks"] == 0
     assert agg["naive_leaks"] > 0  # the failure mode is real in-data
+
+
+def test_funnel_walk_chained_semantics(spark):
+    """Step i binds to the FIRST event of its type strictly after step
+    i-1 — not first-touch.  Covers: out-of-order stage (click before
+    any view doesn't bind), rebind-after (later click binds), broken
+    chain, and the within_seconds span gate."""
+    from high_throughput_etl_pipeline_spark.operators.sequence import (
+        funnel_walk,
+    )
+
+    rows = [
+        # u1: click@09 precedes the first view@10 -> that click must NOT
+        # bind; click@11 binds; purchase@12 converts (span 2h)
+        (1, "2026-08-12 09:00:00", "click"),
+        (1, "2026-08-12 10:00:00", "view"),
+        (1, "2026-08-12 11:00:00", "click"),
+        (1, "2026-08-12 12:00:00", "purchase"),
+        # u2: full chain but span > window (3 days) -> completed, not
+        # converted under within
+        (2, "2026-08-12 10:00:00", "view"),
+        (2, "2026-08-12 11:00:00", "click"),
+        (2, "2026-08-15 11:00:00", "purchase"),
+        # u3: purchase BEFORE the bound click -> chain stops at click
+        (3, "2026-08-12 10:00:00", "view"),
+        (3, "2026-08-12 10:30:00", "purchase"),
+        (3, "2026-08-12 11:00:00", "click"),
+        # u4: no funnel event types at all
+        (4, "2026-08-12 10:00:00", "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts STRING, event_type STRING"
+    ).selectExpr("user_id", "to_timestamp(ts) AS ts", "event_type")
+    got = {
+        r["user_id"]: r
+        for r in funnel_walk(
+            df, ["view", "click", "purchase"], within_seconds=86400
+        ).collect()
+    }
+    assert got[1]["converted"] and got[1]["seconds_to_convert"] == 7200
+    assert str(got[1]["t_1"]).startswith("2026-08-12 11:00")
+    assert got[2]["steps_completed"] == 3 and not got[2]["converted"]
+    assert got[2]["seconds_to_convert"] is None
+    assert got[3]["steps_completed"] == 2 and not got[3]["converted"]
+    assert got[4]["steps_completed"] == 0 and got[4]["t_0"] is None
+
+
+def test_event_type_patterns_counts_and_ties(spark):
+    from high_throughput_etl_pipeline_spark.operators.sequence import (
+        event_type_patterns,
+    )
+
+    # u1 sequence 'veevp': one direct 'vp', one 'ee' burst; the two
+    # equal-ts events order by the tie column (event_id) -> 've' not 'ev'
+    rows = [
+        (1, 10, "2026-08-12 10:00:00", "view"),
+        (1, 11, "2026-08-12 10:00:00", "error"),
+        (1, 12, "2026-08-12 10:01:00", "error"),
+        (1, 13, "2026-08-12 10:02:00", "view"),
+        (1, 14, "2026-08-12 10:03:00", "purchase"),
+        # u2: unmapped type drops; 'vvc' counts one v-run->click
+        (2, 20, "2026-08-12 10:00:00", "view"),
+        (2, 21, "2026-08-12 10:01:00", "other_type"),
+        (2, 22, "2026-08-12 10:02:00", "view"),
+        (2, 23, "2026-08-12 10:03:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, ts STRING, event_type STRING"
+    ).selectExpr(
+        "user_id", "event_id", "to_timestamp(ts) AS ts", "event_type"
+    )
+    got = {
+        r["user_id"]: r
+        for r in event_type_patterns(
+            df,
+            alphabet={"view": "v", "click": "c", "purchase": "p",
+                      "error": "e"},
+            patterns={"direct_convert": "vp", "error_bursts": "ee+",
+                      "view_runs_clicked": "v+c"},
+            tie_col="event_id",
+        ).collect()
+    }
+    assert got[1]["seq_len"] == 5
+    assert got[1]["n_direct_convert"] == 1
+    assert got[1]["n_error_bursts"] == 1
+    assert got[2]["seq_len"] == 3  # unmapped type dropped
+    assert got[2]["n_view_runs_clicked"] == 1
