@@ -253,6 +253,91 @@ def dedup_clusters(
     return cc.select(F.col("node"), F.col("component").alias("cluster_id"))
 
 
+def pagerank_int(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic.
+
+    Rank is carried as bigint micro-units (``scale`` total mass /
+    node at start) and every update is integer: per-edge contribution
+    ``rank div outdeg``, then ``rank' = ((100-d)·(scale div N)) div
+    100 + (d · Σ contrib) div 100``.  Floor division leaks a
+    deterministic ulp of mass per step — the price for a result that
+    is bit-identical on ANY engine (bigint sums are order-independent;
+    float power iteration is not), which is what makes an iterative
+    graph metric value-checkable against an independent SQL replay.
+
+    Scale shape: the adjacency (src, dst, outdeg) is built once and
+    lineage-pinned; each of the ``iterations`` rounds is ONE keyed
+    join (state × adjacency on src) + ONE groupBy(dst) — the same
+    per-round cost as :func:`connected_components`, state is two long
+    columns.  ``localCheckpoint`` per round truncates lineage.
+
+    Sink nodes (no out-edges) would silently lose their mass, so they
+    raise up front — undirected graphs (caller supplies both edge
+    directions) satisfy this trivially; for directed graphs add
+    self-loops or trim sinks first.  Multi-edges count once each
+    (pre-``distinct`` the edge list if that is not intended).
+
+    Output: (id, rank) — rank in integer micro-units.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .union(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy(F.col("_s").alias("id")).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    )
+    sinks = nodes.join(deg, on="id", how="left_anti").count()
+    if sinks:
+        raise ValueError(
+            f"pagerank_int: {sinks} sink node(s) with no out-edges — "
+            "their mass would silently drain; supply both directions "
+            "(undirected), add self-loops, or trim sinks"
+        )
+    n = nodes.count()
+    r_init = scale // n
+    base = ((100 - damping_pct) * r_init) // 100
+    adj = e.join(deg, on=F.col("_s") == F.col("id")).select(
+        F.col("_s"), F.col("_d"), F.col("_outdeg")
+    ).localCheckpoint(eager=False)
+    state = nodes.select("id", F.lit(r_init).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            adj.join(state, on=F.col("_s") == F.col("id"))
+            .select(
+                F.col("_d").alias("id"),
+                F.expr("rank div _outdeg").alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        state = (
+            nodes.join(contrib, on="id", how="left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_c, 0L)) div 100"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state
+
+
 def ancestor_closure(
     nodes: DataFrame,
     id_col: str = "id",

@@ -8156,6 +8156,96 @@ def user_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _pagerank_oracle(iters: int = 8) -> str:
+    """Unrolled integer-PageRank replay: recursive CTEs cannot
+    aggregate over the recursive relation, so the fixed iteration
+    count unrolls as chained CTEs — each round is the same integer
+    update the Spark loop applies (bigint sums are order-independent,
+    so the replay is bit-exact)."""
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p
+        FROM lineitem
+    ), edges AS (
+        SELECT s AS src, p AS dst FROM pairs
+        UNION ALL
+        SELECT p AS src, s AS dst FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT id, 1000000000000 // n AS rank FROM nodes CROSS JOIN cnt
+    )"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+    c{k} AS (
+        SELECT e.dst AS id, SUM(r.rank // d.outdeg) AS c
+        FROM r{k} r JOIN deg d ON r.id = d.id
+        JOIN edges e ON e.src = r.id
+        GROUP BY e.dst
+    ), r{k + 1} AS (
+        SELECT nodes.id,
+               (15 * (1000000000000 // cnt.n)) // 100
+                   + (85 * COALESCE(c.c, 0)) // 100 AS rank
+        FROM nodes LEFT JOIN c{k} c ON nodes.id = c.id CROSS JOIN cnt
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END
+               AS node_kind,
+           CAST(id // 2 AS BIGINT) AS entity_id,
+           CAST(rank AS BIGINT) AS rank_units,
+           CAST(row_number() OVER (ORDER BY rank DESC, id) AS INT)
+               AS pos
+    FROM r{iters} QUALIFY pos <= 20 ORDER BY pos
+    """
+    )
+    return "".join(parts)
+
+
+@query("supplier_part_pagerank", oracle=_pagerank_oracle())
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected supplier↔part co-supply graph
+    (distinct lineitem pairs, both directions), 8 power-method rounds
+    in EXACT bigint arithmetic (operators/graph.py:pagerank_int) — an
+    iterative graph metric that is still hash-checkable because every
+    update is integer and therefore order-independent.  Top-20 nodes
+    by rank via distributed TakeOrdered."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        pagerank_int,
+    )
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_suppkey") * 2).alias("s"),
+        (F.col("l_partkey") * 2 + 1).alias("p"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("p").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    ranks = pagerank_int(edges, iterations=8)
+    top = take_top_k(
+        ranks, [F.desc("rank"), F.col("id")], 20, rank_col="pos"
+    )
+    return top.select(
+        F.when(F.col("id") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("part"))
+        .alias("node_kind"),
+        F.expr("id div 2").alias("entity_id"),
+        F.col("rank").alias("rank_units"),
+        "pos",
+    ).orderBy("pos")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150).
 # Rotated out for room — all two-round green (r6+r7) and still

@@ -2246,3 +2246,28 @@ def test_event_type_patterns_counts_and_ties(spark):
     assert got[1]["n_error_bursts"] == 1
     assert got[2]["seq_len"] == 3  # unmapped type dropped
     assert got[2]["n_view_runs_clicked"] == 1
+
+
+def test_pagerank_int_structure_and_determinism(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        pagerank_int,
+    )
+    import pytest as _pytest
+
+    # undirected star 0-1, 0-2, 0-3: the hub must outrank the leaves,
+    # leaves are symmetric -> identical ranks
+    star = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    e = spark.createDataFrame(star, "src BIGINT, dst BIGINT")
+    r = {row["id"]: row["rank"] for row in pagerank_int(e).collect()}
+    assert r[0] > r[1]
+    assert r[1] == r[2] == r[3]
+    # exact integer arithmetic: a second run is bit-identical
+    r2 = {row["id"]: row["rank"] for row in pagerank_int(e).collect()}
+    assert r == r2
+    # mass approximately conserved (floor division leaks ulps only)
+    assert 0.99 * 10**12 < sum(r.values()) <= 10**12
+
+    # a sink (directed edge with no return) fails loud, not silently
+    sink = spark.createDataFrame([(0, 1)], "src BIGINT, dst BIGINT")
+    with _pytest.raises(ValueError, match="sink"):
+        pagerank_int(sink)
