@@ -1312,3 +1312,82 @@ def maxsim_ann_indexed(
     return _maxsim_rerank(
         index, q_probes, k, n_sub, dim, id_col, vec_col, query_id_col
     )
+
+
+def binary_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-quantize a float vector into packed bit words — binary
+    embeddings, the 32×-memory-cut retrieval trick: bit *i* is set iff
+    ``vec[i] > 0``, packed 32 bits per bigint word (``_w0, _w1, ...``;
+    32 not 64 keeps every word clear of the sign bit, so shifts, XORs
+    and engine-portable replays never touch two's-complement edge
+    cases).  Pure expression, map-side, no shuffle.
+
+    Hamming distance between signatures ≈ angular distance between the
+    original vectors (Charikar '02 — the same hyperplane-LSH fact the
+    SimHash family uses); at serving time a 64-dim float vector is two
+    bigints and a distance is two XOR+popcounts.
+    """
+    if dim % 32 != 0:
+        raise ValueError("dim must be a multiple of 32")
+    words = [
+        F.expr(
+            f"aggregate(sequence({w * 32 + 1}, {w * 32 + 32}), 0L, "
+            f"(acc, i) -> acc + IF(element_at({vec_col}, i) > 0.0, "
+            f"shiftleft(1L, i - 1 - {w * 32}), 0L))"
+        ).alias(f"_w{w}")
+        for w in range(dim // 32)
+    ]
+    return df.select("*", *words)
+
+
+def hamming_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by Hamming distance over sign-quantized signatures.
+
+    Both sides quantize via :func:`binary_signatures`; the scan scores
+    ``Σ_w bit_count(word ⊕ query_word)`` — integer arithmetic end to
+    end, so results are bit-reproducible on any engine (no float
+    summation order anywhere).  Queries broadcast (the
+    :func:`cosine_topk` shape); per-query top-k is a partitioned
+    window over (query, distance, id).
+
+    This is the coarse stage of a binary-then-rerank stack: Hamming
+    candidates at 2 bigints/vector, exact float re-rank on the k
+    survivors (compose with :func:`cosine_topk` on the output ids).
+    """
+    n_words = dim // 32
+    v = binary_signatures(
+        vectors.select(F.col(id_col), F.col(vec_col)), vec_col, dim
+    ).drop(vec_col)
+    q = binary_signatures(
+        queries.select(F.col(query_id_col), F.col(vec_col)), vec_col, dim
+    ).drop(vec_col)
+    q = q.select(
+        query_id_col, *[F.col(f"_w{w}").alias(f"_q{w}") for w in range(n_words)]
+    )
+    dist = None
+    for w in range(n_words):
+        d = F.expr(f"bit_count(_w{w} ^ _q{w})")
+        dist = d if dist is None else dist + d
+    scored = v.join(F.broadcast(q)).select(
+        query_id_col, id_col, dist.cast("int").alias("hamming")
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        "hamming", F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "hamming", "rank")
+    )

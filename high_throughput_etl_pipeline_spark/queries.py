@@ -8246,6 +8246,55 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pos")
 
 
+@query(
+    "ann_hamming_topk",
+    oracle="""
+    WITH sig AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, 33), i ->
+                   CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+                        ELSE 0::BIGINT END)) AS w0,
+               list_sum(list_transform(range(33, 65), i ->
+                   CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+                        ELSE 0::BIGINT END)) AS w1
+        FROM embeddings
+    ), q AS (SELECT w0 AS q0, w1 AS q1 FROM sig WHERE vec_id = 0),
+    scored AS (
+        SELECT s.vec_id,
+               CAST(bit_count(xor(s.w0, q.q0))
+                    + bit_count(xor(s.w1, q.q1)) AS INT) AS hamming
+        FROM sig s CROSS JOIN q WHERE s.vec_id <> 0
+    )
+    SELECT vec_id, hamming, rank FROM (
+        SELECT vec_id, hamming,
+               CAST(row_number() OVER (ORDER BY hamming, vec_id) AS INT)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding retrieval: sign-quantize 64-dim floats into two
+    32-bit-packed bigint words (32× memory cut), rank by Hamming
+    distance — integer XOR+popcount end to end, hence bit-reproducible
+    across engines with no float-summation caveats
+    (operators/similarity.py:binary_signatures/hamming_topk).  Vector 0
+    is the query; the coarse stage of a binary-then-float-rerank
+    serving stack."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        hamming_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    got = hamming_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, dim=64
+    )
+    return got.select("vec_id", "hamming", "rank").orderBy("rank")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150).
 # Rotated out for room — all two-round green (r6+r7) and still

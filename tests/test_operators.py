@@ -2271,3 +2271,36 @@ def test_pagerank_int_structure_and_determinism(spark):
     sink = spark.createDataFrame([(0, 1)], "src BIGINT, dst BIGINT")
     with _pytest.raises(ValueError, match="sink"):
         pagerank_int(sink)
+
+
+def test_binary_signatures_and_hamming(spark):
+    """Known bit patterns: +/- alternation packs to 0x55555555 per
+    word; Hamming to the all-positive vector = number of negative
+    dims; self-distance is 0 and identity ranks first."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        binary_signatures,
+        hamming_topk,
+    )
+
+    alt = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    pos = [1.0] * 64
+    df = spark.createDataFrame(
+        [(1, alt), (2, pos)], "vec_id BIGINT, embedding array<float>"
+    )
+    sig = {
+        r["vec_id"]: (r["_w0"], r["_w1"])
+        for r in binary_signatures(df).collect()
+    }
+    assert sig[1] == (0x55555555, 0x55555555)
+    assert sig[2] == (0xFFFFFFFF, 0xFFFFFFFF)
+
+    q = spark.createDataFrame(
+        [(0, pos)], "query_id BIGINT, embedding array<float>"
+    )
+    got = hamming_topk(df, q, k=2).orderBy("rank").collect()
+    assert [(r["vec_id"], r["hamming"]) for r in got] == [(2, 0), (1, 32)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 32"):
+        binary_signatures(df, dim=48)
