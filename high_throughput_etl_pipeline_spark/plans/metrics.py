@@ -330,3 +330,80 @@ def weighted_quantiles(
             ).alias(f"wq{int(q * 100)}")
         )
     return staged.groupBy(*group_cols).agg(*aggs)
+
+
+def grouped_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    x_per_unit: int = 86_400,
+    y_per_unit: int = 100,
+) -> DataFrame:
+    """Per-group least-squares trend line in EXACT integer statistics.
+
+    ``x_col``/``y_col`` must be integer columns (epoch seconds, cents —
+    the caller quantizes; see events_value_trend).  The five sufficient
+    statistics (Σx, Σy, Σx², Σy², Σxy) accumulate as decimal(38,0) in
+    ONE grouped pass — bigint would wrap (epoch² · rows ≈ 10²² at a few
+    thousand rows per group, 10²⁸ at a billion) and float sums are
+    summation-order-dependent, which would break engine parity.  The
+    closed forms then use integer numerators/denominators:
+
+        slope      = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept  = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+        r          = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    converted to double only for the final division (identical IEEE
+    operations on identical exact integers on any engine; the variance
+    product is multiplied AS doubles — exact decimal would need 76
+    digits).  ``x_per_unit``/``y_per_unit`` rescale the outputs (per
+    day, currency units).  Degenerate groups (zero variance in x or y)
+    emit NULL slope/r instead of dividing by zero.
+
+    One shuffle, metadata-sized output — the cost of a rollup, which
+    is what makes fitting 10⁶ per-key trend lines viable at 100 TB.
+
+    Output: (*group_cols, n, slope_per_xunit, intercept, corr_r).
+    """
+    dec = "decimal(38,0)"
+    xd = F.col(x_col).cast(dec)
+    yd = F.col(y_col).cast(dec)
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * F.col(x_col)).alias("_sxx"),
+        F.sum(yd * F.col(y_col)).alias("_syy"),
+        F.sum(xd * F.col(y_col)).alias("_sxy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den_x = (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    ).cast("double")
+    den_y = (
+        F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    ).cast("double")
+    inum = (
+        F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    ).cast("double")
+    slope = F.when(
+        den_x > 0,
+        F.round(num / den_x * F.lit(float(x_per_unit)) / F.lit(float(y_per_unit)), 6),
+    )
+    intercept = F.when(
+        den_x > 0, F.round(inum / den_x / F.lit(float(y_per_unit)), 6)
+    )
+    corr = F.when(
+        (den_x > 0) & (den_y > 0),
+        F.round(num / F.sqrt(den_x * den_y), 6),
+    )
+    return g.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        slope.alias("slope_per_xunit"),
+        intercept.alias("intercept"),
+        corr.alias("corr_r"),
+    )

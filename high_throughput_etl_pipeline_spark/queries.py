@@ -8295,6 +8295,62 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("vec_id", "hamming", "rank").orderBy("rank")
 
 
+@query(
+    "events_value_trend",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * 86400.0 / 100.0, 6) END AS slope_per_xunit,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+           END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS corr_r
+    FROM s ORDER BY event_type
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares value trend (slope per DAY in currency
+    units, intercept, Pearson r) fitted from exact integer sufficient
+    statistics — epoch seconds × cents accumulate as decimal(38,0), so
+    an engine-portable hash binds a REGRESSION, which float summation
+    could never do (plans/metrics.py:grouped_trend).  One grouped
+    pass; fitting a million per-key trend lines costs one rollup."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        grouped_trend,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("long").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    return grouped_trend(
+        e, "x", "y", ["event_type"], x_per_unit=86_400, y_per_unit=100
+    ).orderBy("event_type")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150).
 # Rotated out for room — all two-round green (r6+r7) and still

@@ -2304,3 +2304,32 @@ def test_binary_signatures_and_hamming(spark):
 
     with _pytest.raises(ValueError, match="multiple of 32"):
         binary_signatures(df, dim=48)
+
+
+def test_grouped_trend_known_line_and_degenerates(spark):
+    """y = 2x + 5 exactly -> slope 2 (per x-unit scale), intercept 5,
+    r = 1; constant-y group -> r NULL but slope 0; constant-x group ->
+    slope/intercept/r all NULL (zero x-variance)."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        grouped_trend,
+    )
+
+    rows = (
+        [("line", x, 2 * x + 5) for x in range(1, 11)]
+        + [("flat_y", x, 7) for x in range(1, 6)]
+        + [("flat_x", 3, y) for y in (1, 2, 3)]
+    )
+    df = spark.createDataFrame(rows, "g STRING, x BIGINT, y BIGINT")
+    got = {
+        r["g"]: r
+        for r in grouped_trend(
+            df, "x", "y", ["g"], x_per_unit=1, y_per_unit=1
+        ).collect()
+    }
+    assert got["line"]["slope_per_xunit"] == 2.0
+    assert got["line"]["intercept"] == 5.0
+    assert got["line"]["corr_r"] == 1.0
+    assert got["flat_y"]["slope_per_xunit"] == 0.0
+    assert got["flat_y"]["corr_r"] is None
+    assert got["flat_x"]["slope_per_xunit"] is None
+    assert got["flat_x"]["corr_r"] is None
