@@ -687,3 +687,38 @@ def leakage_safe_split(
         ).otherwise(expr)
     expr = F.coalesce(expr, F.lit(names[-1]))
     return base.select(id_col, "cluster_id", expr.alias("split"))
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "res-v1",
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    a keyed hash of their id and keep the first ``k`` — the
+    reproducible replacement for per-group reservoir sampling (same
+    marginal: every row equally likely under the random-oracle hash;
+    plus the properties sampling-in-a-pipeline actually needs: stable
+    under reruns, independent of partitioning, auditable by replay).
+
+    One partitioned window; the ``pos <= k`` filter is pushed into the
+    shuffle as a per-partition group-limit (Spark's WindowGroupLimit,
+    3.5+), so each task keeps a k-row heap per group instead of
+    sorting whole groups — the grouped sibling of TakeOrdered.
+
+    Output: input columns + ``pos`` (1-based within group).
+    """
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    key = md5_64(
+        F.concat_ws(
+            "|", F.lit(seed), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= k)
+    )

@@ -407,3 +407,55 @@ def grouped_trend(
         intercept.alias("intercept"),
         corr.alias("corr_r"),
     )
+
+
+def robust_outlier_profile(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier audit via median/MAD (the modified
+    z-score of Iglewicz & Hoaglin '93): a point is anomalous when
+    ``0.6745·|x − median| > threshold·MAD``.  Unlike mean/stddev, both
+    statistics have a 50% breakdown point — the contamination being
+    hunted cannot drag its own fences, which is why this is the robust
+    sibling of the IQR audit (events_outlier_audit).
+
+    Shape: two tiny per-group percentile aggregates (median, then
+    median absolute deviation) broadcast back over the scan — two
+    passes by necessity (MAD is a percentile OF deviations from a
+    percentile), each costing a rollup.  The comparison is arranged as
+    two products (no division), so zero-MAD groups (>50% of mass on
+    one value) count outliers sanely and engine replay is exact
+    multiplication, not a division each engine may fuse differently.
+
+    Output: (group, n_rows, median, mad, n_outliers, outlier_pct).
+    """
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), on=group_col).withColumn(
+        "_adev", F.abs(v - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    flagged = dev.join(F.broadcast(mad), on=group_col)
+    is_out = (F.col("_adev") * F.lit(0.6745)) > (
+        F.lit(float(z_threshold)) * F.col("_mad")
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.max("_med"), 4).alias("median"),
+            F.round(F.max("_mad"), 4).alias("mad"),
+            F.sum(is_out.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_pct",
+            F.round(F.col("n_outliers") / F.col("n_rows") * 100, 6),
+        )
+    )

@@ -8351,6 +8351,86 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(MAX(d.med), 4) AS median,
+           round(MAX(a.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev * 0.6745 > 3.5 * a.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(SUM(CASE WHEN d.adev * 0.6745 > 3.5 * a.mad
+                    THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS BIGINT) * 100, 6) AS outlier_pct
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly audit per event type (modified
+    z-score, Iglewicz-Hoaglin) — the 50%-breakdown-point sibling of
+    the IQR fences in events_outlier_audit: contamination cannot drag
+    its own detection threshold.  Two rollup-cost percentile passes
+    broadcast back; the flag comparison is arranged as two products so
+    zero-MAD groups behave and engines replay it exactly
+    (plans/metrics.py:robust_outlier_profile)."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        robust_outlier_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outlier_profile(ev, "value", "event_type").orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "corpus_reservoir_sample",
+    oracle="""
+    SELECT source, pos, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('res-v1|'
+                       || CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT,
+                       doc_id
+               ) AS INT) AS pos
+        FROM documents
+    ) WHERE pos <= 5
+    ORDER BY source, pos
+    """,
+)
+def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source document sample (keyed-hash ranking —
+    the reproducible reservoir): stable under reruns and partitioning,
+    replayable by any engine.  The pos <= k filter rides Spark's
+    WindowGroupLimit pushdown, so tasks keep k-row heaps per group
+    instead of sorting whole groups
+    (operators/corpus.py:reservoir_per_group)."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        reservoir_per_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        reservoir_per_group(d, ["source"], k=5)
+        .select("source", "pos", "doc_id", "n_chars")
+        .orderBy("source", "pos")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150).
 # Rotated out for room — all two-round green (r6+r7) and still

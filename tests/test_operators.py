@@ -2333,3 +2333,47 @@ def test_grouped_trend_known_line_and_degenerates(spark):
     assert got["flat_y"]["corr_r"] is None
     assert got["flat_x"]["slope_per_xunit"] is None
     assert got["flat_x"]["corr_r"] is None
+
+
+def test_robust_outliers_breakdown_resistance(spark):
+    """An injected contamination cluster must be flagged and must NOT
+    drag the median/MAD fences (the mean/stddev failure mode)."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        robust_outlier_profile,
+    )
+
+    base = [("g", float(v)) for v in range(100)]          # 0..99
+    spikes = [("g", 1e6)] * 5                              # 5% contamination
+    df = spark.createDataFrame(base + spikes, "g STRING, value DOUBLE")
+    r = robust_outlier_profile(df, "value", "g").first()
+    assert r["n_outliers"] == 5            # exactly the spikes
+    assert r["median"] < 110               # fences un-dragged
+    # zero-MAD group: >50% of mass on one value; the product form must
+    # still count the far point without dividing by zero
+    degen = spark.createDataFrame(
+        [("d", 5.0)] * 10 + [("d", 500.0)], "g STRING, value DOUBLE"
+    )
+    r2 = robust_outlier_profile(degen, "value", "g").first()
+    assert r2["mad"] == 0.0 and r2["n_outliers"] == 1
+
+
+def test_reservoir_per_group_window_group_limit(spark):
+    """Scale pin: the pos <= k filter must push into the shuffle as a
+    WindowGroupLimit (per-task k-row heaps), not sort whole groups;
+    and the sample is rerun-deterministic."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        reservoir_per_group,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS STRING) AS src"
+    )
+    out = reservoir_per_group(df, ["src"], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    a = sorted((r["src"], r["pos"], r["doc_id"]) for r in out.collect())
+    b = sorted(
+        (r["src"], r["pos"], r["doc_id"])
+        for r in reservoir_per_group(df, ["src"], k=3).collect()
+    )
+    assert a == b and len(a) == 21
