@@ -8431,6 +8431,108 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_twap",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               CAST(round(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ), d AS (
+        SELECT event_type, v,
+               COALESCE(lead(t) OVER (
+                   PARTITION BY event_type ORDER BY t, event_id
+               ) - t, 0) AS dt
+        FROM q
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_readings,
+           CAST(SUM(dt) AS BIGINT) AS covered_seconds,
+           CASE WHEN SUM(dt) > 0 THEN
+               round(CAST(SUM(CAST(v AS HUGEINT) * dt) AS DOUBLE)
+                     / CAST(SUM(dt) AS DOUBLE) / 100.0, 6)
+           END AS time_weighted
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP / metering
+    semantics): each reading holds until the next (LOCF step
+    function), so a value that held an hour outweighs one that held a
+    second — what the plain AVG silently gets wrong on irregular
+    series.  Cents × integer seconds accumulate exactly
+    (operators/timeseries.py:time_weighted_avg); event_id pins
+    equal-second order on both engines."""
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    return time_weighted_avg(
+        e, "t", "v", ["event_type"], tie_cols=["event_id"]
+    ).orderBy("event_type")
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(ts AS DATE) AS date,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t_open,
+               least(CAST(floor(epoch(ts)) AS BIGINT) + 300,
+                     CAST(floor(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)
+                         + INTERVAL 1 DAY)) AS BIGINT)) AS t_close
+        FROM events
+    ), pts AS (
+        SELECT date, t_open AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT date, t_close AS t, -1 AS delta FROM iv
+    ), swept AS (
+        SELECT date, t,
+               SUM(delta) OVER (
+                   PARTITION BY date ORDER BY t, delta
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM pts
+    )
+    SELECT date,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(MAX(cum) AS INT) AS peak_concurrency,
+           strftime(CAST(to_timestamp(
+                        max_by(t, cum * 1000000000000 - t))
+                        AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS peak_at
+    FROM swept GROUP BY date ORDER BY date
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous activity per day: every event opens a 5-minute
+    half-open interval, a per-day sweep line (endpoint deltas + ordered
+    prefix sum) finds the maximum overlap and the earliest instant it
+    is reached — the capacity-planning number a row count cannot give.
+    Close-before-open ordering at equal timestamps means back-to-back
+    intervals never double-count; day-clipping keeps the window
+    per-day-parallel (operators/timeseries.py:daily_peak_concurrency)."""
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        daily_peak_concurrency,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = daily_peak_concurrency(ev, "ts", duration_seconds=300)
+    return out.select(
+        F.col("date").cast("string").alias("date"),
+        "n_intervals",
+        "peak_concurrency",
+        F.date_format("peak_at", "yyyy-MM-dd HH:mm:ss").alias("peak_at"),
+    ).orderBy("date")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150).
 # Rotated out for room — all two-round green (r6+r7) and still

@@ -2377,3 +2377,73 @@ def test_reservoir_per_group_window_group_limit(spark):
         for r in reservoir_per_group(df, ["src"], k=3).collect()
     )
     assert a == b and len(a) == 21
+
+
+def test_time_weighted_avg_step_function(spark):
+    """v=10 held 10s then v=40 held 30s -> TWAP (100+1200)/40 = 32.5
+    units with unit_scale=1; equal-second ties use tie order; a
+    single-reading group covers no time -> NULL."""
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        ("a", 0, 1, 10),
+        ("a", 10, 2, 40),
+        ("a", 40, 3, 99),       # final reading spans no time
+        # b: two readings in the same second -> tie order decides which
+        # value bridges the 100s to the next reading
+        ("b", 0, 1, 100),
+        ("b", 0, 2, 200),
+        ("b", 100, 3, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g STRING, t BIGINT, eid BIGINT, v BIGINT"
+    )
+    got = {
+        r["g"]: r
+        for r in time_weighted_avg(
+            df, "t", "v", ["g"], unit_scale=1, tie_cols=["eid"]
+        ).collect()
+    }
+    assert got["a"]["time_weighted"] == 32.5
+    assert got["a"]["covered_seconds"] == 40
+    # the LAST tied reading (eid 2, v=200) holds for the 100 s
+    assert got["b"]["time_weighted"] == 200.0
+    single = spark.createDataFrame(
+        [("s", 5, 1, 7)], "g STRING, t BIGINT, eid BIGINT, v BIGINT"
+    )
+    r = time_weighted_avg(single, "t", "v", ["g"], unit_scale=1).first()
+    assert r["time_weighted"] is None and r["covered_seconds"] == 0
+
+
+def test_daily_peak_concurrency_sweep(spark):
+    """Three overlapping 5-min intervals peak at 3; a back-to-back
+    interval starting exactly at another's close must NOT overlap
+    (half-open); midnight-crossing intervals clip to their day."""
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        daily_peak_concurrency,
+    )
+
+    rows = [
+        ("2026-08-12 10:00:00",),
+        ("2026-08-12 10:01:00",),
+        ("2026-08-12 10:02:00",),   # all three live at 10:02
+        ("2026-08-12 10:05:00",),   # opens exactly at first close
+        ("2026-08-12 23:59:00",),   # clips at midnight
+    ]
+    df = spark.createDataFrame(rows, "ts STRING").selectExpr(
+        "to_timestamp(ts) AS ts"
+    )
+    out = {
+        str(r["date"]): r
+        for r in daily_peak_concurrency(df, "ts", 300).collect()
+    }
+    d = out["2026-08-12"]
+    assert d["peak_concurrency"] == 3
+    assert d["n_intervals"] == 5
+    assert str(d["peak_at"]).startswith("2026-08-12 10:02:00")
+    # back-to-back: at 10:05 the 10:00 interval is already closed ->
+    # concurrency at 10:05 is 3 (10:01,10:02,10:05), not 4; peak time
+    # stays the earliest 3-way overlap
+    assert "2026-08-13" not in out  # clipped, no spill into next day
