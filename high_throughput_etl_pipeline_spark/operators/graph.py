@@ -338,6 +338,85 @@ def pagerank_int(
     return state
 
 
+def triangle_stats(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph given as CANONICAL unique edges (``a < b``,
+    one row per edge — violations raise, silent dedup would hide a
+    modeling bug upstream).
+
+    Triangles via the oriented two-path join (the standard
+    MapReduce-era trick): with every edge stored low→high, each
+    triangle ``x < y < z`` is counted exactly once as the path
+    ``(x,y)-(y,z)`` closed by edge ``(x,z)`` — two keyed equi-joins,
+    no orientation dedup, no 6× overcount.  Join sizes are bounded by
+    Σ deg² (the wedge count), which is also the denominator of the
+    clustering coefficient — run key_skew_profile on the node column
+    first if a hub node could make that quadratic term explode, and
+    cap hub degrees upstream (the dedup-block discipline).
+
+    Output (one row, all exact integers except the 6-dp ratio):
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering)
+    where global_clustering = 3·triangles / wedges.
+    """
+    e = edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    bad = e.filter(F.col("_a") >= F.col("_b")).count()
+    if bad:
+        raise ValueError(
+            f"triangle_stats: {bad} edge(s) not in canonical a < b "
+            "form (self-loops or reversed) — canonicalize and dedup "
+            "first; silently fixing here would mask upstream bugs"
+        )
+    deg = (
+        e.select(F.col("_a").alias("_v"))
+        .unionAll(e.select(F.col("_b").alias("_v")))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("_d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(
+            F.col("_d").cast("decimal(38,0)") * (F.col("_d") - 1) / 2
+        )
+        .cast("decimal(38,0)")
+        .alias("_wedges"),
+    )
+    paths = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1._b") == F.col("e2._a"))
+        .select(
+            F.col("e1._a").alias("_a"),
+            F.col("e2._b").alias("_b"),
+            F.col("e1._b").alias("_mid"),
+        )
+    )
+    tri = paths.join(e, on=["_a", "_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("_wedges").cast("bigint").alias("n_wedges"),
+            "n_triangles",
+            F.when(
+                F.col("_wedges") > 0,
+                F.round(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("_wedges").cast("double"),
+                    6,
+                ),
+            ).alias("global_clustering"),
+        )
+    )
+
+
 def ancestor_closure(
     nodes: DataFrame,
     id_col: str = "id",

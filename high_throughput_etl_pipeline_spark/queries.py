@@ -8533,6 +8533,67 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("date")
 
 
+@query(
+    "supplier_cosupply_triangles",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.s AS a, b.s AS b
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ), deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY v
+    ), counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+               CAST(SUM(CAST(d AS HUGEINT) * (d - 1) / 2) AS HUGEINT)
+                   AS wedges
+        FROM deg
+    ), tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_nodes, n_edges,
+           CAST(wedges AS BIGINT) AS n_wedges, n_triangles,
+           CASE WHEN wedges > 0 THEN
+               round(3.0 * CAST(n_triangles AS DOUBLE)
+                     / CAST(wedges AS DOUBLE), 6)
+           END AS global_clustering
+    FROM counts CROSS JOIN tri
+    """,
+)
+def supplier_cosupply_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triangle census of the co-supply graph (suppliers linked when
+    they ship the same part): exact triangle count via the oriented
+    two-path join — every triangle x<y<z counted once, two keyed
+    equi-joins, never an all-pairs pass — plus the global clustering
+    coefficient (operators/graph.py:triangle_stats).  The projection
+    join is bounded by per-part supplier degree (TPC-H: ~4), the
+    blocked-join discipline; profile with key_skew_profile before
+    projecting a graph with hub keys."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), on=(F.col("x.p") == F.col("y.p")))
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    return triangle_stats(edges)
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150).
 # Rotated out for room — all two-round green (r6+r7) and still

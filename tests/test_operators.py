@@ -2447,3 +2447,28 @@ def test_daily_peak_concurrency_sweep(spark):
     # concurrency at 10:05 is 3 (10:01,10:02,10:05), not 4; peak time
     # stays the earliest 3-way overlap
     assert "2026-08-13" not in out  # clipped, no spill into next day
+
+
+def test_triangle_stats_known_graphs(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+    import pytest as _pytest
+
+    # K4: 4 triangles, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_stats(
+        spark.createDataFrame(k4, "a BIGINT, b BIGINT")
+    ).first()
+    assert r["n_triangles"] == 4 and r["n_wedges"] == 12
+    assert r["global_clustering"] == 1.0
+    # path graph 0-1-2: one wedge, no triangle
+    path = spark.createDataFrame([(0, 1), (1, 2)], "a BIGINT, b BIGINT")
+    r2 = triangle_stats(path).first()
+    assert r2["n_triangles"] == 0 and r2["n_wedges"] == 1
+    assert r2["global_clustering"] == 0.0
+    # non-canonical edges fail loud
+    with _pytest.raises(ValueError, match="canonical"):
+        triangle_stats(
+            spark.createDataFrame([(2, 1)], "a BIGINT, b BIGINT")
+        )
