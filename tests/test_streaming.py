@@ -1224,3 +1224,96 @@ def test_store_serves_during_compaction(spark, tmp_path):
         t.join(60)
     assert not errors, errors
     assert results and all(r == expected for r in results)
+
+
+def test_funnel_stream_matches_batch_walk(spark, tmp_path):
+    """Streaming CEP funnel: per-user slots persist across micro-batches
+    (maxFilesPerTrigger=1), conversions emit exactly once, and the
+    emitted set equals the batch funnel_walk's converted users under
+    time-ordered delivery — the operator's documented contract."""
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.sequence import (
+        funnel_walk,
+    )
+    from high_throughput_etl_pipeline_spark.streaming.funnel_stream import (
+        funnel_stream,
+    )
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    files = [
+        [  # batch 0
+            {"user_id": 1, "ts": "2026-08-12 10:00:00", "event_type": "view"},
+            {"user_id": 2, "ts": "2026-08-12 10:00:00", "event_type": "view"},
+            {"user_id": 3, "ts": "2026-08-12 10:00:00", "event_type": "click"},
+        ],
+        [  # batch 1: u1 advances; u2 completes in-batch later; u3's
+           # click preceded any view so its chain never starts
+            {"user_id": 1, "ts": "2026-08-12 11:00:00", "event_type": "click"},
+            {"user_id": 2, "ts": "2026-08-12 10:30:00", "event_type": "click"},
+            {"user_id": 2, "ts": "2026-08-12 10:45:00", "event_type": "purchase"},
+            {"user_id": 3, "ts": "2026-08-12 11:00:00", "event_type": "view"},
+        ],
+        [  # batch 2: u1 converts across three batches; u4 completes
+           # but outside the window (3 days)
+            {"user_id": 1, "ts": "2026-08-12 12:00:00", "event_type": "purchase"},
+            {"user_id": 4, "ts": "2026-08-12 10:00:00", "event_type": "view"},
+            {"user_id": 4, "ts": "2026-08-12 10:05:00", "event_type": "click"},
+            {"user_id": 4, "ts": "2026-08-15 10:00:00", "event_type": "purchase"},
+        ],
+    ]
+    import os as _os
+
+    for i, rows in enumerate(files):
+        p = ind / f"f{i}.ndjson"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # the file source orders micro-batches by modification time;
+        # same-millisecond writes would tie and deliver out of order,
+        # violating the operator's documented in-order contract
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = "user_id BIGINT, ts STRING, event_type STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ind))
+        .select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    )
+    q = (
+        funnel_stream(
+            stream, ["view", "click", "purchase"], within_seconds=86400
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["t_0"], r["t_2"], r["seconds_to_convert"])
+        for r in spark.sql("SELECT * FROM funnel_out").collect()
+    }
+
+    batch = (
+        spark.read.schema(schema).json(str(ind))
+        .select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    )
+    expected = {
+        (
+            r["user_id"],
+            int(r["t_0"].timestamp()),
+            int(r["t_2"].timestamp()),
+            r["seconds_to_convert"],
+        )
+        for r in funnel_walk(
+            batch, ["view", "click", "purchase"], within_seconds=86400
+        ).collect()
+        if r["converted"]
+    }
+    assert got == expected
+    assert {u for (u, *_id) in got} == {1, 2}  # u3 never starts, u4 misses window
