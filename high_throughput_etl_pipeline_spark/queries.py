@@ -8595,23 +8595,43 @@ def supplier_cosupply_triangles(
 
 
 # r8 rotation: the six r7-tail queries with oracles but no driver row
-# yet all enter the window (ever-driver-checked goes to 150/150).
+# yet all enter the window (ever-driver-checked goes to 150/150 of the
+# pre-r8 registry), and the ten NEW r8 operators get first rows too.
 # Rotated out for room — all two-round green (r6+r7) and still
 # oracle-checked in the full-registry local gate: multimodal_features,
 # quality_percentile_filter, text_sentiment_by_lang,
-# cluster_balanced_sample, events_props_json, validation_split.
+# cluster_balanced_sample, events_props_json, validation_split,
+# dedup_spans, contamination_bloom, doc_bigram_perplexity,
+# data_quality_report, customer_snapshot_diff, corpus_weighted_sample,
+# audio_window_grid, events_freq_sketch, embedding_hard_negatives,
+# embedding_knn_label_eval.
 HEADLINE: list[str] = [
-    # --- r8 first-timers: leakage-safe splitting (CC + atomic cluster
-    # assignment), recursive hierarchy closure (pointer doubling),
-    # exact weighted quantiles, LOCF forward fill, native
-    # session_window semantics, and hashed TF-IDF lexical k-NN (now on
-    # the TakeOrdered top-k path)
+    # --- r8 first-timers, wave 1 (r7-tail verification debt):
+    # leakage-safe splitting (CC + atomic cluster assignment),
+    # recursive hierarchy closure (pointer doubling), exact weighted
+    # quantiles, LOCF forward fill, native session_window semantics,
+    # and hashed TF-IDF lexical k-NN (now on the TakeOrdered path)
     "corpus_leakage_safe_split",
     "customer_hierarchy_rollup",
     "doc_token_weighted_length",
     "events_forward_fill",
     "events_session_window_native",
     "text_tfidf_knn",
+    # --- r8 first-timers, wave 2 (new capability this round): CEP
+    # sequence matching (chained funnel walk + regex patterns),
+    # exact-integer PageRank, binary Hamming retrieval, integer-exact
+    # OLS trend, median/MAD outliers, deterministic reservoir, TWAP,
+    # sweep-line peak concurrency, triangle census
+    "user_funnel_chained",
+    "user_event_patterns",
+    "supplier_part_pagerank",
+    "ann_hamming_topk",
+    "events_value_trend",
+    "events_mad_outliers",
+    "corpus_reservoir_sample",
+    "events_twap",
+    "events_peak_concurrency",
+    "supplier_cosupply_triangles",
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
     # oracle can verify, closing r6's three no_oracle rows)
@@ -8645,12 +8665,6 @@ HEADLINE: list[str] = [
     "events_dp_release",
     "corpus_length_match_sample",
     "events_skew_profile",
-    # --- new in r6: span-level dedup and Bloom-prefilter decontamination
-    # (benchmark_contamination, green r4/r5, rotates to the tail — the
-    # bloom variant exercises the same exact semantics plus the prune)
-    "dedup_spans",
-    "contamination_bloom",
-    "doc_bigram_perplexity",
     # --- new in r6 (late): retrieval / entity-resolution / privacy
     # families get their FIRST driver rows; the rotated-out multi-round
     # greens (events_daily_rollup r1-r5, events_unit_metrics r5,
@@ -8661,24 +8675,6 @@ HEADLINE: list[str] = [
     "customer_fuzzy_match",
     "events_k_anonymity",
     "events_anonymity_report",
-    # embedding-evaluation pair (first driver rows; corpus_vocab_topk
-    # green r4-r5 and dedup_minhash_md5 green r4-r5 rotate to the tail)
-    "embedding_hard_negatives",
-    "embedding_knn_label_eval",
-    # --- r6 final additions: release-gating (quality checks, snapshot
-    # diff), reproducible weighted sampling, and the audio framing grid
-    # — first driver rows; rotated out to the tail: events_percentiles
-    # (A7, green r3-r5), events_peak_hour (A9/W1, green r3-r5),
-    # ingest_velocity (A8, green r5), next_view_after_purchase (green
-    # r5) — all stay oracle-checked in the full-registry local gate
-    "data_quality_report",
-    "customer_snapshot_diff",
-    "corpus_weighted_sample",
-    "audio_window_grid",
-    # events_rolling_stats (green r5) rotates to the tail for the
-    # count-min sketch — the first VALUE-checked sketch query (HLL/KLL/
-    # theta stay rows-only by nature; CMS arithmetic is exact)
-    "events_freq_sketch",
     # metrics_size_profile (A6, green r5) rotates to the tail for the
     # robust-clipping query — the percentile machinery keeps
     # events_percentiles in-window
