@@ -459,3 +459,102 @@ def robust_outlier_profile(
             F.round(F.col("n_outliers") / F.col("n_rows") * 100, 6),
         )
     )
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_buckets: int = 10,
+    min_prop: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution — the standard drift gate for a feature/score column
+    (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted).
+
+    Buckets are REFERENCE equi-depth deciles (exact percentiles of the
+    reference, one rollup-cost aggregate); both sides then bucket by
+    counting edges passed — an array fold over the broadcast edge
+    list, map-side.  PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with proportions
+    clamped to ``min_prop`` (an empty bucket otherwise sends the term
+    to ±∞ — the clamp is the standard finite-sample correction and
+    keeps the statistic defined).  The final sum folds the bucket
+    terms IN BUCKET ORDER from a sorted array — float addition is not
+    associative, so an unordered SUM would differ across engines in
+    the last ulp and break value parity.
+
+    Output (one row): (n_ref, n_cur, psi, worst_bucket,
+    worst_contrib, n_shifted_buckets — buckets with |p−q| > 0.02).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = ref.agg(
+        F.array(
+            *[F.percentile(value_col, F.lit(q)) for q in qs]
+        ).alias("_edges")
+    )
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = F.expr(
+            f"aggregate(_edges, 0, (acc, e) -> "
+            f"acc + IF({value_col} > e, 1, 0))"
+        )
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    r = bucketed(ref, "_nr")
+    c = bucketed(cur, "_nc")
+    tot = r.agg(F.sum("_nr").alias("_tr")).crossJoin(
+        c.agg(F.sum("_nc").alias("_tc"))
+    )
+    joined = (
+        r.join(c, on="bucket", how="full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "_tr",
+            "_tc",
+            F.greatest(
+                F.coalesce(F.col("_nr"), F.lit(0)) / F.col("_tr"),
+                F.lit(min_prop),
+            ).alias("_p"),
+            F.greatest(
+                F.coalesce(F.col("_nc"), F.lit(0)) / F.col("_tc"),
+                F.lit(min_prop),
+            ).alias("_q"),
+        )
+        .withColumn(
+            "_term",
+            (F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q")),
+        )
+        .withColumn("_shift", (F.abs(F.col("_p") - F.col("_q")) > 0.02))
+    )
+    return joined.groupBy().agg(
+        F.max("_tr").cast("bigint").alias("n_ref"),
+        F.max("_tc").cast("bigint").alias("n_cur"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "_term"))
+                    ),
+                    lambda s: s["_term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("psi"),
+        F.expr(
+            "max_by(bucket, named_struct('t', _term, 'b', -bucket))"
+        )
+        .cast("int")
+        .alias("worst_bucket"),
+        F.round(F.max("_term"), 6).alias("worst_contrib"),
+        F.sum(F.col("_shift").cast("int")).cast("int").alias(
+            "n_shifted_buckets"
+        ),
+    )

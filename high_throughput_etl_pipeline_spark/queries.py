@@ -8594,6 +8594,73 @@ def supplier_cosupply_triangles(
     return triangle_stats(edges)
 
 
+@query(
+    "events_value_drift",
+    oracle="""
+    WITH ref AS (SELECT value FROM events WHERE day(ts) <= 15),
+    cur AS (SELECT value FROM events WHERE day(ts) > 15),
+    edges AS (
+        SELECT quantile_cont(value,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+        FROM ref
+    ),
+    rb AS (
+        SELECT CAST(list_sum(list_transform(e.e, x ->
+                   CASE WHEN value > x THEN 1 ELSE 0 END)) AS INT)
+                   AS bucket,
+               COUNT(*) AS nr
+        FROM ref CROSS JOIN edges e GROUP BY 1
+    ),
+    cb AS (
+        SELECT CAST(list_sum(list_transform(e.e, x ->
+                   CASE WHEN value > x THEN 1 ELSE 0 END)) AS INT)
+                   AS bucket,
+               COUNT(*) AS nc
+        FROM cur CROSS JOIN edges e GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT SUM(nr) FROM rb) AS tr,
+               (SELECT SUM(nc) FROM cb) AS tc
+    ),
+    terms AS (
+        SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+               greatest(COALESCE(nr, 0) / tr, 1e-6) AS p,
+               greatest(COALESCE(nc, 0) / tc, 1e-6) AS q
+        FROM rb FULL JOIN cb ON rb.bucket = cb.bucket CROSS JOIN tot
+    ),
+    t2 AS (SELECT bucket, (p - q) * ln(p / q) AS term,
+                  abs(p - q) > 0.02 AS shifted
+           FROM terms)
+    SELECT (SELECT CAST(tr AS BIGINT) FROM tot) AS n_ref,
+           (SELECT CAST(tc AS BIGINT) FROM tot) AS n_cur,
+           round(list_sum(list(term ORDER BY bucket)), 6) AS psi,
+           (SELECT CAST(bucket AS INT) FROM t2
+            ORDER BY term DESC, bucket LIMIT 1) AS worst_bucket,
+           round(MAX(term), 6) AS worst_contrib,
+           CAST(SUM(CASE WHEN shifted THEN 1 ELSE 0 END) AS INT)
+               AS n_shifted_buckets
+    FROM t2
+    """,
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution,
+    first half of the month (reference) vs second half (current):
+    reference equi-depth deciles, both sides bucketed by a broadcast
+    edge-list fold, PSI terms summed IN BUCKET ORDER from a sorted
+    array (float addition is not associative — an unordered SUM
+    breaks engine parity in the last ulp).  The drift gate every
+    production feature pipeline runs before retraining
+    (plans/metrics.py:population_stability)."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        population_stability,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select("value")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("value")
+    return population_stability(ref, cur, "value")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

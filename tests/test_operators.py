@@ -2472,3 +2472,26 @@ def test_triangle_stats_known_graphs(spark):
         triangle_stats(
             spark.createDataFrame([(2, 1)], "a BIGINT, b BIGINT")
         )
+
+
+def test_population_stability_detects_shift(spark):
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        population_stability,
+    )
+
+    ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS value")
+    same = spark.range(1000).selectExpr(
+        "CAST((id + 7) % 100 AS DOUBLE) AS value"
+    )
+    r = population_stability(ref, same, "value").first()
+    assert abs(r["psi"]) < 0.01  # same distribution -> stable
+    assert r["n_shifted_buckets"] == 0
+
+    shifted = spark.range(1000).selectExpr(
+        "CAST(50 + id % 100 AS DOUBLE) AS value"
+    )
+    r2 = population_stability(ref, shifted, "value").first()
+    assert r2["psi"] > 0.25      # half the mass left its buckets
+    assert r2["n_shifted_buckets"] >= 4
+    # empty current buckets took the min_prop clamp, not a NaN/inf
+    assert r2["psi"] == r2["psi"] and r2["psi"] < float("inf")
