@@ -558,3 +558,55 @@ def population_stability(
             "n_shifted_buckets"
         ),
     )
+
+
+def conversion_rates_wilson(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-variant conversion rate with the Wilson score interval —
+    the experiment-readout statistic (unlike the normal approximation,
+    Wilson stays inside [0,1] and behaves at small n / extreme rates).
+
+    Input: one row per UNIT (user) with a boolean ``converted_col``
+    (aggregate events to units first — rates over raw events
+    double-count active users, the classic A/B bug).  Counts are exact
+    integers from one grouped pass; the interval is closed-form
+    per-row arithmetic on (k, n) — identical IEEE ops on identical
+    integers on any engine, no sums of floats anywhere.
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)
+
+    Output: (variant, n_units, n_converted, rate, wilson_lo,
+    wilson_hi), all rates at 6 dp.
+    """
+    g = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(F.col(converted_col).cast("int"))
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+    n = F.col("n_units").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z2 / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return g.select(
+        "variant",
+        "n_units",
+        "n_converted",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )

@@ -8661,6 +8661,64 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return population_stability(ref, cur, "value")
 
 
+@query(
+    "events_ab_conversion",
+    oracle="""
+    WITH units AS (
+        SELECT user_id, user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM units GROUP BY variant
+    )
+    SELECT variant, n_units, n_converted,
+           round(p, 6) AS rate,
+           round((p + (1.96 * 1.96) / (2 * n)) / (1.0 + (1.96 * 1.96) / n)
+                 - 1.96 * sqrt(p * (1.0 - p) / n
+                               + (1.96 * 1.96) / (4 * n * n))
+                   / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lo,
+           round((p + (1.96 * 1.96) / (2 * n)) / (1.0 + (1.96 * 1.96) / n)
+                 + 1.96 * sqrt(p * (1.0 - p) / n
+                               + (1.96 * 1.96) / (4 * n * n))
+                   / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_hi
+    FROM (SELECT variant, n_units, n_converted,
+                 CAST(n_units AS DOUBLE) AS n,
+                 CAST(n_converted AS DOUBLE) / CAST(n_units AS DOUBLE)
+                     AS p
+          FROM g)
+    ORDER BY variant
+    """,
+)
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-variant (user_id parity) purchase
+    conversion with Wilson 95% intervals.  Units are USERS, not events
+    (one grouped pass collapses each user to a converted flag first —
+    per-event rates double-count active users, the classic A/B bug);
+    the interval is closed-form arithmetic on exact integer counts, so
+    even the confidence bounds hash-match across engines
+    (plans/metrics.py:conversion_rates_wilson)."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        conversion_rates_wilson,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("_c")
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+        (F.col("_c") == 1).alias("converted"),
+    )
+    return conversion_rates_wilson(units, "variant", "converted").orderBy(
+        "variant"
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

@@ -2495,3 +2495,26 @@ def test_population_stability_detects_shift(spark):
     assert r2["n_shifted_buckets"] >= 4
     # empty current buckets took the min_prop clamp, not a NaN/inf
     assert r2["psi"] == r2["psi"] and r2["psi"] < float("inf")
+
+
+def test_conversion_rates_wilson_known_bounds(spark):
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        conversion_rates_wilson,
+    )
+
+    rows = [("A", i < 5) for i in range(10)] + [("B", i < 99) for i in range(100)]
+    df = spark.createDataFrame(rows, "variant STRING, converted BOOLEAN")
+    got = {
+        r["variant"]: r
+        for r in conversion_rates_wilson(df, "variant", "converted").collect()
+    }
+    a = got["A"]
+    assert a["rate"] == 0.5
+    # Wilson 95% for 5/10 (z=1.96): [0.236593, 0.763407]
+    assert abs(a["wilson_lo"] - 0.236593) < 1e-5
+    assert abs(a["wilson_hi"] - 0.763407) < 1e-5
+    b = got["B"]
+    # near-1 rate: interval stays inside [0, 1] (the normal
+    # approximation would overflow past 1.0 here)
+    assert b["rate"] == 0.99 and b["wilson_hi"] < 1.0
+    assert b["wilson_lo"] > 0.9
