@@ -253,3 +253,60 @@ __all__ = [
     "deletion_variants",
     "canonicalize_matches",
 ]
+
+
+def fs_link_scores(
+    pairs: DataFrame,
+    fields: list[tuple[str, F.Column, float, float]],
+    upper: float = 4.0,
+    lower: float = 0.0,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage scoring.
+
+    ``fields``: (name, agreement_column, m, u) per comparison field,
+    where ``m`` = P(agree | true match) and ``u`` = P(agree | random
+    pair) — the two error rates the FS model needs (estimate them from
+    labeled pairs or an EM pass; here they are explicit parameters so
+    the whole decision is auditable).  Each field contributes
+    ``log2(m/u)`` on agreement and ``log2((1−m)/(1−u))`` on
+    disagreement; the total log-likelihood ratio classifies the pair:
+    ``match`` at/above ``upper``, ``nonmatch`` at/below ``lower``,
+    ``review`` between — the three-way decision rule from the original
+    1969 paper.
+
+    Engine-parity: weights are DRIVER-computed constants rounded to
+    6 dp and the score is a fixed-order chain of per-field terms —
+    no float aggregation across rows, so scores hash-match anywhere.
+    Map-side over whatever candidate pairs the caller generated
+    (blocked or deletion-neighborhood — never feed it a raw cross
+    join; candidate generation is the scale decision, scoring is
+    cheap).
+
+    Output: input + agree_<field> booleans + fs_score + decision.
+    """
+    import math
+
+    if not fields:
+        raise ValueError("fs_link_scores needs at least one field")
+    cols = list(pairs.columns)
+    out = pairs
+    score = None
+    for name, agree, m, u in fields:
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"field {name!r}: need 0 < u < m < 1 (got m={m}, u={u})"
+            )
+        wa = round(math.log2(m / u), 6)
+        wd = round(math.log2((1.0 - m) / (1.0 - u)), 6)
+        out = out.withColumn(f"agree_{name}", agree)
+        term = F.when(F.col(f"agree_{name}"), F.lit(wa)).otherwise(
+            F.lit(wd)
+        )
+        score = term if score is None else score + term
+    out = out.withColumn("fs_score", F.round(score, 6))
+    return out.withColumn(
+        "decision",
+        F.when(F.col("fs_score") >= upper, F.lit("match"))
+        .when(F.col("fs_score") <= lower, F.lit("nonmatch"))
+        .otherwise(F.lit("review")),
+    )

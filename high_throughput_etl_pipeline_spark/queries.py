@@ -8719,6 +8719,118 @@ def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter field spec shared by the Spark query and its oracle:
+# (field, m = P(agree|match), u = P(agree|random)).  Weights derive
+# driver-side (log2 odds, 6 dp) so both engines consume identical
+# double literals.
+_FS_FIELDS = [("name", 0.9, 0.01), ("segment", 0.95, 0.2), ("acctbal", 0.8, 0.05)]
+
+
+def _fs_weights() -> dict[str, tuple[float, float]]:
+    import math
+
+    return {
+        n: (
+            round(math.log2(m / u), 6),
+            round(math.log2((1 - m) / (1 - u)), 6),
+        )
+        for n, m, u in _FS_FIELDS
+    }
+
+
+def _fs_linkage_oracle() -> str:
+    w = _fs_weights()
+    score = " + ".join(
+        f"CASE WHEN agree_{n} THEN {w[n][0]!r} ELSE {w[n][1]!r} END"
+        for n, _, _ in _FS_FIELDS
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) <= 2 AS agree_name,
+               a.c_mktsegment = b.c_mktsegment AS agree_segment,
+               abs(a.c_acctbal - b.c_acctbal) < 100 AS agree_acctbal
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ), scored AS (
+        SELECT *, round({score}, 6) AS fs_score FROM pairs
+    )
+    SELECT id_a, id_b, agree_name, agree_segment, agree_acctbal,
+           fs_score,
+           CASE WHEN fs_score >= 4.0 THEN 'match'
+                WHEN fs_score <= 0.0 THEN 'nonmatch'
+                ELSE 'review' END AS decision
+    FROM scored
+    WHERE fs_score > 0.0
+    ORDER BY id_a, id_b
+    """
+
+
+@query("customer_fs_linkage", oracle=_fs_linkage_oracle())
+def customer_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over nation-blocked
+    customer pairs: three comparison fields (name edit distance,
+    segment equality, balance proximity) contribute log-odds weights,
+    the summed likelihood ratio three-way classifies each pair
+    (match / review / nonmatch — the 1969 decision rule).  Scoring is
+    map-side constants over blocked candidates — candidate generation
+    is the scale decision (here the nation block; the SymSpell
+    neighborhood path in customer_fuzzy_match is the 100 TB form) —
+    and weights are driver-computed 6-dp literals, so even the
+    probabilistic scores hash-match
+    (operators/entity.py:fs_link_scores)."""
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        fs_link_scores,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=(
+                (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            ),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.c_name").alias("_na"),
+            F.col("b.c_name").alias("_nb"),
+            F.col("a.c_mktsegment").alias("_sa"),
+            F.col("b.c_mktsegment").alias("_sb"),
+            F.col("a.c_acctbal").alias("_ba"),
+            F.col("b.c_acctbal").alias("_bb"),
+        )
+    )
+    fields = [
+        (n, agree, m, u)
+        for (n, m, u), agree in zip(
+            _FS_FIELDS,
+            [
+                F.levenshtein(F.col("_na"), F.col("_nb")) <= 2,
+                F.col("_sa") == F.col("_sb"),
+                F.abs(F.col("_ba") - F.col("_bb")) < 100,
+            ],
+        )
+    ]
+    scored = fs_link_scores(pairs, fields, upper=4.0, lower=0.0)
+    return (
+        scored.filter(F.col("fs_score") > 0.0)
+        .select(
+            "id_a",
+            "id_b",
+            "agree_name",
+            "agree_segment",
+            "agree_acctbal",
+            "fs_score",
+            "decision",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

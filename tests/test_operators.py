@@ -2518,3 +2518,31 @@ def test_conversion_rates_wilson_known_bounds(spark):
     # approximation would overflow past 1.0 here)
     assert b["rate"] == 0.99 and b["wilson_hi"] < 1.0
     assert b["wilson_lo"] > 0.9
+
+
+def test_fs_link_scores_three_way_decision(spark):
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        fs_link_scores,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 2, True, True), (1, 3, True, False), (1, 4, False, False)],
+        "id_a BIGINT, id_b BIGINT, f1 BOOLEAN, f2 BOOLEAN",
+    )
+    # f1: log2(.9/.1)=3.169925 / log2(.1/.9)=-3.169925
+    # f2: log2(.8/.2)=2 / log2(.2/.8)=-2
+    fields = [
+        ("f1", __import__("pyspark.sql.functions", fromlist=["col"]).col("f1"), 0.9, 0.1),
+        ("f2", __import__("pyspark.sql.functions", fromlist=["col"]).col("f2"), 0.8, 0.2),
+    ]
+    got = {
+        r["id_b"]: r
+        for r in fs_link_scores(df, fields, upper=4.0, lower=0.0).collect()
+    }
+    assert got[2]["decision"] == "match"      # 5.169925
+    assert got[2]["fs_score"] == 5.169925
+    assert got[3]["decision"] == "review"     # 1.169925
+    assert got[4]["decision"] == "nonmatch"   # -5.169925
+    with _pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_link_scores(df, [("bad", df["f1"], 0.2, 0.9)])
