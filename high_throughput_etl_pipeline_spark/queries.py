@@ -8841,7 +8841,8 @@ def customer_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_spans, contamination_bloom, doc_bigram_perplexity,
 # data_quality_report, customer_snapshot_diff, corpus_weighted_sample,
 # audio_window_grid, events_freq_sketch, embedding_hard_negatives,
-# embedding_knn_label_eval.
+# embedding_knn_label_eval, events_k_anonymity,
+# events_anonymity_report, corpus_packed_sequences.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
     # leakage-safe splitting (CC + atomic cluster assignment),
@@ -8858,7 +8859,8 @@ HEADLINE: list[str] = [
     # sequence matching (chained funnel walk + regex patterns),
     # exact-integer PageRank, binary Hamming retrieval, integer-exact
     # OLS trend, median/MAD outliers, deterministic reservoir, TWAP,
-    # sweep-line peak concurrency, triangle census
+    # sweep-line peak concurrency, triangle census, PSI drift,
+    # Wilson A/B readout, Fellegi-Sunter linkage
     "user_funnel_chained",
     "user_event_patterns",
     "supplier_part_pagerank",
@@ -8869,6 +8871,9 @@ HEADLINE: list[str] = [
     "events_twap",
     "events_peak_concurrency",
     "supplier_cosupply_triangles",
+    "events_value_drift",
+    "events_ab_conversion",
+    "customer_fs_linkage",
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
     # oracle can verify, closing r6's three no_oracle rows)
@@ -8910,8 +8915,6 @@ HEADLINE: list[str] = [
     "text_bm25_topk",
     "hybrid_rrf_topk",
     "customer_fuzzy_match",
-    "events_k_anonymity",
-    "events_anonymity_report",
     # metrics_size_profile (A6, green r5) rotates to the tail for the
     # robust-clipping query — the percentile machinery keeps
     # events_percentiles in-window
@@ -8923,7 +8926,6 @@ HEADLINE: list[str] = [
     # events_hopping_windows (green r5, second round done) rotates to
     # the tail for the packed-sequence view — time-window semantics stay
     # in-window via purchase_attribution_asof
-    "corpus_packed_sequences",
     "dedup_cc_rounds",
     # dedup_keep_best (green r5) rotates to the tail for the new
     # cross-corpus fuzzy decontamination (dedup family keeps 6 rows)
