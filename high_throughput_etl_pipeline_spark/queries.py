@@ -8831,6 +8831,55 @@ def customer_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+        SELECT value,
+               row_number() OVER (ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM events
+    )
+    SELECT CAST((rk - 1) * 10 // n AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(MIN(value), 6) AS lo,
+           round(MAX(value), 6) AS hi
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram of event values in 10
+    buckets — the selectivity-estimation summary an optimizer keeps,
+    where equal-WIDTH histograms collapse under skew.  Bucket ids come
+    from exact global ranks via range-partition + per-partition
+    row_number + prefix offsets (operators/ranking.py:global_rank —
+    all-parallel, never a single-task global window); the bucket
+    arithmetic ((rank−1)·k div n) is integer on both engines."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ranked, n = global_rank(ev, [F.col("value"), F.col("event_id")])
+    return (
+        ranked.select(
+            F.expr(f"((rank - 1) * 10) div {n}").cast("int").alias(
+                "bucket"
+            ),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
