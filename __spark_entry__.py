@@ -35,7 +35,9 @@ def oracle_sql() -> dict[str, str]:
     (dedup_minhash_md5/dedup_simhash_md5 pin the LSH algebra;
     ann_ivf_topk/ann_pq_topk/ann_ivfpq_topk pin IVF pruning AND the
     PQ encode→ADC→rank pipeline with fixed data-derived quantizers;
-    BPE has a reference-parity pytest).  The HLL/KLL/theta sketch
+    BPE training has a reference-parity pytest, and the ENCODER is
+    hash-checked as of r8 via a frozen merge list + recursive-CTE
+    oracle — bpe_vocab_merges is the one remaining honest exemption).  The HLL/KLL/theta sketch
     queries are hash-checked as of r7 via tolerance binding: the output
     carries engine-portable exact values plus booleans asserting the
     estimate sits within its error contract, so the oracle computes the

@@ -8286,8 +8286,11 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
+    # query_id is the REAL vec_id column, not a literal: a folded
+    # constant would erase the window's partition spec and funnel every
+    # scored vector through one rank task (the r7 top-k anti-pattern)
     q = e.filter(F.col("vec_id") == 0).select(
-        F.lit(0).alias("query_id"), "embedding"
+        F.col("vec_id").alias("query_id"), "embedding"
     )
     got = hamming_topk(
         e.filter(F.col("vec_id") != 0), q, k=10, dim=64

@@ -643,3 +643,33 @@ def test_native_session_window_single_agg_pass(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Join" not in final and "CartesianProduct" not in final
     assert "session_window" in final or "SessionWindow" in final
+
+
+def test_funnel_chained_single_keyed_shuffle(spark):
+    # the walk is ONE groupBy(user) fold — exactly one hash exchange
+    # (the second exchange is the final ORDER BY's range partitioning);
+    # never a per-stage scan+join ladder
+    plan = _plan(spark, "user_funnel_chained")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "Join" not in final
+
+
+def test_event_patterns_single_keyed_shuffle(spark):
+    plan = _plan(spark, "user_event_patterns")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "Join" not in final
+
+
+def test_hamming_topk_broadcast_and_partitioned_window(spark):
+    # query side broadcasts (one-row table); the rank window carries
+    # the query_id partition spec — never a corpus-wide global window
+    plan = _plan(spark, "ann_hamming_topk")
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    )
+    assert re.search(r"windowspecdefinition\(query_id", plan), plan
