@@ -1317,3 +1317,76 @@ def test_funnel_stream_matches_batch_walk(spark, tmp_path):
     }
     assert got == expected
     assert {u for (u, *_id) in got} == {1, 2}  # u3 never starts, u4 misses window
+
+
+def test_drift_stream_matches_batch_psi(spark, tmp_path):
+    """Streaming drift monitor: bucket counts accumulate across
+    micro-batches into the snapshot store; stored_psi over the stored
+    counts must EXACTLY equal the batch population_stability of the
+    same data (same edges, same proportions, same fold order).  Replay
+    of an absorbed batch id no-ops."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        population_stability,
+    )
+    from high_throughput_etl_pipeline_spark.streaming.drift_stream import (
+        merge_batch,
+        start_drift_stream,
+        stored_psi,
+    )
+
+    ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS value")
+    qs = [i / 10 for i in range(1, 10)]
+    edges = list(
+        ref.agg(
+            *[F.percentile("value", F.lit(q)).alias(f"q{i}")
+              for i, q in enumerate(qs)]
+        ).first()
+    )
+    ref_counts_rows = (
+        ref.selectExpr(
+            "aggregate(array({}), 0, (acc, e) -> acc + IF(value > e, 1, 0)) AS b".format(
+                ",".join(repr(e) for e in edges)
+            )
+        )
+        .groupBy("b").count().collect()
+    )
+    by_bucket = {r["b"]: r["count"] for r in ref_counts_rows}
+    ref_counts = [by_bucket.get(i, 0) for i in range(10)]
+
+    # current traffic: shifted distribution, split across micro-batches
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i in range(2):
+        p = ind / f"f{i}.ndjson"
+        with open(p, "w") as f:
+            for j in range(500):
+                f.write(_json.dumps({"value": 50.0 + (i * 500 + j) % 100}) + "\n")
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    table = str(tmp_path / "drift")
+    stream = spark.readStream.schema("value DOUBLE").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(ind))
+    q = start_drift_stream(
+        stream, table, str(tmp_path / "ckpt"), edges,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = stored_psi(spark, table, ref_counts).first()
+    cur = spark.read.schema("value DOUBLE").json(str(ind))
+    exp = population_stability(ref, cur, "value").first()
+    assert got["psi"] == exp["psi"]
+    assert got["n_cur"] == 1000 and got["psi"] > 0.25
+    assert got["worst_bucket"] == exp["worst_bucket"]
+    assert got["n_shifted_buckets"] == exp["n_shifted_buckets"]
+
+    # replayed batch id no-ops; a fresh id merges
+    batch = spark.createDataFrame([(1.0,)], "value DOUBLE")
+    assert merge_batch(batch, 0, table, edges) is False
+    assert merge_batch(batch, 99, table, edges) is True
+    assert stored_psi(spark, table, ref_counts).first()["n_cur"] == 1001
