@@ -8883,6 +8883,141 @@ def events_equidepth_histogram(
     )
 
 
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           round(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+)
+def events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix between event types: per
+    user, consecutive event pairs (event_id pins equal-timestamp order)
+    roll into transition counts and row-normalized probabilities —
+    behavioral modeling, next-event prediction baselines, and the
+    anomaly question "which transitions never happen".  One partitioned
+    lead window + one grouped count; probabilities are exact integer
+    ratios divided once."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("_t", F.sum("_n").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            F.col("_n").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.col("_n").cast("double") / F.col("_t").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "events_value_gini",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY round(value * 100, 0), event_id
+               ) AS rk
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(cents AS HUGEINT)) AS sx,
+               SUM(CAST(rk AS HUGEINT) * cents) AS srx
+        FROM v GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+               AS mean_value,
+           CASE WHEN sx > 0 THEN
+               round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE), 6)
+           END AS gini
+    FROM s ORDER BY event_type
+    """,
+)
+def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini coefficient of event value — the inequality
+    statistic behind "is spend concentrated in a few whales":
+    G = (2Σ i·xᵢ − (n+1)Σx) / (nΣx) over rank-ordered values.  Cents ×
+    ranks accumulate as exact integers (decimal(38,0) / HUGEINT), so
+    even a rank-weighted distributional statistic hash-matches; the
+    rank window partitions by type (parallel across groups), with
+    event_id pinning equal-value order on both engines."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(cents, "event_id")
+    dec = "decimal(38,0)"
+    v = e.select(
+        "event_type",
+        cents.alias("_c"),
+        F.row_number().over(w).alias("_rk"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_c").cast(dec)).alias("_sx"),
+        F.sum(F.col("_rk").cast(dec) * F.col("_c")).alias("_srx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(
+            F.col("_sx").cast("double") / F.col("_n").cast("double") / 100.0,
+            6,
+        ).alias("mean_value"),
+        F.when(
+            F.col("_sx") > 0,
+            F.round(
+                (
+                    F.lit(2) * F.col("_srx")
+                    - (F.col("_n") + 1) * F.col("_sx")
+                ).cast("double")
+                / (F.col("_n") * F.col("_sx")).cast("double"),
+                6,
+            ),
+        ).alias("gini"),
+    ).orderBy("event_type")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
