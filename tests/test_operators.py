@@ -2546,3 +2546,27 @@ def test_fs_link_scores_three_way_decision(spark):
     assert got[4]["decision"] == "nonmatch"   # -5.169925
     with _pytest.raises(ValueError, match="0 < u < m < 1"):
         fs_link_scores(df, [("bad", df["f1"], 0.2, 0.9)])
+
+
+def test_take_top_k_matches_sort_and_plans_distributed(spark):
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "id", "CAST(id % 97 AS DOUBLE) AS score"
+    )
+    got = take_top_k(df, [F.desc("score"), F.col("id")], 5)
+    rows = [(r["id"], r["score"], r["rank"]) for r in got.collect()]
+    exp = [(r["id"], r["score"]) for r in
+           df.orderBy(F.desc("score"), "id").limit(5).collect()]
+    assert [(i, s) for i, s, _ in rows] == exp
+    assert [r for _, _, r in rows] == [1, 2, 3, 4, 5]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # no SinglePartition exchange of the full input feeds a sort
+    assert "Exchange SinglePartition" not in plan.split(
+        "== Initial Plan =="
+    )[0]
