@@ -338,6 +338,67 @@ def pagerank_int(
     return state
 
 
+def label_propagation(
+    seeds: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    id_col: str = "id",
+    label_col: str = "label",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_label: int = 1023,
+) -> DataFrame:
+    """Semi-supervised sticky label propagation over a similarity graph
+    — the weak-supervision step that turns a small labeled seed set
+    into corpus-scale labels by spreading through near-neighbor edges.
+
+    ``seeds``: (id, label) with label NULL for unlabeled nodes.
+    ``edges``: directed rows; supply both directions for an undirected
+    graph.  Each round, every still-unlabeled node takes the MODE of
+    its currently-labeled neighbors' labels (ties → smallest label);
+    once assigned, a label is STICKY — first reach wins, like BFS
+    layering.  Sticky semantics make the result independent of
+    execution order and expressible as a fixed unrolled replay (an
+    engine-checkable iterative algorithm, same discipline as
+    :func:`pagerank_int`); classic re-flipping LPA is order-chaotic.
+
+    Labels must be small non-negative ints (≤ ``max_label``): the mode
+    argmax rides ONE ``max_by`` with the composite integer key
+    ``count·(max_label+1) − label`` — no window, no second shuffle.
+    Each round is one keyed join + one grouped vote; lineage cut per
+    round.  Output: (id, label) — NULL = never reached.
+    """
+    state = seeds.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
+    ).localCheckpoint(eager=False)
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    k = max_label + 1
+    for _ in range(rounds):
+        votes = (
+            e.join(
+                state.filter(F.col("_lbl").isNotNull()),
+                on=F.col("_s") == F.col("_id"),
+            )
+            .groupBy(F.col("_d"), F.col("_lbl").alias("_vl"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        best = votes.groupBy("_d").agg(
+            F.expr(f"max_by(_vl, _c * {k} - _vl)").alias("_bl")
+        )
+        state = (
+            state.join(best, on=F.col("_id") == F.col("_d"), how="left")
+            .select(
+                "_id", F.coalesce("_lbl", "_bl").alias("_lbl")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        F.col("_id").alias(id_col), F.col("_lbl").alias(label_col)
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     a_col: str = "a",

@@ -9018,6 +9018,101 @@ def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _label_propagation_oracle(rounds: int = 3) -> str:
+    parts = [
+        f"""
+    WITH {_embedding_neardup_cte()},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (
+        SELECT vec_id AS id,
+               CASE WHEN vec_id % 5 = 0 THEN label END AS lbl,
+               label AS true_lbl
+        FROM embeddings
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    v{r} AS (
+        SELECT e.d AS id, l.lbl AS vl, COUNT(*) AS c
+        FROM l{r} l JOIN edges e ON e.s = l.id
+        WHERE l.lbl IS NOT NULL GROUP BY 1, 2
+    ), b{r} AS (
+        SELECT id, max_by(vl, c * 1024 - vl) AS bl FROM v{r} GROUP BY id
+    ), l{r + 1} AS (
+        SELECT l.id, COALESCE(l.lbl, b.bl) AS lbl, l.true_lbl
+        FROM l{r} l LEFT JOIN b{r} b ON b.id = l.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS vec_id, CAST(lbl AS INT) AS label,
+           (id % 5 = 0) AS is_seed,
+           CASE WHEN lbl IS NOT NULL THEN lbl = true_lbl END
+               AS matches_true
+    FROM l{rounds} ORDER BY vec_id
+    """
+    )
+    return "".join(parts)
+
+
+@query("embedding_label_propagation", oracle=_label_propagation_oracle())
+def embedding_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weak supervision by sticky label propagation: a 20% labeled seed
+    set (vec_id % 5) spreads through the LSH near-dup similarity graph
+    for 3 rounds — each still-unlabeled vector takes the mode of its
+    labeled neighbors (first reach wins, smallest-label ties), and
+    ``matches_true`` scores the propagation against the held-out truth.
+    Iterative, yet hash-checkable: sticky integer voting is execution-
+    order-independent, so the oracle replays the rounds as unrolled
+    CTEs over the same plane-literal pair spec
+    (operators/graph.py:label_propagation)."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = e.select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 5 == 0, F.col("label")).alias("lbl"),
+    )
+    pairs = embedding_near_duplicates(
+        e,
+        threshold=_ND_THRESHOLD,
+        n_tables=_ND_TABLES,
+        bits_per_table=None,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    out = label_propagation(
+        seeds, edges, rounds=3, label_col="lbl", max_label=1023
+    )
+    return (
+        out.join(
+            e.select(F.col("vec_id"), F.col("label").alias("_true")),
+            on=F.col("id") == F.col("vec_id"),
+        )
+        .select(
+            "vec_id",
+            F.col("lbl").cast("int").alias("label"),
+            (F.col("vec_id") % 5 == 0).alias("is_seed"),
+            F.when(
+                F.col("lbl").isNotNull(), F.col("lbl") == F.col("_true")
+            ).alias("matches_true"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

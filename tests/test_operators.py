@@ -2570,3 +2570,36 @@ def test_take_top_k_matches_sort_and_plans_distributed(spark):
     assert "Exchange SinglePartition" not in plan.split(
         "== Initial Plan =="
     )[0]
+
+
+def test_label_propagation_sticky_mode_semantics(spark):
+    """Chain seed(0,lbl 7)-1-2-3: labels spread one hop per round and
+    STICK (round-2 arrival at node 2 cannot flip later); mode ties take
+    the smallest label; unreached nodes stay NULL; seeds never change."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    seeds = spark.createDataFrame(
+        [(0, 7), (10, 3), (11, 5), (1, None), (2, None), (3, None),
+         (4, None), (99, None)],
+        "id BIGINT, label INT",
+    )
+    und = [(0, 1), (1, 2), (2, 3),      # chain from seed 7
+           (10, 4), (11, 4)]            # node 4 hears 3 and 5 equally
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(seeds, edges, rounds=3).collect()
+    }
+    assert got[0] == 7 and got[1] == 7 and got[2] == 7 and got[3] == 7
+    assert got[4] == 3          # tie (one vote each) -> smallest label
+    assert got[99] is None      # isolated: never reached
+    # two rounds only: the chain end is NOT reached yet (3 hops)
+    got2 = {
+        r["id"]: r["label"]
+        for r in label_propagation(seeds, edges, rounds=2).collect()
+    }
+    assert got2[2] == 7 and got2[3] is None
