@@ -9113,6 +9113,79 @@ def embedding_label_propagation(
     )
 
 
+@query(
+    "user_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS d
+        FROM events
+    ), s AS (
+        SELECT user_id,
+               CAST(COUNT(d) AS HUGEINT) AS n,
+               SUM(CAST(d AS HUGEINT)) AS sd,
+               SUM(CAST(d AS HUGEINT) * d) AS sdd
+        FROM gaps WHERE d IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS mean_gap_s,
+           CASE WHEN n > 1 THEN
+               round(sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE)), 6)
+           END AS std_gap_s,
+           CASE WHEN n > 1 AND sd > 0 THEN
+               round((sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                           / CAST(n * (n - 1) AS DOUBLE))
+                      - CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE))
+                        + CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           END AS burstiness
+    FROM s ORDER BY user_id
+    """,
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user with the Goh-Barabási
+    burstiness index B = (σ−μ)/(σ+μ): −1 = metronome, 0 = Poisson,
+    →1 = bursty — the behavioral fingerprint that separates bots from
+    humans and batchy sources from steady ones.  Gap sums and squares
+    accumulate as exact integers (decimal(38,0)/HUGEINT), doubles only
+    in the final closed form — a second-moment statistic that still
+    hash-matches.  One partitioned lag window + one grouped pass."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("ts").cast("long")
+    gaps = e.select(
+        "user_id", (t - F.lag(t).over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    dec = "decimal(38,0)"
+    s = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("d").cast(dec)).alias("_sd"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).alias("_sdd"),
+    )
+    n, sd, sdd = F.col("_n"), F.col("_sd"), F.col("_sdd")
+    mean = sd.cast("double") / n.cast("double")
+    std = F.sqrt(
+        (n * sdd - sd * sd).cast("double")
+        / (n * (n - 1)).cast("double")
+    )
+    return s.select(
+        "user_id",
+        n.cast("bigint").alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.when(n > 1, F.round(std, 6)).alias("std_gap_s"),
+        F.when(
+            (n > 1) & (sd > 0),
+            F.round((std - mean) / (std + mean), 6),
+        ).alias("burstiness"),
+    ).orderBy("user_id")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
