@@ -9197,7 +9197,9 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data_quality_report, customer_snapshot_diff, corpus_weighted_sample,
 # audio_window_grid, events_freq_sketch, embedding_hard_negatives,
 # embedding_knn_label_eval, events_k_anonymity,
-# events_anonymity_report, corpus_packed_sequences.
+# events_anonymity_report, corpus_packed_sequences, events_winsorized,
+# corpus_datacard, table_column_stats, text_classifier_scores,
+# embedding_centering.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
     # leakage-safe splitting (CC + atomic cluster assignment),
@@ -9215,7 +9217,9 @@ HEADLINE: list[str] = [
     # exact-integer PageRank, binary Hamming retrieval, integer-exact
     # OLS trend, median/MAD outliers, deterministic reservoir, TWAP,
     # sweep-line peak concurrency, triangle census, PSI drift,
-    # Wilson A/B readout, Fellegi-Sunter linkage
+    # Wilson A/B readout, Fellegi-Sunter linkage, Markov transitions,
+    # Gini concentration, sticky label propagation, burstiness, and
+    # the global-rank equi-depth histogram
     "user_funnel_chained",
     "user_event_patterns",
     "supplier_part_pagerank",
@@ -9229,6 +9233,11 @@ HEADLINE: list[str] = [
     "events_value_drift",
     "events_ab_conversion",
     "customer_fs_linkage",
+    "events_markov_transitions",
+    "events_value_gini",
+    "embedding_label_propagation",
+    "user_burstiness",
+    "events_equidepth_histogram",
     # --- r7 rotation: the sketch trio stays for its FIRST value-checked
     # rows (now tolerance-bound — estimates collapse to booleans the
     # oracle can verify, closing r6's three no_oracle rows)
@@ -9270,10 +9279,6 @@ HEADLINE: list[str] = [
     "text_bm25_topk",
     "hybrid_rrf_topk",
     "customer_fuzzy_match",
-    # metrics_size_profile (A6, green r5) rotates to the tail for the
-    # robust-clipping query — the percentile machinery keeps
-    # events_percentiles in-window
-    "events_winsorized",
     # sorted_distinct_users (O2, green r5) and events_value_histogram
     # (green r5) rotate to the tail to make room — both families keep
     # in-window representatives (distinct/order-by rides every query;
@@ -9291,14 +9296,6 @@ HEADLINE: list[str] = [
     # machinery is value-checked via ann_ivf_topk + these two
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    # tfidf_top_terms (green r5) rotates to the tail for the data card —
-    # term stats stay exercised in-window via corpus_vocab_topk
-    "corpus_datacard",
-    "table_column_stats",
-    # doc_unigram_logprob (green r4/r5) rotates to the tail for the
-    # hashed-classifier inference pass — LM/scoring family keeps
-    # doc_bigram_perplexity in-window
-    "text_classifier_scores",
     # dataprep_training_batches (green r4-r6; replays corpus_doc_chunks'
     # chunking inside its 4-stage oracle) rotates to the tail for the
     # join-cardinality pre-flight — a first driver row
@@ -9307,7 +9304,6 @@ HEADLINE: list[str] = [
     # the displaced green queries — including the whole TPC-H block,
     # q1 green r1-r6 — stay oracle-checked by tools/check_correctness.py
     # over the full registry)
-    "embedding_centering",
     # q21_waiting_suppliers (green r3-r5) rotates to the tail; the
     # multi-join TPC-H family keeps q1/q3 in-window
     "customer_value_ntiles",
