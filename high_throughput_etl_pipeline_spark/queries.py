@@ -8536,15 +8536,11 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("date")
 
 
-@query(
-    "supplier_cosupply_triangles",
-    oracle="""
-    WITH ps AS (
-        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
-    ), e AS (
-        SELECT DISTINCT a.s AS a, b.s AS b
-        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-    ), deg AS (
+def _neardup_triangles_oracle() -> str:
+    return f"""
+    WITH {_embedding_neardup_cte()},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    deg AS (
         SELECT v, COUNT(*) AS d FROM (
             SELECT a AS v FROM e UNION ALL SELECT b FROM e
         ) GROUP BY v
@@ -8566,35 +8562,36 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(wedges AS DOUBLE), 6)
            END AS global_clustering
     FROM counts CROSS JOIN tri
-    """,
-)
-def supplier_cosupply_triangles(
+    """
+
+
+@query("embedding_neardup_triangles", oracle=_neardup_triangles_oracle())
+def embedding_neardup_triangles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Triangle census of the co-supply graph (suppliers linked when
-    they ship the same part): exact triangle count via the oriented
-    two-path join — every triangle x<y<z counted once, two keyed
-    equi-joins, never an all-pairs pass — plus the global clustering
-    coefficient (operators/graph.py:triangle_stats).  The projection
-    join is bounded by per-part supplier degree (TPC-H: ~4), the
-    blocked-join discipline; profile with key_skew_profile before
-    projecting a graph with hub keys."""
+    """Triangle census of the embedding near-dup similarity graph —
+    triangle density is the cohesion signal that separates tight
+    duplicate cliques from chains of borderline matches (a high
+    clustering coefficient says near-dup clusters are real duplicate
+    groups, not LSH accidents).  Exact count via degree-ordered
+    orientation (operators/graph.py:triangle_stats — each triangle
+    enumerated once from its minimum-(degree,id) vertex, wedge work
+    bounded by Σ out-deg² = O(m^1.5)); the similarity graph is sparse
+    by construction (bounded LSH buckets), the graph family's standing
+    requirement.  Oracle replays the shared plane-literal pair spec
+    plus the naive one-orientation triangle join (same count)."""
     from high_throughput_etl_pipeline_spark.operators.graph import (
         triangle_stats,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    edges = (
-        ps.alias("x")
-        .join(ps.alias("y"), on=(F.col("x.p") == F.col("y.p")))
-        .filter(F.col("x.s") < F.col("y.s"))
-        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
-        .distinct()
-    )
-    return triangle_stats(edges)
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        e,
+        threshold=_ND_THRESHOLD,
+        n_tables=_ND_TABLES,
+        bits_per_table=None,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    return triangle_stats(pairs)
 
 
 @query(
@@ -8750,7 +8747,7 @@ def _fs_linkage_oracle() -> str:
     return f"""
     WITH pairs AS (
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-               levenshtein(a.c_name, b.c_name) <= 2 AS agree_name,
+               levenshtein(a.c_name, b.c_name) <= 1 AS agree_name,
                a.c_mktsegment = b.c_mktsegment AS agree_segment,
                abs(a.c_acctbal - b.c_acctbal) < 100 AS agree_acctbal
         FROM customer a JOIN customer b
@@ -8771,48 +8768,90 @@ def _fs_linkage_oracle() -> str:
 
 @query("customer_fs_linkage", oracle=_fs_linkage_oracle())
 def customer_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter probabilistic record linkage over nation-blocked
-    customer pairs: three comparison fields (name edit distance,
-    segment equality, balance proximity) contribute log-odds weights,
-    the summed likelihood ratio three-way classifies each pair
-    (match / review / nonmatch — the 1969 decision rule).  Scoring is
-    map-side constants over blocked candidates — candidate generation
-    is the scale decision (here the nation block; the SymSpell
-    neighborhood path in customer_fuzzy_match is the 100 TB form) —
-    and weights are driver-computed 6-dp literals, so even the
-    probabilistic scores hash-match
-    (operators/entity.py:fs_link_scores)."""
+    """Fellegi-Sunter probabilistic record linkage over customer pairs:
+    three comparison fields (name edit distance <= 1, segment equality,
+    balance proximity) contribute log-odds weights and the summed
+    likelihood ratio three-way classifies each pair (1969 decision
+    rule).  The oracle is the plain quadratic spec; the Spark plan is
+    the SCALE shape — under these weights score > 0 iff name-agree OR
+    (segment AND balance agree), so candidates come from two
+    near-linear channels instead of the nation-block cross product:
+    (a) SymSpell deletion-variant sharing for the name field
+    (entity.fuzzy_matches_neighborhood's identity), (b) an equi-join
+    on (nation, segment, balance-bin) with adjacent-bin probing for
+    the numeric band (the binned-range-join trick).  Scoring is
+    map-side constants over the union (operators/entity.py:
+    fs_link_scores); weights are driver-computed 6-dp literals, so
+    even the probabilistic scores hash-match."""
     from high_throughput_etl_pipeline_spark.operators.entity import (
+        deletion_variants,
         fs_link_scores,
     )
 
-    c = _t(spark, sf_dir, "customer")
-    a, b = c.alias("a"), c.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=(
-                (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-                & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            ),
-        )
-        .select(
-            F.col("a.c_custkey").alias("id_a"),
-            F.col("b.c_custkey").alias("id_b"),
-            F.col("a.c_name").alias("_na"),
-            F.col("b.c_name").alias("_nb"),
-            F.col("a.c_mktsegment").alias("_sa"),
-            F.col("b.c_mktsegment").alias("_sb"),
-            F.col("a.c_acctbal").alias("_ba"),
-            F.col("b.c_acctbal").alias("_bb"),
-        )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
     )
+    # channel A: distance-<=1 name candidates via deletion variants
+    variants = c.select(
+        "nat",
+        "id",
+        F.explode(deletion_variants(F.col("name"))).alias("_var"),
+    ).select("nat", "id", F.xxhash64("_var").alias("_vh"))
+    ch_a = (
+        variants.select("nat", "_vh", F.col("id").alias("id_a"))
+        .join(
+            variants.select("nat", "_vh", F.col("id").alias("id_b")),
+            on=["nat", "_vh"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    # channel B: (nation, segment, balance-bin) equi-join; |diff| < 100
+    # implies bins differ by at most 1, so side a probes bin-1..bin+1
+    binned = c.select(
+        "id", "nat", "seg", "bal", F.floor(F.col("bal") / 100).alias("_b")
+    )
+    probe = binned.select(
+        "nat",
+        "seg",
+        F.col("id").alias("id_a"),
+        F.col("bal").alias("_ba"),
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ).alias("_b"),
+    )
+    ch_b = (
+        probe.join(
+            binned.select(
+                "nat", "seg", "_b",
+                F.col("id").alias("id_b"), F.col("bal").alias("_bb"),
+            ),
+            on=["nat", "seg", "_b"],
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_ba") - F.col("_bb")) < 100)
+        )
+        .select("id_a", "id_b")
+    )
+    cand = ch_a.unionAll(ch_b).distinct()
+    attach = lambda side: c.select(
+        F.col("id").alias(f"id_{side}"),
+        F.col("name").alias(f"_n{side}"),
+        F.col("seg").alias(f"_s{side}"),
+        F.col("bal").alias(f"_b{side}"),
+    )
+    pairs = cand.join(attach("a"), on="id_a").join(attach("b"), on="id_b")
     fields = [
         (n, agree, m, u)
         for (n, m, u), agree in zip(
             _FS_FIELDS,
             [
-                F.levenshtein(F.col("_na"), F.col("_nb")) <= 2,
+                F.levenshtein(F.col("_na"), F.col("_nb")) <= 1,
                 F.col("_sa") == F.col("_sb"),
                 F.abs(F.col("_ba") - F.col("_bb")) < 100,
             ],
@@ -8832,6 +8871,7 @@ def customer_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
 
 
 @query(
@@ -9216,7 +9256,7 @@ HEADLINE: list[str] = [
     # sequence matching (chained funnel walk + regex patterns),
     # exact-integer PageRank, binary Hamming retrieval, integer-exact
     # OLS trend, median/MAD outliers, deterministic reservoir, TWAP,
-    # sweep-line peak concurrency, triangle census, PSI drift,
+    # sweep-line peak concurrency, near-dup triangle census, PSI drift,
     # Wilson A/B readout, Fellegi-Sunter linkage, Markov transitions,
     # Gini concentration, sticky label propagation, burstiness, and
     # the global-rank equi-depth histogram
@@ -9229,7 +9269,7 @@ HEADLINE: list[str] = [
     "corpus_reservoir_sample",
     "events_twap",
     "events_peak_concurrency",
-    "supplier_cosupply_triangles",
+    "embedding_neardup_triangles",
     "events_value_drift",
     "events_ab_conversion",
     "customer_fs_linkage",
