@@ -371,9 +371,11 @@ def label_propagation(
     state = seeds.select(
         F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
     ).localCheckpoint(eager=False)
+    # the edge list joins into EVERY round — pin it once (it may be an
+    # expensive derivation, e.g. an LSH candidate pipeline)
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    )
+    ).localCheckpoint(eager=False)
     k = max_label + 1
     for _ in range(rounds):
         votes = (
