@@ -9226,6 +9226,252 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@query(
+    "purchase_attribution_models",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id AS usr, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id AS usr, event_type AS channel,
+               event_id AS touch_id, ts AS touch_ts
+        FROM events WHERE event_type <> 'purchase'
+    ), j AS (
+        SELECT c.conv_id, t.channel, t.touch_id, t.touch_ts
+        FROM conv c JOIN touch t ON c.usr = t.usr
+         AND t.touch_ts < c.conv_ts
+         AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    ), p AS (
+        SELECT conv_id, channel,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts, touch_id) AS touch_pos,
+               count(*) OVER (PARTITION BY conv_id) AS n_touches
+        FROM j
+    ), credit AS (
+        SELECT channel, conv_id,
+               CASE WHEN touch_pos = 1 THEN 1 ELSE 0 END AS first_touch,
+               CASE WHEN touch_pos = n_touches THEN 1 ELSE 0 END AS last_touch,
+               1000000 // n_touches AS linear_micros,
+               CASE WHEN n_touches = 1 THEN 1000000
+                    WHEN n_touches = 2 THEN 500000
+                    WHEN touch_pos = 1 OR touch_pos = n_touches
+                         THEN (2 * 1000000) // 5
+                    ELSE (1000000 // 5) // (n_touches - 2) END
+                   AS position_micros
+        FROM p
+    )
+    SELECT channel,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS conversions_touched,
+           CAST(sum(first_touch) AS BIGINT)        AS first_touch_wins,
+           CAST(sum(last_touch) AS BIGINT)         AS last_touch_wins,
+           CAST(sum(linear_micros) AS BIGINT)      AS linear_micros,
+           CAST(sum(position_micros) AS BIGINT)    AS position_micros
+    FROM credit GROUP BY channel ORDER BY channel
+    """,
+)
+def purchase_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-model multi-touch attribution (first/last/linear/U-shaped
+    40-20-40) rolled up by channel.  Credit is integer micro-credit with
+    integer division (operators/attribution.py) so every rollup is exact
+    bigint — the oracle replays the identical `div` arithmetic.  The
+    conversion-to-touch pairing is one user-keyed equi-join with a
+    7-day range predicate; per-conversion windows partition by conv_id
+    (bounded by one user's week of history), never a global window."""
+    from high_throughput_etl_pipeline_spark.operators.attribution import (
+        channel_credit_report,
+        multi_touch_attribution,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    touches = multi_touch_attribution(
+        e,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        id_col="event_id",
+        conversion_type="purchase",
+        lookback_days=7,
+    )
+    return channel_credit_report(touches)
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                              DATE '2002-01-01') AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT *,
+            CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                 AS INT) AS r_score,
+            CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                 AS INT) AS f_score,
+            CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                 AS INT) AS m_score
+        FROM cust
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                     THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score >= 3 THEN 'recent'
+                WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk'
+                ELSE 'hibernating' END AS segment
+    FROM scored ORDER BY o_custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic CRM scoring.  Recency anchors on a fixed literal date (no
+    extra global agg), monetary sums exact cents, and each quintile
+    score comes from the closed-form ntile over global_rank
+    (operators/ranking.py) — three range-partitioned distributed sorts
+    of a customer-grain frame, no empty-partition-spec Window anywhere.
+    Segment labels are a deterministic CASE chain the oracle mirrors."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+
+    def _ntile5(df: DataFrame, order_cols, out: str) -> DataFrame:
+        ranked, n = global_rank(df, order_cols, rank_col="_rank")
+        tiles = 5
+        q, m = divmod(n, tiles)
+        r = F.col("_rank")
+        if q == 0:
+            tile = r.cast("int")
+        else:
+            big = (q + 1) * m
+            tile = (
+                F.when(r <= big, F.ceil(r / (q + 1)))
+                .otherwise(m + F.ceil((r - big) / q))
+                .cast("int")
+            )
+        return ranked.withColumn(out, tile).drop("_rank")
+
+    scored = _ntile5(
+        cust,
+        [F.col("recency_days").desc(), F.col("o_custkey")],
+        "r_score",
+    )
+    scored = _ntile5(
+        scored, [F.col("frequency"), F.col("o_custkey")], "f_score"
+    )
+    scored = _ntile5(
+        scored, [F.col("monetary_cents"), F.col("o_custkey")], "m_score"
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3),
+            F.lit("loyal"),
+        )
+        .when(F.col("r_score") >= 3, F.lit("recent"))
+        .when(
+            (F.col("f_score") >= 3) | (F.col("m_score") >= 3),
+            F.lit("at_risk"),
+        )
+        .otherwise(F.lit("hibernating"))
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_code"),
+        seg.alias("segment"),
+    ).orderBy("o_custkey")
+
+
+@query(
+    "orders_benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ), obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM d GROUP BY digit
+    ), tot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS _total FROM obs
+    )
+    SELECT digit, n_orders,
+           round(n_orders / _total, 6) AS observed_p,
+           round(log10(1 + 1.0 / digit), 6) AS benford_p,
+           round(((n_orders - _total * log10(1 + 1.0 / digit))
+                  * (n_orders - _total * log10(1 + 1.0 / digit)))
+                 / (_total * log10(1 + 1.0 / digit)), 6) AS chi2_term
+    FROM obs, tot ORDER BY digit
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit fraud audit over order totals: observed
+    leading-digit frequencies vs the Benford expectation log10(1+1/d),
+    with per-digit chi-square contributions.  The leading digit comes
+    from the exact cents bigint rendered as a string (no log/floor
+    boundary sensitivity on the digit itself); floats appear only in
+    the per-row log10/ratio terms, built in the same term order as the
+    oracle.  One grouped agg + a one-row broadcast total — audit cost
+    is a rollup at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    obs = (
+        o.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    tot = obs.agg(F.sum("n_orders").cast("bigint").alias("_total"))
+    p = F.log10(1 + 1.0 / F.col("digit"))
+    dev = F.col("n_orders") - F.col("_total") * p
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("_total"), 6).alias(
+                "observed_p"
+            ),
+            F.round(p, 6).alias("benford_p"),
+            F.round(dev * dev / (F.col("_total") * p), 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
