@@ -556,3 +556,127 @@ def hashed_tfidf(
             ).alias("l2_norm")
         )
     return dense.select(*out)
+
+
+def nb_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial Naive Bayes (train + resubstitution eval) over
+    hashed bag-of-words, emitting the label confusion matrix
+    ``(true_label, pred_label, n_docs)``.
+
+    The whole classifier is exact integer arithmetic so an independent
+    engine replays it bit-for-bit: Laplace-smoothed token log-likelihoods
+    ``ln((c+1)/(total+dim))`` and class priors ``ln(n_class/n_docs)``
+    are quantized to micro-nats (``round(ln(..)*scale)`` bigint) ONCE,
+    then every document score is a bigint dot product ``Σ tf·lp + prior``
+    — no float accumulation anywhere, so summation order is irrelevant.
+    The argmax tie-breaks on the label string, making prediction total.
+
+    Scale shape: the model is tiny by construction (|labels| × dim
+    log-prob grid + one prior row per label) and broadcast to the
+    scoring join; the corpus-side work is one tokenize/explode, two
+    grouped counts, and a per-(doc,label) sum — one shuffle each, all
+    JVM-side.  Training and inference fuse into one lineage; no
+    iteration, no driver-side model state.
+
+    Reference parity: the reference has no classifier surface; this is
+    extension surface next to linear_quality_score (the hashed linear
+    scorer), giving the corpus-quality stack a supervised eval loop.
+    """
+    from pyspark.sql import Window
+
+    base = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_y"),
+        F.col(text_col).alias("_text"),
+    )
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    feat = base.select(
+        "_id",
+        "_y",
+        F.explode(tokens(F.col("_text"))).alias("_t"),
+    ).filter(F.col("_t") != "").select(
+        "_id", "_y", F.pmod(md5_64(F.col("_t")), F.lit(dim)).alias("_fid")
+    )
+    # two grouped passes over the exploded tokens (per-doc tf and the
+    # class count model) — pin the explode once
+    feat = feat.localCheckpoint(eager=False)
+    tfc = feat.groupBy("_id", "_y", "_fid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tf")
+    )
+    cc = feat.groupBy("_y", "_fid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    ct = feat.groupBy("_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_total")
+    )
+    fids = feat.select("_fid").distinct()
+    # (label × observed-fid) grid of Laplace micro-nat log-likelihoods;
+    # |labels|·dim rows at most — model-scale, broadcast to scoring
+    grid = (
+        ct.crossJoin(fids)
+        .join(cc, on=["_y", "_fid"], how="left")
+        .select(
+            "_y",
+            "_fid",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_total") + F.lit(float(dim)))
+                )
+                * F.lit(scale),
+                0,
+            )
+            .cast("bigint")
+            .alias("_lp"),
+        )
+    )
+    n_docs = base.agg(F.count(F.lit(1)).cast("bigint").alias("_nn"))
+    pri = (
+        base.groupBy("_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nd"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("_y").alias("_hyp_p"),
+            F.round(
+                F.log(F.col("_nd") / F.col("_nn")) * F.lit(scale), 0
+            )
+            .cast("bigint")
+            .alias("_prior"),
+        )
+    )
+    sc = (
+        tfc.join(
+            F.broadcast(grid.withColumnRenamed("_y", "_hyp")), on="_fid"
+        )
+        .groupBy("_id", "_y", "_hyp")
+        .agg(F.sum(F.col("_tf") * F.col("_lp")).alias("_tok_lp"))
+        .join(
+            F.broadcast(pri), F.col("_hyp") == F.col("_hyp_p")
+        )
+        .select(
+            "_id",
+            "_y",
+            "_hyp",
+            (F.col("_tok_lp") + F.col("_prior")).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.col("_hyp"))
+    pred = sc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("_y").alias("true_label"),
+            F.col("_hyp").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -9472,6 +9472,160 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_type_entropy",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+               CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    ), ent AS (
+        SELECT *,
+               ln(n_events)
+               - ((CASE WHEN n_click    > 0 THEN n_click    * ln(n_click)    ELSE 0 END)
+                + (CASE WHEN n_error    > 0 THEN n_error    * ln(n_error)    ELSE 0 END)
+                + (CASE WHEN n_purchase > 0 THEN n_purchase * ln(n_purchase) ELSE 0 END)
+                + (CASE WHEN n_signup   > 0 THEN n_signup   * ln(n_signup)   ELSE 0 END)
+                + (CASE WHEN n_view     > 0 THEN n_view     * ln(n_view)     ELSE 0 END))
+                 / n_events AS h
+        FROM pu
+    )
+    SELECT user_id, n_events,
+           CAST((CASE WHEN n_click    > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_error    > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_purchase > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_signup   > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_view     > 0 THEN 1 ELSE 0 END) AS INT) AS n_types,
+           round(h, 6) AS entropy_nats,
+           round(h / ln(5), 6) AS norm_entropy
+    FROM ent ORDER BY user_id
+    """,
+)
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the behavioral-
+    diversity feature (uniform mixers vs single-action users).  Float
+    parity discipline: entropy comes from integer per-type counts via
+    ``ln(T) - (Σ nᵢ·ln nᵢ)/T`` with the five type terms added in ONE
+    FIXED textual order both engines share — no data-order float
+    accumulation, so the hash gate is exact.  One grouped agg with
+    conditional counts; entirely map-side partials + one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{t}")
+        for t in types
+    ]
+    pu = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"), *aggs
+    )
+
+    def term(c: str):
+        return F.when(
+            F.col(c) > 0, F.col(c) * F.log(F.col(c))
+        ).otherwise(F.lit(0))
+
+    s = (
+        term("n_click")
+        + term("n_error")
+        + term("n_purchase")
+        + term("n_signup")
+        + term("n_view")
+    )
+    h = F.log(F.col("n_events")) - s / F.col("n_events")
+    n_types = sum(
+        F.when(F.col(f"n_{t}") > 0, 1).otherwise(0) for t in types
+    ).cast("int")
+    return pu.select(
+        "user_id",
+        "n_events",
+        n_types.alias("n_types"),
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(h / F.log(F.lit(5.0)), 6).alias("norm_entropy"),
+    ).orderBy("user_id")
+
+
+@query(
+    "text_nb_confusion",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, text FROM documents WHERE trim(text) <> ''
+    ), feat AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 18, 15))::BIGINT % 1024 AS fid
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(trim(text),
+                                             '[ \\t\\n\\r\\f\\x0b]+')) AS tok
+            FROM base
+        ) WHERE tok <> ''
+    ), tfc AS (
+        SELECT doc_id, lang, fid, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM feat GROUP BY doc_id, lang, fid
+    ), cc AS (
+        SELECT lang, fid, CAST(COUNT(*) AS BIGINT) AS n
+        FROM feat GROUP BY lang, fid
+    ), ct AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS total
+        FROM feat GROUP BY lang
+    ), fids AS (
+        SELECT DISTINCT fid FROM feat
+    ), grid AS (
+        SELECT ct.lang, fids.fid,
+               CAST(round(ln((COALESCE(cc.n, 0) + 1.0)
+                             / (ct.total + 1024.0)) * 1000000, 0)
+                    AS BIGINT) AS lp
+        FROM ct CROSS JOIN fids
+        LEFT JOIN cc ON cc.lang = ct.lang AND cc.fid = fids.fid
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+    ), pri AS (
+        SELECT lang AS hyp,
+               CAST(round(ln(CAST(COUNT(*) AS BIGINT) / (SELECT n FROM nn))
+                          * 1000000, 0) AS BIGINT) AS prior
+        FROM base GROUP BY lang
+    ), sc AS (
+        SELECT t.doc_id, t.lang AS true_label, g.lang AS hyp,
+               CAST(SUM(t.tf * g.lp) AS BIGINT) AS tok_lp
+        FROM tfc t JOIN grid g ON t.fid = g.fid
+        GROUP BY t.doc_id, t.lang, g.lang
+    ), pred AS (
+        SELECT sc.doc_id, sc.true_label, sc.hyp AS pred_label,
+               row_number() OVER (PARTITION BY sc.doc_id
+                                  ORDER BY sc.tok_lp + pri.prior DESC,
+                                           sc.hyp) AS rn
+        FROM sc JOIN pri ON sc.hyp = pri.hyp
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY true_label, pred_label ORDER BY true_label, pred_label
+    """,
+)
+def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained on the
+    corpus's own lang labels over md5-hashed bag-of-words and evaluated
+    in-sample as a confusion matrix (operators/text.py:nb_confusion).
+    Every log-probability is quantized to micro-nat bigints before any
+    accumulation, so scores are exact integer dot products and the
+    oracle replays training AND inference bit-for-bit.  The model
+    (5×1024 grid + priors) broadcasts; the corpus side is one explode
+    and three grouped aggs."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        nb_confusion,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return nb_confusion(
+        d, label_col="lang", id_col="doc_id", text_col="text", dim=1024
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

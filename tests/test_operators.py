@@ -2603,3 +2603,38 @@ def test_label_propagation_sticky_mode_semantics(spark):
         for r in label_propagation(seeds, edges, rounds=2).collect()
     }
     assert got2[2] == 7 and got2[3] is None
+
+
+def test_nb_confusion_disjoint_vocab_is_diagonal(spark):
+    from high_throughput_etl_pipeline_spark.operators.text import nb_confusion
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "aaa bbb ccc aaa", "A"))
+    for i in range(6, 12):
+        rows.append((i, "xxx yyy zzz xxx", "B"))
+    rows.append((12, "   ", "A"))  # blank text drops, never predicted
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    out = nb_confusion(df, label_col="lang", dim=64).collect()
+    cells = {(r.true_label, r.pred_label): r.n_docs for r in out}
+    assert cells == {("A", "A"): 6, ("B", "B"): 6}
+
+
+def test_nb_confusion_majority_vocab_wins_and_total_conserved(spark):
+    from high_throughput_etl_pipeline_spark.operators.text import nb_confusion
+
+    rows = [
+        (1, "cat cat cat dog", "pets"),
+        (2, "cat dog dog cat", "pets"),
+        (3, "stock bond bond stock", "fin"),
+        (4, "bond stock stock bond", "fin"),
+        # mostly fin vocabulary, labelled pets -> predicted fin
+        (5, "stock bond bond stock cat", "pets"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    out = nb_confusion(df, label_col="lang", dim=64).collect()
+    cells = {(r.true_label, r.pred_label): r.n_docs for r in out}
+    assert cells[("pets", "fin")] == 1
+    assert cells[("pets", "pets")] == 2
+    assert cells[("fin", "fin")] == 2
+    assert sum(cells.values()) == 5
