@@ -145,3 +145,225 @@ def daily_peak_concurrency(
             .alias("peak_at"),
         )
     )
+
+
+def autocorrelation(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    order_col: str = "d",
+    x_col: str = "x",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation r_k of an integer series, lags 1..max_lag,
+    per group — the seasonality / burst-memory diagnostic.
+
+    Exactness: with S = Σx and n the series length, the centered
+    deviation scaled by n, ``dev = n·x_t − S``, is an exact bigint, and
+    r_k = Σ dev_t·dev_{t−k} / Σ dev_t² is invariant to that scaling —
+    so both sums accumulate exact 128-bit integers (decimal(38,0) here,
+    HUGEINT in a SQL oracle) and doubles appear only in the final
+    division.  No float accumulation, no summation-order sensitivity.
+
+    Scale shape: the lag windows partition by group and the series
+    grain is one row per (group, period) — series length grows with
+    calendar time, not data volume, so the window state is bounded.
+    One shuffle to the group partitioning, one grouped agg.
+    """
+    stats = daily.groupBy(group_col).agg(
+        F.sum(x_col).cast("bigint").alias("_S"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    j = daily.join(F.broadcast(stats), on=group_col).withColumn(
+        "_dev", (F.col("_n") * F.col(x_col) - F.col("_S")).cast("bigint")
+    )
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    dec = "decimal(38,0)"
+    lag_prods = [
+        (
+            F.col("_dev").cast(dec) * F.lag("_dev", k).over(w).cast(dec)
+        ).alias(f"_p{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    terms = j.select(
+        group_col,
+        "_n",
+        (F.col("_dev").cast(dec) * F.col("_dev").cast(dec)).alias("_dd"),
+        *lag_prods,
+    )
+    agg = terms.groupBy(group_col).agg(
+        F.max("_n").alias("n_periods"),
+        F.sum("_dd").alias("_den"),
+        *[F.sum(f"_p{k}").alias(f"_num{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.when(
+                    F.col("_den") > 0,
+                    F.round(
+                        F.col(f"_num{k}").cast("double")
+                        / F.col("_den").cast("double"),
+                        6,
+                    ),
+                ).alias("acf"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select(group_col, "n_periods", F.explode(pairs).alias("_e"))
+        .select(
+            group_col,
+            F.col("_e.lag").alias("lag"),
+            "n_periods",
+            F.col("_e.acf").alias("acf"),
+        )
+        .orderBy(group_col, "lag")
+    )
+
+
+def cusum_alarms(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    order_col: str = "d",
+    x_col: str = "x",
+    slack_div: int = 20,
+    h_mult: int = 4,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page '54) over an integer
+    series: per step, ``pos = max(0, pos + (x − target) − allowance)``
+    (and the mirrored ``neg``), alarm when the statistic crosses
+    ``h = allowance·h_mult``, reset after alarm.  ``target`` is the
+    integer floor-mean and ``allowance = max(target div slack_div, 1)``
+    — every state transition is bigint arithmetic, so the recursion is
+    bit-reproducible in any engine (a SQL oracle replays it as a
+    recursive CTE).
+
+    CUSUM is inherently sequential (the max(0,·) clamp breaks
+    prefix-sum decomposition), so each group's series folds through
+    ``F.aggregate`` over its sorted (period, x) array.  That is safe at
+    any data volume for the same reason the window in
+    :func:`autocorrelation` is: series length is calendar periods, not
+    rows — groups stay parallel, the fold is per-group.
+    """
+    stats = daily.groupBy(group_col).agg(
+        F.sum(x_col).cast("bigint").alias("_S"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    par = stats.select(
+        group_col,
+        F.expr("_S div _n").cast("bigint").alias("_target"),
+        F.greatest(
+            F.expr(f"(_S div _n) div {slack_div}"), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("_allow"),
+    ).withColumn("_h", (F.col("_allow") * h_mult).cast("bigint"))
+    series = (
+        daily.groupBy(group_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col).alias("d"), F.col(x_col).alias("x")))
+            ).alias("_series")
+        )
+        .join(F.broadcast(par), on=group_col)
+    )
+    row_t = (
+        "array<struct<d:date,x:bigint,pos:bigint,neg:bigint,"
+        "up:boolean,dn:boolean>>"
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("pos"),
+        F.lit(0).cast("bigint").alias("neg"),
+        F.expr(f"CAST(array() AS {row_t})").alias("rows"),
+    )
+
+    def step(acc, e):
+        pos1 = F.greatest(
+            F.lit(0).cast("bigint"),
+            acc["pos"] + (e["x"] - F.col("_target")) - F.col("_allow"),
+        )
+        neg1 = F.greatest(
+            F.lit(0).cast("bigint"),
+            acc["neg"] + (F.col("_target") - e["x"]) - F.col("_allow"),
+        )
+        up = pos1 > F.col("_h")
+        dn = neg1 > F.col("_h")
+        row = F.struct(
+            e["d"].alias("d"),
+            e["x"].cast("bigint").alias("x"),
+            pos1.alias("pos"),
+            neg1.alias("neg"),
+            up.alias("up"),
+            dn.alias("dn"),
+        )
+        return F.struct(
+            F.when(up, F.lit(0).cast("bigint")).otherwise(pos1).alias("pos"),
+            F.when(dn, F.lit(0).cast("bigint")).otherwise(neg1).alias("neg"),
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+        )
+
+    folded = series.select(
+        group_col,
+        F.explode(F.aggregate("_series", init, step)["rows"]).alias("_r"),
+    )
+    return folded.select(
+        group_col,
+        F.col("_r.d").alias("d"),
+        F.col("_r.x").alias("x"),
+        F.col("_r.pos").alias("cusum_pos"),
+        F.col("_r.neg").alias("cusum_neg"),
+        F.col("_r.up").alias("alarm_up"),
+        F.col("_r.dn").alias("alarm_dn"),
+    ).orderBy(group_col, "d")
+
+
+def seasonal_backtest(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    order_col: str = "d",
+    x_col: str = "x",
+    period: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (x̂_t = x_{t−period})
+    against plain naive (x̂_t = x_{t−1}) on an integer series: per
+    group, evaluation-window MAE, WAPE, bias, and the skill ratio
+    MAE_seasonal / MAE_naive (< 1 ⇒ the seasonal lag carries signal).
+
+    Eval rows are those where the seasonal lag exists, so both models
+    score the identical window.  Absolute/signed errors are exact
+    bigints; each reported metric is ONE double division of two bigint
+    sums — no float accumulation.  Lag windows partition per group over
+    period-grain rows (bounded by calendar, not data volume).
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    scored = (
+        daily.withColumn("_fs", F.lag(x_col, period).over(w))
+        .withColumn("_fn", F.lag(x_col, 1).over(w))
+        .filter(F.col("_fs").isNotNull())
+    )
+    e_s = F.col(x_col) - F.col("_fs")
+    e_n = F.col(x_col) - F.col("_fn")
+    agg = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.abs(e_s)).cast("bigint").alias("_ae_s"),
+        F.sum(F.abs(e_n)).cast("bigint").alias("_ae_n"),
+        F.sum(e_s).cast("bigint").alias("_e_s"),
+        F.sum(F.col(x_col)).cast("bigint").alias("_ax"),
+    )
+    return agg.select(
+        group_col,
+        "n_eval",
+        F.round(F.col("_ae_s") / F.col("n_eval"), 6).alias("mae_seasonal"),
+        F.round(F.col("_ae_n") / F.col("n_eval"), 6).alias("mae_naive"),
+        F.when(
+            F.col("_ax") > 0,
+            F.round(F.col("_ae_s") / F.col("_ax"), 6),
+        ).alias("wape_seasonal"),
+        F.round(F.col("_e_s") / F.col("n_eval"), 6).alias("bias_seasonal"),
+        F.when(
+            F.col("_ae_n") > 0,
+            F.round(F.col("_ae_s") / F.col("_ae_n"), 6),
+        ).alias("skill_ratio"),
+    ).orderBy(group_col)

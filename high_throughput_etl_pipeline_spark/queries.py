@@ -9626,6 +9626,187 @@ def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _acf_oracle(max_lag: int = 7) -> str:
+    lag_cols = ",\n               ".join(
+        f"lag(dev, {k}) OVER w AS l{k}" for k in range(1, max_lag + 1)
+    )
+    num_cols = ",\n               ".join(
+        f"SUM(dev * l{k}) AS num{k}" for k in range(1, max_lag + 1)
+    )
+    arms = "\n        UNION ALL\n".join(
+        f"""        SELECT event_type, n_periods, CAST({k} AS INT) AS lag,
+               CASE WHEN den > 0 THEN
+                    round(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               END AS acf FROM agg"""
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type, CAST(SUM(x) AS BIGINT) AS S,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1
+    ), dv AS (
+        SELECT d.event_type, d.d, st.n,
+               CAST(st.n * d.x - st.S AS HUGEINT) AS dev
+        FROM daily d JOIN st USING (event_type)
+    ), lagd AS (
+        SELECT event_type, n, dev,
+               {lag_cols}
+        FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), agg AS (
+        SELECT event_type, MAX(n) AS n_periods,
+               SUM(dev * dev) AS den,
+               {num_cols}
+        FROM lagd GROUP BY 1
+    )
+    SELECT event_type, lag, n_periods, acf FROM (
+{arms}
+    ) ORDER BY event_type, lag
+    """
+
+
+@query("events_autocorrelation", oracle=_acf_oracle())
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the per-type daily event-count series at lags
+    1..7 (operators/timeseries.py:autocorrelation) — the seasonality
+    probe.  The n-scaled deviation trick (dev = n·x − S, exact bigint)
+    keeps both ACF sums 128-bit-integer-exact (decimal here, HUGEINT in
+    the oracle); the only float op is the final num/den division, so
+    the hash gate is exact.  Series grain is calendar days — window
+    state is bounded regardless of data volume."""
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return autocorrelation(
+        daily, group_col="event_type", order_col="d", x_col="x", max_lag=7
+    )
+
+
+@query(
+    "events_cusum_alarms",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d)
+                      AS i
+        FROM daily
+    ), par AS (
+        SELECT event_type,
+               CAST(CAST(SUM(x) AS BIGINT) // COUNT(*) AS BIGINT)
+                   AS target,
+               CAST(GREATEST((CAST(SUM(x) AS BIGINT) // COUNT(*)) // 20,
+                             1) AS BIGINT) AS allow,
+               CAST(GREATEST((CAST(SUM(x) AS BIGINT) // COUNT(*)) // 20,
+                             1) * 4 AS BIGINT) AS h
+        FROM daily GROUP BY 1
+    ), r AS (
+        SELECT i.event_type, i.i, i.d, i.x,
+               GREATEST(0, (i.x - p.target) - p.allow) AS pos,
+               GREATEST(0, (p.target - i.x) - p.allow) AS neg
+        FROM idx i JOIN par p USING (event_type) WHERE i.i = 1
+        UNION ALL
+        SELECT i.event_type, i.i, i.d, i.x,
+               GREATEST(0, (CASE WHEN r.pos > p.h THEN 0 ELSE r.pos END)
+                           + (i.x - p.target) - p.allow),
+               GREATEST(0, (CASE WHEN r.neg > p.h THEN 0 ELSE r.neg END)
+                           + (p.target - i.x) - p.allow)
+        FROM r
+        JOIN idx i ON i.event_type = r.event_type AND i.i = r.i + 1
+        JOIN par p ON p.event_type = i.event_type
+    )
+    SELECT r.event_type, r.d, r.x,
+           CAST(r.pos AS BIGINT) AS cusum_pos,
+           CAST(r.neg AS BIGINT) AS cusum_neg,
+           r.pos > p.h AS alarm_up,
+           r.neg > p.h AS alarm_dn
+    FROM r JOIN par p USING (event_type)
+    ORDER BY event_type, d
+    """,
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift/change alarms over per-type daily counts
+    (operators/timeseries.py:cusum_alarms).  The CUSUM recursion is
+    all-bigint (floor-mean target, integer allowance/threshold), so the
+    sequential fold is bit-reproducible — the oracle replays it as a
+    recursive CTE.  Sequential state folds per group over the sorted
+    day array (calendar-bounded), groups stay parallel."""
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        cusum_alarms,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return cusum_alarms(
+        daily, group_col="event_type", order_col="d", x_col="x",
+        slack_div=20, h_mult=4,
+    )
+
+
+@query(
+    "events_seasonal_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), lagd AS (
+        SELECT event_type, x,
+               lag(x, 7) OVER w AS fs,
+               lag(x, 1) OVER w AS fn
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), ev AS (
+        SELECT * FROM lagd WHERE fs IS NOT NULL
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(abs(x - fs)) AS BIGINT) AS ae_s,
+               CAST(SUM(abs(x - fn)) AS BIGINT) AS ae_n,
+               CAST(SUM(x - fs) AS BIGINT) AS e_s,
+               CAST(SUM(x) AS BIGINT) AS ax
+        FROM ev GROUP BY 1
+    )
+    SELECT event_type, n_eval,
+           round(ae_s / n_eval, 6) AS mae_seasonal,
+           round(ae_n / n_eval, 6) AS mae_naive,
+           CASE WHEN ax > 0 THEN round(ae_s / ax, 6) END AS wape_seasonal,
+           round(e_s / n_eval, 6) AS bias_seasonal,
+           CASE WHEN ae_n > 0 THEN round(ae_s / ae_n, 6) END AS skill_ratio
+    FROM agg ORDER BY event_type
+    """,
+)
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) vs naive (lag-1) forecast backtest on the
+    per-type daily count series (operators/timeseries.py:
+    seasonal_backtest): shared eval window, exact bigint error sums,
+    one double division per reported metric (MAE / WAPE / bias / skill
+    ratio).  Skill < 1 means the weekly lag genuinely predicts."""
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        seasonal_backtest,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return seasonal_backtest(
+        daily, group_col="event_type", order_col="d", x_col="x", period=7
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

@@ -2638,3 +2638,67 @@ def test_nb_confusion_majority_vocab_wins_and_total_conserved(spark):
     assert cells[("pets", "pets")] == 2
     assert cells[("fin", "fin")] == 2
     assert sum(cells.values()) == 5
+
+
+def test_autocorrelation_alternating_and_constant(spark):
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        autocorrelation,
+    )
+    from datetime import date
+
+    rows = []
+    for i in range(12):
+        rows.append(("alt", date(2026, 1, i + 1), 10 if i % 2 else 20))
+        rows.append(("flat", date(2026, 1, i + 1), 7))
+    df = spark.createDataFrame(rows, "event_type STRING, d DATE, x BIGINT")
+    out = {
+        (r.event_type, r.lag): r.acf
+        for r in autocorrelation(df, max_lag=3).collect()
+    }
+    # alternating series: strong negative lag-1, positive lag-2
+    assert out[("alt", 1)] < -0.8
+    assert out[("alt", 2)] > 0.7
+    # constant series has zero variance -> NULL acf, not a crash
+    assert out[("flat", 1)] is None
+
+
+def test_cusum_alarm_fires_on_level_shift_and_resets(spark):
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        cusum_alarms,
+    )
+    from datetime import date
+
+    # 10 days at 100, then 10 days at 160: upward alarm must fire in
+    # the shifted regime and never in the stable prefix
+    rows = [("a", date(2026, 1, i + 1), 100) for i in range(10)]
+    rows += [("a", date(2026, 1, i + 11), 160) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type STRING, d DATE, x BIGINT")
+    out = cusum_alarms(df, slack_div=20, h_mult=4).collect()
+    by_day = {r.d.day: r for r in out}
+    assert all(not by_day[i + 1].alarm_up for i in range(10))
+    fired = [d for d, r in by_day.items() if r.alarm_up]
+    assert fired and min(fired) >= 11
+    # reset: the statistic drops back after each alarm day
+    first = min(fired)
+    if first + 1 in by_day and not by_day[first + 1].alarm_up:
+        assert by_day[first + 1].cusum_pos < by_day[first].cusum_pos
+
+
+def test_seasonal_backtest_periodic_series_has_zero_seasonal_mae(spark):
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        seasonal_backtest,
+    )
+    from datetime import date, timedelta
+
+    base = [10, 50, 30, 70, 20, 60, 40]  # period-7 pattern, 4 cycles
+    rows = [
+        ("a", date(2026, 1, 1) + timedelta(days=i), base[i % 7])
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "event_type STRING, d DATE, x BIGINT")
+    r = seasonal_backtest(df, period=7).collect()[0]
+    assert r.n_eval == 21
+    assert r.mae_seasonal == 0.0
+    assert r.mae_naive > 0
+    assert r.skill_ratio == 0.0
+    assert r.bias_seasonal == 0.0
