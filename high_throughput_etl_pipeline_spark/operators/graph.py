@@ -599,3 +599,136 @@ def ancestor_closure(
         F.col("_anc").alias("root"),
         F.col("_d").cast("int").alias("depth"),
     )
+
+
+def hits_int(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg '99) in EXACT integer
+    arithmetic over a directed edge list: authority(d) = Σ hub(s) over
+    in-edges, hub(s) = Σ authority(d) over out-edges, renormalized
+    each half-step so the max score is exactly ``scale``.
+
+    Exactness discipline (the :func:`pagerank_int` convention): scores
+    are bigint micro-units; the rescale ``x·scale div max`` runs in
+    decimal(38,0) (HUGEINT in a SQL oracle) so nothing overflows at any
+    degree, and every sum is integer — order-independent, so the whole
+    iteration replays bit-for-bit in an independent engine.  The only
+    driver-side value per half-step is the max (one scalar collect).
+
+    Scale shape: each half-step is one keyed equi-join (state ×
+    edges) + one groupBy — shuffle on the edge keys, state is one long
+    column per node.  ``localCheckpoint`` per round truncates lineage.
+    Sums run in decimal(38,0), so hot nodes (degree × scale past
+    int64) stay exact.
+
+    Output: ``(id, kind, score)`` with kind ∈ {'hub', 'authority'} —
+    a node that appears on both sides gets a row per role.
+    """
+    dec = "decimal(38,0)"
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=False)
+    hubs = e.select(F.col("_s").alias("id")).distinct()
+    h = hubs.select(
+        "id", F.lit(scale).cast("bigint").alias("_h")
+    ).localCheckpoint(eager=False)
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h, on=F.col("_s") == F.col("id"))
+            .groupBy(F.col("_d").alias("id"))
+            .agg(F.sum(F.col("_h").cast(dec)).alias("_raw"))
+        )
+        am = a_raw.agg(F.max("_raw")).collect()[0][0]
+        a = a_raw.select(
+            "id",
+            F.expr(f"CAST(_raw * {scale} div CAST('{am}' AS {dec}) "
+                   "AS BIGINT)").alias("_a"),
+        ).localCheckpoint(eager=False)
+        h_raw = (
+            e.join(a, on=F.col("_d") == F.col("id"))
+            .groupBy(F.col("_s").alias("id"))
+            .agg(F.sum(F.col("_a").cast(dec)).alias("_raw"))
+        )
+        hm = h_raw.agg(F.max("_raw")).collect()[0][0]
+        h = h_raw.select(
+            "id",
+            F.expr(f"CAST(_raw * {scale} div CAST('{hm}' AS {dec}) "
+                   "AS BIGINT)").alias("_h"),
+        ).localCheckpoint(eager=False)
+    return h.select(
+        "id", F.lit("hub").alias("kind"), F.col("_h").alias("score")
+    ).unionAll(
+        a.select(
+            "id",
+            F.lit("authority").alias("kind"),
+            F.col("_a").alias("score"),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman '02): the Pearson
+    correlation between the degrees at the two ends of every edge.
+    Positive ⇒ hubs link to hubs; negative ⇒ hub-and-spoke.  The
+    caller supplies the edge list with BOTH directions for an
+    undirected graph (the standard symmetric estimator).
+
+    Exactness: degrees are integers, so all five correlation sums
+    (Σjk, Σj, Σk, Σj², Σk²) accumulate in decimal(38,0) (HUGEINT in a
+    SQL oracle); the numerator M·Σjk − Σj·Σk is exact, and doubles
+    enter only in the final sqrt/division — fixed term order both
+    engines.  Output is one row: (m_edges, sum_jk, assortativity).
+
+    Scale shape: one degree groupBy, two broadcast-or-shuffle joins to
+    annotate endpoints, one global agg — no iteration, no window.
+    """
+    dec = "decimal(38,0)"
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    deg = (
+        e.groupBy(F.col("_s").alias("id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    # out-degree of the directed list == undirected degree when both
+    # directions are present
+    ann = (
+        e.join(deg.select(F.col("id").alias("_s"),
+                          F.col("deg").alias("_j")), on="_s")
+        .join(deg.select(F.col("id").alias("_d"),
+                         F.col("deg").alias("_k")), on="_d")
+    )
+    s = ann.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum((F.col("_j").cast(dec) * F.col("_k").cast(dec))).alias("sjk"),
+        F.sum(F.col("_j").cast(dec)).alias("sj"),
+        F.sum(F.col("_k").cast(dec)).alias("sk"),
+        F.sum((F.col("_j").cast(dec) * F.col("_j").cast(dec))).alias("sjj"),
+        F.sum((F.col("_k").cast(dec) * F.col("_k").cast(dec))).alias("skk"),
+    )
+    num = (F.col("m") * F.col("sjk") - F.col("sj") * F.col("sk")).cast(
+        "double"
+    )
+    t1 = (F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj")).cast(
+        "double"
+    )
+    t2 = (F.col("m") * F.col("skk") - F.col("sk") * F.col("sk")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("m_edges"),
+        F.col("sjk").cast("double").alias("sum_jk"),
+        F.when(
+            (t1 > 0) & (t2 > 0),
+            F.round(num / (F.sqrt(t1) * F.sqrt(t2)), 6),
+        ).alias("assortativity"),
+    )

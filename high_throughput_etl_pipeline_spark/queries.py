@@ -9807,6 +9807,160 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle(iters: int = 8, scale: int = 10**6, k: int = 10) -> str:
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), h0 AS MATERIALIZED (
+        SELECT DISTINCT s AS id, CAST({scale} AS HUGEINT) AS h FROM pairs
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+    araw{i} AS MATERIALIZED (
+        SELECT e.p AS id, SUM(h.h) AS raw
+        FROM pairs e JOIN h{i} h ON e.s = h.id GROUP BY e.p
+    ), a{i} AS MATERIALIZED (
+        SELECT id, (raw * {scale}) // (SELECT MAX(raw) FROM araw{i}) AS a
+        FROM araw{i}
+    ), hraw{i} AS MATERIALIZED (
+        SELECT e.s AS id, SUM(a.a) AS raw
+        FROM pairs e JOIN a{i} a ON e.p = a.id GROUP BY e.s
+    ), h{i + 1} AS MATERIALIZED (
+        SELECT id, (raw * {scale}) // (SELECT MAX(raw) FROM hraw{i}) AS h
+        FROM hraw{i}
+    )"""
+        )
+    parts.append(
+        f""",
+    hub_top AS (
+        SELECT 'supplier' AS node_kind, CAST(id AS BIGINT) AS entity_id,
+               CAST(h AS BIGINT) AS score_units,
+               CAST(row_number() OVER (ORDER BY h DESC, id) AS INT) AS pos
+        FROM h{iters} QUALIFY pos <= {k}
+    ), auth_top AS (
+        SELECT 'part' AS node_kind, CAST(id AS BIGINT) AS entity_id,
+               CAST(a AS BIGINT) AS score_units,
+               CAST(row_number() OVER (ORDER BY a DESC, id) AS INT) AS pos
+        FROM a{iters - 1} QUALIFY pos <= {k}
+    )
+    SELECT * FROM (
+        SELECT * FROM hub_top UNION ALL SELECT * FROM auth_top
+    ) ORDER BY node_kind, pos
+    """
+    )
+    return "".join(parts)
+
+
+@query("supplier_part_hits", oracle=_hits_oracle())
+def supplier_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed supplier→part supply
+    graph (operators/graph.py:hits_int): suppliers are hubs, parts are
+    authorities, 8 rounds of exact bigint mutual reinforcement with a
+    decimal-safe max-renormalization per half-step — iterative and
+    still hash-checkable because no float ever accumulates.  Top-10
+    per role via distributed TakeOrdered."""
+    from high_throughput_etl_pipeline_spark.operators.graph import hits_int
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    scores = hits_int(edges, iterations=8, scale=10**6)
+    hubs = take_top_k(
+        scores.filter(F.col("kind") == "hub"),
+        [F.desc("score"), F.col("id")],
+        10,
+        rank_col="pos",
+    ).select(
+        F.lit("supplier").alias("node_kind"),
+        F.col("id").cast("bigint").alias("entity_id"),
+        F.col("score").alias("score_units"),
+        "pos",
+    )
+    auths = take_top_k(
+        scores.filter(F.col("kind") == "authority"),
+        [F.desc("score"), F.col("id")],
+        10,
+        rank_col="pos",
+    ).select(
+        F.lit("part").alias("node_kind"),
+        F.col("id").cast("bigint").alias("entity_id"),
+        F.col("score").alias("score_units"),
+        "pos",
+    )
+    return hubs.unionAll(auths).orderBy("node_kind", "pos")
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p
+        FROM lineitem
+    ), edges AS (
+        SELECT s AS src, p AS dst FROM pairs
+        UNION ALL
+        SELECT p AS src, s AS dst FROM pairs
+    ), deg AS (
+        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ), ann AS (
+        SELECT dj.deg AS j, dk.deg AS k
+        FROM edges e
+        JOIN deg dj ON e.src = dj.id
+        JOIN deg dk ON e.dst = dk.id
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+               SUM(CAST(j AS HUGEINT) * k) AS sjk,
+               SUM(CAST(j AS HUGEINT)) AS sj,
+               SUM(CAST(k AS HUGEINT)) AS sk,
+               SUM(CAST(j AS HUGEINT) * j) AS sjj,
+               SUM(CAST(k AS HUGEINT) * k) AS skk
+        FROM ann
+    )
+    SELECT CAST(m AS BIGINT) AS m_edges,
+           CAST(sjk AS DOUBLE) AS sum_jk,
+           CASE WHEN CAST(m * sjj - sj * sj AS DOUBLE) > 0
+                 AND CAST(m * skk - sk * sk AS DOUBLE) > 0
+                THEN round(CAST(m * sjk - sj * sk AS DOUBLE)
+                           / (sqrt(CAST(m * sjj - sj * sj AS DOUBLE))
+                              * sqrt(CAST(m * skk - sk * sk AS DOUBLE))),
+                           6)
+           END AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the undirected supplier↔part
+    graph (operators/graph.py:degree_assortativity): do high-degree
+    nodes attach to high-degree nodes?  All five correlation sums are
+    exact 128-bit integers (decimal / HUGEINT); doubles only in the
+    final sqrt ratio, same term order both engines.  Node ids are
+    parity-encoded (supplier 2k, part 2k+1) so the two key spaces
+    cannot collide in the shared degree table."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_suppkey") * 2).alias("s"),
+        (F.col("l_partkey") * 2 + 1).alias("p"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("p").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    return degree_assortativity(edges)
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

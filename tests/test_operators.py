@@ -2702,3 +2702,42 @@ def test_seasonal_backtest_periodic_series_has_zero_seasonal_mae(spark):
     assert r.mae_naive > 0
     assert r.skill_ratio == 0.0
     assert r.bias_seasonal == 0.0
+
+
+def test_hits_known_bipartite_structure(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import hits_int
+
+    # hub 1 covers all three authorities; hub 2 covers one.
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src BIGINT, dst BIGINT"
+    )
+    out = hits_int(edges, iterations=4, scale=10**6).collect()
+    hubs = {r.id: r.score for r in out if r.kind == "hub"}
+    auths = {r.id: r.score for r in out if r.kind == "authority"}
+    assert hubs[1] == 10**6  # argmax hub renormalizes to exactly scale
+    assert hubs[1] > hubs[2]
+    assert auths[10] == 10**6  # double-covered authority dominates
+    assert auths[10] > auths[11] == auths[12]  # symmetric pair ties
+
+
+def test_degree_assortativity_star_is_minus_one_cycle_is_null(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star K_{1,4}: every edge joins deg-4 to deg-1 -> r = -1 exactly
+    star_pairs = [(0, i) for i in range(1, 5)]
+    star = spark.createDataFrame(
+        star_pairs + [(b, a) for a, b in star_pairs],
+        "src BIGINT, dst BIGINT",
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.m_edges == 8
+    assert r.assortativity == -1.0
+    # 4-cycle: all degrees equal -> zero variance -> NULL, not a crash
+    cyc_pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    cyc = spark.createDataFrame(
+        cyc_pairs + [(b, a) for a, b in cyc_pairs], "src BIGINT, dst BIGINT"
+    )
+    r2 = degree_assortativity(cyc).collect()[0]
+    assert r2.assortativity is None
