@@ -732,3 +732,65 @@ def degree_assortativity(
             F.round(num / (F.sqrt(t1) * F.sqrt(t2)), 6),
         ).alias("assortativity"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core of an undirected graph (Seidman '83) by iterative
+    peeling: drop every node with degree < k, recompute, repeat to
+    fixpoint.  The surviving induced subgraph is the cohesion skeleton
+    — in a dedup/linkage candidate graph it separates dense duplicate
+    blobs from accidental chains (a chain has an empty 2-core).
+
+    Pass each undirected edge ONCE (``src < dst``); the operator
+    symmetrizes internally.  Output: ``(id, core_degree)`` — nodes of
+    the k-core with their degree inside the core.
+
+    Determinism: peeling is confluent — the fixpoint is unique
+    regardless of removal order — and every step is integer degree
+    arithmetic, so a SQL oracle replays it exactly with enough
+    unrolled rounds (extra rounds past fixpoint are no-ops).  Rounds
+    to converge are bounded by the peel depth (longest degeneracy
+    cascade), not data volume; each round is one degree groupBy + two
+    semi-joins, lineage cut per round.  Raises if ``max_rounds`` pass
+    without convergence (the check runs AFTER the hop so the bound is
+    the documented one).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = 0
+    while True:
+        deg = sym.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
+        dropped = deg.filter(F.col("_deg") < k).count()
+        rounds += 1
+        if dropped == 0:
+            break
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"k_core: no fixpoint after {max_rounds} peel rounds"
+            )
+        keep = (
+            deg.filter(F.col("_deg") >= k)
+            .select(F.col("_a").alias("_id"))
+            .localCheckpoint(eager=False)
+        )
+        sym = (
+            sym.join(keep, on=F.col("_a") == F.col("_id"), how="left_semi")
+            .join(keep, on=F.col("_b") == F.col("_id"), how="left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return sym.groupBy(F.col("_a").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

@@ -9961,6 +9961,67 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
+def _k_core_oracle(k: int = 2, rounds: int = 16) -> str:
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT a.c_custkey AS a, b.c_custkey AS b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), s0 AS MATERIALIZED (
+        SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+    )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+    k{i} AS MATERIALIZED (
+        SELECT a AS id FROM s{i} GROUP BY a HAVING COUNT(*) >= {k}
+    ), s{i + 1} AS MATERIALIZED (
+        SELECT s.a, s.b FROM s{i} s
+        JOIN k{i} x ON s.a = x.id JOIN k{i} y ON s.b = y.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT a AS custkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM s{rounds} GROUP BY a ORDER BY custkey
+    """
+    )
+    return "".join(parts)
+
+
+@query("customer_match_k_core", oracle=_k_core_oracle())
+def customer_match_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the fuzzy-match candidate graph (the
+    customer_fuzzy_match edge spec: nation-blocked edit-distance ≤ 1):
+    iterative peeling (operators/graph.py:k_core) strips chain/leaf
+    matches until only cyclically-reinforced duplicate blobs remain —
+    the cohesion filter that separates real duplicate groups from
+    accidental single-link chains before anyone merges records.
+    Peeling is confluent and all-integer, so the data-dependent
+    iteration is still hash-exact; the oracle unrolls 16 peel rounds
+    (fixpoint at sf0.01 is 9; extra rounds no-op)."""
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        fuzzy_matches_neighborhood,
+    )
+    from high_throughput_etl_pipeline_spark.operators.graph import k_core
+
+    c = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_matches_neighborhood(
+        c,
+        block_cols=["c_nationkey"],
+        id_col="c_custkey",
+        name_col="c_name",
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    return (
+        k_core(pairs, k=2)
+        .select(F.col("id").alias("custkey"), "core_degree")
+        .orderBy("custkey")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

@@ -2741,3 +2741,19 @@ def test_degree_assortativity_star_is_minus_one_cycle_is_null(spark):
     )
     r2 = degree_assortativity(cyc).collect()[0]
     assert r2.assortativity is None
+
+
+def test_k_core_peels_chain_keeps_clique_with_cascade(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + pendant path 3-4-5-6: the path must peel
+    # away over multiple cascading rounds; the triangle survives with
+    # in-core degree 2 everywhere
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "a BIGINT, b BIGINT",
+    )
+    out = {r.id: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3 empties it (triangle nodes have degree 2)
+    assert k_core(edges, k=3).count() == 0
