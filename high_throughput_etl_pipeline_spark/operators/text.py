@@ -680,3 +680,203 @@ def nb_confusion(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_label", "pred_label")
     )
+
+
+def _lower_words(text_col) -> F.Column:
+    """Lowercased whitespace tokens — the LM/collocation tokenizer
+    (same split class as :data:`_WORD_SPLIT`, interpolated into the
+    DuckDB oracles so both engines read one pattern)."""
+    return F.split(F.trim(F.lower(text_col)), _WORD_SPLIT)
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    collocation detector ("new york" scores high because its joint
+    count beats the unigram-independence prediction).
+
+    PMI = ln(c_xy·N / (c_x·c_y)) with N the total bigram count; all
+    four counts are exact bigints, the cross products run in
+    decimal(38,0) (HUGEINT oracle-side), and ln/division happen once
+    per surviving pair in a fixed term order — hash-exact.  The
+    ``min_pair_count`` floor removes the low-count pairs where PMI is
+    pure noise (and keeps the output bounded).
+
+    Scale shape: one tokenize/explode, two grouped counts, a one-row
+    broadcast total, two keyed joins of the pair table to the unigram
+    table — the unigram join is NOT forced-broadcast (vocab can be
+    huge); AQE decides.
+    """
+    words = docs.select(_lower_words(F.col(text_col)).alias("_w")).filter(
+        F.size("_w") >= 2
+    )
+    grams = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_w"), i).alias("w1"),
+                    F.element_at(F.col("_w"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_g")
+    ).select(F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+    grams = grams.localCheckpoint(eager=False)
+    pc = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_pair_count)
+    )
+    ug = (
+        grams.select(F.col("w1").alias("w"))
+        .unionAll(grams.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    )
+    n = grams.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    j = (
+        pc.join(ug.select(F.col("w").alias("w1"),
+                          F.col("c_w").alias("c_x")), on="w1")
+        .join(ug.select(F.col("w").alias("w2"),
+                        F.col("c_w").alias("c_y")), on="w2")
+        .join(F.broadcast(n))
+    )
+    dec = "decimal(38,0)"
+    pmi = F.log(
+        (F.col("c_xy").cast(dec) * F.col("_n")).cast("double")
+        / (F.col("c_x").cast(dec) * F.col("c_y")).cast("double")
+    )
+    return j.select(
+        "w1", "w2", "c_xy", "c_x", "c_y",
+        F.round(pmi, 6).alias("pmi"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", scale: int = 10**6
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution: OLS
+    slope of ln(freq) on ln(rank) (healthy natural-language corpora sit
+    near −1; templated or synthetic text drifts off) plus the fit r².
+
+    Exactness: rank comes from the distributed
+    :func:`~high_throughput_etl_pipeline_spark.operators.ranking.global_rank`
+    total ordering (freq DESC, token); ln(rank) and ln(freq) are
+    quantized to micro-nat bigints BEFORE any summation, so all five
+    OLS sums are exact 128-bit integers and the slope/r² are single
+    double expressions over them — order-independent, hash-exact.
+
+    Output: one row (vocab_size, total_tokens, zipf_slope, r2).
+    """
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+
+    tok = docs.select(
+        F.explode(_lower_words(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
+    freq = tok.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_f")
+    )
+    ranked, n_vocab = global_rank(
+        freq, [F.col("_f").desc(), F.col("_t")], rank_col="_r"
+    )
+    q = ranked.select(
+        "_f",
+        F.round(F.log(F.col("_r")) * scale, 0).cast("bigint").alias("_x"),
+        F.round(F.log(F.col("_f")) * scale, 0).cast("bigint").alias("_y"),
+    )
+    dec = "decimal(38,0)"
+    s = q.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("_f").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("_x").cast(dec)).alias("sx"),
+        F.sum(F.col("_y").cast(dec)).alias("sy"),
+        F.sum((F.col("_x").cast(dec) * F.col("_y").cast(dec))).alias("sxy"),
+        F.sum((F.col("_x").cast(dec) * F.col("_x").cast(dec))).alias("sxx"),
+        F.sum((F.col("_y").cast(dec) * F.col("_y").cast(dec))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        "total_tokens",
+        F.when(denx > 0, F.round(num / denx, 6)).alias("zipf_slope"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round((num * num) / (denx * deny), 6),
+        ).alias("r2"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram duplication exposure: of a document's
+    DISTINCT word n-grams, how many also occur in at least one other
+    document — the memorization-risk / boilerplate audit that catches
+    shared passages exact-dedup misses (novelty 1.0 = fully original).
+
+    Counts are exact; the single ratio is one double division.  Scale
+    shape: one shingle explode + per-doc distinct, one grouped count
+    over shingles, one join back, one per-doc agg — the shuffle
+    carries (doc, shingle-hash)-grain rows, standard dedup-family
+    cost.  The shingle join key is the md5_64 of the gram (long, not
+    the string) to keep shuffle width down.
+    """
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        _lower_words(F.col(text_col)).alias("_w"),
+    ).filter(F.size("_w") >= n)
+    grams = (
+        words.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_w"), i, n)
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select("_id", md5_64(F.col("_g")).alias("_h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    gc = grams.groupBy("_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_docs")
+    )
+    per_doc = (
+        grams.join(gc, on="_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_docs") >= 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_shared",
+        F.round(
+            1.0 - F.col("n_shared") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )

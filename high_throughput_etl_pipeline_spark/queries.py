@@ -10022,6 +10022,234 @@ def customer_match_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_basket_rules",
+    oracle="""
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, p_brand AS i
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), nb AS (
+        SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM items
+    ), ic AS MATERIALIZED (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM items GROUP BY i
+    ), pc AS MATERIALIZED (
+        SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS nab
+        FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+        GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+    ), rules AS (
+        SELECT ia AS antecedent, ib AS consequent, nab AS n_both FROM pc
+        UNION ALL
+        SELECT ib, ia, nab FROM pc
+    ), m AS (
+        SELECT r.antecedent, r.consequent, r.n_both,
+               x.ni AS n_ant, y.ni AS n_cons, nb.n AS n_baskets,
+               round(r.n_both / nb.n, 6) AS support,
+               round(r.n_both / x.ni, 6) AS confidence,
+               round(CAST(CAST(r.n_both AS HUGEINT) * nb.n AS DOUBLE)
+                     / CAST(CAST(x.ni AS HUGEINT) * y.ni AS DOUBLE), 6)
+                   AS lift
+        FROM rules r
+        JOIN ic x ON r.antecedent = x.i
+        JOIN ic y ON r.consequent = y.i
+        CROSS JOIN nb
+    )
+    SELECT antecedent, consequent, n_both, n_ant, n_cons, n_baskets,
+           support, confidence, lift,
+           CAST(row_number() OVER (ORDER BY lift DESC, antecedent,
+                                   consequent) AS INT) AS pos
+    FROM m QUALIFY pos <= 50 ORDER BY pos
+    """,
+)
+def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over brand-level order baskets
+    (operators/basket.py:association_rules): support / confidence /
+    lift per directed brand pair, top-50 by lift via distributed
+    TakeOrdered.  Pair expansion is bounded by basket width; lift's
+    cross products run in decimal/HUGEINT before one double division,
+    so the ranking is engine-exact."""
+    from high_throughput_etl_pipeline_spark.operators.basket import (
+        association_rules,
+    )
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = li.join(p, on=F.col("l_partkey") == F.col("p_partkey")).select(
+        F.col("l_orderkey").alias("o"), F.col("p_brand").alias("i")
+    )
+    rules = association_rules(
+        baskets, basket_col="o", item_col="i", min_support_count=2
+    )
+    top = take_top_k(
+        rules,
+        [F.desc("lift"), F.col("antecedent"), F.col("consequent")],
+        50,
+        rank_col="pos",
+    )
+    return top.select(
+        "antecedent", "consequent", "n_both", "n_ant", "n_cons",
+        "n_baskets", "support", "confidence", "lift", "pos",
+    ).orderBy("pos")
+
+
+@query(
+    "doc_pmi_collocations",
+    oracle="""
+    WITH w AS MATERIALIZED (
+        SELECT string_split_regex(trim(lower(text)),
+                                  '[ \\t\\n\\r\\f\\x0b]+') AS t
+        FROM documents
+    ), g AS MATERIALIZED (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t FROM w WHERE len(t) >= 2),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ), pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM g GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ), ug AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM (
+            SELECT w1 AS w FROM g UNION ALL SELECT w2 FROM g
+        ) GROUP BY w
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM g
+    ), m AS (
+        SELECT pc.w1, pc.w2, pc.c_xy, x.c_w AS c_x, y.c_w AS c_y,
+               round(ln(CAST(CAST(pc.c_xy AS HUGEINT) * n.nn AS DOUBLE)
+                        / CAST(CAST(x.c_w AS HUGEINT) * y.c_w AS DOUBLE)),
+                     6) AS pmi
+        FROM pc JOIN ug x ON pc.w1 = x.w JOIN ug y ON pc.w2 = y.w
+        CROSS JOIN n
+    )
+    SELECT w1, w2, c_xy, c_x, c_y, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT)
+               AS pos
+    FROM m QUALIFY pos <= 30 ORDER BY pos
+    """,
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations by pointwise mutual information over
+    adjacent word pairs (operators/text.py:pmi_collocations) — the
+    phrase detector.  Exact bigint counts, decimal/HUGEINT cross
+    products, one ln per surviving pair in a fixed term order; top-k
+    via distributed TakeOrdered on (pmi, w1, w2)."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pmi = pmi_collocations(d, text_col="text", min_pair_count=5)
+    top = take_top_k(
+        pmi, [F.desc("pmi"), F.col("w1"), F.col("w2")], 30, rank_col="pos"
+    )
+    return top.select(
+        "w1", "w2", "c_xy", "c_x", "c_y", "pmi", "pos"
+    ).orderBy("pos")
+
+
+@query(
+    "corpus_zipf_slope",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+        SELECT t FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)),
+                                             '[ \\t\\n\\r\\f\\x0b]+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ), freq AS MATERIALIZED (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t
+    ), ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq
+    ), q AS (
+        SELECT f,
+               CAST(round(ln(r) * 1000000, 0) AS BIGINT) AS x,
+               CAST(round(ln(f) * 1000000, 0) AS BIGINT) AS y
+        FROM ranked
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(f) AS BIGINT) AS total_tokens,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size, total_tokens,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS zipf_slope,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                THEN round((CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(n * sxy - sx * sy AS DOUBLE))
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency distribution
+    (operators/text.py:zipf_fit): OLS slope of ln(freq) on ln(rank)
+    with rank from the distributed global_rank path and both
+    logarithms quantized to micro-nat bigints BEFORE summation — the
+    five OLS sums are exact 128-bit integers, so an iterative-free
+    statistical fit stays hash-exact.  Natural corpora sit near −1;
+    drift flags templated/synthetic text."""
+    from high_throughput_etl_pipeline_spark.operators.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, text_col="text")
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH w AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)),
+                                          '[ \\t\\n\\r\\f\\x0b]+') AS t
+        FROM documents
+    ), g AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                               18, 15))::BIGINT AS h
+        FROM (SELECT doc_id, t FROM w WHERE len(t) >= 5),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+    ), gc AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS docs FROM g GROUP BY h
+    ), per AS (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN gc.docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared
+        FROM g JOIN gc ON g.h = gc.h GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           round(1.0 - n_shared / n_shingles, 6) AS novelty
+    FROM per ORDER BY doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram duplication exposure
+    (operators/text.py:ngram_novelty): the fraction of a document's
+    distinct word 5-grams that appear in at least one other document —
+    the memorization-risk audit that catches shared passages exact
+    dedup misses.  Shingles shuffle as md5-64 longs, one grouped count
+    + one join back; the ratio is one double division of exact
+    bigints."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(d, n=5).orderBy("doc_id")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

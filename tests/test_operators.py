@@ -2757,3 +2757,76 @@ def test_k_core_peels_chain_keeps_clique_with_cascade(spark):
     assert out == {1: 2, 2: 2, 3: 2}
     # k=3 empties it (triangle nodes have degree 2)
     assert k_core(edges, k=3).count() == 0
+
+
+def test_association_rules_known_counts(spark):
+    from high_throughput_etl_pipeline_spark.operators.basket import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "o BIGINT, i STRING")
+    out = {
+        (r.antecedent, r.consequent): r
+    for r in association_rules(df, "o", "i", min_support_count=2).collect()}
+    # only (a,b) reaches support 2; both directions emitted
+    assert set(out) == {("a", "b"), ("b", "a")}
+    r = out[("a", "b")]
+    assert (r.n_both, r.n_ant, r.n_cons, r.n_baskets) == (2, 3, 3, 4)
+    assert r.support == 0.5
+    assert r.confidence == round(2 / 3, 6)
+    assert r.lift == round(2 * 4 / (3 * 3), 6)
+
+
+def test_pmi_collocations_finds_repeated_phrase(spark):
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big and new york is old") for i in range(3)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {(r.w1, r.w2): r for r in pmi_collocations(
+        docs, min_pair_count=5).collect()}
+    assert ("new", "york") in out
+    r = out[("new", "york")]
+    assert r.c_xy == 6 and r.pmi > 0
+
+
+def test_zipf_fit_decreasing_distribution(spark):
+    from high_throughput_etl_pipeline_spark.operators.text import zipf_fit
+
+    text = " ".join(["alpha"] * 8 + ["beta"] * 4 + ["gamma"] * 2 + ["delta"])
+    docs = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    r = zipf_fit(docs).collect()[0]
+    assert r.vocab_size == 4
+    assert r.total_tokens == 15
+    assert r.zipf_slope < 0
+    assert 0 < r.r2 <= 1
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, shared + " gamma delta"),
+            (3, "totally different words here entirely unique"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs, n=5).collect()}
+    # docs 1 and 2 share exactly the one 5-gram "one two three four five"
+    assert out[1].n_shared == 1 and out[2].n_shared == 1
+    assert out[3].n_shared == 0 and out[3].novelty == 1.0
+    assert out[1].n_shingles == 3  # 7 words -> 3 shingles
