@@ -367,3 +367,60 @@ def seasonal_backtest(
             F.round(F.col("_ae_s") / F.col("_ae_n"), 6),
         ).alias("skill_ratio"),
     ).orderBy(group_col)
+
+
+def theil_sen(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    date_col: str = "d",
+    x_col: str = "x",
+) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes
+    (x_j − x_i)/(d_j − d_i) per group — breakdown point ~29 %, the
+    robust complement to the OLS trend (one wild day cannot move it).
+
+    Determinism: each slope is ONE double division of two exact
+    integers; the median ordering is (slope, Δx, Δdays) — a total
+    order both engines share (two equal-slope pairs tie-break on the
+    exact integer deltas), and the even-count median is the mean of
+    exactly two doubles (commutative, order-safe).
+
+    Scale shape: the pair self-join is per-group over PERIOD-grain
+    rows — C(days, 2) pairs per group, bounded by calendar span
+    squared, not by data volume; the median rank filter is a
+    partitioned window, never global.
+    """
+    a = daily.select(
+        F.col(group_col).alias("_g"),
+        F.col(date_col).alias("_da"),
+        F.col(x_col).alias("_xa"),
+    )
+    b = daily.select(
+        F.col(group_col).alias("_g"),
+        F.col(date_col).alias("_db"),
+        F.col(x_col).alias("_xb"),
+    )
+    pairs = a.join(b, on="_g").filter(F.col("_da") < F.col("_db")).select(
+        "_g",
+        (F.col("_xb") - F.col("_xa")).cast("bigint").alias("_dx"),
+        F.datediff(F.col("_db"), F.col("_da")).cast("bigint").alias("_dd"),
+    )
+    slopes = pairs.select(
+        "_g", "_dx", "_dd", (F.col("_dx") / F.col("_dd")).alias("_s")
+    )
+    w = Window.partitionBy("_g").orderBy("_s", "_dx", "_dd")
+    ranked = slopes.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    )
+    mid = ranked.filter(
+        (F.col("_rn") == F.expr("(_n + 1) div 2"))
+        | (F.col("_rn") == F.expr("_n div 2 + 1"))
+    )
+    return (
+        mid.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.max("_n").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("_s"), 6).alias("theil_sen_slope"),
+        )
+        .orderBy(group_col)
+    )

@@ -10250,6 +10250,222 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(d, n=5).orderBy("doc_id")
 
 
+@query(
+    "user_cohort_ltv",
+    oracle="""
+    WITH first_w AS (
+        SELECT user_id,
+               CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), purch AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, p.w) // 7 AS INT)
+                   AS age_weeks,
+               p.user_id, p.cents
+        FROM purch p JOIN first_w f ON p.user_id = f.user_id
+    ), cell AS (
+        SELECT cohort_week, age_weeks,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY cohort_week, age_weeks
+    )
+    SELECT cohort_week, age_weeks, n_buyers, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_week ORDER BY age_weeks
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+    FROM cell ORDER BY cohort_week, age_weeks
+    """,
+)
+def user_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users bucketed by first-activity
+    week, purchase revenue rolled up by (cohort, age-in-weeks) with the
+    running cumulative LTV — the retention-revenue readout next to
+    user_retention_cohorts.  Revenue is exact cents; the cumulative
+    window partitions per cohort (weeks-grain, calendar-bounded).  Two
+    grouped aggs + one user-keyed join."""
+    e = _t(spark, sf_dir, "events")
+    first_w = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts")))
+        .cast("date")
+        .alias("cohort_week")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    j = purch.join(first_w, on="user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("w"), F.col("cohort_week")) / F.lit(7))
+        .cast("int")
+        .alias("age_weeks"),
+        "user_id",
+        "cents",
+    )
+    cell = j.groupBy("cohort_week", "age_weeks").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cell.select(
+        "cohort_week",
+        "age_weeks",
+        "n_buyers",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+    ).orderBy("cohort_week", "age_weeks")
+
+
+@query(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type AS g,
+               CAST(b.x - a.x AS BIGINT) AS dx,
+               CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dd
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ), slopes AS (
+        SELECT g, dx, dd, dx / dd AS s FROM pairs
+    ), ranked AS (
+        SELECT g, s,
+               row_number() OVER (PARTITION BY g ORDER BY s, dx, dd)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM slopes
+    )
+    SELECT g AS event_type,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           round(AVG(s), 6) AS theil_sen_slope
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY g ORDER BY g
+    """,
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of per-type daily counts
+    (operators/timeseries.py:theil_sen) — median of all pairwise
+    slopes, the outlier-proof complement to the OLS trend in
+    events_value_trend.  Each slope is one double division of exact
+    integer deltas; the median ordering tie-breaks on those integers,
+    and the even-count median averages exactly two doubles
+    (commutative) — hash-exact despite being a rank statistic over
+    floats.  Pair mass is C(days,2) per type: calendar-bounded."""
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        theil_sen,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return theil_sen(daily, group_col="event_type", date_col="d", x_col="x")
+
+
+@query(
+    "user_conversion_lag",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, MIN(ts) AS fs
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS fp
+        FROM events e JOIN f ON e.user_id = f.user_id AND e.ts > f.fs
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), lagd AS (
+        SELECT f.user_id,
+               CAST(date_trunc('week', f.fs) AS DATE) AS cohort_week,
+               epoch_us(p.fp) - epoch_us(f.fs) AS delta_us
+        FROM f JOIN p ON f.user_id = p.user_id
+    ), ranked AS (
+        SELECT cohort_week, user_id, delta_us,
+               row_number() OVER (PARTITION BY cohort_week
+                                  ORDER BY delta_us, user_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cohort_week) AS n,
+               SUM(delta_us) OVER (PARTITION BY cohort_week) AS tot
+        FROM lagd
+    )
+    SELECT cohort_week,
+           CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delta_us END)
+               AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delta_us END)
+               AS BIGINT) AS p90_us,
+           round(MAX(tot) / MAX(n), 2) AS mean_us
+    FROM ranked GROUP BY cohort_week ORDER BY cohort_week
+    """,
+)
+def user_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion lag by signup-week cohort:
+    exact microsecond deltas, with p50/p90 picked by integer rank
+    selection inside a per-cohort window (percentile_disc semantics —
+    no interpolation, no float quantile estimator) and the mean as one
+    double division of exact sums.  The funnel-latency readout next to
+    user_funnel_conversion."""
+    e = _t(spark, sf_dir, "events")
+    f = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fs"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(f, on="user_id")
+        .filter(F.col("ts") > F.col("fs"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    lagd = f.join(p, on="user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("fs")).cast("date").alias("cohort_week"),
+        (F.unix_micros("fp") - F.unix_micros("fs")).alias("delta_us"),
+    )
+    wo = Window.partitionBy("cohort_week").orderBy("delta_us", "user_id")
+    wp = Window.partitionBy("cohort_week")
+    ranked = lagd.select(
+        "cohort_week",
+        "delta_us",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("delta_us").over(wp).alias("tot"),
+    )
+    return (
+        ranked.groupBy("cohort_week")
+        .agg(
+            F.max("n").cast("bigint").alias("n_converted"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"),
+                    F.col("delta_us"),
+                )
+            ).cast("bigint").alias("p50_us"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                    F.col("delta_us"),
+                )
+            ).cast("bigint").alias("p90_us"),
+            F.round(F.max("tot") / F.max("n"), 2).alias("mean_us"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

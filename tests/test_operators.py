@@ -2830,3 +2830,21 @@ def test_ngram_novelty_shared_vs_unique(spark):
     assert out[1].n_shared == 1 and out[2].n_shared == 1
     assert out[3].n_shared == 0 and out[3].novelty == 1.0
     assert out[1].n_shingles == 3  # 7 words -> 3 shingles
+
+
+def test_theil_sen_resists_outlier(spark):
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        theil_sen,
+    )
+    from datetime import date, timedelta
+
+    # perfect slope-3 line with one wild spike: OLS would bend, the
+    # pairwise-median slope stays exactly 3
+    rows = []
+    for i in range(11):
+        x = 10 + 3 * i if i != 5 else 500
+        rows.append(("a", date(2026, 1, 1) + timedelta(days=i), x))
+    df = spark.createDataFrame(rows, "event_type STRING, d DATE, x BIGINT")
+    r = theil_sen(df).collect()[0]
+    assert r.n_pairs == 55
+    assert r.theil_sen_slope == 3.0
