@@ -10416,7 +10416,10 @@ def user_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection inside a per-cohort window (percentile_disc semantics —
     no interpolation, no float quantile estimator) and the mean as one
     double division of exact sums.  The funnel-latency readout next to
-    user_funnel_conversion."""
+    user_funnel_conversion.  Per-cohort windows carry one week's
+    converters per task (the weighted_quantiles convention,
+    plans/metrics.py:288) — for hot cohorts swap the rank selection
+    for the KLL sketch family, same trade documented there."""
     e = _t(spark, sf_dir, "events")
     f = (
         e.filter(F.col("event_type") == "signup")

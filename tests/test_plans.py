@@ -673,3 +673,33 @@ def test_hamming_topk_broadcast_and_partitioned_window(spark):
         "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     )
     assert re.search(r"windowspecdefinition\(query_id", plan), plan
+
+
+def test_basket_rules_distributed_topk_no_cartesian(spark):
+    # rule ranking must be TakeOrderedAndProject over the rule table;
+    # the basket pair expansion is an equi-join on the basket key,
+    # never a cross product
+    plan = _plan(spark, "orders_basket_rules")
+    assert "CartesianProduct" not in plan
+    _assert_distributed_topk(plan)
+
+
+def test_pmi_distributed_topk(spark):
+    plan = _plan(spark, "doc_pmi_collocations")
+    _assert_distributed_topk(plan)
+
+
+def test_hits_topk_distributed(spark):
+    # both per-role top-10s ride TakeOrderedAndProject; HITS state
+    # joins are keyed equi-joins (no cross product anywhere)
+    plan = _plan(spark, "supplier_part_hits")
+    assert "CartesianProduct" not in plan
+    _assert_distributed_topk(plan)
+
+
+def test_attribution_no_global_window(spark):
+    # per-conversion windows must partition by conv_id — an empty
+    # partition spec would funnel every touch through one task
+    plan = _plan(spark, "purchase_attribution_models")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "conv_id" in m.group(1), m.group(0)
