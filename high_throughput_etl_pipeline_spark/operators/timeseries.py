@@ -230,6 +230,8 @@ def cusum_alarms(
     x_col: str = "x",
     slack_div: int = 20,
     h_mult: int = 4,
+    target: int | None = None,
+    allowance: int | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change detection (Page '54) over an integer
     series: per step, ``pos = max(0, pos + (x − target) − allowance)``
@@ -246,20 +248,36 @@ def cusum_alarms(
     any data volume for the same reason the window in
     :func:`autocorrelation` is: series length is calendar periods, not
     rows — groups stay parallel, the fold is per-group.
+
+    Pass explicit ``target``/``allowance`` to monitor against a FROZEN
+    reference level (the streaming monitor's contract — an evolving
+    floor-mean would drift the baseline toward the anomaly); left None,
+    both derive from the data as above.
     """
-    stats = daily.groupBy(group_col).agg(
-        F.sum(x_col).cast("bigint").alias("_S"),
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-    )
-    par = stats.select(
-        group_col,
-        F.expr("_S div _n").cast("bigint").alias("_target"),
-        F.greatest(
-            F.expr(f"(_S div _n) div {slack_div}"), F.lit(1)
+    if (target is None) != (allowance is None):
+        raise ValueError(
+            "cusum_alarms: pass target and allowance together or neither"
         )
-        .cast("bigint")
-        .alias("_allow"),
-    ).withColumn("_h", (F.col("_allow") * h_mult).cast("bigint"))
+    if target is not None:
+        par = daily.select(group_col).distinct().select(
+            group_col,
+            F.lit(int(target)).cast("bigint").alias("_target"),
+            F.lit(int(allowance)).cast("bigint").alias("_allow"),
+        ).withColumn("_h", (F.col("_allow") * h_mult).cast("bigint"))
+    else:
+        stats = daily.groupBy(group_col).agg(
+            F.sum(x_col).cast("bigint").alias("_S"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+        )
+        par = stats.select(
+            group_col,
+            F.expr("_S div _n").cast("bigint").alias("_target"),
+            F.greatest(
+                F.expr(f"(_S div _n) div {slack_div}"), F.lit(1)
+            )
+            .cast("bigint")
+            .alias("_allow"),
+        ).withColumn("_h", (F.col("_allow") * h_mult).cast("bigint"))
     series = (
         daily.groupBy(group_col)
         .agg(

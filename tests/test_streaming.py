@@ -1390,3 +1390,83 @@ def test_drift_stream_matches_batch_psi(spark, tmp_path):
     assert merge_batch(batch, 0, table, edges) is False
     assert merge_batch(batch, 99, table, edges) is True
     assert stored_psi(spark, table, ref_counts).first()["n_cur"] == 1001
+
+
+def test_cusum_stream_matches_batch_fold(spark, tmp_path):
+    """Streaming CUSUM monitor: (group, day) counts accumulate across
+    micro-batches — including a day SPLIT across two batches — and the
+    stored_cusum read must EXACTLY equal the batch cusum_alarms fold of
+    the same rows under the same frozen (target, allowance).  Replayed
+    batch ids no-op."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.timeseries import (
+        cusum_alarms,
+    )
+    from high_throughput_etl_pipeline_spark.streaming.cusum_stream import (
+        merge_batch,
+        start_cusum_stream,
+        stored_cusum,
+    )
+
+    # 6 days at ~100/day then 4 days at ~160/day; day boundaries do
+    # NOT align with batch boundaries (file 0 ends mid-day-5)
+    rows = []
+    for day in range(1, 7):
+        rows += [("a", f"2026-01-{day:02d}T12:00:{i % 60:02d}")
+                 for i in range(100)]
+    for day in range(7, 11):
+        rows += [("a", f"2026-01-{day:02d}T12:00:{i % 60:02d}")
+                 for i in range(160)]
+    ind = tmp_path / "in"
+    ind.mkdir()
+    half = len(rows) // 2 + 37  # split inside a day
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        p = ind / f"f{i}.ndjson"
+        with open(p, "w") as f:
+            for g, ts in chunk:
+                f.write(_json.dumps({"event_type": g, "ts": ts}) + "\n")
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    table = str(tmp_path / "cusum")
+    stream = (
+        spark.readStream.schema("event_type STRING, ts STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ind))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = start_cusum_stream(
+        stream, table, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = stored_cusum(spark, table, target=100, allowance=5).collect()
+    batch = (
+        spark.read.schema("event_type STRING, ts STRING")
+        .json(str(ind))
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy(
+            F.col("event_type").cast("string").alias("grp"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    exp = cusum_alarms(
+        batch, group_col="grp", order_col="d", x_col="n",
+        target=100, allowance=5,
+    ).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+    # the shifted regime must actually alarm, and the stable prefix not
+    by_day = {r.d.day: r for r in got}
+    assert any(r.alarm_up for d, r in by_day.items() if d >= 7)
+    assert not any(r.alarm_up for d, r in by_day.items() if d <= 6)
+
+    # replayed batch id no-ops
+    dummy = spark.createDataFrame(
+        [("a", "2026-01-01T00:00:00")], "event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert merge_batch(dummy, 0, table) is False
+    again = stored_cusum(spark, table, target=100, allowance=5).collect()
+    assert [r.asDict() for r in again] == [r.asDict() for r in exp]
