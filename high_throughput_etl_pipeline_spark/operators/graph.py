@@ -639,28 +639,33 @@ def hits_int(
     ).localCheckpoint(eager=False)
     a = None
     for _ in range(iterations):
+        # pin the raw sums BEFORE the max collect: the collect
+        # materializes the checkpoint, so the rescale projection reads
+        # the same blocks instead of recomputing the join+agg
         a_raw = (
             e.join(h, on=F.col("_s") == F.col("id"))
             .groupBy(F.col("_d").alias("id"))
             .agg(F.sum(F.col("_h").cast(dec)).alias("_raw"))
+            .localCheckpoint(eager=False)
         )
         am = a_raw.agg(F.max("_raw")).collect()[0][0]
         a = a_raw.select(
             "id",
             F.expr(f"CAST(_raw * {scale} div CAST('{am}' AS {dec}) "
                    "AS BIGINT)").alias("_a"),
-        ).localCheckpoint(eager=False)
+        )
         h_raw = (
             e.join(a, on=F.col("_d") == F.col("id"))
             .groupBy(F.col("_s").alias("id"))
             .agg(F.sum(F.col("_a").cast(dec)).alias("_raw"))
+            .localCheckpoint(eager=False)
         )
         hm = h_raw.agg(F.max("_raw")).collect()[0][0]
         h = h_raw.select(
             "id",
             F.expr(f"CAST(_raw * {scale} div CAST('{hm}' AS {dec}) "
                    "AS BIGINT)").alias("_h"),
-        ).localCheckpoint(eager=False)
+        )
     return h.select(
         "id", F.lit("hub").alias("kind"), F.col("_h").alias("score")
     ).unionAll(
