@@ -10483,6 +10483,17 @@ def user_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_anonymity_report, corpus_packed_sequences, events_winsorized,
 # corpus_datacard, table_column_stats, text_classifier_scores,
 # embedding_centering.
+#
+# r9 rotation queue (r8-tail): the 18 operators added late in r8, every
+# one verified hash-green through tools/check_correctness.py in-session
+# (full-registry sweep 186/186) but without a driver row yet —
+# purchase_attribution_models, customer_rfm_segments,
+# orders_benford_audit, user_type_entropy, text_nb_confusion,
+# events_autocorrelation, events_cusum_alarms, events_seasonal_backtest,
+# supplier_part_hits, graph_degree_assortativity, customer_match_k_core,
+# orders_basket_rules, doc_pmi_collocations, corpus_zipf_slope,
+# doc_ngram_novelty, user_cohort_ltv, events_theilsen_trend,
+# user_conversion_lag.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
     # leakage-safe splitting (CC + atomic cluster assignment),
