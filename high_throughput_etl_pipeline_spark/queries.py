@@ -10469,6 +10469,94 @@ def user_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_golden_record",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), walk(node, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ), cc AS (
+        SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node
+    ), mem AS (
+        SELECT cc.cluster_id, c.c_custkey, c.c_name,
+               CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM cc JOIN customer c ON cc.node = c.c_custkey
+    ), keyed AS (
+        SELECT *, cents * 1000000000 - c_custkey AS k FROM mem
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(c_custkey) AS BIGINT) AS member_id_sum,
+           CAST(SUM(cents) AS BIGINT) AS total_acctbal_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_acctbal_cents,
+           CAST(max_by(c_custkey, k) AS BIGINT) AS golden_custkey,
+           max_by(c_name, k) AS golden_name
+    FROM keyed GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution completion: fuzzy-match pairs → connected
+    components → one GOLDEN RECORD per duplicate cluster with
+    deterministic survivorship (the richest-account member wins, ties
+    to the lowest key — encoded as one composite integer argmax, the
+    engine-portable max_by discipline).  This is the merge step that
+    turns customer_fuzzy_match's pair list into a deduplicated master
+    table.  Components via min-label propagation
+    (operators/graph.py) — O(diameter) keyed joins; survivorship is
+    one grouped agg.  The oracle replays matching, the component walk
+    (recursive CTE), and the same composite-key argmax."""
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        fuzzy_matches_neighborhood,
+    )
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_matches_neighborhood(
+        c,
+        block_cols=["c_nationkey"],
+        id_col="c_custkey",
+        name_col="c_name",
+    ).select("id_a", "id_b")
+    cc = dedup_clusters(pairs)
+    mem = cc.join(
+        c, on=F.col("node") == F.col("c_custkey")
+    ).select(
+        "cluster_id",
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    keyed = mem.withColumn(
+        "_k", F.col("cents") * F.lit(1_000_000_000) - F.col("c_custkey")
+    )
+    return (
+        keyed.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("c_custkey").cast("bigint").alias("member_id_sum"),
+            F.sum("cents").cast("bigint").alias("total_acctbal_cents"),
+            F.max("cents").cast("bigint").alias("max_acctbal_cents"),
+            F.expr("max_by(c_custkey, _k)")
+            .cast("bigint")
+            .alias("golden_custkey"),
+            F.expr("max_by(c_name, _k)").alias("golden_name"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -10493,7 +10581,7 @@ def user_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supplier_part_hits, graph_degree_assortativity, customer_match_k_core,
 # orders_basket_rules, doc_pmi_collocations, corpus_zipf_slope,
 # doc_ngram_novelty, user_cohort_ltv, events_theilsen_trend,
-# user_conversion_lag.
+# user_conversion_lag, customer_golden_record.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
     # leakage-safe splitting (CC + atomic cluster assignment),
