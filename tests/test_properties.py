@@ -505,3 +505,84 @@ def test_cdc_orderings_agree_on_inorder_logs(spark, ops):
             ).collect()
         }
         assert arrival == lsn
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_k_core_invariants_random_graphs(spark, raw_edges):
+    """For any graph: every surviving node has core degree >= k, the
+    2-core is a subset of the node set, and peeling is idempotent
+    (running k_core on its own output changes nothing — confluence)."""
+    from high_throughput_etl_pipeline_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw_edges],
+        "a BIGINT, b BIGINT",
+    ).distinct()
+    core = k_core(edges, k=2).collect()
+    ids = {r.id for r in core}
+    for r in core:
+        assert r.core_degree >= 2
+    # induced-subgraph recompute fixpoint: peeling the core again is a
+    # no-op with identical degrees
+    kept = edges.filter(
+        F.col("a").isin(ids) & F.col("b").isin(ids)
+    ) if ids else edges.limit(0)
+    again = {r.id: r.core_degree for r in k_core(kept, k=2).collect()}
+    assert again == {r.id: r.core_degree for r in core}
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),          # user
+            st.integers(0, 20),         # hour offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_attribution_credit_conservation_property(spark, raw):
+    """For ANY event set: per-conversion linear and position credit each
+    sum to scale minus a residue < n_touches, and first/last flags mark
+    exactly one touch each."""
+    from datetime import datetime, timedelta
+
+    from high_throughput_etl_pipeline_spark.operators.attribution import (
+        multi_touch_attribution,
+    )
+
+    rows = [
+        (i, datetime(2026, 1, 1) + timedelta(hours=h), u, t)
+        for i, (u, h, t) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    )
+    per_conv = (
+        multi_touch_attribution(df, lookback_days=7)
+        .groupBy("conv_id")
+        .agg(
+            F.sum("linear_micros").alias("lin"),
+            F.sum("position_micros").alias("pos"),
+            F.sum("first_touch").alias("nf"),
+            F.sum("last_touch").alias("nl"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for r in per_conv:
+        assert 1_000_000 - r.n < r.lin <= 1_000_000
+        assert 1_000_000 - r.n < r.pos <= 1_000_000
+        assert r.nf == 1 and r.nl == 1
