@@ -722,3 +722,69 @@ def reservoir_per_group(
         df.withColumn("pos", F.row_number().over(w).cast("int"))
         .filter(F.col("pos") <= k)
     )
+
+
+def quantile_calibrate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups: map each row's
+    within-group rank onto the GLOBAL distribution and read off the
+    global value at the matched rank — after calibration every group
+    has the same marginal distribution (up to rank granularity).  The
+    cross-source score/length calibration step a mixed corpus needs
+    before one threshold can be applied to all sources.
+
+    Exactness: both orderings are total ((value, id) tie-break), the
+    target rank is pure integer arithmetic
+    ``((r−1)·(N−1)) div (n_g−1) + 1`` (floor), and the readback is an
+    equi-join on that rank — no interpolation, no floats anywhere.
+
+    Scale shape: the global ranking rides
+    :func:`~high_throughput_etl_pipeline_spark.operators.ranking.global_rank`
+    (range-partitioned, no single-task sort); the per-group rank is a
+    partitioned window (bounded groups — sources — the event_type
+    window convention); the readback is one keyed equi-join.
+
+    Output: (id, group, value, src_rank, target_rank,
+    calibrated_value).
+    """
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+
+    ranked, n_total = global_rank(
+        df.select(
+            F.col(id_col).alias("_gid"), F.col(value_col).alias("_gv")
+        ),
+        [F.col("_gv"), F.col("_gid")],
+        rank_col="_grank",
+    )
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    wn = Window.partitionBy(group_col)
+    src = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(wg).cast("bigint").alias("src_rank"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("_n_g"),
+    )
+    target = F.when(F.col("_n_g") > 1,
+        F.expr(f"((src_rank - 1) * ({n_total} - 1)) div (_n_g - 1) + 1")
+    ).otherwise(F.lit((n_total + 1) // 2)).cast("bigint")
+    lookup = ranked.select(
+        F.col("_grank").alias("target_rank"),
+        F.col("_gv").alias("calibrated_value"),
+    )
+    return (
+        src.withColumn("target_rank", target)
+        .join(lookup, on="target_rank")
+        .select(
+            id_col, group_col, value_col,
+            "src_rank", "target_rank", "calibrated_value",
+        )
+    )

@@ -10557,6 +10557,56 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_quantile_calibration",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id AS gid, n_chars AS gv,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS grank
+        FROM documents
+    ), nt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), src AS (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS src_rank,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_g
+        FROM documents
+    ), t AS (
+        SELECT s.*,
+               CAST(CASE WHEN n_g > 1
+                    THEN ((src_rank - 1) * ((SELECT n FROM nt) - 1))
+                         // (n_g - 1) + 1
+                    ELSE ((SELECT n FROM nt) + 1) // 2
+               END AS BIGINT) AS target_rank
+        FROM src s
+    )
+    SELECT t.doc_id, t.source, t.n_chars, t.src_rank, t.target_rank,
+           g.gv AS calibrated_value
+    FROM t JOIN g ON g.grank = t.target_rank
+    ORDER BY t.doc_id
+    """,
+)
+def source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources
+    (operators/corpus.py:quantile_calibrate): each doc's within-source
+    rank maps onto the global length distribution, so one threshold
+    applies to every source after calibration — the cross-source
+    score-alignment step of corpus mixing.  Pure integer rank
+    arithmetic over two total orderings (global side on the
+    distributed global_rank path), readback as one equi-join."""
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        quantile_calibrate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_calibrate(
+        d, value_col="n_chars", group_col="source", id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -10581,7 +10631,7 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supplier_part_hits, graph_degree_assortativity, customer_match_k_core,
 # orders_basket_rules, doc_pmi_collocations, corpus_zipf_slope,
 # doc_ngram_novelty, user_cohort_ltv, events_theilsen_trend,
-# user_conversion_lag, customer_golden_record.
+# user_conversion_lag, customer_golden_record, source_quantile_calibration.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
     # leakage-safe splitting (CC + atomic cluster assignment),

@@ -2848,3 +2848,32 @@ def test_theil_sen_resists_outlier(spark):
     r = theil_sen(df).collect()[0]
     assert r.n_pairs == 55
     assert r.theil_sen_slope == 3.0
+
+
+def test_quantile_calibrate_equalizes_marginals(spark):
+    from high_throughput_etl_pipeline_spark.operators.corpus import (
+        quantile_calibrate,
+    )
+
+    # group A has values 10x group B's; after calibration both groups
+    # must span the SAME global value range with matching endpoints
+    rows = [(i, "A", 100 + 10 * i) for i in range(5)]
+    rows += [(10 + i, "B", 1 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, v BIGINT")
+    out = quantile_calibrate(df, "v", "source", "doc_id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.source, []).append(r)
+    for g in ("A", "B"):
+        vals = sorted(r.calibrated_value for r in by_grp[g])
+        # both marginals hit the global min and max, monotone in rank
+        assert vals[0] == 1 and vals[-1] == 140
+        ordered = sorted(by_grp[g], key=lambda r: r.src_rank)
+        assert [r.calibrated_value for r in ordered] == sorted(
+            r.calibrated_value for r in ordered
+        )
+    # calibration preserves within-group order of the raw value
+    for g in ("A", "B"):
+        ordered = sorted(by_grp[g], key=lambda r: r.v)
+        ranks = [r.src_rank for r in ordered]
+        assert ranks == sorted(ranks)
