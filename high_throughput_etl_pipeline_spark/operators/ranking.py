@@ -101,3 +101,56 @@ def global_rank(
         .drop("_pid", "_off")
     )
     return ranked, acc
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    cum_col: str = "cum",
+):
+    """Exact running total under a GLOBAL ordering without a global
+    window: range-partition on the order columns, per-partition ordered
+    prefix sums, then add each partition's broadcast offset (the sum of
+    all earlier partitions) — the :func:`global_rank` two-pass trick
+    applied to SUM.  An empty-partition-spec ``sum() over (order by …)``
+    funnels every row through one task; this shape never does.
+
+    Returns ``(df_with_cum, grand_total)`` — the total falls out of the
+    offset pass for free.  Sums accumulate in decimal(38,0), so integer
+    value columns cannot overflow mid-prefix.  The range-partitioned
+    input is pinned with an eager localCheckpoint for the same
+    two-pass-consistency reason as global_rank.
+    """
+    dec = "decimal(38,0)"
+    parts = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint(eager=True)
+    sums = {
+        r["_pid"]: r["_s"]
+        for r in parts.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast(dec)).alias("_s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, str(acc)))
+        acc += int(sums[pid] or 0)
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, "0")], "_pid INT, _off STRING"
+    ).select("_pid", F.col("_off").cast(dec).alias("_off"))
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        parts.join(F.broadcast(off_df), on="_pid")
+        .withColumn(
+            cum_col,
+            F.sum(F.col(value_col).cast(dec)).over(w) + F.col("_off"),
+        )
+        .drop("_pid", "_off")
+    )
+    return out, acc

@@ -10607,6 +10607,78 @@ def source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "brand_pareto_analysis",
+    oracle="""
+    WITH rev AS (
+        SELECT p_brand AS brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    ), tot AS (
+        SELECT CAST(SUM(revenue_cents) AS HUGEINT) AS t FROM rev
+    ), c AS (
+        SELECT brand, revenue_cents,
+               CAST(SUM(revenue_cents) OVER (
+                   ORDER BY revenue_cents DESC, brand
+                   ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+        FROM rev
+    )
+    SELECT brand, revenue_cents, CAST(cum AS BIGINT) AS cum_cents,
+           round(revenue_cents / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+               AS share,
+           round(CAST(cum AS DOUBLE)
+                 / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS cum_share,
+           5 * cum <= 4 * (SELECT t FROM tot) AS in_top80
+    FROM c ORDER BY revenue_cents DESC, brand
+    """,
+)
+def brand_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) contribution analysis of revenue by brand: exact
+    running revenue under the global (revenue DESC, brand) ordering via
+    the DISTRIBUTED prefix sum (operators/ranking.py:global_cumsum —
+    range partitions + broadcast offsets, never an
+    empty-partition-spec running window), cumulative share, and an
+    exact-integer top-80% membership test (5·cum ≤ 4·total — no float
+    threshold).  Revenue sums in decimal, cents out."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(p, on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100
+            )
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    cumd, total = global_cumsum(
+        rev,
+        [F.col("revenue_cents").desc(), F.col("brand")],
+        "revenue_cents",
+        cum_col="cum",
+    )
+    return cumd.select(
+        "brand",
+        "revenue_cents",
+        F.col("cum").cast("bigint").alias("cum_cents"),
+        F.round(
+            F.col("revenue_cents") / F.lit(total).cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.col("cum").cast("double") / F.lit(total).cast("double"), 6
+        ).alias("cum_share"),
+        (F.col("cum") * 5 <= F.lit(total * 4)).alias("in_top80"),
+    ).orderBy(F.desc("revenue_cents"), "brand")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -10631,7 +10703,8 @@ def source_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supplier_part_hits, graph_degree_assortativity, customer_match_k_core,
 # orders_basket_rules, doc_pmi_collocations, corpus_zipf_slope,
 # doc_ngram_novelty, user_cohort_ltv, events_theilsen_trend,
-# user_conversion_lag, customer_golden_record, source_quantile_calibration.
+# user_conversion_lag, customer_golden_record,
+# source_quantile_calibration, brand_pareto_analysis.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
     # leakage-safe splitting (CC + atomic cluster assignment),

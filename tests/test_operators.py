@@ -2877,3 +2877,25 @@ def test_quantile_calibrate_equalizes_marginals(spark):
         ordered = sorted(by_grp[g], key=lambda r: r.v)
         ranks = [r.src_rank for r in ordered]
         assert ranks == sorted(ranks)
+
+
+def test_global_cumsum_matches_local_prefix_and_total(spark):
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id BIGINT, v BIGINT").repartition(8)
+    out, total = global_cumsum(df, [F.col("id")], "v", cum_col="cum")
+    got = sorted(
+        ((r.id, int(r.cum)) for r in out.collect()), key=lambda t: t[0]
+    )
+    acc, exp = 0, []
+    for i, v in sorted(rows):
+        acc += v
+        exp.append((i, acc))
+    assert got == exp
+    assert total == acc
+    # plan: no single-partition exchange feeding the running-sum window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan.split("== Initial Plan ==")[0]
