@@ -10764,7 +10764,13 @@ HEADLINE: list[str] = [
     "user_retention_cohorts",
     "weekly_revenue_growth",
     "events_outlier_audit",
-    "bpe_vocab_merges",
+    # bpe_vocab_merges recorded its honest no_oracle row in r7 and
+    # rotates out (a repeat row verifies nothing new — reference-parity
+    # pytest remains its value gate); bpe_encode_docs stays for its
+    # FIRST row since gaining the frozen-merge recursive-CTE oracle.
+    # Its slot goes to purchase_attribution_models (r8-tail,
+    # locally hash-green).
+    "purchase_attribution_models",
     "bpe_encode_docs",
     # --- r7 new capabilities, first driver rows: CDC latest-op-wins
     # apply, DP noisy-histogram release, importance resampling to a
