@@ -310,3 +310,63 @@ def fs_link_scores(
         .when(F.col("fs_score") <= lower, F.lit("nonmatch"))
         .otherwise(F.lit("review")),
     )
+
+
+def mutual_best_matches(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "edit_distance",
+    key_span: int = 10**9,
+) -> DataFrame:
+    """Reciprocal-best-match filter: keep a candidate pair only when
+    each side is the OTHER's single best candidate (lowest score, ties
+    to the lower partner id).  The precision filter that turns a noisy
+    candidate list into confident 1:1 links before any merge — a chain
+    A–B–C keeps only its tightest link.
+
+    Determinism: per-node argmin uses ONE composite integer key
+    ``score·key_span + partner`` (the engine-portable min_by
+    discipline — struct keys are not), so the best partner is total;
+    the mutuality check is one self-equi-join on (node, best).
+    ``key_span`` must exceed the largest partner id.
+
+    Scale shape: explode pairs to both directions (2·|pairs| rows),
+    one grouped argmin per node, one keyed join — linear in the
+    candidate list, no quadratic stage.
+
+    Output: the input pair rows (id_a < id_b order preserved) that
+    survive mutuality.
+    """
+    directed = pairs.select(
+        F.col(id_a).alias("node"),
+        F.col(id_b).alias("partner"),
+        F.col(score_col).alias("_s"),
+    ).unionAll(
+        pairs.select(
+            F.col(id_b).alias("node"),
+            F.col(id_a).alias("partner"),
+            F.col(score_col).alias("_s"),
+        )
+    )
+    best = directed.groupBy("node").agg(
+        F.expr(f"min_by(partner, _s * {key_span} + partner)").alias("best")
+    )
+    ab = best.select(
+        F.col("node").alias("_ba"), F.col("best").alias("_bb")
+    )
+    ba = best.select(
+        F.col("node").alias("_bb2"), F.col("best").alias("_ba2")
+    )
+    return (
+        pairs.join(
+            ab,
+            (F.col(id_a) == F.col("_ba")) & (F.col(id_b) == F.col("_bb")),
+            "left_semi",
+        )
+        .join(
+            ba,
+            (F.col(id_b) == F.col("_bb2")) & (F.col(id_a) == F.col("_ba2")),
+            "left_semi",
+        )
+    )

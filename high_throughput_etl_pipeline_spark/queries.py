@@ -10679,6 +10679,63 @@ def brand_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("revenue_cents"), "brand")
 
 
+@query(
+    "customer_mutual_best_match",
+    oracle="""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT)
+                   AS edit_distance
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), directed AS (
+        SELECT id_a AS node, id_b AS partner, edit_distance AS s
+        FROM pairs
+        UNION ALL
+        SELECT id_b, id_a, edit_distance FROM pairs
+    ), best AS (
+        SELECT node,
+               min_by(partner, s * 1000000000 + partner) AS best
+        FROM directed GROUP BY node
+    )
+    SELECT p.id_a, p.id_b, p.name_a, p.name_b, p.edit_distance
+    FROM pairs p
+    JOIN best x ON p.id_a = x.node AND p.id_b = x.best
+    JOIN best y ON p.id_b = y.node AND p.id_a = y.best
+    ORDER BY p.id_a, p.id_b
+    """,
+)
+def customer_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match over the fuzzy-match candidates
+    (operators/entity.py:mutual_best_matches): a pair survives only if
+    each side is the other's single best candidate — the 1:1 precision
+    filter in front of merging, which cuts chain links a plain
+    threshold keeps.  Per-node argmin rides one composite integer key
+    (engine-portable min_by); mutuality is two semi-joins."""
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        fuzzy_matches_neighborhood,
+        mutual_best_matches,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_matches_neighborhood(
+        c,
+        block_cols=["c_nationkey"],
+        id_col="c_custkey",
+        name_col="c_name",
+    )
+    return (
+        mutual_best_matches(pairs, score_col="edit_distance")
+        .select(
+            "id_a", "id_b", "name_a", "name_b",
+            F.col("edit_distance").cast("int").alias("edit_distance"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -10704,7 +10761,8 @@ def brand_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orders_basket_rules, doc_pmi_collocations, corpus_zipf_slope,
 # doc_ngram_novelty, user_cohort_ltv, events_theilsen_trend,
 # user_conversion_lag, customer_golden_record,
-# source_quantile_calibration, brand_pareto_analysis.
+# source_quantile_calibration, brand_pareto_analysis,
+# customer_mutual_best_match.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
     # leakage-safe splitting (CC + atomic cluster assignment),

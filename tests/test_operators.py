@@ -2899,3 +2899,28 @@ def test_global_cumsum_matches_local_prefix_and_total(spark):
     # plan: no single-partition exchange feeding the running-sum window
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_mutual_best_match_breaks_chains(spark):
+    from high_throughput_etl_pipeline_spark.operators.entity import (
+        mutual_best_matches,
+    )
+
+    # chain 1-2-3: (1,2) score 1, (2,3) score 2 -> 2's best is 1, so
+    # (2,3) dies; isolated tie pair (10,11)+(10,12) both score 1 ->
+    # 10's best tie-breaks to 11, (10,12) dies, (10,11) survives only
+    # if 11's best is 10 (it is — its only candidate)
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 1),
+            (2, 3, 2),
+            (10, 11, 1),
+            (10, 12, 1),
+        ],
+        "id_a BIGINT, id_b BIGINT, edit_distance BIGINT",
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in mutual_best_matches(pairs).collect()
+    )
+    assert got == [(1, 2), (10, 11)]
