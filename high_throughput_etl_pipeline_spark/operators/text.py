@@ -880,3 +880,99 @@ def ngram_novelty(
             1.0 - F.col("n_shared") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. '10): candidate phrases are
+    maximal stopword-free token runs; each word scores deg/freq (deg =
+    Σ length of phrases containing it, freq = occurrences) and a
+    phrase scores the sum of its word scores — co-occurring-in-long-
+    phrases words rank up, ubiquitous glue words rank down.
+
+    Engine parity: deg and freq are exact bigints, each word score is
+    ONE double division, and every phrase-score sum folds the word
+    scores IN PHRASE ORDER (HOF left fold here, ``list_sum(list(… ORDER
+    BY pos))`` oracle-side — the proven ordered-float-fold trick), so
+    identical doubles come out of both engines and the ranking is
+    hash-exact.
+
+    Scale shape: phrase segmentation is a per-doc window (doc-length
+    bounded); word stats are two grouped counts; the score-back join
+    is keyed on the word.  Everything shuffles at (doc, phrase) or
+    word grain — linear in token count.
+
+    Output: (phrase, phrase_len, n_occurrences, rake_score) —
+    unranked; callers top-k with take_top_k.
+    """
+    from pyspark.sql import Window
+
+    stops = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    toks = docs.select(
+        F.col("doc_id").alias("_doc"),
+        F.posexplode(_lower_words(F.col(text_col))).alias("_i", "_tok"),
+    ).filter(F.col("_tok") != "")
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    toks = toks.withColumn(
+        "_stop", F.array_contains(stop_arr, F.col("_tok"))
+    )
+    wdoc = Window.partitionBy("_doc").orderBy("_i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = toks.withColumn(
+        "_pid", F.sum(F.col("_stop").cast("int")).over(wdoc)
+    ).filter(~F.col("_stop"))
+    occ = marked.groupBy("_doc", "_pid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_i"), F.col("_tok")))
+        ).alias("_arr")
+    ).select(
+        "_doc",
+        "_pid",
+        F.concat_ws(
+            " ", F.transform(F.col("_arr"), lambda s: s["_tok"])
+        ).alias("phrase"),
+        F.size("_arr").cast("bigint").alias("phrase_len"),
+        "_arr",
+    ).localCheckpoint(eager=False)
+    wstats = (
+        occ.select(
+            F.explode(F.col("_arr")).alias("_e"), F.col("phrase_len")
+        )
+        .select(F.col("_e._tok").alias("_tok"), "phrase_len")
+        .groupBy("_tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_freq"),
+            F.sum("phrase_len").cast("bigint").alias("_deg"),
+        )
+        .withColumn("_wscore", F.col("_deg") / F.col("_freq"))
+    )
+    per_occ = (
+        occ.select(
+            "_doc", "_pid", "phrase", "phrase_len",
+            F.explode(F.col("_arr")).alias("_e"),
+        )
+        .select(
+            "_doc", "_pid", "phrase", "phrase_len",
+            F.col("_e._i").alias("_i"),
+            F.col("_e._tok").alias("_tok"),
+        )
+        .join(wstats.select("_tok", "_wscore"), on="_tok")
+        .groupBy("_doc", "_pid", "phrase", "phrase_len")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_i"), F.col("_wscore")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["_wscore"],
+            ).alias("_score")
+        )
+    )
+    return per_occ.groupBy("phrase", "phrase_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.round(F.max("_score"), 6).alias("rake_score"),
+    )

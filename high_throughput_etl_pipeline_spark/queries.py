@@ -10736,6 +10736,82 @@ def customer_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_rake_keywords",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id AS doc, i, t[i] AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)),
+                                        '[ \\t\\n\\r\\f\\x0b]+') AS t
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+        WHERE t[i] <> ''
+    ), flagged AS (
+        SELECT doc, i, tok,
+               tok IN ('the','and','of','to','a','in','is','that')
+                   AS stop
+        FROM toks
+    ), marked AS (
+        SELECT doc, i, tok, stop,
+               SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS pid
+        FROM flagged
+    ), words AS MATERIALIZED (
+        SELECT doc, pid, i, tok FROM marked WHERE NOT stop
+    ), occ AS MATERIALIZED (
+        SELECT doc, pid, string_agg(tok, ' ' ORDER BY i) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS phrase_len
+        FROM words GROUP BY doc, pid
+    ), wstats AS MATERIALIZED (
+        SELECT w.tok, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(o.phrase_len) AS BIGINT) AS deg
+        FROM words w JOIN occ o ON w.doc = o.doc AND w.pid = o.pid
+        GROUP BY w.tok
+    ), per_occ AS (
+        SELECT w.doc, w.pid, o.phrase, o.phrase_len,
+               list_sum(list(s.deg / s.freq ORDER BY w.i)) AS score
+        FROM words w
+        JOIN occ o ON w.doc = o.doc AND w.pid = o.pid
+        JOIN wstats s ON w.tok = s.tok
+        GROUP BY w.doc, w.pid, o.phrase, o.phrase_len
+    ), ph AS (
+        SELECT phrase, phrase_len,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               round(MAX(score), 6) AS rake_score
+        FROM per_occ GROUP BY phrase, phrase_len
+    )
+    SELECT phrase, phrase_len, n_occurrences, rake_score,
+           CAST(row_number() OVER (ORDER BY rake_score DESC, phrase)
+                AS INT) AS pos
+    FROM ph QUALIFY pos <= 25 ORDER BY pos
+    """,
+)
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators/text.py:rake_keywords):
+    stopword-bounded candidate phrases scored by Σ deg/freq of their
+    words, top-25 via distributed TakeOrdered.  Word stats are exact
+    bigints; each phrase score folds its word ratios IN PHRASE ORDER
+    (the ordered-float-fold parity trick), so an iterative-free
+    keyword ranker stays hash-exact end to end."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ph = rake_keywords(d, text_col="text")
+    top = take_top_k(
+        ph, [F.desc("rake_score"), F.col("phrase")], 25, rank_col="pos"
+    )
+    return top.select(
+        "phrase", "phrase_len", "n_occurrences", "rake_score", "pos"
+    ).orderBy("pos")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

@@ -2924,3 +2924,28 @@ def test_mutual_best_match_breaks_chains(spark):
         for r in mutual_best_matches(pairs).collect()
     )
     assert got == [(1, 2), (10, 11)]
+
+
+def test_rake_phrase_segmentation_and_scores(spark):
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    # "deep learning" appears twice as a run; stopword "the" splits
+    # phrases; "deep learning systems" extends the degree of both words
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning beats the baseline"),
+            (2, "deep learning systems"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.phrase: r for r in rake_keywords(docs).collect()}
+    assert "deep learning beats" in out
+    assert "deep learning systems" in out
+    assert "baseline" in out
+    # deg(deep)=deg(learning)=3+3=6, freq=2 -> wscore 3.0 each;
+    # deg(systems)=3, freq=1 -> 3.0; phrase score 9.0
+    assert out["deep learning systems"].rake_score == 9.0
+    assert out["baseline"].rake_score == 1.0
+    assert out["deep learning beats"].n_occurrences == 1
