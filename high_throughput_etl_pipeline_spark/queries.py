@@ -10812,6 +10812,133 @@ def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pos")
 
 
+@query(
+    "events_hourweek_profile",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t FROM cell
+    )
+    SELECT dow, hr, n,
+           round(n / (SELECT t FROM tot), 6) AS share,
+           n = MAX(n) OVER (PARTITION BY dow) AS is_peak_hour
+    FROM cell ORDER BY dow, hr
+    """,
+)
+def events_hourweek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity heatmap (dow × hour counts, global share,
+    per-day peak-hour flag) — the load-shaping profile capacity
+    planning reads before scheduling compaction or batch windows.  One
+    grouped agg + a one-row broadcast total + a 24-row-per-day
+    partitioned max.  Spark dayofweek is 1=Sunday; DuckDB's is
+    0=Sunday, so the oracle shifts by one."""
+    e = _t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("_t"))
+    wd = Window.partitionBy("dow")
+    return (
+        cell.join(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("share"),
+            (F.col("n") == F.max("n").over(wd)).alias("is_peak_hour"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@query(
+    "orders_reorder_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ), gaps AS (
+        SELECT o.o_custkey,
+               CAST(date_diff('day', lag(d) OVER w, d) AS BIGINT) AS gap
+        FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d)
+    ), g AS (
+        SELECT c.c_mktsegment AS segment, gaps.gap
+        FROM gaps JOIN customer c ON gaps.o_custkey = c.c_custkey
+        WHERE gaps.gap IS NOT NULL
+    ), ranked AS (
+        SELECT segment, gap,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY gap) AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n,
+               SUM(gap) OVER (PARTITION BY segment) AS tot
+        FROM g
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_days,
+           CAST(MAX(gap) AS BIGINT) AS max_days,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END)
+               AS BIGINT) AS p50_days,
+           round(MAX(tot) / MAX(n), 4) AS mean_days
+    FROM ranked GROUP BY segment ORDER BY segment
+    """,
+)
+def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution by market segment: exact
+    day gaps between each customer's consecutive orders, with median
+    by integer rank selection per segment (percentile_disc shape, the
+    weighted_quantiles convention for bounded groups) and the mean as
+    one double division of exact sums — the repurchase-cadence readout
+    behind churn and inventory models."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    wcust = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = (
+        o.select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .withColumn("gap", F.datediff(F.col("d"), F.lag("d").over(wcust)).cast("bigint"))
+        .filter(F.col("gap").isNotNull())
+    )
+    g = gaps.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        on="o_custkey",
+    )
+    wo = Window.partitionBy("segment").orderBy("gap")
+    wp = Window.partitionBy("segment")
+    # tie order under (gap) alone is engine-nondeterministic, but rank
+    # SELECTION only reads the VALUE at a rank — equal values make
+    # every tie order select the same gap, so this is value-exact
+    ranked = g.select(
+        "segment",
+        "gap",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("gap").over(wp).alias("tot"),
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_gaps"),
+            F.min("gap").cast("bigint").alias("min_days"),
+            F.max("gap").cast("bigint").alias("max_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap")
+                )
+            ).cast("bigint").alias("p50_days"),
+            F.round(F.max("tot") / F.max("n"), 4).alias("mean_days"),
+        )
+        .orderBy("segment")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -10838,7 +10965,8 @@ def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_ngram_novelty, user_cohort_ltv, events_theilsen_trend,
 # user_conversion_lag, customer_golden_record,
 # source_quantile_calibration, brand_pareto_analysis,
-# customer_mutual_best_match.
+# customer_mutual_best_match, doc_rake_keywords,
+# events_hourweek_profile, orders_reorder_intervals.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
     # leakage-safe splitting (CC + atomic cluster assignment),
