@@ -245,11 +245,15 @@ def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Cluster near-dup pairs: (node, cluster_id) with cluster_id = the
     minimum doc id of the component.  Keep-policy 'lowest id wins' falls
-    out directly: keep rows where node == cluster_id."""
-    cc = connected_components(pairs, src=id_a, dst=id_b)
+    out directly: keep rows where node == cluster_id.  ``algorithm``
+    passes through to :func:`connected_components` — callers that KNOW
+    their graph is high-diameter (e.g. sequential-name match chains)
+    skip the 25 wasted min-label rounds by asking for ``"star"``."""
+    cc = connected_components(pairs, src=id_a, dst=id_b, algorithm=algorithm)
     return cc.select(F.col("node"), F.col("component").alias("cluster_id"))
 
 

@@ -10529,7 +10529,11 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="c_custkey",
         name_col="c_name",
     ).select("id_a", "id_b")
-    cc = dedup_clusters(pairs)
+    # sequential names chain in edit space — a known HIGH-DIAMETER
+    # graph, so go straight to large-star/small-star (O(log² n)
+    # rounds) instead of burning 25 min-label hops first (measured
+    # 43.6 s -> 8.0 s on the sf1 CC phase)
+    cc = dedup_clusters(pairs, algorithm="star")
     mem = cc.join(
         c, on=F.col("node") == F.col("c_custkey")
     ).select(
