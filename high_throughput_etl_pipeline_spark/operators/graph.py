@@ -611,6 +611,7 @@ def hits_int(
     dst_col: str = "dst",
     iterations: int = 8,
     scale: int = 10**6,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg '99) in EXACT integer
     arithmetic over a directed edge list: authority(d) = Σ hub(s) over
@@ -632,8 +633,18 @@ def hits_int(
 
     Output: ``(id, kind, score)`` with kind ∈ {'hub', 'authority'} —
     a node that appears on both sides gets a row per role.
+
+    ``broadcast_state`` (default True) broadcasts the node-score frame
+    into each half-step join, turning two edge shuffles per half-step
+    into ONE groupBy shuffle (measured ~2× on the sf1 bipartite
+    graph).  State is |V|-grain — two longs per node, so the broadcast
+    holds to ~10⁸ nodes; pass False beyond that and the joins fall
+    back to keyed shuffles.
     """
     dec = "decimal(38,0)"
+
+    def _st(df):
+        return F.broadcast(df) if broadcast_state else df
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).localCheckpoint(eager=False)
@@ -647,7 +658,7 @@ def hits_int(
         # materializes the checkpoint, so the rescale projection reads
         # the same blocks instead of recomputing the join+agg
         a_raw = (
-            e.join(h, on=F.col("_s") == F.col("id"))
+            e.join(_st(h), on=F.col("_s") == F.col("id"))
             .groupBy(F.col("_d").alias("id"))
             .agg(F.sum(F.col("_h").cast(dec)).alias("_raw"))
             .localCheckpoint(eager=False)
@@ -659,7 +670,7 @@ def hits_int(
                    "AS BIGINT)").alias("_a"),
         )
         h_raw = (
-            e.join(a, on=F.col("_d") == F.col("id"))
+            e.join(_st(a), on=F.col("_d") == F.col("id"))
             .groupBy(F.col("_s").alias("id"))
             .agg(F.sum(F.col("_a").cast(dec)).alias("_raw"))
             .localCheckpoint(eager=False)
