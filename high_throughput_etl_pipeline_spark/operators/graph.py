@@ -317,6 +317,13 @@ def pagerank_int(
     ).localCheckpoint(eager=False)
     state = nodes.select("id", F.lit(r_init).cast("bigint").alias("rank"))
     for _ in range(iterations):
+        # NOTE: unlike hits_int, state here is NOT broadcast — these
+        # rounds are fully lazy (no per-round action), so Spark
+        # pipelines the chained shuffle joins into one job; forcing a
+        # broadcast would materialize every round's state to build the
+        # table and serialize the rounds (measured 10.8 s -> 18.8 s at
+        # sf1).  hits_int broadcasts because its max-rescale collect
+        # already forces per-round materialization.
         contrib = (
             adj.join(state, on=F.col("_s") == F.col("id"))
             .select(
