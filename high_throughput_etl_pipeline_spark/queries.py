@@ -10943,6 +10943,386 @@ def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_target_encoding",
+    oracle="""
+    WITH o AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), s AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS sx
+        FROM o GROUP BY segment
+    )
+    SELECT o.o_orderkey, o.segment,
+           round(CAST(s.sx - o.cents AS DOUBLE)
+                 / CAST(s.n - 1 AS DOUBLE) / 100.0, 6) AS loo_mean,
+           round(CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE) / 100.0, 6)
+               AS segment_mean
+    FROM o JOIN s ON o.segment = s.segment
+    WHERE o.o_orderkey <= 200
+    ORDER BY o.o_orderkey
+    """,
+)
+def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order value by market segment —
+    the leakage-safe categorical encoder for training tables: each
+    row's code is ``(Σ_segment − own) / (n − 1)``, so a row never sees
+    its own target.  ONE grouped agg produces a segment-cardinality
+    frame that broadcasts back over the scan (map-side encode, no
+    second shuffle); sums are exact cents in decimal(38,0).  The
+    audited sample (o_orderkey ≤ 200) keeps the driver row bounded —
+    the encode itself is computed for every row at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    oc = o.join(
+        F.broadcast(
+            c.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        ),
+        on="o_custkey",
+    ).select(
+        "o_orderkey",
+        "segment",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    s = oc.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("sx"),
+    )
+    return (
+        oc.filter(F.col("o_orderkey") <= 200)
+        .join(F.broadcast(s), on="segment")
+        .select(
+            "o_orderkey",
+            "segment",
+            F.round(
+                (F.col("sx") - F.col("cents")).cast("double")
+                / (F.col("n") - 1).cast("double")
+                / 100.0,
+                6,
+            ).alias("loo_mean"),
+            F.round(
+                F.col("sx").cast("double") / F.col("n").cast("double") / 100.0,
+                6,
+            ).alias("segment_mean"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "events_chisq_independence",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+               CAST(COUNT(*) AS HUGEINT) AS o
+        FROM events GROUP BY 1, 2
+    ), rt AS (
+        SELECT event_type, SUM(o) AS r FROM cell GROUP BY event_type
+    ), ct AS (
+        SELECT hr, SUM(o) AS c FROM cell GROUP BY hr
+    ), tot AS (
+        SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr,
+               COUNT(DISTINCT hr) AS nc
+        FROM cell
+    ), contrib AS (
+        SELECT CAST(round(
+                   CAST((cell.o * tot.n - rt.r * ct.c)
+                        * (cell.o * tot.n - rt.r * ct.c) AS DOUBLE)
+                   / CAST(tot.n * rt.r * ct.c AS DOUBLE) * 1e6, 0)
+               AS HUGEINT) AS chi_scaled
+        FROM cell
+        JOIN rt ON cell.event_type = rt.event_type
+        JOIN ct ON cell.hr = ct.hr
+        CROSS JOIN tot
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS dof,
+           round(CAST(SUM(c.chi_scaled) AS DOUBLE) / 1e6, 4) AS chi2,
+           round(sqrt(CAST(SUM(c.chi_scaled) AS DOUBLE) / 1e6
+                      / CAST(tot.n AS DOUBLE)
+                      / CAST(LEAST(tot.nr, tot.nc) - 1 AS DOUBLE)), 6)
+               AS cramers_v
+    FROM contrib c CROSS JOIN tot
+    GROUP BY tot.n, tot.nr, tot.nc
+    """,
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for event_type × hour-of-day
+    (plus Cramér's V effect size) — "does activity mix shift by hour"
+    as one statistic.  ONE grouped count builds the contingency cells
+    (type×24 rows — tiny at any corpus size); margins and the total are
+    re-aggregations of that frame broadcast back, so the raw table is
+    scanned once.  Per-cell contributions (O·n − r·c)²/(n·r·c) are
+    computed from exact decimal counts, scaled ×1e6, and rounded to
+    integers BEFORE summing — the float work is one deterministic
+    divide per cell, and the cross-cell sum is exact, so the statistic
+    hash-matches.  At ~1e12 rows the decimal38 intermediates still fit
+    ((O·n)² needs n·O < 1e19 per cell — switch the contribution to pure
+    double beyond that)."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    cell = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).cast(dec).alias("o"))
+    rt = cell.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("hr").agg(F.sum("o").alias("c"))
+    tot = cell.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").cast(dec).alias("nr"),
+        F.countDistinct("hr").cast(dec).alias("nc"),
+    )
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    contrib = (
+        cell.join(F.broadcast(rt), on="event_type")
+        .join(F.broadcast(ct), on="hr")
+        .join(F.broadcast(tot))
+        .select(
+            F.round(
+                (num * num).cast("double")
+                / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+                * 1e6,
+                0,
+            )
+            .cast(dec)
+            .alias("chi_scaled"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    return contrib.groupBy("n", "nr", "nc").agg(
+        F.sum("chi_scaled").alias("_cs")
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        F.round(F.col("_cs").cast("double") / 1e6, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("_cs").cast("double")
+                / 1e6
+                / F.col("n").cast("double")
+                / (F.least("nr", "nc") - 1).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "lineitem_spearman_corr",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_quantity, 0) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+        FROM lineitem
+    ), r AS (
+        SELECT flag,
+               CAST(2 * rank() OVER (PARTITION BY flag ORDER BY q)
+                    + COUNT(*) OVER (PARTITION BY flag, q) - 1
+                    AS HUGEINT) AS rx,
+               CAST(2 * rank() OVER (PARTITION BY flag ORDER BY p)
+                    + COUNT(*) OVER (PARTITION BY flag, p) - 1
+                    AS HUGEINT) AS ry
+        FROM v
+    ), s AS (
+        SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx,
+               SUM(ry * ry) AS syy
+        FROM r GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS spearman_rho
+    FROM s ORDER BY flag
+    """,
+)
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag — the monotone-association statistic (robust to
+    outliers and nonlinearity, unlike Pearson).  Midranks handle ties
+    exactly on the integer lattice: 2·midrank = 2·rank + tiecount − 1,
+    so every rank moment accumulates as an exact decimal(38,0) and the
+    only float ops are the final two sqrts and one divide.  Rank
+    windows partition by flag (parallel across groups); at 1e12 rows a
+    per-flag rank needs the global_rank two-pass shape instead —
+    midranks via (rank from cumulative counts of the value histogram),
+    which this formulation reduces to since ranks depend only on the
+    per-(flag,value) counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity", 0).cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("p"),
+    )
+    wq = Window.partitionBy("flag").orderBy("q")
+    wqt = Window.partitionBy("flag", "q")
+    wp = Window.partitionBy("flag").orderBy("p")
+    wpt = Window.partitionBy("flag", "p")
+    r = v.select(
+        "flag",
+        (
+            F.lit(2) * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1
+        ).cast(dec).alias("rx"),
+        (
+            F.lit(2) * F.rank().over(wp) + F.count(F.lit(1)).over(wpt) - 1
+        ).cast(dec).alias("ry"),
+    )
+    s = r.groupBy("flag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    return s.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    ).orderBy("flag")
+
+
+@query(
+    "source_lang_divergence",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source
+    ), langs AS (
+        SELECT DISTINCT lang FROM cnt
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.n AS n_a, b.n AS n_b
+        FROM tot a JOIN tot b ON a.source < b.source
+    ), grid AS (
+        SELECT p.source_a, p.source_b, p.n_a, p.n_b, l.lang,
+               COALESCE(ca.c, 0) / CAST(p.n_a AS DOUBLE) AS pa,
+               COALESCE(cb.c, 0) / CAST(p.n_b AS DOUBLE) AS pb
+        FROM pairs p CROSS JOIN langs l
+        LEFT JOIN cnt ca ON ca.source = p.source_a AND ca.lang = l.lang
+        LEFT JOIN cnt cb ON cb.source = p.source_b AND cb.lang = l.lang
+    )
+    SELECT source_a, source_b, n_a, n_b,
+           round(SUM(
+               CASE WHEN pa > 0
+                    THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+               + CASE WHEN pb > 0
+                      THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END
+           ), 6) AS js_divergence
+    FROM grid
+    GROUP BY source_a, source_b, n_a, n_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the language
+    distributions of every document-source pair — the drift /
+    mixture-shift readout a corpus curator checks before blending
+    sources into a training mix.  ONE grouped count over the corpus;
+    everything after operates on the (sources × langs) frame — tiny at
+    any scale — so the pairwise "self-join" is a broadcast over
+    kilobytes, never a corpus shuffle.  0·ln0 terms drop exactly; the
+    ~|langs| float terms per pair sum after each is a deterministic
+    expression of exact counts, and the result rounds to 6 dp."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    langs = cnt.select("lang").distinct()
+    pairs = tot.alias("a").join(
+        F.broadcast(tot.alias("b")),
+        F.col("a.source") < F.col("b.source"),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    grid = (
+        pairs.join(F.broadcast(langs))
+        .join(
+            F.broadcast(
+                cnt.select(
+                    F.col("source").alias("source_a"),
+                    "lang",
+                    F.col("c").alias("_ca"),
+                )
+            ),
+            on=["source_a", "lang"],
+            how="left",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(
+                    F.col("source").alias("source_b"),
+                    "lang",
+                    F.col("c").alias("_cb"),
+                )
+            ),
+            on=["source_b", "lang"],
+            how="left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            (F.coalesce("_ca", F.lit(0)) / F.col("n_a").cast("double")).alias(
+                "pa"
+            ),
+            (F.coalesce("_cb", F.lit(0)) / F.col("n_b").cast("double")).alias(
+                "pb"
+            ),
+        )
+    )
+    half = F.lit(0.5)
+    term_a = F.when(
+        F.col("pa") > 0,
+        half * F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("pb") > 0,
+        half * F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.round(F.sum(term_a + term_b), 6).alias("js_divergence"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
