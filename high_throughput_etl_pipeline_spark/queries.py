@@ -11323,6 +11323,408 @@ def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "part_skyline",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents,
+               p_size
+        FROM part
+    ), ann AS (
+        SELECT p_partkey, cents, p_size,
+               MAX(p_size) OVER (
+                   ORDER BY cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pm,
+               MAX(p_size) OVER (PARTITION BY cents) AS lm
+        FROM p
+    )
+    SELECT p_partkey, round(cents / 100.0, 2) AS price,
+           CAST(p_size AS INT) AS p_size
+    FROM ann
+    WHERE (pm IS NULL OR pm < p_size) AND p_size = lm
+    ORDER BY cents, p_partkey
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on (cheaper
+    price, larger size) — the "best tradeoff" query behind product /
+    candidate shortlisting.  The sequential textbook algorithm is a
+    global sort + running max (single task); this runs the distributed
+    level-frame decomposition in ``operators/skyline.py`` — one grouped
+    agg to |distinct prices| rows, an exact two-pass prefix-max over
+    range partitions, and a broadcast map-side filter back over the
+    scan.  The oracle recomputes dominance with an explicit RANGE
+    window over the full sort, pinning the decomposition's
+    equivalence."""
+    from high_throughput_etl_pipeline_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+    sky = skyline_2d(p, "cents", "p_size")
+    return sky.select(
+        "p_partkey",
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+        "p_size",
+        "cents",
+    ).orderBy("cents", "p_partkey").drop("cents")
+
+
+@query(
+    "part_cooccurrence_similarity",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+        FROM lp GROUP BY l_partkey
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS co_orders
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), sym AS (
+        SELECT pa AS part_a, pb AS part_b, co_orders FROM co
+        UNION ALL
+        SELECT pb, pa, co_orders FROM co
+    ), scored AS (
+        SELECT s.part_a, s.part_b, s.co_orders,
+               round(s.co_orders
+                     / sqrt(CAST(na.n_ord * nb.n_ord AS DOUBLE)), 6)
+                   AS cosine
+        FROM sym s
+        JOIN n na ON s.part_a = na.l_partkey
+        JOIN n nb ON s.part_b = nb.l_partkey
+        WHERE s.part_a <= 100
+    )
+    SELECT part_a, part_b, co_orders, cosine, rank FROM (
+        SELECT part_a, part_b, co_orders, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY part_a ORDER BY cosine DESC, part_b
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY part_a, rank
+    """,
+)
+def part_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity over order
+    co-occurrence (co / √(n_a·n_b)), top-5 neighbours per part — the
+    "customers also bought" primitive.  The pair join is keyed on
+    l_orderkey and baskets are bounded (≤7 lines in TPC-H), so pair
+    mass is O(rows·basket), never quadratic in the catalog; ranking
+    windows partition by part (parallel).  The audited slice
+    (part_a ≤ 100) bounds the driver row — similarity is computed for
+    the whole catalog."""
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    n = lp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ord")
+    )
+    a = lp.alias("a")
+    b = lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_orders"))
+    )
+    sym = co.select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        "co_orders",
+    ).unionByName(
+        co.select(
+            F.col("pb").alias("part_a"),
+            F.col("pa").alias("part_b"),
+            "co_orders",
+        )
+    )
+    scored = (
+        sym.filter(F.col("part_a") <= 100)
+        .join(
+            n.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_ord").alias("_na"),
+            ),
+            on="part_a",
+        )
+        .join(
+            n.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_ord").alias("_nb"),
+            ),
+            on="part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            F.round(
+                F.col("co_orders")
+                / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("part_a").orderBy(
+        F.desc("cosine"), F.col("part_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("part_a", "rank")
+    )
+
+
+@query(
+    "customer_survival_curve",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ), hz AS (
+        SELECT MAX(d) AS h FROM o
+    ), gaps AS (
+        SELECT CAST(date_diff('day', lag(d) OVER w, d) AS BIGINT) AS dur,
+               1 AS ev
+        FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d)
+    ), cens AS (
+        SELECT CAST(date_diff('day', MAX(d), (SELECT h FROM hz))
+                    AS BIGINT) AS dur,
+               0 AS ev
+        FROM o GROUP BY o_custkey
+    ), durs AS (
+        SELECT dur, ev FROM gaps WHERE dur IS NOT NULL
+        UNION ALL SELECT dur, ev FROM cens
+    ), tbl AS (
+        SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM durs GROUP BY dur
+    ), tot AS (
+        SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM tbl
+    ), risk AS (
+        SELECT dur, d, c,
+               (SELECT n FROM tot)
+                   - COALESCE(SUM(d + c) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+        FROM tbl
+    ), curve AS (
+        SELECT dur, d, c, n_risk,
+               SUM(CASE WHEN d > 0 AND d < n_risk
+                        THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                        ELSE 0 END) OVER w AS lnsum,
+               MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS hit0
+        FROM risk
+        WINDOW w AS (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT dur AS duration_days, n_risk, d AS d_events, c AS c_censored,
+           CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
+               AS survival
+    FROM curve ORDER BY dur
+    """,
+)
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer reorder intervals —
+    "probability a customer has NOT reordered by day t", with each
+    customer's last order right-censored at the corpus horizon.  Gap
+    extraction is a per-customer window (keyed, parallel); the KM
+    product Π(1 − dᵢ/nᵢ) folds as exp(Σ ln·) over the distinct-duration
+    life table, which is |distinct day gaps| rows — thousands at any
+    corpus size, so its ordered windows cost nothing.  Identical ordered
+    float folds on both engines make the curve hash-stable to 6 dp; a
+    risk set hitting zero pins survival to exactly 0 thereafter."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    hz = o.agg(F.max("d").alias("_h"))
+    wcust = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = (
+        o.withColumn(
+            "dur", F.datediff("d", F.lag("d").over(wcust)).cast("bigint")
+        )
+        .filter(F.col("dur").isNotNull())
+        .select("dur", F.lit(1).alias("ev"))
+    )
+    cens = (
+        o.groupBy("o_custkey")
+        .agg(F.max("d").alias("_last"))
+        .join(F.broadcast(hz))
+        .select(
+            F.datediff("_h", "_last").cast("bigint").alias("dur"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    tbl = (
+        gaps.unionByName(cens)
+        .groupBy("dur")
+        .agg(
+            F.sum("ev").cast("bigint").alias("d"),
+            F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+        )
+    )
+    tot = tbl.agg(F.sum(F.col("d") + F.col("c")).cast("bigint").alias("_n"))
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = tbl.join(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("_n")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
+    )
+    curve = risk.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wcum)
+        .alias("lnsum"),
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(wcum)
+        .alias("hit0"),
+    )
+    return curve.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.when(F.col("hit0") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsum"), 6))
+        .alias("survival"),
+    ).orderBy("duration_days")
+
+
+@query(
+    "orders_fd_audit",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_custkey, o.o_orderpriority, o.o_orderstatus,
+               c.c_nationkey, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), pairs AS (
+        SELECT 'custkey->mktsegment' AS fd, CAST(o_custkey AS VARCHAR) AS det,
+               c_mktsegment AS dep FROM j
+        UNION ALL
+        SELECT 'custkey->nationkey', CAST(o_custkey AS VARCHAR),
+               CAST(c_nationkey AS VARCHAR) FROM j
+        UNION ALL
+        SELECT 'mktsegment->orderpriority', c_mktsegment,
+               o_orderpriority FROM j
+        UNION ALL
+        SELECT 'nationkey->mktsegment', CAST(c_nationkey AS VARCHAR),
+               c_mktsegment FROM j
+    ), per_key AS (
+        SELECT fd, det, COUNT(DISTINCT dep) AS n_dep
+        FROM pairs GROUP BY fd, det
+    )
+    SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_keys,
+           SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds,
+           round(1.0 - SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS strength
+    FROM per_key GROUP BY fd ORDER BY fd
+    """,
+)
+def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — data profiling's schema-discovery
+    primitive: for each candidate A→B, how many A-keys map to more than
+    one B value.  All four candidates ride ONE explode + ONE grouped
+    count-distinct (map-side partials), not a shuffle per candidate;
+    the per-key frame then collapses to 4 audit rows.  custkey-rooted
+    FDs hold by construction (join key); the cross-attribute candidates
+    quantify how far mktsegment/nationkey are from determining order
+    attributes — the "is this column derivable" question before
+    denormalizing a 100 TB table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            "c_nationkey",
+            "c_mktsegment",
+        ),
+        on="o_custkey",
+    )
+    pairs = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("custkey->mktsegment").alias("fd"),
+                    F.col("o_custkey").cast("string").alias("det"),
+                    F.col("c_mktsegment").cast("string").alias("dep"),
+                ),
+                F.struct(
+                    F.lit("custkey->nationkey").alias("fd"),
+                    F.col("o_custkey").cast("string").alias("det"),
+                    F.col("c_nationkey").cast("string").alias("dep"),
+                ),
+                F.struct(
+                    F.lit("mktsegment->orderpriority").alias("fd"),
+                    F.col("c_mktsegment").cast("string").alias("det"),
+                    F.col("o_orderpriority").cast("string").alias("dep"),
+                ),
+                F.struct(
+                    F.lit("nationkey->mktsegment").alias("fd"),
+                    F.col("c_nationkey").cast("string").alias("det"),
+                    F.col("c_mktsegment").cast("string").alias("dep"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.fd", "p.det", "p.dep")
+    per_key = pairs.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("n_dep")
+    )
+    viol = F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+    return (
+        per_key.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            viol.cast("bigint").alias("violating_keys"),
+        )
+        .select(
+            "fd",
+            "n_keys",
+            "violating_keys",
+            (F.col("violating_keys") == 0).alias("fd_holds"),
+            F.round(
+                1.0
+                - F.col("violating_keys") / F.col("n_keys").cast("double"),
+                6,
+            ).alias("strength"),
+        )
+        .orderBy("fd")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
