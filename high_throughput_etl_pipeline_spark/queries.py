@@ -11725,6 +11725,587 @@ def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "classifier_auc_eval",
+    oracle="""
+    WITH w AS (
+        SELECT i AS fid,
+               (('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 18, 15))
+                   ::BIGINT % 2001 - 1000) / 1000.0 AS wt
+        FROM generate_series(0, 4095) t(i)
+    ), tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), feat AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 18, 15))::BIGINT % 4096 AS fid
+        FROM tok
+    ), s AS (
+        SELECT doc_id, MAX(lang) AS lang,
+               CAST(round(SUM(wt) / COUNT(*) * 1e6, 0) AS BIGINT) AS sv
+        FROM feat JOIN w ON feat.fid = w.fid
+        GROUP BY doc_id
+    ), r AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               CAST(2 * rank() OVER (ORDER BY sv)
+                    + COUNT(*) OVER (PARTITION BY sv) - 1 AS HUGEINT) AS mr2
+        FROM s
+    ), agg AS (
+        SELECT CAST(SUM(pos) AS HUGEINT) AS np,
+               CAST(COUNT(*) - SUM(pos) AS HUGEINT) AS nn,
+               SUM(CASE WHEN pos = 1 THEN mr2 ELSE 0 END) AS mr2p
+        FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round(CAST(mr2p - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * nn AS DOUBLE), 6) AS auc,
+           round(CAST(mr2p - np * (np + 1) AS DOUBLE)
+                 / CAST(np * nn AS DOUBLE) - 1.0, 6) AS gini
+    FROM agg
+    """,
+)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the hashed linear classifier at separating English
+    documents — the Mann-Whitney formulation: AUC = (Σ midranks of
+    positives − n₊(n₊+1)/2) / (n₊·n₋), with exact tie midranks on the
+    2× integer lattice.  No global rank over the corpus: ranks depend
+    only on the score-value histogram, so the plan is ONE grouped count
+    per distinct (rounded) score plus an exact distributed prefix sum
+    over the histogram (:func:`ranking.global_cumsum` two-pass shape) —
+    every moment stays decimal-exact, the statistic is two integer
+    divisions."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_cumsum,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    dec = "decimal(38,0)"
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    w = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, w, n_features=4096).select(
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    hist = scored.groupBy("sv").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("pos").cast(dec).alias("pos_c"),
+    )
+    cum, _total = global_cumsum(hist, [F.col("sv")], "cnt")
+    # 2·midrank for every row at score sv = 2·(cum_before) + cnt + 1
+    # = 2·cum − cnt + 1 (cum is the inclusive prefix count)
+    mr2 = F.lit(2) * F.col("cum") - F.col("cnt").cast(dec) + 1
+    agg = cum.agg(
+        F.sum("pos_c").alias("np"),
+        F.sum(F.col("cnt").cast(dec) - F.col("pos_c")).alias("nn"),
+        F.sum(F.col("pos_c") * mr2).alias("mr2p"),
+    )
+    num = F.col("mr2p") - F.col("np") * (F.col("np") + 1)
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round(
+            num.cast("double")
+            / (F.lit(2) * F.col("np") * F.col("nn")).cast("double"),
+            6,
+        ).alias("auc"),
+        F.round(
+            num.cast("double") / (F.col("np") * F.col("nn")).cast("double")
+            - 1.0,
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "events_conformal_intervals",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               ('0x' || substr(md5('conf-v1:' || CAST(event_id AS VARCHAR)),
+                               18, 15))::BIGINT % 10 AS b
+        FROM events
+    ), med AS (
+        SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                   AS med_cents,
+               MAX(n) AS n_train
+        FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM e WHERE b < 6
+        ) GROUP BY event_type
+    ), cal AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = q_rank THEN resid END) AS q_cents,
+               MAX(n) AS n_cal
+        FROM (
+            SELECT e.event_type, abs(e.cents - m.med_cents) AS resid,
+                   row_number() OVER (PARTITION BY e.event_type
+                                      ORDER BY abs(e.cents - m.med_cents),
+                                               e.event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY e.event_type) AS n,
+                   LEAST(CAST(ceil(0.9 * (COUNT(*) OVER (
+                       PARTITION BY e.event_type) + 1)) AS BIGINT),
+                       COUNT(*) OVER (PARTITION BY e.event_type)) AS q_rank
+            FROM e JOIN med m ON e.event_type = m.event_type
+            WHERE e.b IN (6, 7)
+        ) GROUP BY event_type
+    ), test AS (
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN abs(e.cents - m.med_cents) <= c.q_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM e
+        JOIN med m ON e.event_type = m.event_type
+        JOIN cal c ON e.event_type = c.event_type
+        WHERE e.b >= 8
+        GROUP BY e.event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n_train AS BIGINT) AS n_train,
+           CAST(c.n_cal AS BIGINT) AS n_cal,
+           t.n_test,
+           round(m.med_cents / 100.0, 2) AS median_value,
+           round(c.q_cents / 100.0, 2) AS q_alpha,
+           round(t.covered / CAST(t.n_test AS DOUBLE), 6) AS coverage
+    FROM med m
+    JOIN cal c ON m.event_type = c.event_type
+    JOIN test t ON m.event_type = t.event_type
+    ORDER BY m.event_type
+    """,
+)
+def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type: train/cal/
+    test by keyed hash (60/20/20), point predictor = train median (exact
+    rank selection), radius = the ⌈0.9·(n+1)⌉-th smallest calibration
+    residual, and the empirical test coverage of median ± radius — the
+    distribution-free uncertainty wrapper around ANY predictor, whose
+    coverage guarantee (~90 %) is checked on data the quantile never
+    saw.  Every quantile is integer rank selection over partitioned
+    windows (keyed by type, parallel); the calibration join is a
+    broadcast of |types| medians."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.pmod(
+            md5_64(
+                F.concat(
+                    F.lit("conf-v1:"), F.col("event_id").cast("string")
+                )
+            ),
+            F.lit(10),
+        ).alias("b"),
+    )
+    wtr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wt = Window.partitionBy("event_type")
+    med = (
+        e.filter(F.col("b") < 6)
+        .select(
+            "event_type",
+            "cents",
+            F.row_number().over(wtr).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents")
+                )
+            ).alias("med_cents"),
+            F.max("n").alias("n_train"),
+        )
+    )
+    calr = (
+        e.filter(F.col("b").isin(6, 7))
+        .join(F.broadcast(med), on="event_type")
+        .withColumn("resid", F.abs(F.col("cents") - F.col("med_cents")))
+    )
+    wcr = Window.partitionBy("event_type").orderBy("resid", "event_id")
+    cal = (
+        calr.select(
+            "event_type",
+            "resid",
+            F.row_number().over(wcr).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+            F.least(
+                F.ceil(0.9 * (F.count(F.lit(1)).over(wt) + 1)).cast(
+                    "bigint"
+                ),
+                F.count(F.lit(1)).over(wt).cast("bigint"),
+            ).alias("q_rank"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("q_rank"), F.col("resid"))
+            ).alias("q_cents"),
+            F.max("n").alias("n_cal"),
+        )
+    )
+    test = (
+        e.filter(F.col("b") >= 8)
+        .join(F.broadcast(med.select("event_type", "med_cents")), "event_type")
+        .join(F.broadcast(cal.select("event_type", "q_cents")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med_cents"))
+                    <= F.col("q_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        med.join(cal, on="event_type")
+        .join(test, on="event_type")
+        .select(
+            "event_type",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            "n_test",
+            F.round(F.col("med_cents") / 100.0, 2).alias("median_value"),
+            F.round(F.col("q_cents") / 100.0, 2).alias("q_alpha"),
+            F.round(
+                F.col("covered") / F.col("n_test").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _ann_recall_oracle() -> str:
+    import math
+
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, 11))
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), c AS (
+        SELECT CAST(vec_id AS INT) AS list_id, ev AS center
+        FROM v WHERE vec_id < 8
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 3
+    ), ex0 AS (
+        SELECT q.query_id, v.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(v.ev, q.qv)
+                       / (sqrt(list_dot_product(v.ev, v.ev))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                       v.vec_id
+               ) AS r0
+        FROM v CROSS JOIN q
+        QUALIFY r0 <= 11
+    ), ex AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY r0)
+                   AS ex_rank
+        FROM ex0 WHERE vec_id <> query_id
+        QUALIFY ex_rank <= 10
+    ), vd AS (
+        SELECT v.vec_id, v.ev, c.list_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.ev)),
+                       i -> (v.ev[i] - c.center[i]) * (v.ev[i] - c.center[i])
+                   )), c.list_id
+               ) AS rn
+        FROM v CROSS JOIN c
+    ), va AS (
+        SELECT vec_id, ev, list_id FROM vd WHERE rn = 1
+    ), qd AS (
+        SELECT q.query_id, q.qv, c.list_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(q.qv)),
+                       i -> (q.qv[i] - c.center[i]) * (q.qv[i] - c.center[i])
+                   )), c.list_id
+               ) AS rn
+        FROM q CROSS JOIN c
+    ), qp AS (
+        SELECT query_id, qv, list_id FROM qd WHERE rn <= 4
+    ), ap0 AS (
+        SELECT qp.query_id, va.vec_id,
+               row_number() OVER (
+                   PARTITION BY qp.query_id
+                   ORDER BY round(list_dot_product(va.ev, qp.qv)
+                       / (sqrt(list_dot_product(va.ev, va.ev))
+                          * sqrt(list_dot_product(qp.qv, qp.qv))), 6) DESC,
+                       va.vec_id
+               ) AS r0
+        FROM va JOIN qp ON va.list_id = qp.list_id
+        QUALIFY r0 <= 11
+    ), ap AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY r0)
+                   AS ap_rank
+        FROM ap0 WHERE vec_id <> query_id
+        QUALIFY ap_rank <= 10
+    ), joined AS (
+        SELECT ap.query_id, ap.ap_rank, ex.ex_rank
+        FROM ap LEFT JOIN ex
+          ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN ex_rank IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap,
+           round(SUM(CASE WHEN ex_rank IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0, 6) AS recall_at_10,
+           round(COALESCE(MAX(CASE WHEN ex_rank = 1
+                                   THEN 1.0 / ap_rank END), 0.0), 6)
+               AS mrr,
+           round(SUM(CASE WHEN ex_rank IS NOT NULL
+                          THEN 1.0 / log2(ap_rank + 1) ELSE 0 END)
+                 / {idcg!r}, 6) AS ndcg_at_10
+    FROM joined GROUP BY query_id ORDER BY query_id
+    """
+
+
+@query("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the IVF index against exact
+    ground truth — recall@10, MRR, and binary NDCG@10 per query, with
+    the self-hit excluded from both lists (retrieve 11, drop self,
+    renumber).  This is the accuracy side of the ANN speed/recall
+    tradeoff: the frozen-quantizer IVF (same machinery as ann_ivf_topk)
+    probes 4 of 8 cells, and every metric is value-checked because the
+    oracle replays BOTH retrievals.  The eval joins two k-row-per-query
+    frames — metadata-scale regardless of corpus size."""
+    import math
+
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, 11))
+    e = _t(spark, sf_dir, "embeddings")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def _drop_self(df: DataFrame, new_rank: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy("rank")
+        return (
+            df.filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(new_rank, F.row_number().over(w))
+            .filter(F.col(new_rank) <= 10)
+            .select("query_id", "vec_id", new_rank)
+        )
+
+    ex = _drop_self(cosine_topk(e, q, k=11), "ex_rank")
+    ap = _drop_self(
+        ivf_topk(e, q, k=11, nprobe=4, centers=centers), "ap_rank"
+    )
+    joined = ap.join(F.broadcast(ex), on=["query_id", "vec_id"], how="left")
+    hit = F.col("ex_rank").isNotNull()
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0)) / 10.0, 6
+            ).alias("recall_at_10"),
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("ex_rank") == 1, 1.0 / F.col("ap_rank")
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum(
+                    F.when(
+                        hit, 1.0 / F.log2(F.col("ap_rank") + 1)
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.lit(idcg),
+                6,
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "events_cuped_adjusted",
+    oracle="""
+    WITH hz AS (
+        SELECT MAX(ts) - INTERVAL 14 DAY AS cutoff FROM events
+    ), u AS (
+        SELECT user_id,
+               ('0x' || substr(md5('cuped-v1:' || CAST(user_id AS VARCHAR)),
+                               18, 15))::BIGINT % 2 AS arm,
+               SUM(CASE WHEN ts < (SELECT cutoff FROM hz)
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN ts >= (SELECT cutoff FROM hz)
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM u GROUP BY arm
+    ), p AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy,
+               MAX(CASE WHEN arm = 0 THEN n END) AS na,
+               MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+               MAX(CASE WHEN arm = 0 THEN sx END) AS sxa,
+               MAX(CASE WHEN arm = 1 THEN sx END) AS sxb,
+               MAX(CASE WHEN arm = 0 THEN sy END) AS sya,
+               MAX(CASE WHEN arm = 1 THEN sy END) AS syb
+        FROM a
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0, 6)
+               AS raw_diff,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+           round((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+                      - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0,
+                 6) AS adjusted_diff,
+           round(1.0 - (CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * sy / CAST(n AS DOUBLE)
+                        - 2.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                              * (CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * sy
+                                   / CAST(n AS DOUBLE))
+                        + (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * (CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE)))
+                       / (CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * sy / CAST(n AS DOUBLE)),
+                 6) AS var_reduction
+    FROM p
+    """,
+)
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: users hash into two arms,
+    the experiment metric is per-user value in the last 14 days, the
+    covariate is the user's pre-period value, θ = cov(pre,post)/var(pre)
+    pooled, and the adjusted lift is Δpost − θ·Δpre.  Everything
+    reduces to per-arm raw moments (n, Σx, Σy, Σx², Σxy, Σy²) in exact
+    decimal(38,0) — ONE grouped agg per user, ONE 2-row arm agg — so the
+    estimator, θ, and the variance-reduction ratio are each a handful of
+    deterministic float ops over exact integers.  The algebraic form
+    (never materializing per-user adjusted values) is what makes the
+    statistic hash-stable AND one-pass at any scale."""
+    e = _t(spark, sf_dir, "events")
+    hz = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 14 DAYS")).alias("cutoff")
+    )
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    u = (
+        e.join(F.broadcast(hz))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.col("cutoff"), cents).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= F.col("cutoff"), cents).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            F.pmod(
+                md5_64(
+                    F.concat(
+                        F.lit("cuped-v1:"), F.col("user_id").cast("string")
+                    )
+                ),
+                F.lit(2),
+            ).alias("arm"),
+            F.col("x").cast(dec).alias("x"),
+            F.col("y").cast(dec).alias("y"),
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    p = a.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx"))).alias("sxa"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx"))).alias("sxb"),
+        F.max(F.when(F.col("arm") == 0, F.col("sy"))).alias("sya"),
+        F.max(F.when(F.col("arm") == 1, F.col("sy"))).alias("syb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    raw_diff = (d("sya") / d("na") - d("syb") / d("nb")) / 100.0
+    pre_diff = (d("sxa") / d("na") - d("sxb") / d("nb")) / 100.0
+    cyy = d("syy") - d("sy") * F.col("sy").cast("double") / d("n")
+    cxy = d("sxy") - d("sx") * F.col("sy").cast("double") / d("n")
+    cxx = d("sxx") - d("sx") * F.col("sx").cast("double") / d("n")
+    return p.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(raw_diff, 6).alias("raw_diff"),
+        F.round(theta, 6).alias("theta"),
+        F.round(raw_diff - theta * pre_diff, 6).alias("adjusted_diff"),
+        F.round(
+            1.0 - (cyy - 2.0 * theta * cxy + theta * theta * cxx) / cyy, 6
+        ).alias("var_reduction"),
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
