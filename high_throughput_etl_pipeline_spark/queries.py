@@ -12306,6 +12306,277 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hrw_oracle() -> str:
+    def entries(n: int) -> str:
+        return ", ".join(
+            "{'h': ('0x' || substr(md5('hrw:' || CAST(user_id AS VARCHAR)"
+            f" || ':{s}'), 18, 15))::BIGINT, 's': {s}}}"
+            for s in range(n)
+        )
+
+    return f"""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events
+    ), a AS (
+        SELECT user_id,
+               list_max([{entries(8)}])['s'] AS shard8,
+               list_max([{entries(9)}])['s'] AS shard9
+        FROM u
+    )
+    SELECT CAST(shard8 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved,
+           COALESCE(bool_and(CASE WHEN shard9 <> shard8
+                                  THEN shard9 = 8 END), TRUE)
+               AS moved_only_to_new
+    FROM a GROUP BY shard8 ORDER BY shard
+    """
+
+
+@query("events_rendezvous_shards", oracle=_hrw_oracle())
+def events_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    consistent-routing primitive: each user goes to argmax over shards
+    of hash(user, shard), so growing 8 → 9 shards moves ONLY the ~1/9
+    of keys that now win on the new shard, never between old shards
+    (``moved_only_to_new`` pins exactly that invariant per shard).
+    Pure map-side projection — the argmax is array_max over an inline
+    struct array, no explode, no extra shuffle beyond the distinct —
+    this is how a 1000-executor pipeline routes state without a global
+    rebalance on every resize."""
+
+    def arr(n: int):
+        return F.array(
+            *[
+                F.struct(
+                    md5_64(
+                        F.concat(
+                            F.lit("hrw:"),
+                            F.col("user_id").cast("string"),
+                            F.lit(f":{s}"),
+                        )
+                    ).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n)
+            ]
+        )
+
+    e = _t(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    a = u.select(
+        F.array_max(arr(8))["s"].alias("shard8"),
+        F.array_max(arr(9))["s"].alias("shard9"),
+    )
+    moved = F.col("shard9") != F.col("shard8")
+    return (
+        a.groupBy(F.col("shard8").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.when(moved, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved"),
+            F.coalesce(
+                F.bool_and(F.when(moved, F.col("shard9") == 8)),
+                F.lit(True),
+            ).alias("moved_only_to_new"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "events_ewma_daily",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type,
+               list(n ORDER BY day) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS total,
+               max_by(n, day) AS last_count
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type, n_days, last_count,
+           round(total / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+           round(list_reduce(
+               list_transform(xs, x -> CAST(x AS DOUBLE)),
+               (acc, x) -> 0.5 * x + 0.5 * acc
+           ), 6) AS ewma
+    FROM s ORDER BY event_type
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.5) of daily event
+    counts per type — the smoothed "current level" statistic behind
+    alert thresholds and trend dashboards.  The recurrence
+    s_d = α·x_d + (1−α)·s_{d−1} is inherently ordered, so it folds over
+    the per-type day series with an ordered higher-order aggregate
+    (sort_array(collect_list) → F.aggregate) — the same engine-portable
+    ordered-fold discipline as doc_rake_keywords.  The folded frame is
+    |types × days| rows; the fold itself touches |days| values per
+    type — both trivial at any event volume, and both engines execute
+    the identical float sequence, so the EWMA hash-matches."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = d.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("day"), F.col("n")))
+        ).alias("series"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.max_by("n", "day").alias("last_count"),
+    )
+    xs = F.transform(F.col("series"), lambda r: r["n"].cast("double"))
+    return s.select(
+        "event_type",
+        "n_days",
+        "last_count",
+        F.round(F.col("total") / F.col("n_days").cast("double"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(
+            F.aggregate(
+                F.slice(xs, 2, 100000),
+                F.element_at(xs, 1),
+                lambda acc, x: 0.5 * x + 0.5 * acc,
+            ),
+            6,
+        ).alias("ewma"),
+    ).orderBy("event_type")
+
+
+def _community_modularity_oracle(rounds: int = 3) -> str:
+    lp = _label_propagation_oracle(rounds)
+    head, _, _tail = lp.rpartition("SELECT id AS vec_id")
+    return (
+        head
+        + f""",
+    comm AS (
+        SELECT id, COALESCE(lbl, -1) AS c FROM l{rounds}
+    ),
+    pe AS (
+        SELECT ca.c AS c_a, cb.c AS c_b
+        FROM pairs p
+        JOIN comm ca ON p.id_a = ca.id
+        JOIN comm cb ON p.id_b = cb.id
+    ),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM pe),
+    deg AS (
+        SELECT c, CAST(COUNT(*) AS HUGEINT) AS d FROM (
+            SELECT c_a AS c FROM pe UNION ALL SELECT c_b FROM pe
+        ) GROUP BY c
+    ),
+    intra AS (
+        SELECT c_a AS c, CAST(COUNT(*) AS HUGEINT) AS e
+        FROM pe WHERE c_a = c_b GROUP BY c_a
+    )
+    SELECT CAST(deg.c AS BIGINT) AS community,
+           CAST(COALESCE(intra.e, 0) AS BIGINT) AS intra_edges,
+           CAST(deg.d AS BIGINT) AS degree_sum,
+           round(CAST(4 * m.m * COALESCE(intra.e, 0) - deg.d * deg.d
+                      AS DOUBLE)
+                 / CAST(4 * m.m * m.m AS DOUBLE), 6) AS contribution
+    FROM deg CROSS JOIN m
+    LEFT JOIN intra ON deg.c = intra.c
+    ORDER BY community
+    """
+    )
+
+
+@query(
+    "embedding_community_modularity",
+    oracle=_community_modularity_oracle(),
+)
+def embedding_community_modularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    embedding near-dup graph — "did propagation find real structure":
+    per community, Q_c = e_c/m − (d_c/2m)², exactly as
+    (4m·e_c − d_c²)/4m² from integer edge/degree counts (only the final
+    division is float).  Unlabeled nodes pool into community −1, so
+    cross-community edges exist and the statistic is non-degenerate
+    (unlike modularity of connected components, which is 1 − Σ(d/2m)²
+    by construction).  Pair generation rides the banded LSH channel;
+    everything downstream operates on the pair list and a
+    |communities|-row frame."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = e.select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 5 == 0, F.col("label")).alias("lbl"),
+    )
+    pairs = embedding_near_duplicates(
+        e,
+        threshold=_ND_THRESHOLD,
+        n_tables=_ND_TABLES,
+        bits_per_table=None,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    comm = label_propagation(
+        seeds, edges, rounds=3, label_col="lbl", max_label=1023
+    ).select("id", F.coalesce(F.col("lbl"), F.lit(-1)).alias("c"))
+    pe = (
+        pairs.join(
+            comm.select(F.col("id").alias("id_a"), F.col("c").alias("c_a")),
+            on="id_a",
+        )
+        .join(
+            comm.select(F.col("id").alias("id_b"), F.col("c").alias("c_b")),
+            on="id_b",
+        )
+        .select("c_a", "c_b")
+    )
+    dec = "decimal(38,0)"
+    m = pe.agg(F.count(F.lit(1)).cast(dec).alias("m"))
+    deg = (
+        pe.select(F.col("c_a").alias("c"))
+        .unionAll(pe.select(F.col("c_b").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast(dec).alias("d"))
+    )
+    intra = (
+        pe.filter(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("c"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("e"))
+    )
+    return (
+        deg.join(intra, on="c", how="left")
+        .join(F.broadcast(m))
+        .select(
+            F.col("c").cast("bigint").alias("community"),
+            F.coalesce(F.col("e"), F.lit(0).cast(dec))
+            .cast("bigint")
+            .alias("intra_edges"),
+            F.col("d").cast("bigint").alias("degree_sum"),
+            F.round(
+                (
+                    F.lit(4) * F.col("m")
+                    * F.coalesce(F.col("e"), F.lit(0).cast(dec))
+                    - F.col("d") * F.col("d")
+                ).cast("double")
+                / (F.lit(4) * F.col("m") * F.col("m")).cast("double"),
+                6,
+            ).alias("contribution"),
+        )
+        .orderBy("community")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
