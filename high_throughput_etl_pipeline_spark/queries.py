@@ -12577,6 +12577,342 @@ def embedding_community_modularity(
     )
 
 
+@query(
+    "classifier_calibration_curve",
+    oracle="""
+    WITH w AS (
+        SELECT i AS fid,
+               (('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 18, 15))
+                   ::BIGINT % 2001 - 1000) / 1000.0 AS wt
+        FROM generate_series(0, 4095) t(i)
+    ), tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), feat AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 18, 15))::BIGINT % 4096 AS fid
+        FROM tok
+    ), s AS (
+        SELECT doc_id, MAX(lang) AS lang,
+               CAST(round(SUM(wt) / COUNT(*) * 1e6, 0) AS BIGINT) AS sv
+        FROM feat JOIN w ON feat.fid = w.fid
+        GROUP BY doc_id
+    ), r AS (
+        SELECT sv, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               row_number() OVER (ORDER BY sv, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM s
+    )
+    SELECT CAST((rk - 1) * 10 // n AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(SUM(sv) / COUNT(*) / 1e6, 6) AS mean_score,
+           round(SUM(pos) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the hashed classifier: score deciles
+    (equi-depth, exact global ranks via the two-pass
+    :func:`ranking.global_rank` shape — no single-task sort) vs the
+    observed positive rate per decile.  A well-calibrated scorer shows
+    pos_rate monotone in mean_score; the bucket rows are what an ML
+    engineer plots before trusting thresholds.  Scores round to the
+    1e-6 lattice first, so bucket membership and all sums are exact
+    integers on both engines."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    w = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, w, n_features=4096).select(
+        "doc_id",
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    ranked, total = global_rank(
+        scored, [F.col("sv"), F.col("doc_id")], rank_col="rk"
+    )
+    return (
+        ranked.groupBy(
+            ((F.col("rk") - 1) * 10 / F.lit(total))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("sv") / F.count(F.lit(1)) / 1e6, 6).alias(
+                "mean_score"
+            ),
+            F.round(
+                F.sum("pos") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pos_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "events_mutual_information",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+               CAST(COUNT(*) AS HUGEINT) AS o
+        FROM events GROUP BY 1, 2
+    ), rt AS (
+        SELECT event_type, SUM(o) AS r FROM cell GROUP BY event_type
+    ), ct AS (
+        SELECT hr, SUM(o) AS c FROM cell GROUP BY hr
+    ), tot AS (
+        SELECT SUM(o) AS n FROM cell
+    ), mi AS (
+        SELECT SUM(CAST(round(CAST(cell.o AS DOUBLE)
+                   * ln(CAST(cell.o AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                        / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)))
+                   * 1e6, 0) AS HUGEINT)) AS s
+        FROM cell
+        JOIN rt ON cell.event_type = rt.event_type
+        JOIN ct ON cell.hr = ct.hr
+        CROSS JOIN tot
+    ), hx AS (
+        SELECT SUM(CAST(round(-CAST(r AS DOUBLE)
+                   * ln(CAST(r AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                   * 1e6, 0) AS HUGEINT)) AS s
+        FROM rt CROSS JOIN tot
+    ), hy AS (
+        SELECT SUM(CAST(round(-CAST(c AS DOUBLE)
+                   * ln(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                   * 1e6, 0) AS HUGEINT)) AS s
+        FROM ct CROSS JOIN tot
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           round(CAST(mi.s AS DOUBLE) / 1e6 / CAST(tot.n AS DOUBLE), 6)
+               AS mutual_information,
+           round(CAST(hx.s AS DOUBLE) / 1e6 / CAST(tot.n AS DOUBLE), 6)
+               AS h_type,
+           round(CAST(hy.s AS DOUBLE) / 1e6 / CAST(tot.n AS DOUBLE), 6)
+               AS h_hour,
+           round(CAST(mi.s AS DOUBLE)
+                 / sqrt(CAST(hx.s AS DOUBLE) * CAST(hy.s AS DOUBLE)), 6)
+               AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot
+    """,
+)
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and √-normalized NMI) between event_type and
+    hour-of-day — the feature-selection companion to
+    events_chisq_independence: MI says how many nats of type
+    information the hour carries.  Same one-scan contingency-cell plan;
+    each cell/margin contributes O·ln(O·n/(r·c)) computed from exact
+    counts, scaled ×1e6 and integer-rounded BEFORE the cross-cell sum,
+    so the statistic is deterministic to the last bit on both engines.
+    Entropies fall out of the margin frames for free."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    cell = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).cast(dec).alias("o"))
+    rt = cell.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("hr").agg(F.sum("o").alias("c"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    mi = (
+        cell.join(F.broadcast(rt), on="event_type")
+        .join(F.broadcast(ct), on="hr")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("o").cast("double")
+                    * F.log(
+                        F.col("o").cast("double")
+                        * F.col("n").cast("double")
+                        / (
+                            F.col("r").cast("double")
+                            * F.col("c").cast("double")
+                        )
+                    )
+                    * 1e6,
+                    0,
+                ).cast(dec)
+            ).alias("mi_s")
+        )
+    )
+    hx = rt.join(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                -F.col("r").cast("double")
+                * F.log(F.col("r").cast("double") / F.col("n").cast("double"))
+                * 1e6,
+                0,
+            ).cast(dec)
+        ).alias("hx_s")
+    )
+    hy = ct.join(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                -F.col("c").cast("double")
+                * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+                * 1e6,
+                0,
+            ).cast(dec)
+        ).alias("hy_s")
+    )
+    return (
+        mi.join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("mi_s").cast("double") / 1e6 / F.col("n").cast("double"),
+                6,
+            ).alias("mutual_information"),
+            F.round(
+                F.col("hx_s").cast("double") / 1e6 / F.col("n").cast("double"),
+                6,
+            ).alias("h_type"),
+            F.round(
+                F.col("hy_s").cast("double") / 1e6 / F.col("n").cast("double"),
+                6,
+            ).alias("h_hour"),
+            F.round(
+                F.col("mi_s").cast("double")
+                / F.sqrt(
+                    F.col("hx_s").cast("double") * F.col("hy_s").cast("double")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+def _lsh_scurve_oracle() -> str:
+    sample_cte = _JACCARD_MINHASH_PAIRS_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id < 200"
+    )
+    return f"""
+    WITH {sample_cte},
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS s, len(shingles) AS sz FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS i, MAX(a.sz) AS sa, MAX(b.sz) AS sb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b,
+               round(i / greatest(sa + sb - i, 1), 4) AS jaccard
+        FROM inter
+        WHERE round(i / greatest(sa + sb - i, 1), 4) >= 0.05
+    ),
+    bucketed AS (
+        SELECT CASE WHEN t.jaccard < 0.1 THEN '0.05-0.10'
+                    WHEN t.jaccard < 0.2 THEN '0.10-0.20'
+                    WHEN t.jaccard < 0.5 THEN '0.20-0.50'
+                    ELSE '0.50-1.00' END AS jaccard_band,
+               CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+        FROM truth t
+        LEFT JOIN pairs p ON t.id_a = p.id_a AND t.id_b = p.id_b
+    )
+    SELECT jaccard_band,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(found) AS BIGINT) AS n_found,
+           round(SUM(found) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+    FROM bucketed GROUP BY jaccard_band ORDER BY jaccard_band
+    """
+
+
+@query("dedup_lsh_scurve", oracle=_lsh_scurve_oracle())
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH S-curve: banded-MinHash candidate recall against
+    EXHAUSTIVE ground truth, by true-Jaccard band — the measurement
+    that justifies (or indicts) the band/row parameters every dedup
+    run relies on.  Ground truth comes from the shared-shingle join on
+    a fixed 200-doc eval slice (every pair with jaccard > 0 shares a
+    shingle, so the join IS exhaustive — and bounded, which is why the
+    eval pins a sample: the production path never does this).  Recall
+    should climb steeply with similarity — the (8 hashes, 4 bands)
+    collision probability 1−(1−j²)⁴ — and the banded path itself is
+    the same operator the full-corpus queries run."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        norm_words,
+        word_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = (
+        d.select(
+            F.col("doc_id"), norm_words(F.col("text")).alias("_words")
+        )
+        .filter(F.size("_words") >= 2)
+        .select(
+            "doc_id", word_shingles(F.col("_words"), 2).alias("_shingles")
+        )
+    )
+    ex = sh.select(
+        "doc_id",
+        F.explode("_shingles").alias("s"),
+        F.size("_shingles").alias("sz"),
+    )
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.max("a.sz").alias("sa"),
+            F.max("b.sz").alias("sb"),
+        )
+    )
+    jac = F.round(
+        F.col("i")
+        / F.greatest(F.col("sa") + F.col("sb") - F.col("i"), F.lit(1)),
+        4,
+    )
+    truth = inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.05
+    )
+    found = jaccard_pairs_via_minhash(
+        d, num_hashes=8, bands=4, shingle_n=2, threshold=0.05
+    ).select("id_a", "id_b", F.lit(1).alias("found"))
+    band = (
+        F.when(F.col("jaccard") < 0.1, "0.05-0.10")
+        .when(F.col("jaccard") < 0.2, "0.10-0.20")
+        .when(F.col("jaccard") < 0.5, "0.20-0.50")
+        .otherwise("0.50-1.00")
+    )
+    return (
+        truth.join(found, on=["id_a", "id_b"], how="left")
+        .select(
+            band.alias("jaccard_band"),
+            F.coalesce("found", F.lit(0)).alias("found"),
+        )
+        .groupBy("jaccard_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum("found").cast("bigint").alias("n_found"),
+            F.round(
+                F.sum("found") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("recall"),
+        )
+        .orderBy("jaccard_band")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
