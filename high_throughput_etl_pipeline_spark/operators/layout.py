@@ -119,3 +119,38 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def rendezvous_shard(
+    key: Column, n_shards: int, salt: str = "hrw"
+) -> Column:
+    """Rendezvous (highest-random-weight) shard id for ``key``:
+    argmax over shards of ``md5(salt:key:shard)``.
+
+    The HRW property this buys at scale: growing ``n_shards`` by one
+    moves ONLY the keys whose new-shard hash wins — every surviving
+    key keeps its old shard, so a resize relocates ~1/(n+1) of state
+    instead of rehashing everything (classic mod-N moves ~n/(n+1)).
+    Pure map-side Column arithmetic — an inline struct array argmax,
+    no explode, no shuffle; ties are broken toward the larger shard id
+    by the struct comparison, and are vanishingly rare under the
+    60-bit hash."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    md5_64(
+                        F.concat(
+                            F.lit(f"{salt}:"),
+                            key.cast("string"),
+                            F.lit(f":{s}"),
+                        )
+                    ).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    )["s"]

@@ -12345,29 +12345,15 @@ def events_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct array, no explode, no extra shuffle beyond the distinct —
     this is how a 1000-executor pipeline routes state without a global
     rebalance on every resize."""
-
-    def arr(n: int):
-        return F.array(
-            *[
-                F.struct(
-                    md5_64(
-                        F.concat(
-                            F.lit("hrw:"),
-                            F.col("user_id").cast("string"),
-                            F.lit(f":{s}"),
-                        )
-                    ).alias("h"),
-                    F.lit(s).alias("s"),
-                )
-                for s in range(n)
-            ]
-        )
+    from high_throughput_etl_pipeline_spark.operators.layout import (
+        rendezvous_shard,
+    )
 
     e = _t(spark, sf_dir, "events")
     u = e.select("user_id").distinct()
     a = u.select(
-        F.array_max(arr(8))["s"].alias("shard8"),
-        F.array_max(arr(9))["s"].alias("shard9"),
+        rendezvous_shard(F.col("user_id"), 8).alias("shard8"),
+        rendezvous_shard(F.col("user_id"), 9).alias("shard9"),
     )
     moved = F.col("shard9") != F.col("shard8")
     return (

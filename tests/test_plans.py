@@ -703,3 +703,115 @@ def test_attribution_no_global_window(spark):
     plan = _plan(spark, "purchase_attribution_models")
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "conv_id" in m.group(1), m.group(0)
+
+
+def test_skyline_no_global_window_broadcast_filter(spark):
+    # the level-frame decomposition: per-partition ROWS windows over the
+    # range-partitioned level frame (never an empty-partition-spec
+    # window over the table) and a broadcast map-side filter back
+    plan = _plan(spark, "part_skyline")
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert (
+        "RangePartitioning" in plan
+        or "rangepartitioning" in plan
+        or "ExistingRDD" in plan
+    )
+
+
+def test_target_encoding_no_window_broadcast_back(spark):
+    # LOO encode = one grouped agg broadcast back over the scan — no
+    # window anywhere, no second wide shuffle
+    plan = _plan(spark, "orders_target_encoding")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_spearman_rank_windows_partition_by_flag(spark):
+    plan = _plan(spark, "lineitem_spearman_corr")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "flag" in m.group(1), m.group(0)
+
+
+def test_chisq_and_mi_single_scan_no_window(spark):
+    for name in ("events_chisq_independence", "events_mutual_information"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cooccurrence_rank_window_partitioned(spark):
+    plan = _plan(spark, "part_cooccurrence_similarity")
+    assert re.search(r"windowspecdefinition\(part_a", plan), plan
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+
+
+def test_auc_and_calibration_no_global_window(spark):
+    # both ride the histogram + two-pass global rank/cumsum shape;
+    # every window partitions by _pid
+    for name in ("classifier_auc_eval", "classifier_calibration_curve"):
+        plan = _plan(spark, name)
+        assert not re.search(r"Window \[[^\]]*\], \[\]", plan), name
+        assert (
+            "RangePartitioning" in plan
+            or "rangepartitioning" in plan
+            or "ExistingRDD" in plan
+        ), name
+
+
+def test_conformal_windows_partition_by_type(spark):
+    plan = _plan(spark, "events_conformal_intervals")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), m.group(0)
+
+
+def test_rendezvous_pure_mapside_argmax(spark):
+    # HRW is a projection: no join, no window, no explode — the only
+    # exchanges are the distinct and the final per-shard rollup
+    plan = _plan(spark, "events_rendezvous_shards")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final
+    assert "Window" not in final
+    assert "Generate" not in final
+
+
+def test_ewma_fold_no_window_no_join(spark):
+    plan = _plan(spark, "events_ewma_daily")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "Join" not in final
+
+
+def test_cuped_moments_no_window(spark):
+    # CUPED reduces to per-arm exact moments: one user agg, one 2-row
+    # arm agg — no window, no per-user adjusted-value materialization
+    plan = _plan(spark, "events_cuped_adjusted")
+    assert "Window" not in plan
+
+
+def test_ann_recall_windows_partition_by_query(spark):
+    # rank/renumber windows partition by query_id; the IVF assignment
+    # argmin windows partition by vec_id — never an empty partition
+    # spec over the scored corpus
+    plan = _plan(spark, "ann_recall_eval")
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "query_id" in m.group(1) or "vec_id" in m.group(1), m.group(0)
+
+
+def test_survival_gap_window_keyed_by_customer(spark):
+    # the per-customer gap window must shuffle by o_custkey; the KM
+    # fold windows run over the distinct-duration life table (tiny by
+    # construction — documented post-agg exception)
+    plan = _plan(spark, "customer_survival_curve")
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_fd_audit_single_explode_pipeline(spark):
+    # all four FD candidates ride ONE Generate (explode) into grouped
+    # count-distincts — no window, no per-candidate scan
+    plan = _plan(spark, "orders_fd_audit")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Generate" in final
+    assert "Window" not in final

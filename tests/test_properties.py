@@ -586,3 +586,57 @@ def test_attribution_credit_conservation_property(spark, raw):
         assert 1_000_000 - r.n < r.lin <= 1_000_000
         assert 1_000_000 - r.n < r.pos <= 1_000_000
         assert r.nf == 1 and r.nl == 1
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=_N,
+    )
+)
+def test_skyline_matches_bruteforce(spark, points):
+    """skyline_2d == the O(n²) dominance definition, duplicates kept."""
+    from high_throughput_etl_pipeline_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rows = [(i, lo, hi) for i, (lo, hi) in enumerate(points)]
+    df = spark.createDataFrame(rows, "id INT, low BIGINT, high INT")
+    got = sorted(
+        (r["id"], r["low"], r["high"])
+        for r in skyline_2d(df, "low", "high").collect()
+    )
+    want = sorted(
+        (i, lo, hi)
+        for i, lo, hi in rows
+        if not any(
+            (lo2 <= lo and hi2 >= hi and (lo2 < lo or hi2 > hi))
+            for _, lo2, hi2 in rows
+        )
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=_N, unique=True),
+    st.integers(2, 9),
+)
+def test_rendezvous_resize_moves_only_to_new_shard(spark, keys, n):
+    """Growing n -> n+1 shards never moves a key between OLD shards,
+    and every shard id is within range."""
+    from high_throughput_etl_pipeline_spark.operators.layout import (
+        rendezvous_shard,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    rows = df.select(
+        rendezvous_shard(F.col("k"), n).alias("a"),
+        rendezvous_shard(F.col("k"), n + 1).alias("b"),
+    ).collect()
+    for r in rows:
+        assert 0 <= r["a"] < n and 0 <= r["b"] < n + 1
+        if r["b"] != r["a"]:
+            assert r["b"] == n, "resize moved a key between old shards"
