@@ -12899,6 +12899,171 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_correlation_matrix",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(l_quantity, 0) AS HUGEINT) AS q,
+               CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS p,
+               CAST(round(l_discount * 100, 0) AS HUGEINT) AS d,
+               CAST(round(l_tax * 100, 0) AS HUGEINT) AS t
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+               SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+               SUM(t*t) AS stt,
+               SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(q*t) AS sqt,
+               SUM(p*d) AS spd, SUM(p*t) AS spt, SUM(d*t) AS sdt
+        FROM v
+    ), pairs AS (
+        SELECT 'discount~tax' AS pair, sdt AS sxy, sd AS sx, st AS sy,
+               sdd AS sxx, stt AS syy, n FROM s
+        UNION ALL SELECT 'quantity~discount', sqd, sq, sd, sqq, sdd, n FROM s
+        UNION ALL SELECT 'quantity~price', sqp, sq, sp, sqq, spp, n FROM s
+        UNION ALL SELECT 'quantity~tax', sqt, sq, st, sqq, stt, n FROM s
+        UNION ALL SELECT 'price~discount', spd, sp, sd, spp, sdd, n FROM s
+        UNION ALL SELECT 'price~tax', spt, sp, st, spp, stt, n FROM s
+    )
+    SELECT pair,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS pearson_r
+    FROM pairs ORDER BY pair
+    """,
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over four lineitem measures
+    in ONE scan — all 14 raw moments (4 sums, 4 squares, 6 cross
+    products) accumulate as exact decimal(38,0) in a single aggregate,
+    then each of the 6 pair correlations is two sqrts and a divide.
+    This is the textbook one-pass moment trick that replaces 6 separate
+    corr() scans at 100 TB; Welford-style streaming variants trade this
+    exactness for incremental updates — unnecessary here since the
+    integer lattice (cents / whole units) cannot overflow decimal38
+    below ~1e12 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    v = li.select(
+        F.round("l_quantity", 0).cast(dec).alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast(dec).alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast(dec).alias("d"),
+        F.round(F.col("l_tax") * 100, 0).cast(dec).alias("t"),
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        *[
+            F.sum(F.col(a) * F.col(b)).alias(f"s{a}{b}")
+            for a, b in [
+                ("q", "q"), ("p", "p"), ("d", "d"), ("t", "t"),
+                ("q", "p"), ("q", "d"), ("q", "t"),
+                ("p", "d"), ("p", "t"), ("d", "t"),
+            ]
+        ],
+        *[F.sum(F.col(a)).alias(f"s{a}") for a in ["q", "p", "d", "t"]],
+    )
+    names = {
+        "q": "quantity", "p": "price", "d": "discount", "t": "tax",
+    }
+    rows = []
+    for a, b in [
+        ("d", "t"), ("q", "d"), ("q", "p"), ("q", "t"),
+        ("p", "d"), ("p", "t"),
+    ]:
+        num = F.col("n") * F.col(f"s{a}{b}") - F.col(f"s{a}") * F.col(f"s{b}")
+        da = F.col("n") * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+        db = F.col("n") * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
+        rows.append(
+            F.struct(
+                F.lit(f"{names[a]}~{names[b]}").alias("pair"),
+                F.round(
+                    num.cast("double")
+                    / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+                    6,
+                ).alias("pearson_r"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.pair", "r.pearson_r")
+        .orderBy("pair")
+    )
+
+
+@query(
+    "events_seasonal_decomposition",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), tr AS (
+        SELECT day, n,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN round(AVG(CAST(n AS DOUBLE)) OVER w, 6) END
+                   AS trend
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), sea AS (
+        SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
+               round(AVG(n - trend), 6) AS seasonal
+        FROM tr WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT tr.day, tr.n, tr.trend, s.seasonal,
+           round(tr.n - tr.trend - s.seasonal, 6) AS remainder
+    FROM tr JOIN sea s ON CAST(dayofweek(tr.day) + 1 AS INT) = s.dow
+    WHERE tr.trend IS NOT NULL
+    ORDER BY tr.day
+    """,
+)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event series —
+    trend (centered 7-day moving average, only where the full window
+    exists), day-of-week seasonal (mean detrended value per weekday),
+    and remainder: the classical-decomposition readout behind anomaly
+    baselines and capacity forecasts.  The raw scan collapses to one
+    row per DAY first, so every window/join after runs on a
+    |days|-row frame — the decomposition costs the same at 100 TB as
+    at 100 MB.  Spark dayofweek is 1=Sunday, DuckDB's 0=Sunday; the
+    oracle shifts by one (the events_hourweek_profile convention)."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "day",
+        "n",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.avg(F.col("n").cast("double")).over(w), 6),
+        ).alias("trend"),
+    )
+    sea = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy(F.dayofweek("day").cast("int").alias("dow"))
+        .agg(F.round(F.avg(F.col("n") - F.col("trend")), 6).alias("seasonal"))
+    )
+    return (
+        tr.filter(F.col("trend").isNotNull())
+        .join(
+            F.broadcast(sea),
+            F.dayofweek(tr["day"]).cast("int") == sea["dow"],
+        )
+        .select(
+            "day",
+            "n",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("n") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+        .orderBy("day")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
