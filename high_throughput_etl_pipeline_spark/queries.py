@@ -13094,24 +13094,20 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
 # events_hourweek_profile, orders_reorder_intervals.
 HEADLINE: list[str] = [
     # --- r8 first-timers, wave 1 (r7-tail verification debt):
-    # leakage-safe splitting (CC + atomic cluster assignment),
-    # recursive hierarchy closure (pointer doubling), exact weighted
-    # quantiles, LOCF forward fill, native session_window semantics,
-    # and hashed TF-IDF lexical k-NN (now on the TakeOrdered path)
+    # leakage-safe splitting, recursive hierarchy closure, exact
+    # weighted quantiles, LOCF forward fill, native session_window,
+    # hashed TF-IDF lexical k-NN (TakeOrdered path)
     "corpus_leakage_safe_split",
     "customer_hierarchy_rollup",
     "doc_token_weighted_length",
     "events_forward_fill",
     "events_session_window_native",
     "text_tfidf_knn",
-    # --- r8 first-timers, wave 2 (new capability this round): CEP
-    # sequence matching (chained funnel walk + regex patterns),
-    # exact-integer PageRank, binary Hamming retrieval, integer-exact
-    # OLS trend, median/MAD outliers, deterministic reservoir, TWAP,
-    # sweep-line peak concurrency, near-dup triangle census, PSI drift,
-    # Wilson A/B readout, Fellegi-Sunter linkage, Markov transitions,
-    # Gini concentration, sticky label propagation, burstiness, and
-    # the global-rank equi-depth histogram
+    # --- r8 first-timers, wave 2: CEP, exact-integer PageRank,
+    # Hamming retrieval, OLS trend, MAD outliers, reservoir, TWAP,
+    # sweep-line concurrency, triangle census, PSI drift, Wilson A/B,
+    # FS linkage, Markov transitions, Gini, label propagation,
+    # burstiness, equi-depth histogram
     "user_funnel_chained",
     "user_event_patterns",
     "supplier_part_pagerank",
@@ -13130,97 +13126,65 @@ HEADLINE: list[str] = [
     "embedding_label_propagation",
     "user_burstiness",
     "events_equidepth_histogram",
-    # --- r7 rotation: the sketch trio stays for its FIRST value-checked
-    # rows (now tolerance-bound — estimates collapse to booleans the
-    # oracle can verify, closing r6's three no_oracle rows)
-    "events_distinct_sketch",
-    "events_quantile_sketch",
-    "events_segment_overlap",
-    # --- r7: the four oracle-green tail queries with no driver row yet
-    # (r6 verification debt), the new two-stage MaxSim serving path,
-    # and the two BPE queries recorded once (no_oracle by nature —
-    # iterative argmax training; reference-parity pytest is the value
-    # gate).  Rotated to the tail for room: q1_pricing_summary (green
-    # r1-r6), user_sessions (r5-r6), events_cube_matrix (r5-r6),
-    # corpus_epoch_shuffle (r6), events_salted_rollup (r5-r6),
-    # user_funnel_conversion (r5-r6), embedding_dedup_clusters (r5-r6),
-    # multimodal_features (r6) — all stay oracle-checked in the
-    # full-registry local gate.
-    "maxsim_multivector_topk",
-    "maxsim_ann_rerank",
-    "user_retention_cohorts",
-    "weekly_revenue_growth",
-    "events_outlier_audit",
-    # bpe_vocab_merges recorded its honest no_oracle row in r7 and
-    # rotates out (a repeat row verifies nothing new — reference-parity
-    # pytest remains its value gate); bpe_encode_docs stays for its
-    # FIRST row since gaining the frozen-merge recursive-CTE oracle.
-    # Its slot goes to purchase_attribution_models (r8-tail,
-    # locally hash-green).
+    # --- r8-tail first-timers already slotted earlier in the round
     "purchase_attribution_models",
     "bpe_encode_docs",
-    # --- r7 new capabilities, first driver rows: CDC latest-op-wins
-    # apply, DP noisy-histogram release, importance resampling to a
-    # reference distribution, and key-skew diagnostics.  Rotated out
-    # for room (multi-round green): purchase_attribution_asof (r5-r6),
-    # events_zorder_buckets (r5-r6), sample_frames (r5-r6),
-    # dedup_spans_within_doc (r6; dedup_spans keeps the family slot)
-    "orders_cdc_apply",
-    "events_dp_release",
-    "corpus_length_match_sample",
-    "events_skew_profile",
-    # --- new in r6 (late): retrieval / entity-resolution / privacy
-    # families get their FIRST driver rows; the rotated-out multi-round
-    # greens (events_daily_rollup r1-r5, events_unit_metrics r5,
-    # text_repetition_stats r5, dedup_exact_groups r1-r5,
-    # text_pii_redaction r5) stay oracle-checked in the registry tail
-    "text_bm25_topk",
-    "hybrid_rrf_topk",
-    "customer_fuzzy_match",
-    # sorted_distinct_users (O2, green r5) and events_value_histogram
-    # (green r5) rotate to the tail to make room — both families keep
-    # in-window representatives (distinct/order-by rides every query;
-    # purchase_attribution_asof, green r5-r6, rotates to the tail)
-    # events_hopping_windows (green r5, second round done) rotates to
-    # the tail for the packed-sequence view — time-window semantics stay
-    # in-window via purchase_attribution_asof
-    "dedup_cc_rounds",
-    # dedup_keep_best (green r5) rotates to the tail for the new
-    # cross-corpus fuzzy decontamination (dedup family keeps 6 rows)
-    "decontamination_fuzzy",
-    # ann_pq/ivfpq graduate to hash-checked this round (fixed data-derived
-    # codebooks shared with the oracle); ann_ivf_kmeans_topk stays
-    # rows-only by nature (trained quantizer) → rotated to the tail, its
-    # machinery is value-checked via ann_ivf_topk + these two
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # dataprep_training_batches (green r4-r6; replays corpus_doc_chunks'
-    # chunking inside its 4-stage oracle) rotates to the tail for the
-    # join-cardinality pre-flight — a first driver row
-    "join_size_audit",
-    # --- one representative per remaining family (all multi-round green;
-    # the displaced green queries — including the whole TPC-H block,
-    # q1 green r1-r6 — stay oracle-checked by tools/check_correctness.py
-    # over the full registry)
-    # q21_waiting_suppliers (green r3-r5) rotates to the tail; the
-    # multi-join TPC-H family keeps q1/q3 in-window
-    "customer_value_ntiles",
-    # status_shard_roundtrip (P7/P8, green r3-r5) rotates to the tail
-    # for the cross-source leakage matrix — a first driver row
-    "source_overlap_matrix",
-    # z-order layout algebra (new in r5; s3_path_parse, green r1-r4,
-    # rotated to the tail to make room)
-    # customers_without_orders (J4 anti-join, green r5) rotates to the
-    # tail for the SCD2 merge — the join family keeps the full-outer
-    # conditional merge in-window
-    "scd2_customer_merge",
-    # text_token_stats (green r5) rotates to the tail for
-    # doc_bigram_perplexity — token counting stays exercised in-window
-    # via corpus_token_packing/text_repetition_stats oracles
-    # knn_bruteforce (green r1-r5) rotates to the tail — the exact-cosine
-    # machinery is exercised in-window via the ANN verify paths;
-    # corpus_hash_split (green r3-r5) rotates for the mixture sampler
-    "corpus_mixture_sample",
+    # --- r8 statistics / ML-eval wave (all locally hash-green via
+    # tools/check_correctness.py full-registry sweep, 213/213): LOO
+    # target encoding, chi-square + Cramer's V, mutual information,
+    # Spearman + Pearson-matrix correlation, JS divergence, distributed
+    # 2-D skyline, item-item cosine, Kaplan-Meier, FD audit,
+    # Mann-Whitney AUC, calibration deciles, split-conformal coverage,
+    # ANN recall/MRR/NDCG eval, LSH S-curve eval, CUPED, rendezvous
+    # sharding, EWMA fold, seasonal decomposition, LP-community
+    # modularity
+    "orders_target_encoding",
+    "events_chisq_independence",
+    "events_mutual_information",
+    "lineitem_spearman_corr",
+    "lineitem_correlation_matrix",
+    "source_lang_divergence",
+    "part_skyline",
+    "part_cooccurrence_similarity",
+    "customer_survival_curve",
+    "orders_fd_audit",
+    "classifier_auc_eval",
+    "classifier_calibration_curve",
+    "events_conformal_intervals",
+    "ann_recall_eval",
+    "dedup_lsh_scurve",
+    "events_cuped_adjusted",
+    "events_rendezvous_shards",
+    "events_ewma_daily",
+    "events_seasonal_decomposition",
+    "embedding_community_modularity",
+    # --- four promoted from the r9 queue (diverse families)
+    "customer_rfm_segments",
+    "supplier_part_hits",
+    "customer_golden_record",
+    "orders_basket_rules",
+    # Rotated out for room — ALL have r7 driver rows (hash-green) and
+    # stay oracle-checked in the full-registry local gate:
+    # events_distinct_sketch, events_quantile_sketch,
+    # events_segment_overlap, maxsim_multivector_topk,
+    # maxsim_ann_rerank, user_retention_cohorts, weekly_revenue_growth,
+    # events_outlier_audit, orders_cdc_apply, events_dp_release,
+    # corpus_length_match_sample, events_skew_profile, text_bm25_topk,
+    # hybrid_rrf_topk, customer_fuzzy_match, dedup_cc_rounds,
+    # decontamination_fuzzy, ann_pq_topk, ann_ivfpq_topk,
+    # join_size_audit, customer_value_ntiles, source_overlap_matrix,
+    # scd2_customer_merge, corpus_mixture_sample.
+    #
+    # r9 rotation queue (no driver row yet, all locally hash-green):
+    # customer_mutual_best_match, orders_benford_audit,
+    # user_type_entropy, text_nb_confusion, events_autocorrelation,
+    # events_cusum_alarms, events_seasonal_backtest,
+    # graph_degree_assortativity, customer_match_k_core,
+    # doc_pmi_collocations, corpus_zipf_slope, doc_ngram_novelty,
+    # user_cohort_ltv, events_theilsen_trend, user_conversion_lag,
+    # source_quantile_calibration, brand_pareto_analysis,
+    # doc_rake_keywords, events_hourweek_profile,
+    # orders_reorder_intervals.
 ]
 
 
