@@ -13064,6 +13064,902 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "events_max_drawdown",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), cc AS (
+        SELECT user_id, ts, event_id,
+               SUM(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM v
+    ), c AS (
+        SELECT user_id, cum,
+               MAX(cum) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS runmax
+        FROM cc
+    ), p AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(runmax) AS BIGINT) AS peak_cents,
+               CAST(MAX(runmax - cum) AS BIGINT) AS max_drawdown_cents
+        FROM c GROUP BY user_id
+    ), f AS (
+        SELECT user_id, n_events, peak_cents, max_drawdown_cents
+        FROM p
+        ORDER BY max_drawdown_cents DESC, user_id LIMIT 25
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY max_drawdown_cents DESC, user_id) AS INT) AS rank,
+           user_id, n_events, peak_cents, max_drawdown_cents
+    FROM f ORDER BY rank
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative-value "equity curve"
+    — the risk statistic behind spend-anomaly and account-balance
+    monitoring: peak-to-trough drop of the running total.  Running sum
+    and running max are BOTH windows partitioned by user (keyed —
+    every user's series is one partition's work, no global ordering
+    anywhere), values ride the exact integer-cents lattice so the
+    prefix sums are order-independent across engines, and the final
+    leaderboard is the ``take_top_k`` TakeOrderedAndProject path with
+    a (drawdown, user) total order.  At 100 TB this is one keyed
+    shuffle + per-key linear scans; nothing grows with user count."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    c = e.select("user_id", "ts", "event_id", cents.alias("cents"))
+    c = c.withColumn("cum", F.sum("cents").over(w)).withColumn(
+        "runmax", F.max("cum").over(w)
+    )
+    p = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("runmax").cast("bigint").alias("peak_cents"),
+        F.max(F.col("runmax") - F.col("cum"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+    )
+    top = take_top_k(
+        p, [F.desc("max_drawdown_cents"), F.asc("user_id")], 25
+    )
+    return top.select(
+        "rank", "user_id", "n_events", "peak_cents", "max_drawdown_cents"
+    ).orderBy("rank")
+
+
+@query(
+    "user_longest_streak",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), g AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        FROM d
+    ), s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak
+        FROM g GROUP BY user_id, grp
+    ), u AS (
+        SELECT user_id, MAX(streak) AS longest,
+               CAST(SUM(streak) AS BIGINT) AS active_days
+        FROM s GROUP BY user_id
+    )
+    SELECT CAST(longest AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(active_days) AS BIGINT) AS sum_active_days,
+           round(AVG(CAST(active_days AS DOUBLE)), 6) AS avg_active_days
+    FROM u GROUP BY longest ORDER BY streak_days
+    """,
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled into a
+    streak-length distribution — the classic gaps-and-islands pattern
+    (day minus per-user row_number is constant within a consecutive
+    run).  Every window is partitioned by user, the island key is
+    integer date arithmetic (exact in both engines), and the output is
+    one row per distinct streak length — bounded by the calendar span
+    regardless of user count, so the final agg is metadata-sized at
+    any scale."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak")
+    )
+    u = s.groupBy("user_id").agg(
+        F.max("streak").alias("longest"),
+        F.sum("streak").cast("bigint").alias("active_days"),
+    )
+    return (
+        u.groupBy(F.col("longest").cast("bigint").alias("streak_days"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("active_days").cast("bigint").alias("sum_active_days"),
+            F.round(
+                F.avg(F.col("active_days").cast("double")), 6
+            ).alias("avg_active_days"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+@query(
+    "user_activity_bitmask",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+               CAST(day(CAST(ts AS DATE)) AS INT) AS dom
+        FROM events
+    ), m AS (
+        SELECT user_id, month,
+               bit_or(1::BIGINT << (dom - 1)) AS mask
+        FROM d GROUP BY user_id, month
+    ), b AS (
+        SELECT user_id, month, mask,
+               CAST(bit_count(mask) AS BIGINT) AS active_days
+        FROM m
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(active_days) AS BIGINT) AS sum_active_days,
+           CAST(MAX(active_days) AS BIGINT) AS max_active_days,
+           CAST(SUM(CASE WHEN active_days >= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS power_users,
+           CAST(SUM(CASE WHEN (mask & 1) <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS first_day_users
+    FROM b GROUP BY month ORDER BY month
+    """,
+)
+def user_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, month) activity encoded as a 31-bit day bitmask —
+    the roaring-bitmap-style retention primitive: one BIGINT per
+    user-month instead of one row per user-day, then popcount and
+    bitwise predicates answer engagement questions without re-touching
+    the event log.  ``bit_or(1 << day-1)`` and ``bit_count`` are both
+    JVM-side integer ops (and exact in any engine); the per-month
+    rollup output is bounded by the calendar.  At 100 TB the win is
+    exactly this compression: downstream retention queries scan
+    |users × months| masks, not |events| rows."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("month"),
+        F.dayofmonth(F.col("ts").cast("date")).cast("int").alias("dom"),
+    ).distinct()
+    m = d.groupBy("user_id", "month").agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), dom - 1))").alias(
+            "mask"
+        )
+    )
+    b = m.withColumn(
+        "active_days", F.bit_count("mask").cast("bigint")
+    )
+    return (
+        b.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("active_days").cast("bigint").alias("sum_active_days"),
+            F.max("active_days").cast("bigint").alias("max_active_days"),
+            F.sum(F.when(F.col("active_days") >= 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("power_users"),
+            F.sum(
+                F.when(F.col("mask").bitwiseAND(F.lit(1)) != 0, 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("first_day_users"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "supplier_adamic_adar",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+        FROM lineitem
+    ), deg AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY part
+    ), capped AS (
+        SELECT e.part, e.supp FROM (
+            SELECT part, supp,
+                   ROW_NUMBER() OVER (PARTITION BY part ORDER BY supp)
+                       AS rn
+            FROM e
+        ) e WHERE rn <= 8
+    ), w AS (
+        SELECT c.part, c.supp,
+               CAST(round(1000000.0 / ln(CAST(LEAST(deg.d, 8) AS DOUBLE)))
+                    AS BIGINT) AS wgt
+        FROM capped c JOIN deg ON c.part = deg.part
+        WHERE deg.d >= 2
+    ), pairs AS (
+        SELECT a.supp AS s_a, b.supp AS s_b, a.wgt
+        FROM w a JOIN w b ON a.part = b.part AND a.supp < b.supp
+    ), score AS (
+        SELECT s_a, s_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+               CAST(SUM(wgt) AS BIGINT) AS aa_micro
+        FROM pairs GROUP BY s_a, s_b
+    ), top AS (
+        SELECT * FROM score
+        ORDER BY aa_micro DESC, s_a, s_b LIMIT 25
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY aa_micro DESC, s_a, s_b) AS INT) AS rank,
+           s_a, s_b, n_common_parts,
+           round(aa_micro / 1000000.0, 6) AS aa_score
+    FROM top ORDER BY rank
+    """,
+)
+def supplier_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the supplier co-sourcing graph:
+    two suppliers are "likely partners" when they ship many of the
+    same parts, with rare parts (few suppliers) weighted 1/ln(degree).
+    The self-join is BOUNDED the way every pairwise op in this repo
+    is: suppliers-per-part capped at 8 (row_number by suppkey —
+    deterministic; documented recall bound, parts above the cap
+    contribute their 8 lexicographically-first suppliers), so fanout
+    per part is ≤ C(8,2) = 28 pairs — linear in parts at any scale,
+    never quadratic in suppliers.  Weights ride the integer lattice
+    (round(1e6/ln(deg)) per part, summed exactly), and the leaderboard
+    orders by the exact integer score via TakeOrderedAndProject."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    deg = e.groupBy("part").agg(F.count(F.lit(1)).alias("d"))
+    rn = F.row_number().over(Window.partitionBy("part").orderBy("supp"))
+    capped = e.withColumn("rn", rn).filter(F.col("rn") <= 8).drop("rn")
+    w = (
+        capped.join(deg, "part")
+        .filter(F.col("d") >= 2)
+        .select(
+            "part",
+            "supp",
+            F.round(
+                F.lit(1000000.0)
+                / F.log(F.least(F.col("d"), F.lit(8)).cast("double"))
+            )
+            .cast("bigint")
+            .alias("wgt"),
+        )
+    )
+    a = w.select("part", F.col("supp").alias("s_a"), "wgt")
+    b = w.select("part", F.col("supp").alias("s_b"))
+    pairs = a.join(b, "part").filter(F.col("s_a") < F.col("s_b"))
+    score = pairs.groupBy("s_a", "s_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+        F.sum("wgt").cast("bigint").alias("aa_micro"),
+    )
+    top = take_top_k(
+        score, [F.desc("aa_micro"), F.asc("s_a"), F.asc("s_b")], 25
+    )
+    return top.select(
+        "rank",
+        "s_a",
+        "s_b",
+        "n_common_parts",
+        F.round(F.col("aa_micro") / 1000000.0, 6).alias("aa_score"),
+    ).orderBy("rank")
+
+
+@query(
+    "classifier_pr_auc",
+    oracle="""
+    WITH w AS (
+        SELECT i AS fid,
+               (('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 18, 15))
+                   ::BIGINT % 2001 - 1000) / 1000.0 AS wt
+        FROM generate_series(0, 4095) t(i)
+    ), tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), feat AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 18, 15))::BIGINT % 4096 AS fid
+        FROM tok
+    ), s AS (
+        SELECT doc_id, MAX(lang) AS lang,
+               CAST(round(SUM(wt) / COUNT(*) * 1e6, 0) AS BIGINT) AS sv
+        FROM feat JOIN w ON feat.fid = w.fid
+        GROUP BY doc_id
+    ), r AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               CAST(row_number() OVER (ORDER BY sv DESC, doc_id) AS BIGINT)
+                   AS k,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    OVER (ORDER BY sv DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos
+        FROM s
+    ), terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN pos = 1 THEN CAST(round(
+                   CAST(cum_pos AS DOUBLE) * 1000000.0 / CAST(k AS DOUBLE)
+               ) AS BIGINT) ELSE 0 END) AS BIGINT) AS ap_micro,
+               CAST(MAX(CASE WHEN k = 50 THEN cum_pos END) AS BIGINT)
+                   AS pos_at_50
+        FROM r
+    )
+    SELECT n_docs, n_pos,
+           round(ap_micro / (1000000.0 * n_pos), 6) AS avg_precision,
+           round(pos_at_50 / 50.0, 6) AS precision_at_50,
+           round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS prevalence
+    FROM terms
+    """,
+)
+def classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve) of
+    the hashed linear classifier at retrieving English documents — the
+    metric that matters when positives are rare and ROC-AUC flatters.
+    AP = (1/n₊)·Σ_{positives at rank k} P@k needs a TOTAL ordering of
+    the scored corpus; both the rank k and the running positive count
+    come from the distributed two-pass range-partition shape
+    (:func:`ranking.global_cumsum` then :func:`ranking.global_rank` —
+    two range exchanges, never a single-task window).  Each P@k term
+    is quantized to micro units before the exact integer sum, so the
+    fold is order-independent and the oracle's one-task window replay
+    hash-matches."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_cumsum,
+        global_rank,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    w = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, w, n_features=4096).select(
+        "doc_id",
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    order = [F.desc("sv"), F.asc("doc_id")]
+    with_cum, _tot = global_cumsum(scored, order, "pos", "cum_pos")
+    ranked, n_docs = global_rank(with_cum, order, "k")
+    term = F.round(
+        F.col("cum_pos").cast("double")
+        * F.lit(1000000.0)
+        / F.col("k").cast("double")
+    ).cast("bigint")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("pos") == 1, term).otherwise(0))
+        .cast("bigint")
+        .alias("ap_micro"),
+        F.max(F.when(F.col("k") == 50, F.col("cum_pos")))
+        .cast("bigint")
+        .alias("pos_at_50"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_pos",
+        F.round(
+            F.col("ap_micro") / (F.lit(1000000.0) * F.col("n_pos")), 6
+        ).alias("avg_precision"),
+        F.round(F.col("pos_at_50") / F.lit(50.0), 6).alias(
+            "precision_at_50"
+        ),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("prevalence"),
+    )
+
+
+def _nb_pred_cte(dim: int = 1024) -> str:
+    """The Naive-Bayes train+predict CTE chain shared by the class-report
+    and kappa oracles (same pipeline text_nb_confusion replays — exact
+    micro-nat integer log-probs, deterministic argmax tie-break)."""
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, text FROM documents WHERE trim(text) <> ''
+    ), feat AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 18, 15))::BIGINT % {dim} AS fid
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(trim(text),
+                                             '[ \\t\\n\\r\\f\\x0b]+')) AS tok
+            FROM base
+        ) WHERE tok <> ''
+    ), tfc AS (
+        SELECT doc_id, lang, fid, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM feat GROUP BY doc_id, lang, fid
+    ), cc AS (
+        SELECT lang, fid, CAST(COUNT(*) AS BIGINT) AS n
+        FROM feat GROUP BY lang, fid
+    ), ct AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS total
+        FROM feat GROUP BY lang
+    ), fids AS (
+        SELECT DISTINCT fid FROM feat
+    ), grid AS (
+        SELECT ct.lang, fids.fid,
+               CAST(round(ln((COALESCE(cc.n, 0) + 1.0)
+                             / (ct.total + {dim}.0)) * 1000000, 0)
+                    AS BIGINT) AS lp
+        FROM ct CROSS JOIN fids
+        LEFT JOIN cc ON cc.lang = ct.lang AND cc.fid = fids.fid
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+    ), pri AS (
+        SELECT lang AS hyp,
+               CAST(round(ln(CAST(COUNT(*) AS BIGINT) / (SELECT n FROM nn))
+                          * 1000000, 0) AS BIGINT) AS prior
+        FROM base GROUP BY lang
+    ), sc AS (
+        SELECT t.doc_id, t.lang AS true_label, g.lang AS hyp,
+               CAST(SUM(t.tf * g.lp) AS BIGINT) AS tok_lp
+        FROM tfc t JOIN grid g ON t.fid = g.fid
+        GROUP BY t.doc_id, t.lang, g.lang
+    ), pred AS (
+        SELECT sc.doc_id, sc.true_label, sc.hyp AS pred_label,
+               row_number() OVER (PARTITION BY sc.doc_id
+                                  ORDER BY sc.tok_lp + pri.prior DESC,
+                                           sc.hyp) AS rn
+        FROM sc JOIN pri ON sc.hyp = pri.hyp
+    ), conf AS (
+        SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY true_label, pred_label
+    )"""
+
+
+@query(
+    "classifier_class_report",
+    oracle=_nb_pred_cte()
+    + """
+    , sup AS (
+        SELECT true_label AS lang, CAST(SUM(n_docs) AS BIGINT) AS support
+        FROM conf GROUP BY true_label
+    ), prd AS (
+        SELECT pred_label AS lang, CAST(SUM(n_docs) AS BIGINT) AS predicted
+        FROM conf GROUP BY pred_label
+    ), tp AS (
+        SELECT true_label AS lang, CAST(SUM(n_docs) AS BIGINT) AS tp
+        FROM conf WHERE true_label = pred_label GROUP BY true_label
+    )
+    SELECT sup.lang,
+           sup.support,
+           COALESCE(prd.predicted, 0) AS predicted,
+           COALESCE(tp.tp, 0) AS tp,
+           round(COALESCE(CAST(tp.tp AS DOUBLE)
+                          / CAST(prd.predicted AS DOUBLE), 0.0), 6)
+               AS precision,
+           round(COALESCE(tp.tp, 0) / CAST(sup.support AS DOUBLE), 6)
+               AS recall,
+           round(2.0 * COALESCE(tp.tp, 0)
+                 / CAST(sup.support + COALESCE(prd.predicted, 0) AS DOUBLE),
+                 6) AS f1
+    FROM sup
+    LEFT JOIN prd ON sup.lang = prd.lang
+    LEFT JOIN tp ON sup.lang = tp.lang
+    ORDER BY sup.lang
+    """,
+)
+def classifier_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the in-sample Naive Bayes
+    language classifier — the standard classification report, derived
+    entirely from the exact confusion-matrix counts (F1 uses the
+    integer identity 2·tp/(support+predicted), so every metric is one
+    float division over exact bigints).  The confusion matrix itself
+    is the operators/text.py:nb_confusion plan: broadcast model grid,
+    one corpus explode, argmax with a deterministic tie-break — the
+    report adds only |classes|-sized aggregation on top."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        nb_confusion,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    conf = nb_confusion(
+        d, label_col="lang", id_col="doc_id", text_col="text", dim=1024
+    )
+    sup = conf.groupBy(F.col("true_label").alias("lang")).agg(
+        F.sum("n_docs").cast("bigint").alias("support")
+    )
+    prd = conf.groupBy(F.col("pred_label").alias("lang")).agg(
+        F.sum("n_docs").cast("bigint").alias("predicted")
+    )
+    tp = (
+        conf.filter(F.col("true_label") == F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("lang"))
+        .agg(F.sum("n_docs").cast("bigint").alias("tp"))
+    )
+    out = (
+        sup.join(prd, "lang", "left")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            "support",
+            F.coalesce(F.col("predicted"), F.lit(0))
+            .cast("bigint")
+            .alias("predicted"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.round(
+                F.coalesce(
+                    F.col("tp").cast("double")
+                    / F.col("predicted").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.coalesce(F.col("tp"), F.lit(0))
+                / F.col("support").cast("double"),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("tp"), F.lit(0))
+                / (
+                    F.col("support")
+                    + F.coalesce(F.col("predicted"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("f1"),
+        )
+    )
+    return out.orderBy("lang")
+
+
+@query(
+    "classifier_kappa",
+    oracle=_nb_pred_cte()
+    + """
+    , tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN true_label = pred_label
+                             THEN n_docs ELSE 0 END) AS BIGINT) AS agree
+        FROM conf
+    ), marg AS (
+        SELECT CAST(SUM(s.support * p.predicted) AS BIGINT) AS pe_num
+        FROM (SELECT true_label AS lang, SUM(n_docs) AS support
+              FROM conf GROUP BY 1) s
+        JOIN (SELECT pred_label AS lang, SUM(n_docs) AS predicted
+              FROM conf GROUP BY 1) p
+        ON s.lang = p.lang
+    )
+    SELECT tot.n AS n_docs, tot.agree AS n_agree,
+           round(CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+               AS accuracy,
+           round(CAST(marg.pe_num AS DOUBLE)
+                 / CAST(tot.n * tot.n AS DOUBLE), 6) AS expected_accuracy,
+           round(CAST(tot.n * tot.agree - marg.pe_num AS DOUBLE)
+                 / CAST(tot.n * tot.n - marg.pe_num AS DOUBLE), 6)
+               AS kappa
+    FROM tot, marg
+    """,
+)
+def classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the Naive Bayes language classifier —
+    chance-corrected agreement between predicted and true labels.
+    κ = (n·Σtpᵢ − Σ supᵢ·predᵢ) / (n² − Σ supᵢ·predᵢ) is computed
+    entirely on exact integer marginals of the |classes|² confusion
+    matrix (metadata-sized at any corpus scale), so the only float op
+    is the final division."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        nb_confusion,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    conf = nb_confusion(
+        d, label_col="lang", id_col="doc_id", text_col="text", dim=1024
+    ).localCheckpoint(eager=False)
+    tot = conf.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("true_label") == F.col("pred_label"), F.col("n_docs")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("agree"),
+    )
+    s = conf.groupBy(F.col("true_label").alias("lang")).agg(
+        F.sum("n_docs").alias("support")
+    )
+    p = conf.groupBy(F.col("pred_label").alias("lang")).agg(
+        F.sum("n_docs").alias("predicted")
+    )
+    marg = (
+        s.join(p, "lang")
+        .agg(
+            F.sum(F.col("support") * F.col("predicted"))
+            .cast("bigint")
+            .alias("pe_num")
+        )
+    )
+    out = tot.crossJoin(F.broadcast(marg))
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.round(
+            F.col("agree").cast("double") / F.col("n").cast("double"), 6
+        ).alias("accuracy"),
+        F.round(
+            F.col("pe_num").cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("expected_accuracy"),
+        F.round(
+            (F.col("n") * F.col("agree") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), mx AS (SELECT MAX(day) AS d FROM e),
+    base AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(MIN(cents) AS BIGINT) AS mn,
+               CAST(MAX(cents) AS BIGINT) AS mxv
+        FROM e WHERE day < (SELECT d FROM mx) GROUP BY event_type
+    ), delta AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(MIN(cents) AS BIGINT) AS mn,
+               CAST(MAX(cents) AS BIGINT) AS mxv
+        FROM e WHERE day = (SELECT d FROM mx) GROUP BY event_type
+    ), merged AS (
+        SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+               COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+               COALESCE(b.s, 0) + COALESCE(d.s, 0) AS s,
+               LEAST(COALESCE(b.mn, 9223372036854775807),
+                     COALESCE(d.mn, 9223372036854775807)) AS mn,
+               GREATEST(COALESCE(b.mxv, -9223372036854775808),
+                        COALESCE(d.mxv, -9223372036854775808)) AS mxv
+        FROM base b FULL OUTER JOIN delta d USING (event_type)
+    ), direct AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(MIN(cents) AS BIGINT) AS mn,
+               CAST(MAX(cents) AS BIGINT) AS mxv
+        FROM e GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n_events,
+           CAST(m.s AS BIGINT) AS sum_cents,
+           CAST(m.mn AS BIGINT) AS min_cents,
+           CAST(m.mxv AS BIGINT) AS max_cents,
+           (m.n = t.n AND m.s = t.s AND m.mn = t.mn AND m.mxv = t.mxv)
+               AS matches_direct
+    FROM merged m JOIN direct t USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance by partial-aggregate
+    MERGE: yesterday's rollup state (count/sum/min/max per type over
+    all days but the newest) absorbs the newest day's delta through
+    the aggregate-state algebra (+, +, least, greatest) — and the
+    query PROVES the merge by recomputing directly and binding
+    ``matches_direct``.  This is the 100 TB pattern that matters most
+    in practice: a daily pipeline touches ONE day-partition and merges
+    KB-scale agg state, never re-scanning the historical table; every
+    moment here is an exact integer so merged ≡ direct is a strict
+    equality, not a tolerance."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    max_day = e.agg(F.max("day").alias("d"))
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.min("cents").cast("bigint").alias("mn"),
+            F.max("cents").cast("bigint").alias("mxv"),
+        )
+
+    with_d = e.crossJoin(F.broadcast(max_day))
+    base = rollup(with_d.filter(F.col("day") < F.col("d")))
+    delta = rollup(with_d.filter(F.col("day") == F.col("d")))
+    b = base.select(
+        "event_type",
+        F.col("n").alias("bn"),
+        F.col("s").alias("bs"),
+        F.col("mn").alias("bmn"),
+        F.col("mxv").alias("bmx"),
+    )
+    dd = delta.select(
+        "event_type",
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+        F.col("mn").alias("dmn"),
+        F.col("mxv").alias("dmx"),
+    )
+    imax = F.lit(9223372036854775807).cast("bigint")
+    imin = F.lit(-9223372036854775808).cast("bigint")
+    merged = b.join(dd, "event_type", "full_outer").select(
+        "event_type",
+        (
+            F.coalesce(F.col("bn"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.coalesce(F.col("bs"), F.lit(0))
+            + F.coalesce(F.col("ds"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.least(
+            F.coalesce(F.col("bmn"), imax), F.coalesce(F.col("dmn"), imax)
+        )
+        .cast("bigint")
+        .alias("mn"),
+        F.greatest(
+            F.coalesce(F.col("bmx"), imin), F.coalesce(F.col("dmx"), imin)
+        )
+        .cast("bigint")
+        .alias("mxv"),
+    )
+    direct = rollup(e).select(
+        "event_type",
+        F.col("n").alias("tn"),
+        F.col("s").alias("ts2"),
+        F.col("mn").alias("tmn"),
+        F.col("mxv").alias("tmx"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("s").alias("sum_cents"),
+            F.col("mn").alias("min_cents"),
+            F.col("mxv").alias("max_cents"),
+            (
+                (F.col("n") == F.col("tn"))
+                & (F.col("s") == F.col("ts2"))
+                & (F.col("mn") == F.col("tmn"))
+                & (F.col("mxv") == F.col("tmx"))
+            ).alias("matches_direct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_compaction_plan",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(length(props) + 64) AS BIGINT) AS bytes
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(bytes) AS BIGINT) AS total,
+               GREATEST(CAST(SUM(bytes) AS BIGINT) // 8, 1) AS target
+        FROM p
+    ), c AS (
+        SELECT day, n_rows, bytes,
+               CAST(SUM(bytes) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - bytes AS BIGINT) AS cum_before,
+               (SELECT target FROM tot) AS target
+        FROM p
+    ), binned AS (
+        SELECT day, n_rows, bytes, target,
+               CAST(cum_before // target AS BIGINT) AS bin
+        FROM c
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(MIN(day) AS VARCHAR) AS day_min,
+           CAST(MAX(day) AS VARCHAR) AS day_max,
+           round(CAST(SUM(bytes) AS DOUBLE) / CAST(MAX(target) AS DOUBLE),
+                 6) AS fill_ratio
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: estimate each day-partition's
+    byte weight, then assign consecutive partitions to merge bins by
+    prefix-sum division (bin = cum_bytes_before ÷ target) — the
+    deterministic, SQL-expressible cousin of first-fit bin packing
+    that a table-maintenance job uses to rewrite thousands of small
+    files into ~target-sized ones while preserving day locality.  The
+    per-day inventory is one grouped agg; the running sum is a window
+    over the |days|-sized frame (the accepted post-agg exception), so
+    the plan costs one scan regardless of table size."""
+    e = _t(spark, sf_dir, "events")
+    p = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.length("props") + 64).cast("bigint").alias("bytes"),
+    )
+    tot = p.agg(
+        F.greatest(
+            (F.sum("bytes") / 8).cast("bigint"), F.lit(1).cast("bigint")
+        ).alias("target")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        p.withColumn(
+            "cum_before", (F.sum("bytes").over(w) - F.col("bytes"))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bin",
+            F.floor(
+                F.col("cum_before") / F.col("target")
+            ).cast("bigint"),
+        )
+    )
+    return (
+        c.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+            F.min("day").cast("string").alias("day_min"),
+            F.max("day").cast("string").alias("day_max"),
+            F.round(
+                F.sum("bytes").cast("double")
+                / F.max("target").cast("double"),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bin")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
