@@ -13960,6 +13960,450 @@ def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_holt_forecast",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type,
+               list_transform(list(n ORDER BY day),
+                              x -> CAST(x AS DOUBLE)) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d GROUP BY event_type HAVING COUNT(*) >= 2
+    ), fold AS (
+        -- accumulator is a DOUBLE[2] [level, trend]: a STRUCT acc gets
+        -- re-cast to the list element type between fold steps in this
+        -- DuckDB version (silently perturbing the chain), arrays don't
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_prepend(
+                       [xs[1], xs[2] - xs[1]],
+                       list_transform(xs[2:],
+                                      x -> [x, CAST(0.0 AS DOUBLE)])
+                   ),
+                   (acc, x) -> [
+                       0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+                       0.1 * (0.3 * x[1] + 0.7 * (acc[1] + acc[2])
+                              - acc[1]) + 0.9 * acc[2]
+                   ]
+               ) AS st
+        FROM s
+    )
+    SELECT event_type, n_days,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + 1 * st[2], 6) AS forecast_1d,
+           round(st[1] + 3 * st[2], 6) AS forecast_3d,
+           round(st[1] + 7 * st[2], 6) AS forecast_7d
+    FROM fold ORDER BY event_type
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) forecast of daily event
+    volume per type — level + trend state folded over the day series
+    (α = 0.3, β = 0.1), projecting 1/3/7 days ahead.  The recurrence
+    is inherently ordered, so it rides the ordered-fold discipline:
+    one grouped agg to the |types × days| frame, then
+    ``F.aggregate`` over the sorted series with a struct accumulator
+    initialized to (x₁, x₂−x₁) — both engines execute the identical
+    float sequence, so level/trend/forecasts hash-match.  The fold
+    touches |days| values per type: trivial at any event volume."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = (
+        d.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("day"), F.col("n")))
+            ).alias("series"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    xs = F.transform(F.col("series"), lambda r: r["n"].cast("double"))
+    x1 = F.element_at(xs, 1)
+    x2 = F.element_at(xs, 2)
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+
+    def step(acc, x):
+        l_new = 0.3 * x["l"] + 0.7 * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (0.1 * (l_new - acc["l"]) + 0.9 * acc["b"]).alias("b"),
+        )
+
+    fold = s.select(
+        "event_type",
+        "n_days",
+        F.aggregate(
+            F.transform(
+                F.slice(xs, 2, 1000000),
+                lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+            ),
+            init,
+            step,
+        ).alias("st"),
+    )
+    return fold.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 1 * F.col("st.b"), 6).alias("forecast_1d"),
+        F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("forecast_3d"),
+        F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7d"),
+    ).orderBy("event_type")
+
+
+# Rank-biased-overlap depth weights, shared verbatim by the Spark plan
+# and the DuckDB oracle (the shared-literals discipline): RBO_min at
+# p = 0.9, depth 50 — w_k = (1−p)·p^(k−1)/k on a 1e9 integer lattice.
+_RBO_P = 0.9
+_RBO_DEPTH = 50
+_RBO_WEIGHTS = [
+    (k, round((1.0 - _RBO_P) * _RBO_P ** (k - 1) / k * 1e9))
+    for k in range(1, _RBO_DEPTH + 1)
+]
+
+
+def _rbo_oracle() -> str:
+    vals = ", ".join(f"({k}, {w})" for k, w in _RBO_WEIGHTS)
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, n_chars,
+               len(string_split_regex(trim(text),
+                                      '[ \\t\\n\\r\\f\\x0b]+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ), ra AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY n_chars DESC, doc_id) AS r
+        FROM docs QUALIFY r <= {_RBO_DEPTH}
+    ), rb AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY n_tokens DESC, doc_id) AS r
+        FROM docs QUALIFY r <= {_RBO_DEPTH}
+    ), joined AS (
+        SELECT ra.doc_id, GREATEST(ra.r, rb.r) AS m
+        FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+    ), wt(k, w) AS (VALUES {vals}),
+    xk AS (
+        SELECT wt.k, wt.w,
+               CAST((SELECT COUNT(*) FROM joined WHERE m <= wt.k)
+                    AS BIGINT) AS x
+        FROM wt
+    )
+    SELECT CAST({_RBO_DEPTH} AS BIGINT) AS depth,
+           CAST((SELECT COUNT(*) FROM joined WHERE m <= 10) AS BIGINT)
+               AS overlap_10,
+           CAST((SELECT COUNT(*) FROM joined) AS BIGINT) AS overlap_50,
+           round(CAST(SUM(x * w) AS BIGINT) / 1000000000.0, 6) AS rbo
+    FROM xk
+    """
+
+
+@query("ranker_rbo_eval", oracle=_rbo_oracle())
+def ranker_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, p = 0.9) between two document
+    rankings — by character count vs by token count — the standard
+    top-weighted agreement metric for comparing rankers without a
+    relevance oracle.  Both top-50 lists come off the
+    TakeOrderedAndProject path (:func:`ranking.take_top_k`, bounded
+    heaps, no global sort), the depth weights (1−p)·p^(k−1)/k are
+    Python-computed integer literals shared verbatim with the oracle,
+    and each depth's overlap count is an exact integer — so the final
+    RBO is one division over an exact Σ X_k·w_k."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import tokens
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+        )
+    )
+    ra = take_top_k(
+        d, [F.desc("n_chars"), F.asc("doc_id")], _RBO_DEPTH, "ra"
+    ).select("doc_id", "ra")
+    rb = take_top_k(
+        d, [F.desc("n_tokens"), F.asc("doc_id")], _RBO_DEPTH, "rb"
+    ).select("doc_id", "rb")
+    joined = ra.join(rb, "doc_id").select(
+        "doc_id", F.greatest("ra", "rb").alias("m")
+    )
+    wt = spark.createDataFrame(_RBO_WEIGHTS, "k INT, w BIGINT")
+    xk = (
+        F.broadcast(wt)
+        .join(joined, F.col("m") <= F.col("k"), "left")
+        .groupBy("k", "w")
+        .agg(F.count("doc_id").cast("bigint").alias("x"))
+    )
+    ov = joined.agg(
+        F.sum(F.when(F.col("m") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("overlap_10"),
+        F.count(F.lit(1)).cast("bigint").alias("overlap_50"),
+    )
+    rbo = xk.agg(
+        F.round(
+            F.sum(F.col("x") * F.col("w")).cast("bigint")
+            / F.lit(1000000000.0),
+            6,
+        ).alias("rbo")
+    )
+    return (
+        ov.crossJoin(F.broadcast(rbo))
+        .select(
+            F.lit(_RBO_DEPTH).cast("bigint").alias("depth"),
+            "overlap_10",
+            "overlap_50",
+            "rbo",
+        )
+    )
+
+
+@query(
+    "doc_readability",
+    oracle="""
+    WITH d AS (
+        SELECT lang, source,
+               len(string_split_regex(trim(text),
+                                      '[ \\t\\n\\r\\f\\x0b]+')) AS w,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS syl
+        FROM documents WHERE trim(text) <> ''
+    ), f AS (
+        SELECT lang, source, w, s,
+               CAST(round((206.835
+                    - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
+                    * 10000) AS BIGINT) AS flesch_e4
+        FROM d
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS total_words,
+           round(CAST(SUM(w) AS DOUBLE) / CAST(SUM(s) AS DOUBLE), 6)
+               AS avg_words_per_sentence,
+           round(CAST(SUM(flesch_e4) AS BIGINT)
+                 / (10000.0 * COUNT(*)), 6) AS avg_flesch
+    FROM f GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per (lang, source) — the classic
+    readability quality signal for corpus curation: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with sentences
+    counted as terminal-punctuation runs and syllables approximated by
+    vowel-group runs (the standard regex heuristic).  Everything is
+    JVM-side regexp counting; each doc's score is quantized to a 1e4
+    lattice BEFORE the group average so the cross-doc sum is exact
+    integer arithmetic — one scan, one grouped agg, no shuffle beyond
+    the |langs × sources| rollup."""
+    from high_throughput_etl_pipeline_spark.operators.text import tokens
+
+    doc = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    d = doc.select(
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).alias("w"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("s"),
+        F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+")).alias(
+            "syl"
+        ),
+    )
+    f = d.select(
+        "lang",
+        "source",
+        "w",
+        "s",
+        F.round(
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("w").cast("double") / F.col("s").cast("double"))
+                - F.lit(84.6)
+                * (F.col("syl").cast("double") / F.col("w").cast("double"))
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("flesch_e4"),
+    )
+    return (
+        f.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_words"),
+            F.round(
+                F.sum("w").cast("double") / F.sum("s").cast("double"), 6
+            ).alias("avg_words_per_sentence"),
+            F.round(
+                F.sum("flesch_e4").cast("bigint")
+                / (F.lit(10000.0) * F.count(F.lit(1))),
+                6,
+            ).alias("avg_flesch"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "events_interval_overlap",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ), ids AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, sid,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM ids GROUP BY user_id, sid
+    ), days AS (
+        SELECT user_id, sid, s_start, s_end,
+               unnest(generate_series(CAST(s_start AS DATE),
+                                      CAST(s_end AS DATE),
+                                      INTERVAL 1 DAY)) AS day
+        FROM sess
+    ), wins AS (
+        SELECT * FROM (VALUES
+            ('lunch', 12, 14), ('evening', 18, 21)) w(label, h0, h1)
+    ), ov AS (
+        SELECT w.label,
+               GREATEST(0,
+                   LEAST(epoch_us(d.s_end),
+                         epoch_us(CAST(d.day AS TIMESTAMP)
+                               + to_hours(CAST(w.h1 AS BIGINT))))
+                   - GREATEST(epoch_us(d.s_start),
+                         epoch_us(CAST(d.day AS TIMESTAMP)
+                               + to_hours(CAST(w.h0 AS BIGINT))))
+               ) AS us
+        FROM days d CROSS JOIN wins w
+    )
+    SELECT label,
+           CAST(SUM(CASE WHEN us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlaps,
+           CAST(SUM(CASE WHEN us > 0 THEN us ELSE 0 END) AS BIGINT)
+               AS total_overlap_us,
+           round(CAST(SUM(CASE WHEN us > 0 THEN us ELSE 0 END)
+                      AS DOUBLE)
+                 / (1000000.0 * NULLIF(SUM(CASE WHEN us > 0
+                                           THEN 1 ELSE 0 END), 0)),
+                 6) AS avg_overlap_sec
+    FROM ov GROUP BY label ORDER BY label
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join between user sessions and recurring time
+    windows (lunch 12-14h, evening 18-21h): how much session time
+    lands inside each window — the ad-slot / maintenance-window
+    overlap shape.  Scale-safe interval join: each session explodes
+    into only the days it touches (bounded by session span, almost
+    always 1), the window table is a broadcast literal, and the
+    overlap measure is exact epoch-second integer arithmetic —
+    never a range cross-join.  Sessionization itself is the
+    lag/flag/cumsum plan shared with user_sessions (all windows
+    partitioned by user)."""
+    e = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w_u))
+                >= 1800000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    ids = flagged.withColumn("sid", F.sum("new_s").over(w_cum))
+    sess = ids.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    days = sess.select(
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.col("s_start").cast("date"), F.col("s_end").cast("date")
+            )
+        ).alias("day"),
+    )
+    wins = spark.createDataFrame(
+        [("lunch", 12, 14), ("evening", 18, 21)],
+        "label STRING, h0 INT, h1 INT",
+    )
+    ov = days.crossJoin(F.broadcast(wins)).select(
+        "label",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.unix_micros("s_end"),
+                F.unix_micros(F.col("day").cast("timestamp"))
+                + F.col("h1").cast("bigint") * 3600000000,
+            )
+            - F.greatest(
+                F.unix_micros("s_start"),
+                F.unix_micros(F.col("day").cast("timestamp"))
+                + F.col("h0").cast("bigint") * 3600000000,
+            ),
+        ).alias("us"),
+    )
+    hit = F.when(F.col("us") > 0, 1).otherwise(0)
+    hit_us = F.when(F.col("us") > 0, F.col("us")).otherwise(0)
+    return (
+        ov.groupBy("label")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_overlaps"),
+            F.sum(hit_us).cast("bigint").alias("total_overlap_us"),
+            F.round(
+                F.sum(hit_us).cast("double")
+                / (F.lit(1000000.0) * F.nullif(F.sum(hit), F.lit(0))),
+                6,
+            ).alias("avg_overlap_sec"),
+        )
+        .orderBy("label")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
