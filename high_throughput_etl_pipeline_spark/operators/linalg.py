@@ -1,0 +1,155 @@
+"""Distributed linear algebra on the exact integer lattice: scatter
+matrix + power iteration for the top principal component.
+
+The 100 TB shape: computing a d×d scatter (covariance·n) matrix over an
+embedding column is one map-side pass — each row contributes its d(d+1)/2
+upper-triangle products, partial aggregation collapses them per
+partition, and the only shuffle carries |cells| = d(d+1)/2 rows per
+partition (d = 64 → 2080).  The matrix itself is metadata-scale, so the
+power iteration runs driver-side over exact Python integers — the same
+bounded-collect pattern as the ANN codebooks (similarity.py) — and the
+result re-enters the plan as a literal frame.
+
+Everything rides the integer lattice end to end (components quantized to
+1e-3, means/normalizations via integer round-half-away division, no
+float anywhere in the iteration), so a SQL oracle replaying the identical
+integer recurrence — DuckDB's recursive CTE — reproduces the eigenvector
+bit-for-bit.  See ``embedding_pca_power`` in queries.py.
+
+Reference parity: the reference has no linear algebra (its Spark program
+is the Glue ingest job — environments/prod/glue_batch_job.py); this is
+extension surface for the LLM-data-pipeline tier (embedding diagnostics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def round_div(num: int, den: int) -> int:
+    """Round-half-away-from-zero integer division — the engine-portable
+    rounding rule (Spark/DuckDB ``round``) expressed exactly in integer
+    arithmetic, so both sides of an oracle can replay it without ever
+    constructing a float."""
+    if den < 0:
+        num, den = -num, -den
+    if num >= 0:
+        return (2 * num + den) // (2 * den)
+    return -((-2 * num + den) // (2 * den))
+
+
+def scatter_cells(
+    df: DataFrame,
+    col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> tuple[list[tuple[int, int, int]], int]:
+    """Upper-triangle scatter-matrix cells of the (quantized, centered)
+    embedding column, plus the row count.
+
+    Returns ``([(i, j, cell), ...], n_rows)`` with ``i <= j`` and
+    ``cell = Σ_rows (x_i − m_i)(x_j − m_j)`` over components quantized
+    to ``round(x·scale)`` and integer means ``m_i = round(Σx_i / n)``.
+    Two passes: a 1-column agg for the means (``dim`` rows collected —
+    metadata), then ONE map-side pass emitting d(d+1)/2 products per
+    row with partial aggregation; cells accumulate in decimal(38,0).
+    """
+    xs = F.transform(
+        F.col(col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("bigint"),
+    )
+    t = df.select(xs.alias("_xs"))
+    ex = t.select(F.posexplode("_xs").alias("i", "x"))
+    sums = (
+        ex.groupBy("i")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .collect()
+    )
+    if not sums:
+        return [], 0
+    n = int(sums[0]["n"])
+    means = {int(r["i"]): round_div(int(r["s"]), n) for r in sums}
+    mean_arr = F.array(*[F.lit(means[i]) for i in range(dim)])
+    devs = t.select(
+        F.transform(
+            F.col("_xs"), lambda x, i: x - F.element_at(mean_arr, i + 1)
+        ).alias("_d")
+    )
+    # materialize _d in its own projection BEFORE the nested pair
+    # lambdas (HOF lambdas re-evaluate captured trees per element)
+    pairs = devs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dim - 1)),
+                        lambda j: F.struct(
+                            (i * dim + j).alias("ij"),
+                            (
+                                F.element_at(F.col("_d"), i + 1)
+                                * F.element_at(F.col("_d"), j + 1)
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    cells = (
+        pairs.groupBy(F.col("pr.ij").alias("ij"))
+        .agg(F.sum(F.col("pr.p").cast("decimal(38,0)")).alias("c"))
+        .collect()
+    )
+    out = []
+    for r in cells:
+        ij = int(r["ij"])
+        out.append((ij // dim, ij % dim, int(r["c"])))
+    return out, n
+
+
+def power_top_eigvec(
+    cells: list[tuple[int, int, int]],
+    dim: int,
+    iters: int = 12,
+) -> tuple[list[int], int, int, int]:
+    """Top eigenvector of the symmetric matrix given by upper-triangle
+    ``cells``, by power iteration on the exact integer lattice.
+
+    Each round: w = M·v (exact ints), then renormalize to
+    ``v_i = round(w_i·1e6 / max|w|)`` via :func:`round_div` — no float
+    ever enters the recurrence, so any engine replaying it (DuckDB's
+    recursive CTE in the oracle) agrees bit-for-bit.  The final sign is
+    fixed so the lowest-index maximal-|v| component is positive.
+
+    Returns ``(v_micro, vMv, vv, trace)`` — the 1e6-lattice eigenvector
+    and the exact integers behind the Rayleigh quotient.
+    """
+    m = [[0] * dim for _ in range(dim)]
+    for i, j, c in cells:
+        m[i][j] = c
+        if i != j:
+            m[j][i] = c
+    v = [MICRO] * dim
+    for _ in range(iters):
+        w = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        maxw = max(abs(x) for x in w)
+        if maxw == 0:
+            break
+        v = [round_div(x * MICRO, maxw) for x in w]
+    ma = max(abs(x) for x in v)
+    lead = next(x for x in v if abs(x) == ma)
+    if lead < 0:
+        v = [-x for x in v]
+    vmv = sum(
+        m[i][j] * v[i] * v[j] for i in range(dim) for j in range(dim)
+    )
+    vv = sum(x * x for x in v)
+    trace = sum(m[i][i] for i in range(dim))
+    return v, vmv, vv, trace

@@ -14404,6 +14404,125 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_pca_power",
+    oracle="""
+    WITH RECURSIVE x AS (
+        SELECT e.vec_id, t.i - 1 AS i,
+               CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000, 0)
+                    AS BIGINT) AS xi
+        FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+    ), st AS (
+        SELECT i, CAST(SUM(xi) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY i
+    ), mu AS (
+        SELECT i,
+               CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                    ELSE -((-2 * s + n) // (2 * n)) END AS m,
+               n
+        FROM st
+    ), d AS (
+        SELECT x.vec_id, x.i, x.xi - mu.m AS dv
+        FROM x JOIN mu ON x.i = mu.i
+    ), cells AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(a.dv AS HUGEINT) * b.dv) AS HUGEINT) AS p
+        FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ), m AS (
+        SELECT i, j, p FROM cells
+        UNION ALL
+        SELECT j, i, p FROM cells WHERE i <> j
+    ), it(k, i, xv) AS (
+        SELECT 0, t.i, CAST(1000000 AS HUGEINT)
+        FROM generate_series(0, 63) t(i)
+        UNION ALL
+        SELECT k + 1, i,
+               CASE WHEN wx >= 0
+                    THEN (2 * wx * 1000000 + maxw) // (2 * maxw)
+                    ELSE -((-2 * wx * 1000000 + maxw) // (2 * maxw)) END
+        FROM (
+            SELECT k, i, wx, MAX(abs(wx)) OVER () AS maxw
+            FROM (
+                SELECT it.k, m.i, SUM(m.p * it.xv) AS wx
+                FROM it JOIN m ON m.j = it.i
+                GROUP BY it.k, m.i
+            ) w
+        ) ww
+        WHERE k < 12
+    ), v0 AS (
+        SELECT i, xv FROM it WHERE k = 12
+    ), sgn AS (
+        SELECT CASE WHEN (
+            SELECT xv FROM v0
+            WHERE abs(xv) = (SELECT MAX(abs(xv)) FROM v0)
+            ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s
+    ), v AS (
+        SELECT i, xv * (SELECT s FROM sgn) AS xv FROM v0
+    ), ray AS (
+        SELECT
+            (SELECT SUM(m.p * a.xv * b.xv)
+             FROM m JOIN v a ON m.i = a.i JOIN v b ON m.j = b.i) AS vmv,
+            (SELECT SUM(xv * xv) FROM v) AS vv,
+            (SELECT SUM(p) FROM cells WHERE i = j) AS tr,
+            (SELECT MAX(n) FROM st) AS n
+    )
+    SELECT v.i AS dim,
+           CAST(v.xv AS BIGINT) AS loading_micro,
+           CAST(v.xv AS DOUBLE) / 1000000.0 AS loading,
+           CAST((2 * ray.vmv + ray.vv * ray.n)
+                // (2 * ray.vv * ray.n) AS BIGINT) AS lam_micro,
+           CAST((2 * ray.vmv * 1000000 + ray.vv * ray.tr)
+                // (2 * ray.vv * ray.tr) AS BIGINT) AS share_ppm,
+           CAST(ray.n AS BIGINT) AS n_vectors
+    FROM v, ray ORDER BY dim
+    """,
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration on the EXACT integer lattice — the drift/anisotropy
+    diagnostic for embedding pipelines (a dominant direction with a
+    high explained-variance share signals uncentered or collapsed
+    vectors).  The d×d scatter matrix is one map-side pass emitting
+    d(d+1)/2 integer products per row (operators/linalg.py:
+    scatter_cells — partial aggregation collapses them; the shuffle
+    carries 2080 cells per partition regardless of row count); the
+    2080-cell matrix is a bounded metadata collect (ANN-codebook
+    pattern), and the 12-round iteration runs on exact Python
+    integers with round-half-away renormalization — no float enters
+    the recurrence, so the oracle's recursive CTE replays it
+    bit-for-bit.  Rayleigh quotient and explained share are integer
+    round-divisions (lam_micro / share_ppm); positives only."""
+    from high_throughput_etl_pipeline_spark.operators.linalg import (
+        power_top_eigvec,
+        round_div,
+        scatter_cells,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells, n = scatter_cells(emb, "embedding", dim=64, scale=1000)
+    v, vmv, vv, trace = power_top_eigvec(cells, dim=64, iters=12)
+    lam_micro = round_div(vmv, vv * n)
+    share_ppm = round_div(vmv * 1_000_000, vv * trace)
+    rows = [
+        (
+            i,
+            int(v[i]),
+            float(v[i]) / 1000000.0,
+            int(lam_micro),
+            int(share_ppm),
+            int(n),
+        )
+        for i in range(64)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim BIGINT, loading_micro BIGINT, loading DOUBLE, "
+        "lam_micro BIGINT, share_ppm BIGINT, n_vectors BIGINT",
+    ).orderBy("dim")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
