@@ -46,11 +46,11 @@ def scatter_cells(
     col: str = "embedding",
     dim: int = 64,
     scale: int = 1000,
-) -> tuple[list[tuple[int, int, int]], int]:
+) -> tuple[list[tuple[int, int, int]], int, list[int]]:
     """Upper-triangle scatter-matrix cells of the (quantized, centered)
-    embedding column, plus the row count.
+    embedding column, plus the row count and the integer mean vector.
 
-    Returns ``([(i, j, cell), ...], n_rows)`` with ``i <= j`` and
+    Returns ``([(i, j, cell), ...], n_rows, means)`` with ``i <= j`` and
     ``cell = Σ_rows (x_i − m_i)(x_j − m_j)`` over components quantized
     to ``round(x·scale)`` and integer means ``m_i = round(Σx_i / n)``.
     Two passes: a 1-column agg for the means (``dim`` rows collected —
@@ -72,7 +72,7 @@ def scatter_cells(
         .collect()
     )
     if not sums:
-        return [], 0
+        return [], 0, []
     n = int(sums[0]["n"])
     means = {int(r["i"]): round_div(int(r["s"]), n) for r in sums}
     mean_arr = F.array(*[F.lit(means[i]) for i in range(dim)])
@@ -111,7 +111,7 @@ def scatter_cells(
     for r in cells:
         ij = int(r["ij"])
         out.append((ij // dim, ij % dim, int(r["c"])))
-    return out, n
+    return out, n, [means[i] for i in range(dim)]
 
 
 def power_top_eigvec(

@@ -14404,14 +14404,19 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_pca_power",
-    oracle="""
+def _pca_cte(dim: int = 64, iters: int = 12, scale: int = 1000) -> str:
+    """The exact-lattice PCA CTE chain shared by the pca_power and
+    pca_scores oracles: quantize → integer means → deviations →
+    scatter cells → mirrored matrix → recursive power iteration →
+    sign-fixed eigenvector ``v(i, xv)``.  Replays
+    operators/linalg.py:scatter_cells + power_top_eigvec bit-for-bit
+    (every step is integer arithmetic with round-half-away division)."""
+    return f"""
     WITH RECURSIVE x AS (
         SELECT e.vec_id, t.i - 1 AS i,
-               CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000, 0)
+               CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * {scale}, 0)
                     AS BIGINT) AS xi
-        FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+        FROM embeddings e CROSS JOIN generate_series(1, {dim}) t(i)
     ), st AS (
         SELECT i, CAST(SUM(xi) AS BIGINT) AS s,
                CAST(COUNT(*) AS BIGINT) AS n
@@ -14436,7 +14441,7 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT j, i, p FROM cells WHERE i <> j
     ), it(k, i, xv) AS (
         SELECT 0, t.i, CAST(1000000 AS HUGEINT)
-        FROM generate_series(0, 63) t(i)
+        FROM generate_series(0, {dim - 1}) t(i)
         UNION ALL
         SELECT k + 1, i,
                CASE WHEN wx >= 0
@@ -14450,9 +14455,9 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 GROUP BY it.k, m.i
             ) w
         ) ww
-        WHERE k < 12
+        WHERE k < {iters}
     ), v0 AS (
-        SELECT i, xv FROM it WHERE k = 12
+        SELECT i, xv FROM it WHERE k = {iters}
     ), sgn AS (
         SELECT CASE WHEN (
             SELECT xv FROM v0
@@ -14460,7 +14465,14 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s
     ), v AS (
         SELECT i, xv * (SELECT s FROM sgn) AS xv FROM v0
-    ), ray AS (
+    )"""
+
+
+@query(
+    "embedding_pca_power",
+    oracle=_pca_cte()
+    + """
+    , ray AS (
         SELECT
             (SELECT SUM(m.p * a.xv * b.xv)
              FROM m JOIN v a ON m.i = a.i JOIN v b ON m.j = b.i) AS vmv,
@@ -14501,7 +14513,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cells, n = scatter_cells(emb, "embedding", dim=64, scale=1000)
+    cells, n, _means = scatter_cells(emb, "embedding", dim=64, scale=1000)
     v, vmv, vv, trace = power_top_eigvec(cells, dim=64, iters=12)
     lam_micro = round_div(vmv, vv * n)
     share_ppm = round_div(vmv * 1_000_000, vv * trace)
@@ -14521,6 +14533,193 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim BIGINT, loading_micro BIGINT, loading DOUBLE, "
         "lam_micro BIGINT, share_ppm BIGINT, n_vectors BIGINT",
     ).orderBy("dim")
+
+
+@query(
+    "embedding_pca_scores",
+    oracle=_pca_cte()
+    + """
+    , sc AS (
+        SELECT d.vec_id, CAST(SUM(d.dv * v.xv) AS BIGINT) AS score
+        FROM d JOIN v ON d.i = v.i GROUP BY d.vec_id
+    ), lab AS (
+        SELECT e.label, sc.score
+        FROM sc JOIN embeddings e ON sc.vec_id = e.vec_id
+    ), agg AS (
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(score) AS BIGINT) AS sum_score,
+               CAST(MIN(score) AS BIGINT) AS min_score,
+               CAST(MAX(score) AS BIGINT) AS max_score,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM lab GROUP BY label
+    )
+    SELECT label, n_vecs, sum_score, min_score, max_score, n_pos,
+           CAST(CASE WHEN sum_score >= 0
+                     THEN (2 * sum_score + n_vecs) // (2 * n_vecs)
+                     ELSE -((-2 * sum_score + n_vecs) // (2 * n_vecs))
+                END AS BIGINT) AS mean_score
+    FROM agg ORDER BY label
+    """,
+)
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label distribution of PC1 projection scores — the "does the
+    dominant direction separate my labels?" diagnostic that follows
+    embedding_pca_power: each vector's deviation (exact milli-lattice)
+    dots the micro-lattice eigenvector, so every score is an exact
+    integer and the per-label rollup (count/sum/min/max/positives/
+    round-half-away mean) is pure integer arithmetic.  The eigenvector
+    re-enters the plan as a 64-literal array (driver-side iteration on
+    the collected 2080-cell matrix — linalg.py bounded-collect
+    pattern); scoring is ONE map-side zip_with pass over the corpus,
+    no join, no extra shuffle beyond the |labels| rollup."""
+    from high_throughput_etl_pipeline_spark.operators.linalg import (
+        power_top_eigvec,
+        scatter_cells,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells, n, means = scatter_cells(emb, "embedding", dim=64, scale=1000)
+    v, _vmv, _vv, _trace = power_top_eigvec(cells, dim=64, iters=12)
+    mean_lit = F.array(*[F.lit(m) for m in means])
+    v_lit = F.array(*[F.lit(x) for x in v])
+    xs = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint"),
+    )
+    t = emb.select("label", xs.alias("_xs"))
+    t = t.withColumn(
+        "_d",
+        F.transform(
+            F.col("_xs"), lambda x, i: x - F.element_at(mean_lit, i + 1)
+        ),
+    )
+    scored = t.select(
+        "label",
+        F.aggregate(
+            F.zip_with(F.col("_d"), v_lit, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, y: acc + y,
+        ).alias("score"),
+    )
+    agg = scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("score").cast("bigint").alias("sum_score"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        "sum_score",
+        "min_score",
+        "max_score",
+        "n_pos",
+        F.expr(
+            "CAST(CASE WHEN sum_score >= 0 "
+            "THEN (2 * sum_score + n_vecs) DIV (2 * n_vecs) "
+            "ELSE -((-2 * sum_score + n_vecs) DIV (2 * n_vecs)) "
+            "END AS BIGINT)"
+        ).alias("mean_score"),
+    ).orderBy("label")
+
+
+@query(
+    "supplier_part_bfs_layers",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), deg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY s
+    ), src AS (
+        SELECT s FROM deg ORDER BY c DESC, s LIMIT 1
+    ), walk(kind, id, dist) AS (
+        SELECT 's', s, 0 FROM src
+        UNION
+        SELECT CASE WHEN w.kind = 's' THEN 'p' ELSE 's' END,
+               CASE WHEN w.kind = 's' THEN e.p ELSE e.s END,
+               w.dist + 1
+        FROM walk w JOIN e
+          ON (w.kind = 's' AND e.s = w.id)
+          OR (w.kind = 'p' AND e.p = w.id)
+        WHERE w.dist < 4
+    ), mind AS (
+        SELECT kind, id, MIN(dist) AS dist FROM walk GROUP BY kind, id
+    )
+    SELECT CAST(dist AS INT) AS layer,
+           CASE kind WHEN 's' THEN 'supplier' ELSE 'part' END
+               AS node_type,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM mind GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def supplier_part_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first expansion layers from the highest-degree supplier
+    through the bipartite supplier-part co-sourcing graph — the "blast
+    radius" traversal (how much of the supply network is within k hops
+    of a hub).  Four rounds of frontier-join-prune: each round joins
+    the current frontier against the edge list on ITS key side and
+    anti-joins the visited set, so every round is one keyed shuffle
+    bounded by the true frontier — the distributed BFS shape that
+    holds at any graph size (contrast with the pointer-doubling
+    closure in graph.py, which trades rounds for join width).  The
+    oracle replays it as a depth-bounded recursive CTE taking min
+    dist per node."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = e.localCheckpoint(eager=False)
+    src_row = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("s"))
+        .limit(1)
+        .collect()
+    )
+    src = int(src_row[0]["s"])
+    layers = []  # (layer, node_type, count)
+    vis_s = spark.createDataFrame([(src,)], "s BIGINT")
+    vis_p = spark.createDataFrame([], "p BIGINT")
+    frontier, side = vis_s, "s"
+    layers.append((0, "supplier", 1))
+    for dist in range(1, 5):
+        if side == "s":
+            nxt = (
+                e.join(frontier, "s")
+                .select("p")
+                .distinct()
+                .join(vis_p, "p", "left_anti")
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            cnt = nxt.count()
+            if cnt:
+                layers.append((dist, "part", cnt))
+            vis_p = vis_p.unionByName(nxt).localCheckpoint(eager=True)
+            frontier, side = nxt, "p"
+        else:
+            nxt = (
+                e.join(frontier, "p")
+                .select("s")
+                .distinct()
+                .join(vis_s, "s", "left_anti")
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            cnt = nxt.count()
+            if cnt:
+                layers.append((dist, "supplier", cnt))
+            vis_s = vis_s.unionByName(nxt).localCheckpoint(eager=True)
+            frontier, side = nxt, "s"
+    return (
+        spark.createDataFrame(
+            layers, "layer INT, node_type STRING, n_nodes BIGINT"
+        )
+        .orderBy("layer", "node_type")
+    )
 
 
 # r8 rotation: the six r7-tail queries with oracles but no driver row

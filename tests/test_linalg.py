@@ -82,7 +82,7 @@ def test_scatter_cells_matches_numpy(spark):
         [([float(x) for x in row],) for row in data],
         "embedding array<float>",
     )
-    cells, n = scatter_cells(df, "embedding", dim=5, scale=1000)
+    cells, n, means_out = scatter_cells(df, "embedding", dim=5, scale=1000)
     assert n == 40
 
     # replay the exact quantized pipeline with half-away rounding
@@ -95,6 +95,7 @@ def test_scatter_cells_matches_numpy(spark):
     mean = np.array(
         [round_div(int(s), 40) for s in xi.sum(axis=0)], dtype=np.int64
     )
+    assert means_out == mean.tolist()
     dev = xi - mean
     want = dev.T @ dev
     got = np.zeros((5, 5), dtype=np.int64)
@@ -106,5 +107,5 @@ def test_scatter_cells_matches_numpy(spark):
 
 def test_scatter_cells_empty(spark):
     df = spark.createDataFrame([], "embedding array<float>")
-    cells, n = scatter_cells(df, "embedding", dim=4, scale=1000)
-    assert cells == [] and n == 0
+    cells, n, means = scatter_cells(df, "embedding", dim=4, scale=1000)
+    assert cells == [] and n == 0 and means == []
