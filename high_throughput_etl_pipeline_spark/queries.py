@@ -14842,7 +14842,15 @@ HEADLINE: list[str] = [
     # user_cohort_ltv, events_theilsen_trend, user_conversion_lag,
     # source_quantile_calibration, brand_pareto_analysis,
     # doc_rake_keywords, events_hourweek_profile,
-    # orders_reorder_intervals.
+    # orders_reorder_intervals,
+    # plus the r8 session-2 wave (all 16 verified hash-green via
+    # tools/check_correctness.py at add time): events_max_drawdown,
+    # user_longest_streak, user_activity_bitmask, supplier_adamic_adar,
+    # classifier_pr_auc, classifier_class_report, classifier_kappa,
+    # events_incremental_rollup, events_compaction_plan,
+    # events_holt_forecast, ranker_rbo_eval, doc_readability,
+    # events_interval_overlap, embedding_pca_power,
+    # embedding_pca_scores, supplier_part_bfs_layers.
 ]
 
 
