@@ -815,3 +815,60 @@ def test_fd_audit_single_explode_pipeline(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Generate" in final
     assert "Window" not in final
+
+
+def test_drawdown_windows_keyed_and_topk(spark):
+    # cum/runmax windows must shuffle by user_id (per-key linear scans);
+    # the leaderboard is the distributed top-k, never a global sort
+    plan = _plan(spark, "events_max_drawdown")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1) or "_w0" in m.group(1), m.group(0)
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+
+
+def test_adamic_adar_bounded_and_topk(spark):
+    # pair generation is a keyed equi-join on part (cap-8 fanout), and
+    # the leaderboard rides TakeOrderedAndProject
+    plan = _plan(spark, "supplier_adamic_adar")
+    assert "CartesianProduct" not in plan
+    _assert_distributed_topk(plan)
+
+
+def test_rbo_top_lists_take_ordered(spark):
+    # both top-50 ranker lists come off bounded k-row heaps
+    plan = _plan(spark, "ranker_rbo_eval")
+    _assert_distributed_topk(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_pr_auc_no_global_window(spark):
+    # rank k and cum_pos both ride the range-partition two-pass shape —
+    # an empty-partition-spec window over the scored corpus would
+    # single-task at 100x
+    plan = _plan(spark, "classifier_pr_auc")
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+
+
+def test_streak_windows_keyed_by_user(spark):
+    plan = _plan(spark, "user_longest_streak")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
+
+
+def test_pca_scores_no_join_in_scoring_pass(spark):
+    # the eigenvector enters as a literal array: scoring is one map-side
+    # zip_with scan + the |labels| rollup — no join anywhere
+    plan = _plan(spark, "embedding_pca_scores")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final, final
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_windows_keyed_and_broadcast(spark):
+    # sessionization windows keyed by user; the window table joins as a
+    # broadcast (literal 2-row frame), never a shuffle
+    plan = _plan(spark, "events_interval_overlap")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
