@@ -153,3 +153,111 @@ def power_top_eigvec(
     vv = sum(x * x for x in v)
     trace = sum(m[i][i] for i in range(dim))
     return v, vmv, vv, trace
+
+
+def normal_equation_fit(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    group_cols: list[str],
+    y_per_unit: int = 100,
+) -> DataFrame:
+    """Per-group TWO-feature least squares (intercept + x1 + x2) solved
+    by exact normal equations — the multiple-regression extension of
+    ``plans/metrics.py:grouped_trend``.
+
+    ``x1_col``/``x2_col``/``y_col`` must already be integer columns
+    (the caller quantizes to a lattice).  ONE grouped pass accumulates
+    the nine sufficient statistics (n, Σx1, Σx2, Σx1², Σx2², Σx1x2,
+    Σy, Σx1y, Σx2y, Σy²) as decimal(38,0) — X'X never materializes per
+    row, and fitting a million per-key planes costs exactly one rollup,
+    which is the 100 TB shape: no driver-side solve, no collect, the
+    3×3 Cramer determinants are six decimal expressions evaluated
+    per GROUP.  Exact-integer determinants mean an engine replaying the
+    same cofactor expansion (DuckDB HUGEINT) agrees bit-for-bit; cast
+    to double only at the three final divisions.  Singular groups
+    (det = 0: constant or collinear features) emit NULL coefficients.
+
+    R² comes from SSE = Σy² − (b0·Σy + b1·Σx1y + b2·Σx2y) — the OLS
+    identity SSE = y'y − b'X'y — evaluated in doubles with a fixed
+    operation order both engines share.
+
+    Output: (*group_cols, n, b0, b1, b2, r2) with b's rescaled by
+    ``y_per_unit`` (cents → currency).
+    """
+    dec = "decimal(38,0)"
+    x1 = F.col(x1_col).cast(dec)
+    x2 = F.col(x2_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(x1).alias("_s1"),
+        F.sum(x2).alias("_s2"),
+        F.sum(x1 * F.col(x1_col)).alias("_s11"),
+        F.sum(x2 * F.col(x2_col)).alias("_s22"),
+        F.sum(x1 * F.col(x2_col)).alias("_s12"),
+        F.sum(y).alias("_sy"),
+        F.sum(x1 * F.col(y_col)).alias("_s1y"),
+        F.sum(x2 * F.col(y_col)).alias("_s2y"),
+        F.sum(y * F.col(y_col)).alias("_syy"),
+    )
+    n, s1, s2 = F.col("_n"), F.col("_s1"), F.col("_s2")
+    s11, s22, s12 = F.col("_s11"), F.col("_s22"), F.col("_s12")
+    sy, s1y, s2y, syy = (
+        F.col("_sy"), F.col("_s1y"), F.col("_s2y"), F.col("_syy"),
+    )
+    # cofactor expansion along the first column of the symmetric
+    # 3x3 system A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    g = g.select(
+        *group_cols,
+        n.cast("bigint").alias("n"),
+        det.cast("double").alias("_det"),
+        det0.cast("double").alias("_det0"),
+        det1.cast("double").alias("_det1"),
+        det2.cast("double").alias("_det2"),
+        sy.cast("double").alias("_syd"),
+        s1y.cast("double").alias("_s1yd"),
+        s2y.cast("double").alias("_s2yd"),
+        syy.cast("double").alias("_syyd"),
+        n.cast("double").alias("_nd"),
+    )
+    b0 = F.col("_det0") / F.col("_det")
+    b1 = F.col("_det1") / F.col("_det")
+    b2 = F.col("_det2") / F.col("_det")
+    sse = F.col("_syyd") - (
+        b0 * F.col("_syd") + b1 * F.col("_s1yd") + b2 * F.col("_s2yd")
+    )
+    sst = F.col("_syyd") - F.col("_syd") * F.col("_syd") / F.col("_nd")
+    ok = F.col("_det") != 0
+    u = float(y_per_unit)
+    return g.select(
+        *group_cols,
+        "n",
+        F.when(ok, F.round(b0 / u, 6)).alias("b0"),
+        F.when(ok, F.round(b1 / u, 6)).alias("b1"),
+        F.when(ok, F.round(b2 / u, 6)).alias("b2"),
+        F.when(ok & (sst > 0), F.round(F.lit(1.0) - sse / sst, 6)).alias(
+            "r2"
+        ),
+    )

@@ -610,3 +610,137 @@ def conversion_rates_wilson(
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     )
+
+
+# Poisson(1) CDF on the 1e-9 lattice — the inverse-CDF thresholds for
+# deterministic per-(row, replicate) bootstrap weights.  A shared
+# literal: computed once here, embedded verbatim in both the Spark plan
+# and the DuckDB oracle, so engine parity never depends on either
+# engine's exp().  Mass above k=6 (2.3e-5) lands on weight 7 — the
+# truncation bias is ~1e-5 of one unit weight, far below the 1e-6
+# output lattice.
+import math as _math
+
+_P1 = [_math.exp(-1.0) / _math.factorial(k) for k in range(7)]
+POISSON1_CDF_1E9: list[int] = [
+    round(sum(_P1[: k + 1]) * 1e9) for k in range(7)
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    y_col: str,
+    id_col: str,
+    group_cols: list[str],
+    n_boot: int = 40,
+    lo_rank: int = 2,
+    hi_rank: int = 39,
+    y_per_unit: int = 100,
+    salt: str = "pboot-v1",
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean by POISSON
+    RESAMPLING — the only bootstrap that distributes: classical
+    resampling draws n rows WITH replacement (a global operation), but
+    Binomial(n, 1/n) → Poisson(1) as n grows, so each row can draw its
+    own i.i.d. replicate weights from a keyed PRF and never coordinate
+    with any other row.  One map-side explode of ``n_boot`` weights per
+    row, ONE grouped shuffle carrying (group, replicate) partials —
+    the 100 TB shape for "error bars on any metric".
+
+    Weights are deterministic: ``u = md5(id:b:salt) mod 1e9`` inverted
+    through the shared-literal Poisson(1) CDF (``POISSON1_CDF_1E9``),
+    so reruns and the SQL oracle reproduce every draw exactly.
+    Replicate means land on the 1e-6 lattice; the interval is RANK
+    SELECTION over the ``n_boot`` replicate means (``lo_rank``-th /
+    ``hi_rank``-th smallest — 2/39 of 40 ≈ a 92.7% percentile
+    interval), and the bootstrap SE is the exact integer variance of
+    the lattice means.  ``y_col`` must already be integer (cents).
+
+    Output: (*group_cols, n_rows, point_mean, boot_lo, boot_hi,
+    boot_se).
+    """
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    dec = "decimal(38,0)"
+    point = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum(F.col(y_col).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+            / float(y_per_unit),
+            6,
+        ).alias("point_mean"),
+    )
+    th = F.array(*[F.lit(t) for t in POISSON1_CDF_1E9])
+    rep = df.select(
+        *group_cols,
+        F.col(y_col).alias("_y"),
+        F.col(id_col).cast("string").alias("_id"),
+    ).select(
+        *group_cols,
+        "_y",
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b"),
+    )
+    u = F.pmod(
+        md5_64(
+            F.concat(
+                F.col("_id"),
+                F.lit(":"),
+                F.col("_b").cast("string"),
+                F.lit(":" + salt),
+            )
+        ),
+        F.lit(1_000_000_000),
+    )
+    w = F.size(F.filter(th, lambda t: t <= u))
+    per_rep = (
+        rep.select(
+            *group_cols,
+            F.col("_b"),
+            w.alias("_w"),
+            (w.cast(dec) * F.col("_y")).alias("_wy"),
+        )
+        .groupBy(*group_cols, "_b")
+        .agg(
+            F.sum("_w").cast("bigint").alias("_sw"),
+            F.sum("_wy").alias("_swy"),
+        )
+        .select(
+            *group_cols,
+            F.when(
+                F.col("_sw") > 0,
+                F.round(
+                    F.col("_swy").cast("double")
+                    / F.col("_sw")
+                    / float(y_per_unit)
+                    * 1e6,
+                    0,
+                ).cast("bigint"),
+            ).alias("_m"),
+        )
+    )
+    stats = per_rep.groupBy(*group_cols).agg(
+        F.count("_m").cast(dec).alias("_nb"),
+        F.sum(F.col("_m").cast(dec)).alias("_sm"),
+        F.sum(F.col("_m").cast(dec) * F.col("_m")).alias("_smm"),
+        F.sort_array(F.collect_list("_m")).alias("_arr"),
+    )
+    num = (F.col("_nb") * F.col("_smm") - F.col("_sm") * F.col("_sm")).cast(
+        "double"
+    )
+    den = (F.col("_nb") * (F.col("_nb") - 1)).cast("double")
+    return point.join(stats, on=group_cols).select(
+        *group_cols,
+        "n_rows",
+        "point_mean",
+        F.round(
+            F.element_at(F.col("_arr"), lo_rank).cast("double") / 1e6, 6
+        ).alias("boot_lo"),
+        F.round(
+            F.element_at(F.col("_arr"), hi_rank).cast("double") / 1e6, 6
+        ).alias("boot_hi"),
+        F.when(
+            F.col("_nb") > 1, F.round(F.sqrt(num / den) / 1e6, 6)
+        ).alias("boot_se"),
+    )

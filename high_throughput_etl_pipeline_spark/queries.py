@@ -14722,6 +14722,196 @@ def supplier_part_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_price_model",
+    oracle="""
+    WITH base AS (
+        SELECT YEAR(l_shipdate) AS ship_year,
+               CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   AS price_cents
+        FROM lineitem
+    ), s AS (
+        SELECT ship_year,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(qty AS HUGEINT)) AS s1,
+               SUM(CAST(disc_pct AS HUGEINT)) AS s2,
+               SUM(CAST(qty AS HUGEINT) * qty) AS s11,
+               SUM(CAST(disc_pct AS HUGEINT) * disc_pct) AS s22,
+               SUM(CAST(qty AS HUGEINT) * disc_pct) AS s12,
+               SUM(CAST(price_cents AS HUGEINT)) AS sy,
+               SUM(CAST(qty AS HUGEINT) * price_cents) AS s1y,
+               SUM(CAST(disc_pct AS HUGEINT) * price_cents) AS s2y,
+               SUM(CAST(price_cents AS HUGEINT) * price_cents) AS syy
+        FROM base GROUP BY ship_year
+    ), d AS (
+        SELECT ship_year, CAST(n AS BIGINT) AS n,
+               CAST(n * (s11*s22 - s12*s12) - s1 * (s1*s22 - s12*s2)
+                    + s2 * (s1*s12 - s11*s2) AS DOUBLE) AS det,
+               CAST(sy * (s11*s22 - s12*s12) - s1 * (s1y*s22 - s12*s2y)
+                    + s2 * (s1y*s12 - s11*s2y) AS DOUBLE) AS det0,
+               CAST(n * (s1y*s22 - s12*s2y) - sy * (s1*s22 - s12*s2)
+                    + s2 * (s1*s2y - s1y*s2) AS DOUBLE) AS det1,
+               CAST(n * (s11*s2y - s1y*s12) - s1 * (s1*s2y - s1y*s2)
+                    + sy * (s1*s12 - s11*s2) AS DOUBLE) AS det2,
+               CAST(sy AS DOUBLE) AS syd, CAST(s1y AS DOUBLE) AS s1yd,
+               CAST(s2y AS DOUBLE) AS s2yd, CAST(syy AS DOUBLE) AS syyd,
+               CAST(n AS DOUBLE) AS nd
+        FROM s
+    )
+    SELECT ship_year, n,
+           CASE WHEN det <> 0
+                THEN round(det0 / det / 100.0, 6) END AS b0,
+           CASE WHEN det <> 0
+                THEN round(det1 / det / 100.0, 6) END AS b1,
+           CASE WHEN det <> 0
+                THEN round(det2 / det / 100.0, 6) END AS b2,
+           CASE WHEN det <> 0 AND (syyd - syd*syd/nd) > 0 THEN
+               round(1.0 - (syyd - (det0/det*syd + det1/det*s1yd
+                                    + det2/det*s2yd))
+                         / (syyd - syd*syd/nd), 6)
+           END AS r2
+    FROM d ORDER BY ship_year
+    """,
+)
+def lineitem_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ship-year TWO-feature least squares — extended price (cents)
+    regressed on quantity and discount-percent by EXACT normal
+    equations (``linalg.normal_equation_fit``).  One grouped pass
+    accumulates the nine sufficient statistics as decimal(38,0); the
+    3×3 Cramer determinants are integer cofactor expansions an engine
+    replaying the same expression agrees with bit-for-bit, so the only
+    float ops are the three final divisions and the R² identity
+    SSE = y'y − b'X'y.  Fitting a regression per key costs exactly one
+    rollup at any scale — no driver solve, no collect, no per-row
+    matrix.  The 100 TB caveat is explicit: decimal(38,0) overflow
+    surfaces as NULL (non-ANSI), never a silent wrap."""
+    from high_throughput_etl_pipeline_spark.operators.linalg import (
+        normal_equation_fit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.year("l_shipdate").alias("ship_year"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0)
+        .cast("bigint")
+        .alias("disc_pct"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    return normal_equation_fit(
+        base,
+        "qty",
+        "disc_pct",
+        "price_cents",
+        ["ship_year"],
+        y_per_unit=100,
+    ).orderBy("ship_year")
+
+
+def _pboot_w_sql(u_expr: str) -> str:
+    """The shared-literal Poisson(1) inverse-CDF as a SQL case-sum —
+    embeds ``plans.metrics.POISSON1_CDF_1E9`` verbatim so the oracle
+    inverts the identical thresholds the Spark plan filters against."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        POISSON1_CDF_1E9,
+    )
+
+    return " + ".join(
+        f"CASE WHEN {u_expr} >= {t} THEN 1 ELSE 0 END"
+        for t in POISSON1_CDF_1E9
+    )
+
+
+@query(
+    "events_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), point AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS point_mean
+        FROM base GROUP BY event_type
+    ), rep AS (
+        SELECT base.event_type, base.cents, r.b,
+               ('0x' || substr(md5(CAST(base.event_id AS VARCHAR)
+                   || ':' || CAST(r.b AS VARCHAR) || ':pboot-v1'),
+                   18, 15))::BIGINT % 1000000000 AS u
+        FROM base CROSS JOIN (SELECT UNNEST(range(0, 40)) AS b) r
+    ), w AS (
+        SELECT event_type, b, cents,
+               ({_pboot_w_sql('u')}) AS w
+        FROM rep
+    ), per_rep AS (
+        SELECT event_type, b,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               SUM(CAST(w AS HUGEINT) * cents) AS swy
+        FROM w GROUP BY event_type, b
+    ), m AS (
+        SELECT event_type,
+               CASE WHEN sw > 0 THEN CAST(round(
+                   CAST(swy AS DOUBLE) / sw / 100.0 * 1e6, 0) AS BIGINT)
+               END AS m
+        FROM per_rep
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(m) AS HUGEINT) AS nb,
+               SUM(CAST(m AS HUGEINT)) AS sm,
+               SUM(CAST(m AS HUGEINT) * m) AS smm,
+               list(m ORDER BY m) AS arr
+        FROM m GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_rows, p.point_mean,
+           round(CAST(arr[2] AS DOUBLE) / 1e6, 6) AS boot_lo,
+           round(CAST(arr[39] AS DOUBLE) / 1e6, 6) AS boot_hi,
+           CASE WHEN nb > 1 THEN round(sqrt(
+               CAST(nb*smm - sm*sm AS DOUBLE)
+               / CAST(nb*(nb-1) AS DOUBLE)) / 1e6, 6)
+           END AS boot_se
+    FROM point p JOIN stats s ON p.event_type = s.event_type
+    ORDER BY p.event_type
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type bootstrap confidence interval for mean value by
+    POISSON RESAMPLING (``plans.metrics.poisson_bootstrap_ci``) — the
+    bootstrap that distributes: each row draws its own 40 replicate
+    weights from a keyed PRF through the shared-literal Poisson(1)
+    inverse CDF, so no row ever coordinates with another and the whole
+    resample is one map-side explode + one (group, replicate) grouped
+    shuffle.  Replicate means ride the 1e-6 lattice; the interval is
+    rank selection (2nd/39th of 40 sorted means) and the bootstrap SE
+    is the exact integer variance of the lattice means.  Error bars on
+    any metric at 100 TB for the cost of a 40× fatter rollup."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        poisson_bootstrap_ci,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return poisson_bootstrap_ci(
+        base,
+        "cents",
+        "event_id",
+        ["event_type"],
+        n_boot=40,
+        lo_rank=2,
+        hi_rank=39,
+        y_per_unit=100,
+        salt="pboot-v1",
+    ).orderBy("event_type")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

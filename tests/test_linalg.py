@@ -109,3 +109,60 @@ def test_scatter_cells_empty(spark):
     df = spark.createDataFrame([], "embedding array<float>")
     cells, n, means = scatter_cells(df, "embedding", dim=4, scale=1000)
     assert cells == [] and n == 0 and means == []
+
+
+def test_normal_equation_fit_matches_numpy_lstsq(spark):
+    from high_throughput_etl_pipeline_spark.operators.linalg import (
+        normal_equation_fit,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in ("a", "b"):
+        x1 = rng.integers(1, 50, size=60)
+        x2 = rng.integers(0, 10, size=60)
+        noise = rng.integers(-500, 500, size=60)
+        y = 10_000 + 250 * x1 + (-90 if g == "a" else 40) * x2 + noise
+        rows += [
+            (g, int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)
+        ]
+    df = spark.createDataFrame(
+        rows, "grp string, x1 bigint, x2 bigint, y bigint"
+    )
+    got = {
+        r["grp"]: r
+        for r in normal_equation_fit(
+            df, "x1", "x2", "y", ["grp"], y_per_unit=100
+        ).collect()
+    }
+    for g in ("a", "b"):
+        sub = [r for r in rows if r[0] == g]
+        X = np.array([[1.0, r[1], r[2]] for r in sub])
+        yv = np.array([float(r[3]) for r in sub])
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        assert got[g]["n"] == 60
+        assert abs(got[g]["b0"] - beta[0] / 100) < 1e-4
+        assert abs(got[g]["b1"] - beta[1] / 100) < 1e-4
+        assert abs(got[g]["b2"] - beta[2] / 100) < 1e-4
+        pred = X @ beta
+        sse = float(((yv - pred) ** 2).sum())
+        sst = float(((yv - yv.mean()) ** 2).sum())
+        assert abs(got[g]["r2"] - (1 - sse / sst)) < 1e-4
+
+
+def test_normal_equation_fit_singular_group_is_null(spark):
+    from high_throughput_etl_pipeline_spark.operators.linalg import (
+        normal_equation_fit,
+    )
+
+    # x2 constant -> collinear with the intercept -> det = 0
+    df = spark.createDataFrame(
+        [("s", i, 7, 100 * i) for i in range(1, 20)],
+        "grp string, x1 bigint, x2 bigint, y bigint",
+    )
+    (row,) = normal_equation_fit(
+        df, "x1", "x2", "y", ["grp"], y_per_unit=100
+    ).collect()
+    assert row["n"] == 19
+    assert row["b0"] is None and row["b1"] is None
+    assert row["b2"] is None and row["r2"] is None

@@ -2949,3 +2949,67 @@ def test_rake_phrase_segmentation_and_scores(spark):
     assert out["deep learning systems"].rake_score == 9.0
     assert out["baseline"].rake_score == 1.0
     assert out["deep learning beats"].n_occurrences == 1
+
+
+def test_poisson_bootstrap_ci_statistics(spark):
+    """The Poisson bootstrap's interval must bracket the true mean of a
+    well-behaved sample, its weights must be a real Poisson(1) draw
+    (mean weight ~ 1), and the whole release must be deterministic
+    (keyed PRF, not RNG)."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("g", i, 10_000 + (i * 7919) % 2_000) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, id bigint, cents bigint")
+
+    def run():
+        return poisson_bootstrap_ci(
+            df, "cents", "id", ["grp"], n_boot=40
+        ).collect()
+
+    (r,) = run()
+    true_mean = sum(v for *_, v in rows) / 400 / 100
+    assert r["n_rows"] == 400
+    assert abs(r["point_mean"] - true_mean) < 1e-6
+    # the CI brackets the point estimate and is a few SEs wide
+    assert r["boot_lo"] <= r["point_mean"] <= r["boot_hi"]
+    assert r["boot_se"] > 0
+    width = r["boot_hi"] - r["boot_lo"]
+    assert width < 10 * r["boot_se"] + 1e-9
+    # deterministic: a rerun reproduces the identical draw
+    (r2,) = run()
+    assert r2 == r
+
+
+def test_poisson_bootstrap_weights_mean_one(spark):
+    """Mean Poisson(1) weight across (row, replicate) cells ~ 1: the
+    resample neither inflates nor shrinks the effective sample."""
+    import pyspark.sql.functions as F
+
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        POISSON1_CDF_1E9,
+    )
+
+    df = spark.range(2_000).select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"), "id"
+    )
+    u = F.pmod(
+        md5_64(
+            F.concat(
+                F.col("id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+                F.lit(":pboot-v1"),
+            )
+        ),
+        F.lit(1_000_000_000),
+    )
+    th = F.array(*[F.lit(t) for t in POISSON1_CDF_1E9])
+    w = F.size(F.filter(th, lambda t: t <= u))
+    (row,) = df.select(
+        F.avg(w).alias("mean_w"), F.max(w).alias("max_w")
+    ).collect()
+    assert abs(row["mean_w"] - 1.0) < 0.02
+    assert row["max_w"] <= 7

@@ -872,3 +872,22 @@ def test_interval_overlap_windows_keyed_and_broadcast(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in m.group(1), m.group(0)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_price_model_single_rollup_no_join_no_window(spark):
+    # per-group OLS is ONE grouped pass over the scan: the normal
+    # equations never materialize X'X per row, join nothing, sort nothing
+    plan = _plan(spark, "lineitem_price_model")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final, final
+    assert "Window" not in final, final
+    assert final.count("FileScan") == 1
+
+
+def test_bootstrap_ci_no_window_no_cartesian(spark):
+    # replicate means come from grouped aggs (never a window over the
+    # exploded frame); the only join is the tiny per-group point×stats
+    plan = _plan(spark, "events_bootstrap_ci")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final
+    assert "CartesianProduct" not in plan
