@@ -821,3 +821,51 @@ def k_core(
     return sym.groupBy(F.col("_a").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Single-source shortest paths on a typed bipartite graph by
+    ROUND-BOUNDED Bellman-Ford — ``rounds`` synchronous relaxations,
+    so the result is exact for every node within ``rounds`` hops of
+    the source (the classic bounded-horizon SSSP: at 100 TB you cap
+    the horizon, not the data).
+
+    ``edges`` is (s, p, w) with integer weights — distances stay on
+    the exact integer lattice, so any engine replaying the same
+    relaxation rounds agrees bit-for-bit.  ``source`` is a one-or-few
+    row frame (kind, id, dist) seeding the frontier.
+
+    Each round is two keyed equi-joins (frontier × edges on the
+    frontier's OWN side) + one grouped min — never a cartesian,
+    never a global sort; ``localCheckpoint`` cuts lineage so the plan
+    does not double per round.  Unreached nodes simply never appear.
+
+    Output: (kind, id, dist) — the tentative-final distance table.
+    """
+    e = edges.localCheckpoint(eager=False)
+    dist = source
+    for _ in range(rounds):
+        ds = dist.filter(F.col("kind") == "s").alias("d")
+        dp = dist.filter(F.col("kind") == "p").alias("d")
+        nxt_p = ds.join(e.alias("e"), F.col("d.id") == F.col("e.s")).select(
+            F.lit("p").alias("kind"),
+            F.col("e.p").alias("id"),
+            (F.col("d.dist") + F.col("e.w")).alias("dist"),
+        )
+        nxt_s = dp.join(e.alias("e"), F.col("d.id") == F.col("e.p")).select(
+            F.lit("s").alias("kind"),
+            F.col("e.s").alias("id"),
+            (F.col("d.dist") + F.col("e.w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt_p)
+            .unionByName(nxt_s)
+            .groupBy("kind", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

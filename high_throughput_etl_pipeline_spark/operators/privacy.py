@@ -146,4 +146,65 @@ def dp_noisy_counts(
     )
 
 
-__all__ = ["k_anonymity_audit", "anonymity_report", "dp_noisy_counts"]
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian '07): for every
+    quasi-identifier group, the VARIATIONAL DISTANCE between the
+    group's sensitive-attribute distribution and the global one —
+    0.5*sum|p_s - q_s| — with a violation flag against threshold ``t``.
+    The k-anonymity/l-diversity ladder's final rung: a group can be
+    large and diverse yet still leak by skew.
+
+    Shape: three rollups (global per-sensitive, per-group, per-cell),
+    the full group x sensitive grid from a BROADCAST of the tiny global
+    distribution (|sensitive alphabet| rows), and per-cell scaled
+    rounding — each |p-q| lands on the 1e-9 integer lattice BEFORE the
+    cross-cell sum, so engines never disagree on float-sum order.  At
+    100 TB: scans and keyed rollups only; the grid is |groups| x |S|.
+
+    Output: (*qi_cols, n_rows, t_value, violates).
+    """
+    glob = df.groupBy(F.col(sensitive_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt_s")
+    )
+    tot = df.select(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    groups = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    cells = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("_s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    grid = (
+        groups.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, [*qi_cols, "_s"], "left")
+    )
+    dd = F.round(
+        (
+            F.coalesce(F.col("_cnt"), F.lit(0)).cast("double")
+            / F.col("n_rows")
+            - F.col("_cnt_s").cast("double") / F.col("_n")
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    per = grid.select(*qi_cols, "n_rows", dd.alias("_dd")).groupBy(
+        *qi_cols, "n_rows"
+    ).agg(
+        F.round(
+            F.sum(F.abs(F.col("_dd"))).cast("double") / F.lit(2e9), 6
+        ).alias("t_value")
+    )
+    return per.select(
+        *qi_cols,
+        "n_rows",
+        "t_value",
+        (F.col("t_value") > F.lit(t)).alias("violates"),
+    )
+
+
+__all__ = ["k_anonymity_audit", "anonymity_report", "dp_noisy_counts", "t_closeness_audit"]

@@ -744,3 +744,75 @@ def poisson_bootstrap_ci(
             F.col("_nb") > 1, F.round(F.sqrt(num / den) / 1e6, 6)
         ).alias("boot_se"),
     )
+
+
+def sprt_decisions(
+    df: DataFrame,
+    success_col: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    p0: float,
+    p1: float,
+    alpha: float = 0.1,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per-key Wald SPRT (sequential probability ratio test) — the
+    always-valid guardrail monitor: for each key's Bernoulli stream in
+    event order, accumulate the log-likelihood ratio of H1 (rate p1)
+    against H0 (rate p0) and stop at the FIRST crossing of the Wald
+    boundaries ln((1-β)/α) / ln(β/(1-α)).
+
+    The two per-observation LLR increments and both boundaries are
+    scaled to a 1e-9 integer lattice as SHARED LITERALS (plain Python
+    ``math.log`` at plan-build time), so the running sum is an exact
+    integer any engine reproduces bit-for-bit — float never enters the
+    recurrence.  The stream is one window PARTITIONED BY KEY (each
+    key's scan is local to its partition; nothing orders globally) and
+    the stopping rule is a grouped conditional-min — first up-crossing
+    rank vs first down-crossing rank; whichever is earlier decided the
+    test, neither means the data ran out undecided (``continue``).
+
+    Output: (*key_cols, decision, stop_n, n_obs) — stop_n is the
+    1-based observation index the test decided at (or n_obs when it
+    never decided).  At 100 TB this is one keyed shuffle + per-key
+    linear scans; decisions per key cost what a rollup costs.
+    """
+    inc1 = round(_math.log(p1 / p0) * 1e9)
+    inc0 = round(_math.log((1.0 - p1) / (1.0 - p0)) * 1e9)
+    a9 = round(_math.log((1.0 - beta) / alpha) * 1e9)
+    b9 = round(_math.log(beta / (1.0 - alpha)) * 1e9)
+    wsum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    inc = F.when(F.col(success_col) == 1, F.lit(inc1)).otherwise(
+        F.lit(inc0)
+    )
+    c = df.select(*key_cols, *order_cols, success_col).select(
+        *key_cols,
+        F.sum(inc).over(wsum).alias("_cum"),
+        F.row_number().over(wrn).alias("_rn"),
+    )
+    per = c.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.min(F.when(F.col("_cum") >= a9, F.col("_rn"))).alias("_hi"),
+        F.min(F.when(F.col("_cum") <= b9, F.col("_rn"))).alias("_lo"),
+    )
+    hi, lo = F.col("_hi"), F.col("_lo")
+    h1 = hi.isNotNull() & (lo.isNull() | (hi < lo))
+    h0 = lo.isNotNull() & (hi.isNull() | (lo < hi))
+    return per.select(
+        *key_cols,
+        F.when(h1, F.lit("accept_h1"))
+        .when(h0, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.when(h1, hi)
+        .when(h0, lo)
+        .otherwise(F.col("n_obs"))
+        .cast("bigint")
+        .alias("stop_n"),
+        "n_obs",
+    )

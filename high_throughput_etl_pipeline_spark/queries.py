@@ -14912,6 +14912,338 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _sprt_literals(
+    p0: float, p1: float, alpha: float, beta: float
+) -> tuple[int, int, int, int]:
+    """The SPRT lattice literals (inc1, inc0, upper, lower) — computed
+    ONCE here and shared verbatim by the Spark plan (via
+    ``sprt_decisions`` recomputing the identical expressions) and the
+    DuckDB oracle f-string, so engine parity never touches either
+    engine's ln()."""
+    import math
+
+    return (
+        round(math.log(p1 / p0) * 1e9),
+        round(math.log((1.0 - p1) / (1.0 - p0)) * 1e9),
+        round(math.log((1.0 - beta) / alpha) * 1e9),
+        round(math.log(beta / (1.0 - alpha)) * 1e9),
+    )
+
+
+_SPRT_INC1, _SPRT_INC0, _SPRT_A9, _SPRT_B9 = _sprt_literals(
+    0.2, 0.35, 0.1, 0.1
+)
+
+
+@query(
+    "user_sprt_monitor",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN {_SPRT_INC1}
+                    ELSE {_SPRT_INC0} END AS inc
+        FROM events
+    ), c AS (
+        SELECT user_id,
+               SUM(inc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM x
+    ), per AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               MIN(CASE WHEN cum >= {_SPRT_A9} THEN rn END) AS hi,
+               MIN(CASE WHEN cum <= {_SPRT_B9} THEN rn END) AS lo
+        FROM c GROUP BY user_id
+    ), d AS (
+        SELECT CASE
+                 WHEN hi IS NOT NULL AND (lo IS NULL OR hi < lo)
+                     THEN 'accept_h1'
+                 WHEN lo IS NOT NULL AND (hi IS NULL OR lo < hi)
+                     THEN 'accept_h0'
+                 ELSE 'continue' END AS decision,
+               CASE
+                 WHEN hi IS NOT NULL AND (lo IS NULL OR hi < lo) THEN hi
+                 WHEN lo IS NOT NULL AND (hi IS NULL OR lo < hi) THEN lo
+                 ELSE n_obs END AS stop_n
+        FROM per
+    )
+    SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(AVG(CAST(stop_n AS DOUBLE)), 6) AS avg_stop_n,
+           CAST(MIN(stop_n) AS BIGINT) AS min_stop_n,
+           CAST(MAX(stop_n) AS BIGINT) AS max_stop_n
+    FROM d GROUP BY decision ORDER BY decision
+    """,
+)
+def user_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Wald SPRT over each user's event stream — "is this
+    user's error rate elevated to 35% against the 20% baseline?" —
+    rolled into a decision × stopping-time summary
+    (``plans.metrics.sprt_decisions``).  The LLR increments and Wald
+    boundaries are shared 1e-9-lattice literals, the running sum is an
+    exact integer window PARTITIONED BY USER, and the stopping rule is
+    a grouped conditional-min — first boundary crossed wins.  At
+    100 TB: one keyed shuffle, per-user linear scans, |decisions|-row
+    output."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        sprt_decisions,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    per = sprt_decisions(
+        base,
+        "is_err",
+        ["user_id"],
+        ["ts", "event_id"],
+        p0=0.2,
+        p1=0.35,
+        alpha=0.1,
+        beta=0.1,
+    )
+    return (
+        per.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg(F.col("stop_n").cast("double")), 6).alias(
+                "avg_stop_n"
+            ),
+            F.min("stop_n").cast("bigint").alias("min_stop_n"),
+            F.max("stop_n").cast("bigint").alias("max_stop_n"),
+        )
+        .orderBy("decision")
+    )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Chained-CTE replay of ``graph.sssp_bounded``: one CTE per
+    Bellman-Ford round (NOT a recursive CTE — path enumeration would
+    be exponential; the round replay is |nodes|-bounded like the Spark
+    plan it mirrors)."""
+    parts = [
+        """
+    WITH e AS (
+        SELECT l_suppkey AS s, l_partkey AS p,
+               CAST(MIN(round(l_quantity, 0)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), d0 AS (
+        SELECT 's' AS kind, CAST(MIN(l_suppkey) AS BIGINT) AS id,
+               CAST(0 AS BIGINT) AS dist
+        FROM lineitem
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", d{k} AS (
+        SELECT kind, id, MIN(dist) AS dist FROM (
+            SELECT * FROM d{k - 1}
+            UNION ALL
+            SELECT 'p', e.p, d.dist + e.w
+            FROM d{k - 1} d JOIN e ON d.kind = 's' AND d.id = e.s
+            UNION ALL
+            SELECT 's', e.s, d.dist + e.w
+            FROM d{k - 1} d JOIN e ON d.kind = 'p' AND d.id = e.p
+        ) GROUP BY kind, id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE kind WHEN 's' THEN 'supplier' ELSE 'part' END
+               AS node_type,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(MIN(dist) AS BIGINT) AS min_dist,
+           CAST(MAX(dist) AS BIGINT) AS max_dist,
+           round(AVG(CAST(dist AS DOUBLE)), 6) AS avg_dist
+    FROM d{rounds} GROUP BY 1 ORDER BY 1
+    """
+    )
+    return "".join(parts)
+
+
+@query("supplier_part_sssp", oracle=_sssp_oracle(6))
+def supplier_part_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths through the bipartite
+    supplier-part graph (edge weight = the cheapest observed order
+    quantity for that sourcing link) by six rounds of synchronous
+    Bellman-Ford (``graph.sssp_bounded``) from the lowest-keyed
+    supplier.  Distances ride the exact integer lattice; each round is
+    two keyed equi-joins + one grouped min with lineage cut per round
+    — the bounded-horizon SSSP shape that holds at any graph size.
+    The per-node-type (count, min, max, avg) rollup value-binds every
+    reached distance.  Oracle: chained-CTE round replay."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.groupBy(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).agg(
+        F.min(F.round(F.col("l_quantity"), 0))
+        .cast("bigint")
+        .alias("w")
+    )
+    src = li.select(
+        F.lit("s").alias("kind"),
+        F.min("l_suppkey").cast("bigint").alias("id"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    d = sssp_bounded(e, src, rounds=6)
+    return (
+        d.groupBy(
+            F.when(F.col("kind") == "s", F.lit("supplier"))
+            .otherwise(F.lit("part"))
+            .alias("node_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+            F.max("dist").cast("bigint").alias("max_dist"),
+            F.round(F.avg(F.col("dist").cast("double")), 6).alias(
+                "avg_dist"
+            ),
+        )
+        .orderBy("node_type")
+    )
+
+
+@query(
+    "user_seqpattern_support",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ), tot AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events
+    ), p AS (
+        SELECT a.event_type AS first_type, b.event_type AS then_type,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM f a JOIN f b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        GROUP BY 1, 2
+    )
+    SELECT first_type, then_type, support,
+           round(support / (SELECT n FROM tot), 6) AS support_pct
+    FROM p ORDER BY first_type, then_type
+    """,
+)
+def user_seqpattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 sequential-pattern support over user event streams —
+    for every ordered type pair (A then B): how many users saw their
+    FIRST A strictly before their FIRST B (the GSP/PrefixSpan unit
+    step, and the funnel-mining primitive).  First occurrences are one
+    grouped struct-min per (user, type) — |users|×|types| rows — and
+    the pair join is keyed on user with fanout bounded by the TYPE
+    alphabet (≤ T² per user, never by event volume), which is the
+    100 TB shape: sequence mining reduced to a bounded self-join over
+    a per-key summary.  Tie-breaks ride (ts, event_id) so the order is
+    total on both engines."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id")).alias("fo")
+    )
+    tot = e.select(
+        F.countDistinct("user_id").cast("bigint").alias("n")
+    )
+    a, b = f.alias("a"), f.alias("b")
+    p = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.fo") < F.col("b.fo"))
+        )
+        .groupBy(
+            F.col("a.event_type").alias("first_type"),
+            F.col("b.event_type").alias("then_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "first_type",
+            "then_type",
+            "support",
+            F.round(F.col("support") / F.col("n"), 6).alias(
+                "support_pct"
+            ),
+        )
+        .orderBy("first_type", "then_type")
+    )
+
+
+@query(
+    "orders_t_closeness",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS priority,
+               YEAR(o_orderdate) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1, 2
+    ), gdist AS (
+        SELECT o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS cnt_s
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+    ), cells AS (
+        SELECT o_orderpriority AS priority,
+               YEAR(o_orderdate) AS order_year,
+               o_orderstatus AS s,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2, 3
+    ), d AS (
+        SELECT g.priority, g.order_year, g.n_rows,
+               CAST(round((CAST(COALESCE(c.cnt, 0) AS DOUBLE) / g.n_rows
+                    - CAST(gl.cnt_s AS DOUBLE) / t.n) * 1e9, 0)
+                    AS BIGINT) AS dd
+        FROM g CROSS JOIN gdist gl CROSS JOIN tot t
+        LEFT JOIN cells c ON c.priority = g.priority
+              AND c.order_year = g.order_year AND c.s = gl.s
+    ), v AS (
+        SELECT priority, order_year, n_rows,
+               round(CAST(SUM(ABS(dd)) AS DOUBLE) / 2e9, 6) AS t_value
+        FROM d GROUP BY 1, 2, 3
+    )
+    SELECT priority, order_year, n_rows, t_value,
+           t_value > 0.2 AS violates
+    FROM v ORDER BY priority, order_year
+    """,
+)
+def orders_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over (priority, order-year) quasi-identifier
+    groups with order status as the sensitive attribute
+    (``privacy.t_closeness_audit``) — variational distance between
+    each group's status distribution and the global one, flagged at
+    t = 0.2.  Completes the anonymity ladder next to the k-anonymity
+    and l-diversity audits: per-cell 1e-9-lattice rounding before the
+    cross-cell sum, the global distribution broadcast over the group
+    grid, rollups only — nothing here outgrows a 100 TB scan."""
+    from high_throughput_etl_pipeline_spark.operators.privacy import (
+        t_closeness_audit,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderstatus",
+    )
+    return t_closeness_audit(
+        base, ["priority", "order_year"], "o_orderstatus", t=0.2
+    ).orderBy("priority", "order_year")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

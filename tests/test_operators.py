@@ -3013,3 +3013,86 @@ def test_poisson_bootstrap_weights_mean_one(spark):
     ).collect()
     assert abs(row["mean_w"] - 1.0) < 0.02
     assert row["max_w"] <= 7
+
+
+def test_sprt_decisions_known_streams(spark):
+    import math
+
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        sprt_decisions,
+    )
+
+    # u1: all successes -> accept_h1 at the first n where n*inc1 >= A
+    # u2: all failures  -> accept_h0 at the first n where n*inc0 <= B
+    # u3: 3 observations -> continue
+    rows = (
+        [("u1", i, 1) for i in range(30)]
+        + [("u2", i, 0) for i in range(60)]
+        + [("u3", i, 1 if i == 0 else 0) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "k string, seq int, x int")
+    got = {
+        r["k"]: r
+        for r in sprt_decisions(
+            df, "x", ["k"], ["seq"], p0=0.2, p1=0.35, alpha=0.1, beta=0.1
+        ).collect()
+    }
+    inc1 = round(math.log(0.35 / 0.2) * 1e9)
+    inc0 = round(math.log(0.65 / 0.8) * 1e9)
+    a9 = round(math.log(0.9 / 0.1) * 1e9)
+    b9 = round(math.log(0.1 / 0.9) * 1e9)
+    stop_h1 = next(n for n in range(1, 31) if n * inc1 >= a9)
+    stop_h0 = next(n for n in range(1, 61) if n * inc0 <= b9)
+    assert got["u1"]["decision"] == "accept_h1"
+    assert got["u1"]["stop_n"] == stop_h1
+    assert got["u2"]["decision"] == "accept_h0"
+    assert got["u2"]["stop_n"] == stop_h0
+    assert got["u3"]["decision"] == "continue"
+    assert got["u3"]["stop_n"] == 3 and got["u3"]["n_obs"] == 3
+
+
+def test_sssp_bounded_tiny_graph(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    # s1 -2- p1 -1- s2 -5- p2 ; s1 -9- p2 (direct but heavier)
+    edges = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 1), (2, 2, 5), (1, 2, 9)],
+        "s bigint, p bigint, w bigint",
+    )
+    src = spark.createDataFrame(
+        [("s", 1, 0)], "kind string, id bigint, dist bigint"
+    )
+    got = {
+        (r["kind"], r["id"]): r["dist"]
+        for r in sssp_bounded(edges, src, rounds=4).collect()
+    }
+    assert got[("s", 1)] == 0
+    assert got[("p", 1)] == 2
+    assert got[("s", 2)] == 3
+    # via p1-s2 (2+1+5=8) beats the direct 9-weight edge
+    assert got[("p", 2)] == 8
+
+
+def test_t_closeness_uniform_vs_skewed(spark):
+    from high_throughput_etl_pipeline_spark.operators.privacy import (
+        t_closeness_audit,
+    )
+
+    # group a mirrors the global 50/50 split -> t = 0
+    # group b is 100% 'x' vs global 50/50 -> t = 0.5
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 10 + [("b", "x")] * 20
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = {
+        r["g"]: r
+        for r in t_closeness_audit(df, ["g"], "s", t=0.2).collect()
+    }
+    # global: x=30/40=0.75, y=10/40=0.25
+    # a: x=0.5 y=0.5 -> 0.5*(0.25+0.25)=0.25 ; b: x=1 y=0 -> 0.25
+    assert abs(got["a"]["t_value"] - 0.25) < 1e-9
+    assert abs(got["b"]["t_value"] - 0.25) < 1e-9
+    assert got["a"]["violates"] and got["b"]["violates"]
+    assert got["a"]["n_rows"] == 20 and got["b"]["n_rows"] == 20

@@ -891,3 +891,25 @@ def test_bootstrap_ci_no_window_no_cartesian(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Window" not in final, final
     assert "CartesianProduct" not in plan
+
+
+def test_sprt_window_keyed_by_user(spark):
+    # the LLR running sum must shuffle by user_id — never a global
+    # ordering over the event stream
+    plan = _plan(spark, "user_sprt_monitor")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
+
+
+def test_seqpattern_keyed_join_bounded(spark):
+    # the pair join is an equi-join on user_id (type-alphabet fanout)
+    plan = _plan(spark, "user_seqpattern_support")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+
+
+def test_t_closeness_broadcast_grid(spark):
+    # the sensitive-alphabet distribution reaches groups as a broadcast
+    plan = _plan(spark, "orders_t_closeness")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
