@@ -261,3 +261,80 @@ def normal_equation_fit(
             "r2"
         ),
     )
+
+
+def quantized_coords(
+    df: DataFrame, id_col: str, vec_col: str, scale: int = 1000
+) -> DataFrame:
+    """Explode a float-vector column to (id, pos, x) on the integer
+    lattice: each coordinate becomes ``round(x·scale)`` as bigint, so
+    every downstream dot product / distance is EXACT and any engine
+    replaying the same quantization agrees bit-for-bit."""
+    vint = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale, 0).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(vint).alias("pos", "x")
+    )
+
+
+def jl_projections_int(
+    coords: DataFrame,
+    id_col: str,
+    k: int = 16,
+    dim: int = 64,
+    salt: str = "jl-v1",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projections over quantized
+    coordinates (``quantized_coords`` output): ``k`` Achlioptas ±1
+    hyperplanes whose signs come from the portable md5 PRF over
+    (salt, r, pos) — derived IN-ENGINE, so no literal matrix ships in
+    the plan and any engine re-derives the identical projections.
+    Projections of integer coordinates are exact integers.
+
+    Shape: the k×dim sign table is a BROADCAST (a few KB at any data
+    size); projecting N vectors is one keyed join + one (id, r)
+    rollup — the map-side-dominated 100 TB sketching pass.
+
+    Output: (id_col, r, p) — projection r of each vector.
+    """
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    spark = coords.sparkSession
+    signs = (
+        spark.range(k)
+        .select(F.col("id").alias("r"))
+        .select(
+            "r",
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias(
+                "pos"
+            ),
+        )
+        .select(
+            "r",
+            "pos",
+            F.when(
+                F.pmod(
+                    md5_64(
+                        F.concat(
+                            F.lit(salt + ":"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("pos").cast("string"),
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    return (
+        coords.join(F.broadcast(signs), "pos")
+        .groupBy(id_col, "r")
+        .agg(F.sum(F.col("s") * F.col("x")).cast("bigint").alias("p"))
+    )

@@ -1391,3 +1391,74 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "hamming", "rank")
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    scale: int = 1000,
+) -> list[tuple[int, int, int]]:
+    """Greedy k-center (farthest-point traversal, Gonzalez '85) — the
+    2-approximation coreset every diversity-sampling / cluster-seeding
+    pipeline starts from: seed at the smallest id, then repeatedly add
+    the point FARTHEST from the chosen set.
+
+    Coordinates are quantized to the integer lattice
+    (``round(x·scale)``) so every squared distance is exact and the
+    whole traversal is engine-replayable.  Each round is ONE map-side
+    scan: the running ``min_d`` column is updated incrementally
+    against only the NEWEST center (a broadcast literal array — never
+    a join, never k× recompute), the argmax is a distributed
+    TakeOrdered(1) with (dist DESC, id ASC) tie-break, and
+    ``localCheckpoint`` cuts lineage per round.  Driver traffic is one
+    (id, dist, vector) row per round — k·dim integers total.
+
+    Returns [(rank, center_id, radius2)] — radius2 is the exact max
+    min-squared-distance AFTER adding that center (coverage radius²).
+    """
+    vint = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale, 0).cast("bigint"),
+    )
+    pts = df.select(F.col(id_col).alias("_id"), vint.alias("_v"))
+    pts = pts.localCheckpoint(eager=False)
+
+    def dist2_to(center: list[int]) -> F.Column:
+        lit = F.array(*[F.lit(int(c)) for c in center])
+        return F.aggregate(
+            F.zip_with(
+                F.col("_v"), lit, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = (
+        pts.orderBy(F.asc("_id")).limit(1).collect()[0]
+    )
+    centers: list[tuple[int, int, int]] = []
+    cur = pts.select(
+        "_id", "_v", dist2_to(seed["_v"]).alias("_min_d")
+    ).localCheckpoint(eager=False)
+    cid = int(seed["_id"])
+    for rank in range(1, k + 1):
+        radius = cur.agg(F.max("_min_d")).collect()[0][0]
+        centers.append((rank, cid, int(radius)))
+        if rank == k:
+            break
+        nxt = (
+            cur.orderBy(F.desc("_min_d"), F.asc("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        cid = int(nxt["_id"])
+        cur = cur.select(
+            "_id",
+            "_v",
+            F.least(
+                F.col("_min_d"), dist2_to(nxt["_v"])
+            ).alias("_min_d"),
+        ).localCheckpoint(eager=False)
+    return centers

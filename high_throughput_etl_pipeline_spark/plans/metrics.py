@@ -816,3 +816,220 @@ def sprt_decisions(
         .alias("stop_n"),
         "n_obs",
     )
+
+
+def zonemap_pruning(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    ranges: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Zone-map (row-group min/max) pruning audit — the data-layout
+    introspection behind "is this table clustered well enough that
+    predicates skip I/O?".  ``group_col`` is the storage-unit proxy
+    (ingest batch, row-group bucket), ``ranges`` are half-open
+    ``[lo, hi)`` timestamp predicates as (label, lo, hi) strings.
+
+    One grouped pass builds the zone map (min/max/count per unit —
+    exactly what a parquet footer stores); predicates join in as a
+    BROADCAST grid; a unit is pruned when ``max < lo OR min >= hi``.
+    The matching-row counts come from the same single scan
+    (conditional sums — the predicate set is a plan-time literal, so
+    no second pass and no ×|preds| row expansion).  Everything is an
+    exact count; the two fractions divide once at the end.
+
+    Output per predicate: (pred_label, n_groups, n_pruned,
+    rows_scanned, rows_matching, scan_fraction, match_fraction) —
+    scan_fraction vs match_fraction IS the layout verdict: a
+    well-clustered table has them close; scan ≫ match means the zone
+    maps cannot prune and a re-sort/compaction is due.
+    """
+    v = F.col(value_col)
+    zone_aggs = [
+        F.min(v).alias("_zmin"),
+        F.max(v).alias("_zmax"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    ]
+    match_aggs = [
+        F.sum(
+            (
+                (v >= F.lit(lo).cast("timestamp"))
+                & (v < F.lit(hi).cast("timestamp"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias(f"_m{i}")
+        for i, (_, lo, hi) in enumerate(ranges)
+    ]
+    zones = df.groupBy(group_col.alias("_g")).agg(
+        *zone_aggs, *match_aggs
+    )
+    spark = df.sparkSession
+    preds = spark.createDataFrame(
+        [(i, lab, lo, hi) for i, (lab, lo, hi) in enumerate(ranges)],
+        "pred_id INT, pred_label STRING, _lo STRING, _hi STRING",
+    ).select(
+        "pred_id",
+        "pred_label",
+        F.col("_lo").cast("timestamp").alias("_lo"),
+        F.col("_hi").cast("timestamp").alias("_hi"),
+    )
+    grid = zones.crossJoin(F.broadcast(preds))
+    survives = ~(
+        (F.col("_zmax") < F.col("_lo"))
+        | (F.col("_zmin") >= F.col("_hi"))
+    )
+    matching = None
+    for i in range(len(ranges)):
+        term = F.when(
+            F.col("pred_id") == i, F.col(f"_m{i}")
+        ).otherwise(F.lit(0))
+        matching = term if matching is None else matching + term
+    per = grid.groupBy("pred_id", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((~survives).cast("bigint"))
+        .cast("bigint")
+        .alias("n_pruned"),
+        F.sum(F.when(survives, F.col("_n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum(matching).cast("bigint").alias("rows_matching"),
+        F.sum("_n").cast("bigint").alias("_total"),
+    )
+    return per.select(
+        "pred_label",
+        "n_groups",
+        "n_pruned",
+        "rows_scanned",
+        "rows_matching",
+        F.round(
+            F.col("rows_scanned").cast("double") / F.col("_total"), 6
+        ).alias("scan_fraction"),
+        F.round(
+            F.col("rows_matching").cast("double") / F.col("_total"), 6
+        ).alias("match_fraction"),
+    ).orderBy("pred_label")
+
+
+def binseg_mean_shift(
+    daily: DataFrame,
+    day_col: str,
+    y_col: str,
+    y_per_unit: int = 100,
+) -> DataFrame:
+    """Depth-2 binary segmentation for a mean shift over an ordered
+    integer series (the classic changepoint detector): pick the split
+    maximizing the between-segments sum of squares — with exact prefix
+    sums S_t the gain collapses to S_L²/n_L + S_R²/n_R − S²/n (the Q_t
+    terms cancel), so the scan needs ONE ordered prefix pass — then
+    recurse once into each side.
+
+    ``daily`` must already be the aggregated series (one row per
+    ``day_col``, ``y_col`` integer) — the windows here run over a
+    |days|-sized frame, the documented post-aggregation exception to
+    the no-global-window rule; at 100 TB the raw-data pass is the
+    rollup that produced ``daily``, never this.
+
+    Prefix sums are exact integers; gains are doubles computed in one
+    shared operation order, argmax ties break on earliest day.
+
+    Output: (segment ∈ root|left|right, split_day, n_left, n_right,
+    mean_left, mean_right, gain) — a side shorter than 2 points emits
+    no row.
+    """
+    d = daily.select(F.col(day_col).alias("_day"), F.col(y_col).alias("_m"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_m").cast("bigint").alias("_s"),
+    )
+    wseq = Window.orderBy("_day")
+    wsum = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = d.crossJoin(F.broadcast(tot)).select(
+        "_day",
+        "_m",
+        "_n",
+        "_s",
+        F.row_number().over(wseq).alias("_t"),
+        F.sum("_m").over(wsum).cast("bigint").alias("_sl"),
+    )
+    u = float(y_per_unit)
+
+    def scored(frame, n_col, s_col):
+        sld = F.col("_sl").cast("double")
+        srd = (F.col(s_col) - F.col("_sl")).cast("double")
+        nld = F.col("_t").cast("double")
+        nrd = (F.col(n_col) - F.col("_t")).cast("double")
+        sd = F.col(s_col).cast("double")
+        nd = F.col(n_col).cast("double")
+        gain = (
+            sld * sld / nld + srd * srd / nrd - sd * sd / nd
+        )
+        return frame.filter(F.col("_t") < F.col(n_col)).select(
+            frame["*"],
+            F.col("_t").cast("bigint").alias("n_left"),
+            (F.col(n_col) - F.col("_t")).cast("bigint").alias("n_right"),
+            F.round(sld / nld / u, 6).alias("mean_left"),
+            F.round(srd / nrd / u, 6).alias("mean_right"),
+            gain.alias("_gain"),
+        )
+
+    root = (
+        scored(seq, "_n", "_s")
+        .orderBy(F.desc("_gain"), F.asc("_day"))
+        .limit(1)
+        .select(
+            F.lit("root").alias("segment"),
+            F.col("_day").alias("split_day"),
+            "n_left",
+            "n_right",
+            "mean_left",
+            "mean_right",
+            F.round(F.col("_gain"), 2).alias("gain"),
+            F.col("_t").alias("_root_t"),
+        )
+    )
+    root = root.localCheckpoint(eager=False)
+    lab = seq.crossJoin(
+        F.broadcast(root.select("_root_t"))
+    ).select(
+        F.when(F.col("_t") <= F.col("_root_t"), F.lit("left"))
+        .otherwise(F.lit("right"))
+        .alias("_seg"),
+        "_day",
+        "_m",
+    )
+    wseg = Window.partitionBy("_seg").orderBy("_day")
+    wsegsum = wseg.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    segtot = lab.groupBy("_seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n2"),
+        F.sum("_m").cast("bigint").alias("_s2"),
+    )
+    seq2 = lab.join(F.broadcast(segtot), "_seg").select(
+        "_seg",
+        "_day",
+        "_m",
+        "_n2",
+        "_s2",
+        F.row_number().over(wseg).alias("_t"),
+        F.sum("_m").over(wsegsum).cast("bigint").alias("_sl"),
+    )
+    wpick = Window.partitionBy("_seg").orderBy(
+        F.desc("_gain"), F.asc("_day")
+    )
+    best2 = (
+        scored(seq2, "_n2", "_s2")
+        .withColumn("_rk", F.row_number().over(wpick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_seg").alias("segment"),
+            F.col("_day").alias("split_day"),
+            "n_left",
+            "n_right",
+            "mean_left",
+            "mean_right",
+            F.round(F.col("_gain"), 2).alias("gain"),
+        )
+    )
+    return root.drop("_root_t").unionByName(best2).orderBy("segment")

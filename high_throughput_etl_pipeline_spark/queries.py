@@ -15244,6 +15244,419 @@ def orders_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("priority", "order_year")
 
 
+@query(
+    "embedding_jl_distortion",
+    oracle="""
+    WITH vint AS (
+        SELECT vec_id, list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 1000, 0) AS BIGINT)) AS v
+        FROM embeddings WHERE vec_id < 48
+    ), ex AS (
+        SELECT vec_id, UNNEST(range(len(v))) AS pos, UNNEST(v) AS x
+        FROM vint
+    ), signs AS (
+        SELECT r, pos,
+               CASE WHEN ('0x' || substr(md5('jl-v1:' || r || ':'
+                        || pos), 18, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM (SELECT UNNEST(range(0, 16)) AS r)
+        CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)
+    ), proj AS (
+        SELECT e.vec_id, sg.r, CAST(SUM(sg.s * e.x) AS BIGINT) AS p
+        FROM ex e JOIN signs sg ON sg.pos = e.pos
+        GROUP BY 1, 2
+    ), osq AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS o
+        FROM ex a JOIN ex b
+          ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ), psq AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS p2
+        FROM proj a JOIN proj b
+          ON a.r = b.r AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ), ratio AS (
+        SELECT CAST(round(CAST(p.p2 AS DOUBLE) / 16
+                          / CAST(o.o AS DOUBLE) * 1e9, 0) AS BIGINT)
+                   AS d9
+        FROM osq o JOIN psq p ON p.ia = o.ia AND p.ib = o.ib
+        WHERE o.o > 0
+    )
+    SELECT CAST(FLOOR(CAST(d9 AS DOUBLE) / 1e8) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(d9) AS DOUBLE) / COUNT(*) / 1e9, 6)
+               AS avg_distortion,
+           round(CAST(MIN(d9) AS DOUBLE) / 1e9, 6) AS min_distortion,
+           round(CAST(MAX(d9) AS DOUBLE) / 1e9, 6) AS max_distortion
+    FROM ratio GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the embedding
+    corpus through 16 md5-derived ±1 hyperplanes
+    (``linalg.jl_projections_int``) and measure, on a fixed 48-vector
+    eval slice, the ratio of JL-estimated to exact squared pairwise
+    distance — the empirical check of the JL lemma's (1±ε) guarantee
+    that gates any "sketch first, measure later" pipeline.  Both
+    distances are exact integers on the quantized lattice; each pair's
+    ratio lands on the 1e-9 lattice BEFORE the per-bucket aggregation
+    (per-cell scaled rounding).  The sign table broadcasts at any
+    scale; the pairwise joins touch only the bounded eval slice."""
+    from high_throughput_etl_pipeline_spark.operators.linalg import (
+        jl_projections_int,
+        quantized_coords,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 48)
+    ex = quantized_coords(e, "vec_id", "embedding", scale=1000)
+    ex = ex.localCheckpoint(eager=False)
+    proj = jl_projections_int(
+        ex, "vec_id", k=16, dim=64, salt="jl-v1"
+    )
+    ea, eb = ex.alias("a"), ex.alias("b")
+    osq = (
+        ea.join(
+            eb,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+        )
+        .agg(
+            F.sum(
+                (F.col("a.x") - F.col("b.x"))
+                * (F.col("a.x") - F.col("b.x"))
+            )
+            .cast("bigint")
+            .alias("o")
+        )
+    )
+    pa, pb = proj.alias("a"), proj.alias("b")
+    psq = (
+        pa.join(
+            pb,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+        )
+        .agg(
+            F.sum(
+                (F.col("a.p") - F.col("b.p"))
+                * (F.col("a.p") - F.col("b.p"))
+            )
+            .cast("bigint")
+            .alias("p2")
+        )
+    )
+    d9 = F.round(
+        F.col("p2").cast("double") / 16 / F.col("o").cast("double")
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    ratio = (
+        osq.join(psq, ["ia", "ib"])
+        .filter(F.col("o") > 0)
+        .select(d9.alias("d9"))
+    )
+    return (
+        ratio.groupBy(
+            F.floor(F.col("d9").cast("double") / F.lit(1e8))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("d9").cast("double") / F.count(F.lit(1)) / 1e9,
+                6,
+            ).alias("avg_distortion"),
+            F.round(F.min("d9").cast("double") / 1e9, 6).alias(
+                "min_distortion"
+            ),
+            F.round(F.max("d9").cast("double") / 1e9, 6).alias(
+                "max_distortion"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Chained-CTE replay of ``similarity.kcenter_greedy``: d{j} is the
+    exact min-squared-distance table after j centers, r{j+1} the
+    argmax pick (dist DESC, id ASC) — one CTE pair per greedy round."""
+    parts = [
+        """
+    WITH ex AS (
+        SELECT vec_id, UNNEST(range(len(v))) AS pos, UNNEST(v) AS x
+        FROM (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                  x -> CAST(round(x * 1000, 0) AS BIGINT)) AS v
+              FROM embeddings)
+    ), d1 AS (
+        SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x))
+                   AS BIGINT) AS md
+        FROM ex a JOIN ex b
+          ON b.vec_id = (SELECT MIN(vec_id) FROM embeddings)
+         AND a.pos = b.pos
+        GROUP BY 1
+    )"""
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f""", r{j} AS (
+        SELECT vec_id FROM d{j - 1} ORDER BY md DESC, vec_id LIMIT 1
+    ), d{j} AS (
+        SELECT d.vec_id, LEAST(d.md, nd.nd) AS md
+        FROM d{j - 1} d JOIN (
+            SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x))
+                       AS BIGINT) AS nd
+            FROM ex a JOIN ex b
+              ON b.vec_id = (SELECT vec_id FROM r{j})
+             AND a.pos = b.pos
+            GROUP BY 1
+        ) nd ON nd.vec_id = d.vec_id
+    )"""
+        )
+    rows = [
+        """
+      SELECT 1 AS rank,
+             CAST((SELECT MIN(vec_id) FROM embeddings) AS BIGINT)
+                 AS center_id,
+             (SELECT MAX(md) FROM d1) AS radius2"""
+    ]
+    for j in range(2, k + 1):
+        rows.append(
+            f"""
+      UNION ALL SELECT {j},
+             CAST((SELECT vec_id FROM r{j}) AS BIGINT),
+             (SELECT MAX(md) FROM d{j})"""
+        )
+    parts.append(
+        "\n    SELECT * FROM ("
+        + "".join(rows)
+        + "\n    ) ORDER BY rank\n    "
+    )
+    return "".join(parts)
+
+
+@query("embedding_kcenter_coreset", oracle=_kcenter_oracle(8))
+def embedding_kcenter_coreset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal) over the
+    embedding corpus (``similarity.kcenter_greedy``, k=8): the chosen
+    diversity anchors plus the exact coverage radius² after each pick
+    — the curve that tells you how many centers a diversity sample
+    needs.  Each round is one map-side scan updating min-dist against
+    only the newest center (broadcast literal), argmax by distributed
+    TakeOrdered(1); distances are exact lattice integers, so the
+    DuckDB chained-CTE replay agrees bit-for-bit."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    centers = kcenter_greedy(e, "vec_id", "embedding", k=8, scale=1000)
+    return spark.createDataFrame(
+        centers, "rank INT, center_id BIGINT, radius2 BIGINT"
+    ).orderBy("rank")
+
+
+_ZONEMAP_PREDS: list[tuple[str, str, str]] = [
+    ("h1_1996", "1996-01-01", "1996-07-01"),
+    ("h2_1997", "1997-07-01", "1998-01-01"),
+    ("y_1999", "1999-01-01", "2000-01-01"),
+    ("m01_2001", "2001-01-01", "2001-02-01"),
+]
+
+
+def _zonemap_oracle() -> str:
+    m_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{lo}' "
+        f"AND l_shipdate < TIMESTAMP '{hi}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS m{i}"
+        for i, (_, lo, hi) in enumerate(_ZONEMAP_PREDS)
+    )
+    values = ",\n        ".join(
+        f"({i}, '{lab}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for i, (lab, lo, hi) in enumerate(_ZONEMAP_PREDS)
+    )
+    m_case = " ".join(
+        f"WHEN {i} THEN m{i}" for i in range(len(_ZONEMAP_PREDS))
+    )
+    return f"""
+    WITH z AS (
+        SELECT l_orderkey // 4096 AS g,
+               MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {m_cols}
+        FROM lineitem GROUP BY 1
+    ), preds(pred_id, pred_label, lo, hi) AS (
+        VALUES {values}
+    ), grid AS (
+        SELECT p.pred_label, p.pred_id, z.*,
+               NOT (z.zmax < p.lo OR z.zmin >= p.hi) AS survives
+        FROM z CROSS JOIN preds p
+    )
+    SELECT pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN NOT survives THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN survives THEN n ELSE 0 END)
+               AS BIGINT) AS rows_scanned,
+           CAST(SUM(CASE pred_id {m_case} ELSE 0 END)
+               AS BIGINT) AS rows_matching,
+           round(CAST(SUM(CASE WHEN survives THEN n ELSE 0 END)
+               AS DOUBLE) / SUM(n), 6) AS scan_fraction,
+           round(CAST(SUM(CASE pred_id {m_case} ELSE 0 END)
+               AS DOUBLE) / SUM(n), 6) AS match_fraction
+    FROM grid GROUP BY pred_label, pred_id ORDER BY pred_label
+    """
+
+
+@query("lineitem_zonemap_audit", oracle=_zonemap_oracle())
+def lineitem_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit over lineitem with 4096-order "row
+    groups" (``plans.metrics.zonemap_pruning``): for four ship-date
+    range predicates, how many storage units the parquet-footer
+    min/max stats would skip, how many rows the surviving units scan,
+    and how many actually match.  scan_fraction ≈ match_fraction means
+    the layout clusters on ship date; scan ≫ match quantifies exactly
+    how much I/O a re-sort would reclaim — the measurement that
+    decides Z-ordering/compaction at 100 TB.  One grouped pass builds
+    the zone map AND the matching counts (the predicate set is a
+    plan-time literal); the predicate grid is a broadcast."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        zonemap_pruning,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return zonemap_pruning(
+        li,
+        F.expr("l_orderkey DIV 4096"),
+        "l_shipdate",
+        _ZONEMAP_PREDS,
+    )
+
+
+@query(
+    "events_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(round(CAST(SUM(CAST(round(value * 100, 0)
+                   AS BIGINT)) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS m
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS s
+        FROM daily
+    ), seq AS (
+        SELECT day, m, t.n, t.s,
+               ROW_NUMBER() OVER (ORDER BY day) AS rt,
+               CAST(SUM(m) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS sl
+        FROM daily CROSS JOIN tot t
+    ), sc AS (
+        SELECT day, rt,
+               CAST(rt AS BIGINT) AS n_left,
+               CAST(n - rt AS BIGINT) AS n_right,
+               round(CAST(sl AS DOUBLE) / CAST(rt AS DOUBLE)
+                   / 100.0, 6) AS mean_left,
+               round(CAST(s - sl AS DOUBLE) / CAST(n - rt AS DOUBLE)
+                   / 100.0, 6) AS mean_right,
+               CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                   / CAST(rt AS DOUBLE)
+                 + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+                   / CAST(n - rt AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS gain
+        FROM seq WHERE rt < n
+    ), root AS (
+        SELECT * FROM sc ORDER BY gain DESC, day LIMIT 1
+    ), lab AS (
+        SELECT CASE WHEN seq.rt <= (SELECT rt FROM root)
+                    THEN 'left' ELSE 'right' END AS seg, day, m
+        FROM seq
+    ), segtot AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n2,
+               CAST(SUM(m) AS BIGINT) AS s2
+        FROM lab GROUP BY 1
+    ), seq2 AS (
+        SELECT l.seg, l.day, l.m, st.n2, st.s2,
+               ROW_NUMBER() OVER (PARTITION BY l.seg ORDER BY l.day)
+                   AS rt,
+               CAST(SUM(l.m) OVER (PARTITION BY l.seg ORDER BY l.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sl
+        FROM lab l JOIN segtot st ON st.seg = l.seg
+    ), sc2 AS (
+        SELECT seg, day,
+               CAST(rt AS BIGINT) AS n_left,
+               CAST(n2 - rt AS BIGINT) AS n_right,
+               round(CAST(sl AS DOUBLE) / CAST(rt AS DOUBLE)
+                   / 100.0, 6) AS mean_left,
+               round(CAST(s2 - sl AS DOUBLE) / CAST(n2 - rt AS DOUBLE)
+                   / 100.0, 6) AS mean_right,
+               CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                   / CAST(rt AS DOUBLE)
+                 + CAST(s2 - sl AS DOUBLE) * CAST(s2 - sl AS DOUBLE)
+                   / CAST(n2 - rt AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE) AS gain
+        FROM seq2 WHERE rt < n2
+    ), best2 AS (
+        SELECT * FROM (
+            SELECT sc2.*, ROW_NUMBER() OVER (
+                PARTITION BY seg ORDER BY gain DESC, day) AS rk
+            FROM sc2
+        ) WHERE rk = 1
+    )
+    SELECT segment, split_day, n_left, n_right, mean_left,
+           mean_right, gain FROM (
+        SELECT 'root' AS segment, day AS split_day, n_left, n_right,
+               mean_left, mean_right, round(gain, 2) AS gain
+        FROM root
+        UNION ALL
+        SELECT seg, day, n_left, n_right, mean_left, mean_right,
+               round(gain, 2)
+        FROM best2
+    ) ORDER BY segment
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary-segmentation changepoint detection over the
+    daily mean event value (``plans.metrics.binseg_mean_shift``): the
+    split maximizing between-segments sum of squares — via the exact
+    prefix-sum identity gain = S_L²/n_L + S_R²/n_R − S²/n, so the
+    whole detector is one ordered prefix pass over the |days|-sized
+    post-aggregation frame (the documented global-window exception) —
+    then one recursion into each side.  The raw 100 TB pass is the
+    daily rollup; everything after runs on a frame the size of the
+    calendar."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        binseg_mean_shift,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.sum(cents).cast("double") / F.count(F.lit(1)), 0
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    return binseg_mean_shift(daily, "day", "m", y_per_unit=100)
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.

@@ -3096,3 +3096,139 @@ def test_t_closeness_uniform_vs_skewed(spark):
     assert abs(got["b"]["t_value"] - 0.25) < 1e-9
     assert got["a"]["violates"] and got["b"]["violates"]
     assert got["a"]["n_rows"] == 20 and got["b"]["n_rows"] == 20
+
+
+def test_kcenter_greedy_known_traversal(spark):
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    # seed at id 0 = (0,0); farthest-point order is then (10,0),
+    # (0,8), (5,4) with radii 100, 64, 41, 0
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 0.0]),
+            (2, [0.0, 8.0]),
+            (3, [5.0, 4.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = kcenter_greedy(df, "vec_id", "embedding", k=4, scale=1)
+    assert got == [(1, 0, 100), (2, 1, 64), (3, 2, 41), (4, 3, 0)]
+
+
+def test_jl_projections_match_python_prf(spark):
+    import hashlib
+
+    from high_throughput_etl_pipeline_spark.operators.linalg import (
+        jl_projections_int,
+        quantized_coords,
+    )
+
+    vecs = {
+        0: [0.5, -1.25, 2.0, 0.001],
+        1: [1.0, 1.0, -1.0, 0.25],
+        2: [-0.333, 0.0, 0.125, 3.5],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    coords = quantized_coords(df, "vec_id", "embedding", scale=1000)
+    got = {
+        (r["vec_id"], r["r"]): r["p"]
+        for r in jl_projections_int(
+            coords, "vec_id", k=2, dim=4, salt="jl-v1"
+        ).collect()
+    }
+
+    def sign(r, pos):
+        h = int(
+            hashlib.md5(f"jl-v1:{r}:{pos}".encode()).hexdigest()[17:32],
+            16,
+        )
+        return 1 if h % 2 == 0 else -1
+
+    import math
+
+    def q(x):
+        # float32 storage round-trips through double before quantizing
+        import struct
+
+        x32 = struct.unpack("f", struct.pack("f", x))[0]
+        s = 1 if x32 >= 0 else -1
+        return s * int(math.floor(abs(x32) * 1000 + 0.5))
+
+    for vid, v in vecs.items():
+        xi = [q(x) for x in v]
+        for r in range(2):
+            want = sum(sign(r, p) * xi[p] for p in range(4))
+            assert got[(vid, r)] == want, (vid, r)
+
+
+def test_zonemap_pruning_clustered_vs_scattered(spark):
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        zonemap_pruning,
+    )
+
+    # group 0 covers January only, group 1 covers February only ->
+    # a January predicate prunes group 1 entirely
+    rows = [(0, f"2024-01-{d:02d} 00:00:00") for d in range(1, 11)] + [
+        (1, f"2024-02-{d:02d} 00:00:00") for d in range(1, 11)
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "g int, raw string").select(
+        "g", F.col("raw").cast("timestamp").alias("ts")
+    )
+    out = {
+        r["pred_label"]: r
+        for r in zonemap_pruning(
+            df,
+            F.col("g"),
+            "ts",
+            [
+                ("jan", "2024-01-01", "2024-02-01"),
+                ("both", "2024-01-05", "2024-02-05"),
+            ],
+        ).collect()
+    }
+    jan = out["jan"]
+    assert jan["n_groups"] == 2 and jan["n_pruned"] == 1
+    assert jan["rows_scanned"] == 10 and jan["rows_matching"] == 10
+    assert abs(jan["scan_fraction"] - 0.5) < 1e-9
+    both = out["both"]
+    assert both["n_pruned"] == 0 and both["rows_scanned"] == 20
+    assert both["rows_matching"] == 10  # jan 5-10 + feb 1-4
+    assert abs(both["match_fraction"] - 0.5) < 1e-9
+
+
+def test_binseg_detects_planted_shift(spark):
+    import datetime
+
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        binseg_mean_shift,
+    )
+
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), 100 if i < 10 else 200)
+        for i in range(20)
+    ]
+    daily = spark.createDataFrame(rows, "day date, m bigint")
+    got = {
+        r["segment"]: r
+        for r in binseg_mean_shift(
+            daily, "day", "m", y_per_unit=100
+        ).collect()
+    }
+    root = got["root"]
+    assert root["split_day"] == base + datetime.timedelta(days=9)
+    assert root["n_left"] == 10 and root["n_right"] == 10
+    assert abs(root["mean_left"] - 1.0) < 1e-9
+    assert abs(root["mean_right"] - 2.0) < 1e-9
+    # S_L²/n_L + S_R²/n_R − S²/n = 1e5 + 4e5 − 4.5e5
+    assert abs(root["gain"] - 50000.0) < 1e-6
+    # flat sides -> zero-gain sub-splits at the earliest day
+    assert got["left"]["gain"] == 0.0 and got["right"]["gain"] == 0.0

@@ -913,3 +913,20 @@ def test_t_closeness_broadcast_grid(spark):
     plan = _plan(spark, "orders_t_closeness")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+
+
+def test_jl_distortion_broadcast_signs_keyed_pairs(spark):
+    # the sign table broadcasts; pairwise joins are keyed on pos/r over
+    # the bounded eval slice — never cartesian
+    plan = _plan(spark, "embedding_jl_distortion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_zonemap_single_scan_broadcast_preds(spark):
+    # zone map AND matching counts come from ONE scan of lineitem; the
+    # predicate grid joins in as a broadcast
+    plan = _plan(spark, "lineitem_zonemap_audit")
+    final = _final_plan(plan)
+    assert final.count("FileScan") == 1, final
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
