@@ -1033,3 +1033,135 @@ def binseg_mean_shift(
         )
     )
     return root.drop("_root_t").unionByName(best2).orderBy("segment")
+
+
+def poisson_bootstrap_uplift(
+    df: DataFrame,
+    y_col: str,
+    id_col: str,
+    arm_col: str,
+    n_boot: int = 40,
+    lo_rank: int = 2,
+    hi_rank: int = 39,
+    y_per_unit: int = 100,
+    salt: str = "abboot-v1",
+) -> DataFrame:
+    """Bootstrap confidence interval for the MEAN UPLIFT between two
+    arms ('A'/'B' in ``arm_col``) — the error bar every A/B readout
+    needs, via the same distributed Poisson resample as
+    :func:`poisson_bootstrap_ci`: each row draws its own keyed-PRF
+    Poisson(1) weights, replicate means land on the 1e-6 lattice per
+    (arm, replicate), and the uplift per replicate is the EXACT
+    integer difference of the two lattice means.  The interval is rank
+    selection over the ``n_boot`` sorted diffs; ``significant`` is the
+    zero-exclusion test.  One explode + two grouped shuffles at any
+    scale.
+
+    Output (one row): (n_a, n_b, mean_a, mean_b, uplift, boot_lo,
+    boot_hi, significant).
+    """
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    dec = "decimal(38,0)"
+    u_ = float(y_per_unit)
+    point = df.groupBy(arm_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.round(
+            F.sum(F.col(y_col).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+            / u_,
+            6,
+        ).alias("_pm"),
+    )
+    rep = df.select(
+        F.col(arm_col).alias("_arm"),
+        F.col(y_col).alias("_y"),
+        F.col(id_col).cast("string").alias("_id"),
+    ).select(
+        "_arm",
+        "_y",
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b"),
+    )
+    u = F.pmod(
+        md5_64(
+            F.concat(
+                F.col("_id"),
+                F.lit(":"),
+                F.col("_b").cast("string"),
+                F.lit(":" + salt),
+            )
+        ),
+        F.lit(1_000_000_000),
+    )
+    th = F.array(*[F.lit(t) for t in POISSON1_CDF_1E9])
+    w = F.size(F.filter(th, lambda t: t <= u))
+    per_rep = (
+        rep.select(
+            "_arm",
+            "_b",
+            w.alias("_w"),
+            (w.cast(dec) * F.col("_y")).alias("_wy"),
+        )
+        .groupBy("_arm", "_b")
+        .agg(
+            F.sum("_w").cast("bigint").alias("_sw"),
+            F.sum("_wy").alias("_swy"),
+        )
+        .select(
+            "_arm",
+            "_b",
+            F.when(
+                F.col("_sw") > 0,
+                F.round(
+                    F.col("_swy").cast("double")
+                    / F.col("_sw")
+                    / u_
+                    * 1e6,
+                    0,
+                ).cast("bigint"),
+            ).alias("_m"),
+        )
+    )
+    diffs = per_rep.groupBy("_b").agg(
+        (
+            F.max(F.when(F.col("_arm") == "B", F.col("_m")))
+            - F.max(F.when(F.col("_arm") == "A", F.col("_m")))
+        ).alias("_d")
+    )
+    st = diffs.agg(
+        F.sort_array(F.collect_list("_d")).alias("_arr")
+    ).select(
+        F.round(
+            F.element_at(F.col("_arr"), lo_rank).cast("double") / 1e6,
+            6,
+        ).alias("boot_lo"),
+        F.round(
+            F.element_at(F.col("_arr"), hi_rank).cast("double") / 1e6,
+            6,
+        ).alias("boot_hi"),
+    )
+    pa = point.filter(F.col(arm_col) == "A").select(
+        F.col("_n").alias("n_a"), F.col("_pm").alias("mean_a")
+    )
+    pb = point.filter(F.col(arm_col) == "B").select(
+        F.col("_n").alias("n_b"), F.col("_pm").alias("mean_b")
+    )
+    return (
+        pa.crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "n_a",
+            "n_b",
+            "mean_a",
+            "mean_b",
+            F.round(F.col("mean_b") - F.col("mean_a"), 6).alias(
+                "uplift"
+            ),
+            "boot_lo",
+            "boot_hi",
+            (
+                (F.col("boot_lo") > 0) | (F.col("boot_hi") < 0)
+            ).alias("significant"),
+        )
+    )

@@ -15657,6 +15657,297 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binseg_mean_shift(daily, "day", "m", y_per_unit=100)
 
 
+@query(
+    "events_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(round(CAST(SUM(CAST(round(value * 100, 0)
+                   AS BIGINT)) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS m
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(SUM(CASE WHEN b.m > a.m THEN 1
+                             WHEN b.m < a.m THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily
+    ), ties AS (
+        SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5))
+                   AS BIGINT), 0) AS tt
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY m HAVING COUNT(*) > 1)
+    ), v AS (
+        SELECT s.s_stat, n.nd,
+               CAST(n.nd * (n.nd - 1) * (2 * n.nd + 5) - ties.tt
+                   AS DOUBLE) / 18.0 AS var_d
+        FROM s CROSS JOIN n CROSS JOIN ties
+    )
+    SELECT nd AS n_days, s_stat,
+           round(var_d, 6) AS var_s,
+           round(CASE WHEN s_stat > 0
+                      THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_d)
+                      WHEN s_stat < 0
+                      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_d)
+                      ELSE 0.0 END, 6) AS z_score,
+           CASE WHEN (CASE WHEN s_stat > 0
+                      THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_d)
+                      WHEN s_stat < 0
+                      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_d)
+                      ELSE 0.0 END) > 1.96 THEN 'increasing'
+                WHEN (CASE WHEN s_stat > 0
+                      THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_d)
+                      WHEN s_stat < 0
+                      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_d)
+                      ELSE 0.0 END) < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test over the daily mean event
+    value — the distribution-free complement to the Theil-Sen slope
+    already in the registry: S = Σ_{i<j} sign(m_j − m_i) with the
+    exact tie-corrected variance, continuity-corrected z.  The
+    pairwise comparison runs over the |days|-sized POST-AGGREGATION
+    frame (the documented exception — the 100 TB pass is the daily
+    rollup); S, the tie term, and the variance numerator are exact
+    integers, so both engines agree before the single sqrt."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum(cents).cast("double") / F.count(F.lit(1)), 0)
+        .cast("bigint")
+        .alias("m")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(
+            F.when(F.col("b.m") > F.col("a.m"), 1)
+            .when(F.col("b.m") < F.col("a.m"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    ties = (
+        daily.groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("tt")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            "nd",
+            (
+                (
+                    F.col("nd")
+                    * (F.col("nd") - 1)
+                    * (2 * F.col("nd") + 5)
+                    - F.col("tt")
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_d"),
+        )
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double")
+            / F.sqrt(F.col("var_d")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double")
+            / F.sqrt(F.col("var_d")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("nd").alias("n_days"),
+        "s_stat",
+        F.round(F.col("var_d"), 6).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+        F.when(z > 1.96, F.lit("increasing"))
+        .when(z < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+@query(
+    "user_path_trigrams",
+    oracle="""
+    WITH tri AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t3
+        FROM events
+    ), c AS (
+        SELECT t1 || '>' || t2 || '>' || t3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM tri WHERE t3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n_paths,
+           CAST(row_number() OVER (ORDER BY n_paths DESC, path)
+               AS INT) AS pos
+    FROM c QUALIFY pos <= 15 ORDER BY pos
+    """,
+)
+def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most common length-3 event paths across user streams —
+    frequency mining over consecutive type trigrams (the "what do
+    users actually do" path report).  Two LEADs over the per-user
+    window (keyed — every user's stream is its own partition's work),
+    one grouped count over a T³-bounded path alphabet, leaderboard via
+    distributed TakeOrdered with (count, path) total order."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    c = tri.groupBy(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    top = take_top_k(
+        c, [F.desc("n_paths"), F.col("path")], 15, rank_col="pos"
+    )
+    return top.select("path", "n_paths", "pos").orderBy("pos")
+
+
+@query(
+    "events_ab_bootstrap_uplift",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN ('0x' || substr(md5('ab-v1:'
+                   || CAST(user_id AS VARCHAR)), 18, 15))::BIGINT
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), point AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS pm
+        FROM base GROUP BY arm
+    ), rep AS (
+        SELECT base.arm, base.cents, r.b,
+               ('0x' || substr(md5(CAST(base.event_id AS VARCHAR)
+                   || ':' || CAST(r.b AS VARCHAR) || ':abboot-v1'),
+                   18, 15))::BIGINT % 1000000000 AS u
+        FROM base CROSS JOIN (SELECT UNNEST(range(0, 40)) AS b) r
+    ), w AS (
+        SELECT arm, b, cents, ({_pboot_w_sql('u')}) AS w
+        FROM rep
+    ), per_rep AS (
+        SELECT arm, b,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               SUM(CAST(w AS HUGEINT) * cents) AS swy
+        FROM w GROUP BY arm, b
+    ), m AS (
+        SELECT arm, b,
+               CASE WHEN sw > 0 THEN CAST(round(
+                   CAST(swy AS DOUBLE) / sw / 100.0 * 1e6, 0)
+                   AS BIGINT) END AS m
+        FROM per_rep
+    ), diffs AS (
+        SELECT b,
+               MAX(CASE WHEN arm = 'B' THEN m END)
+                   - MAX(CASE WHEN arm = 'A' THEN m END) AS d
+        FROM m GROUP BY b
+    ), st AS (
+        SELECT list(d ORDER BY d) AS arr FROM diffs
+    ), ci AS (
+        SELECT round(CAST(arr[2] AS DOUBLE) / 1e6, 6) AS boot_lo,
+               round(CAST(arr[39] AS DOUBLE) / 1e6, 6) AS boot_hi
+        FROM st
+    )
+    SELECT pa.n AS n_a, pb.n AS n_b,
+           pa.pm AS mean_a, pb.pm AS mean_b,
+           round(pb.pm - pa.pm, 6) AS uplift,
+           ci.boot_lo, ci.boot_hi,
+           (ci.boot_lo > 0 OR ci.boot_hi < 0) AS significant
+    FROM (SELECT n, pm FROM point WHERE arm = 'A') pa
+    CROSS JOIN (SELECT n, pm FROM point WHERE arm = 'B') pb
+    CROSS JOIN ci
+    """,
+)
+def events_ab_bootstrap_uplift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bootstrap confidence interval for the A/B uplift in mean
+    purchase value (``plans.metrics.poisson_bootstrap_uplift``): arms
+    assigned by the keyed user hash (the registry's experiment-split
+    discipline), 40 Poisson replicates per row, per-replicate uplift
+    as the exact integer difference of the two arms' lattice means,
+    interval by rank selection with a zero-exclusion significance
+    flag.  The error bar every experiment readout needs, at the cost
+    of one 40× explode + two grouped shuffles."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        md5_64,
+    )
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        poisson_bootstrap_uplift,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = e.select(
+        F.when(
+            F.pmod(
+                md5_64(
+                    F.concat(
+                        F.lit("ab-v1:"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                F.lit(2),
+            )
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return poisson_bootstrap_uplift(
+        base,
+        "cents",
+        "event_id",
+        "arm",
+        n_boot=40,
+        lo_rank=2,
+        hi_rank=39,
+        y_per_unit=100,
+        salt="abboot-v1",
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -15785,7 +16076,13 @@ HEADLINE: list[str] = [
     # events_incremental_rollup, events_compaction_plan,
     # events_holt_forecast, ranker_rbo_eval, doc_readability,
     # events_interval_overlap, embedding_pca_power,
-    # embedding_pca_scores, supplier_part_bfs_layers.
+    # embedding_pca_scores, supplier_part_bfs_layers,
+    # plus the r8 session-3 wave (all 10 verified hash-green via
+    # tools/check_correctness.py at add time): lineitem_price_model,
+    # events_bootstrap_ci, user_sprt_monitor, supplier_part_sssp,
+    # user_seqpattern_support, orders_t_closeness,
+    # embedding_jl_distortion, embedding_kcenter_coreset,
+    # lineitem_zonemap_audit, events_changepoint.
 ]
 
 

@@ -3232,3 +3232,25 @@ def test_binseg_detects_planted_shift(spark):
     assert abs(root["gain"] - 50000.0) < 1e-6
     # flat sides -> zero-gain sub-splits at the earliest day
     assert got["left"]["gain"] == 0.0 and got["right"]["gain"] == 0.0
+
+
+def test_poisson_bootstrap_uplift_detects_planted_shift(spark):
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        poisson_bootstrap_uplift,
+    )
+
+    rows = [("A", i, 10_000 + (i * 31) % 400) for i in range(300)] + [
+        ("B", 1_000 + i, 13_000 + (i * 37) % 400) for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "arm string, id bigint, cents bigint"
+    )
+    (r,) = poisson_bootstrap_uplift(
+        df, "cents", "id", "arm", n_boot=40
+    ).collect()
+    assert r["n_a"] == 300 and r["n_b"] == 300
+    # true uplift ~ 30 units; the CI must bracket it and exclude zero
+    assert abs(r["uplift"] - (r["mean_b"] - r["mean_a"])) < 1e-6
+    assert r["boot_lo"] <= r["uplift"] <= r["boot_hi"]
+    assert r["boot_lo"] > 0 and r["significant"] is True
+    assert 25 < r["uplift"] < 35
