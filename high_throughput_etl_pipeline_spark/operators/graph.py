@@ -827,6 +827,7 @@ def sssp_bounded(
     edges: DataFrame,
     source: DataFrame,
     rounds: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Single-source shortest paths on a typed bipartite graph by
     ROUND-BOUNDED Bellman-Ford — ``rounds`` synchronous relaxations,
@@ -837,7 +838,10 @@ def sssp_bounded(
     ``edges`` is (s, p, w) with integer weights — distances stay on
     the exact integer lattice, so any engine replaying the same
     relaxation rounds agrees bit-for-bit.  ``source`` is a one-or-few
-    row frame (kind, id, dist) seeding the frontier.
+    row frame (kind, id, dist) seeding the frontier; ``carry_cols``
+    are extra key columns (e.g. a source-id column for multi-source
+    runs) carried through every relaxation — the state becomes one
+    row per (*carry_cols, kind, id).
 
     Each round is two keyed equi-joins (frontier × edges on the
     frontier's OWN side) + one grouped min — never a cartesian,
@@ -847,16 +851,19 @@ def sssp_bounded(
     Output: (kind, id, dist) — the tentative-final distance table.
     """
     e = edges.localCheckpoint(eager=False)
+    carry = [F.col(f"d.{c}").alias(c) for c in carry_cols]
     dist = source
     for _ in range(rounds):
         ds = dist.filter(F.col("kind") == "s").alias("d")
         dp = dist.filter(F.col("kind") == "p").alias("d")
         nxt_p = ds.join(e.alias("e"), F.col("d.id") == F.col("e.s")).select(
+            *carry,
             F.lit("p").alias("kind"),
             F.col("e.p").alias("id"),
             (F.col("d.dist") + F.col("e.w")).alias("dist"),
         )
         nxt_s = dp.join(e.alias("e"), F.col("d.id") == F.col("e.p")).select(
+            *carry,
             F.lit("s").alias("kind"),
             F.col("e.s").alias("id"),
             (F.col("d.dist") + F.col("e.w")).alias("dist"),
@@ -864,7 +871,7 @@ def sssp_bounded(
         dist = (
             dist.unionByName(nxt_p)
             .unionByName(nxt_s)
-            .groupBy("kind", "id")
+            .groupBy(*carry_cols, "kind", "id")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=False)
         )

@@ -976,3 +976,53 @@ def rake_keywords(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.round(F.max("_score"), 6).alias("rake_score"),
     )
+
+
+def word_graph_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Undirected word co-occurrence graph from adjacent token pairs —
+    the TextRank substrate (Mihalcea & Tarau '04): nodes are words,
+    edges connect words that appear next to each other at least
+    ``min_pair_count`` times (the same noise floor as
+    :func:`pmi_collocations`), emitted in BOTH directions so every
+    node has out-degree ≥ 1 (the sink-free form
+    :func:`graph.pagerank_int` requires).
+
+    One tokenize/explode + one grouped count + one distinct — the
+    graph build is a corpus scan; the graph itself is vocabulary-
+    sized.  Output: (src, dst) string columns.
+    """
+    words = docs.select(_lower_words(F.col(text_col)).alias("_w")).filter(
+        F.size("_w") >= 2
+    )
+    grams = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_w"), i).alias("w1"),
+                    F.element_at(F.col("_w"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_g")
+    ).select(F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+    pc = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(
+            (F.col("c") >= min_pair_count)
+            & (F.col("w1") != F.col("w2"))
+        )
+    )
+    return (
+        pc.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(
+            pc.select(
+                F.col("w2").alias("src"), F.col("w1").alias("dst")
+            )
+        )
+        .distinct()
+    )

@@ -1165,3 +1165,83 @@ def poisson_bootstrap_uplift(
             ).alias("significant"),
         )
     )
+
+
+def isotonic_fit_bins(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    w_col: str = "w",
+    y_col: str = "y",
+) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) over a binned
+    (bin, weight, positives) frame — WITHOUT iterating: PAV's fixed
+    point has the closed minimax form
+
+        fit(k) = max_{i ≤ k} min_{j ≥ k} (Y_j − Y_{i−1}) / (W_j − W_{i−1})
+
+    over exact prefix sums, so the whole fit is pair enumeration on
+    the B-sized POST-AGGREGATION frame (the documented tiny-frame
+    exception; B² pairs, B³ worst-case candidate rows — calendar-scale
+    numbers).  Prefixes are exact integers; each segment mean is one
+    double division both engines share; min/max over identical doubles
+    are deterministic.  Bin ids must be ≥ 0 (a −1 sentinel seeds the
+    empty prefix).
+
+    Output: (bin, w, y, rate, isotonic) — ``isotonic`` is the
+    monotone-nondecreasing calibrated rate, the PAV solution exactly.
+    """
+    spark = bins.sparkSession
+    b = bins.select(
+        F.col(bin_col).cast("bigint").alias("bin"),
+        F.col(w_col).cast("bigint").alias("w"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    wseq = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = b.select(
+        "bin",
+        F.sum("w").over(wseq).cast("bigint").alias("cw"),
+        F.sum("y").over(wseq).cast("bigint").alias("cy"),
+    )
+    p = p.localCheckpoint(eager=False)
+    sent = spark.createDataFrame(
+        [(-1, 0, 0)], "bin bigint, cw bigint, cy bigint"
+    )
+    pa = sent.unionByName(p)
+    pairs = (
+        pa.alias("a")
+        .join(p.alias("j"), F.col("j.bin") > F.col("a.bin"))
+        .select(
+            F.col("a.bin").alias("i0"),
+            F.col("j.bin").alias("j"),
+            (
+                (F.col("j.cy") - F.col("a.cy")).cast("double")
+                / (F.col("j.cw") - F.col("a.cw")).cast("double")
+            ).alias("m"),
+        )
+    )
+    inner = (
+        b.select(F.col("bin").alias("k"))
+        .join(
+            pairs,
+            (F.col("i0") < F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("k", "i0")
+        .agg(F.min("m").alias("mn"))
+    )
+    fit = inner.groupBy("k").agg(F.max("mn").alias("_fit"))
+    return (
+        b.join(fit, b["bin"] == fit["k"])
+        .select(
+            "bin",
+            "w",
+            "y",
+            F.round(
+                F.col("y").cast("double") / F.col("w").cast("double"),
+                6,
+            ).alias("rate"),
+            F.round(F.col("_fit"), 6).alias("isotonic"),
+        )
+        .orderBy("bin")
+    )

@@ -15948,6 +15948,555 @@ def events_ab_bootstrap_uplift(
     )
 
 
+def _textrank_oracle(iters: int = 8, min_pair: int = 5) -> str:
+    """Unrolled integer-PageRank replay over the word co-occurrence
+    graph — the ``_pagerank_oracle`` round structure with the
+    ``word_graph_edges`` build as the edge CTE."""
+    parts = [
+        f"""
+    WITH w AS MATERIALIZED (
+        SELECT string_split_regex(trim(lower(text)),
+                                  '[ \\t\\n\\r\\f\\x0b]+') AS t
+        FROM documents
+    ), g AS MATERIALIZED (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t FROM w WHERE len(t) >= 2),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ), pc AS (
+        SELECT w1, w2 FROM g
+        GROUP BY w1, w2
+        HAVING COUNT(*) >= {min_pair} AND w1 <> w2
+    ), edges AS (
+        SELECT w1 AS src, w2 AS dst FROM pc
+        UNION
+        SELECT w2 AS src, w1 AS dst FROM pc
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT id, 1000000000000 // n AS rank FROM nodes CROSS JOIN cnt
+    )"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+    c{k} AS (
+        SELECT e.dst AS id, SUM(r.rank // d.outdeg) AS c
+        FROM r{k} r JOIN deg d ON r.id = d.id
+        JOIN edges e ON e.src = r.id
+        GROUP BY e.dst
+    ), r{k + 1} AS (
+        SELECT nodes.id,
+               (15 * (1000000000000 // cnt.n)) // 100
+                   + (85 * COALESCE(c.c, 0)) // 100 AS rank
+        FROM nodes LEFT JOIN c{k} c ON nodes.id = c.id CROSS JOIN cnt
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS word, CAST(rank AS BIGINT) AS rank_units,
+           CAST(row_number() OVER (ORDER BY rank DESC, id) AS INT)
+               AS pos
+    FROM r{iters} QUALIFY pos <= 20 ORDER BY pos
+    """
+    )
+    return "".join(parts)
+
+
+@query("doc_textrank_keywords", oracle=_textrank_oracle())
+def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau '04): integer
+    PageRank (``graph.pagerank_int``, 8 rounds) over the undirected
+    word co-occurrence graph (``text.word_graph_edges``), top-20 words
+    by stationary rank — the unsupervised keyword ranker that
+    complements the registry's RAKE and TF-IDF extractors with a
+    graph-centrality signal.  Every update is exact bigint (iterative
+    yet hash-checkable); per round one keyed join + one rollup over
+    the vocabulary-sized graph; leaderboard via distributed
+    TakeOrdered."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        pagerank_int,
+    )
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        word_graph_edges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    edges = word_graph_edges(d, text_col="text", min_pair_count=5)
+    ranks = pagerank_int(edges, iterations=8)
+    top = take_top_k(
+        ranks, [F.desc("rank"), F.col("id")], 20, rank_col="pos"
+    )
+    return top.select(
+        F.col("id").alias("word"),
+        F.col("rank").alias("rank_units"),
+        "pos",
+    ).orderBy("pos")
+
+
+def _closeness_oracle(rounds: int = 6) -> str:
+    """Chained-CTE replay of the multi-source bounded BFS (unweighted
+    ``graph.sssp_bounded`` with a carried source column)."""
+    parts = [
+        """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), srcs AS (
+        SELECT src FROM (
+            SELECT DISTINCT l_suppkey AS src FROM lineitem
+        ) ORDER BY src LIMIT 4
+    ), d0 AS (
+        SELECT src, 's' AS kind, CAST(src AS BIGINT) AS id,
+               CAST(0 AS BIGINT) AS dist
+        FROM srcs
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", d{k} AS (
+        SELECT src, kind, id, MIN(dist) AS dist FROM (
+            SELECT * FROM d{k - 1}
+            UNION ALL
+            SELECT d.src, 'p', e.p, d.dist + 1
+            FROM d{k - 1} d JOIN e ON d.kind = 's' AND d.id = e.s
+            UNION ALL
+            SELECT d.src, 's', e.s, d.dist + 1
+            FROM d{k - 1} d JOIN e ON d.kind = 'p' AND d.id = e.p
+        ) GROUP BY src, kind, id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT src AS source_id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           round(CAST(COUNT(*) - 1 AS DOUBLE)
+                 / CAST(SUM(dist) AS DOUBLE), 6) AS closeness
+    FROM d{rounds} GROUP BY src ORDER BY source_id
+    """
+    )
+    return "".join(parts)
+
+
+@query("supplier_closeness_centrality", oracle=_closeness_oracle(6))
+def supplier_closeness_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closeness centrality of the four lowest-keyed suppliers in the
+    bipartite supplier-part graph: multi-source bounded BFS
+    (``graph.sssp_bounded`` with unit weights and a carried source
+    column — ONE shared relaxation loop computes all four frontiers
+    simultaneously, state keyed on (source, node)), then closeness =
+    (reached−1)/Σdist per source.  Completes the centrality family
+    next to PageRank, HITS, assortativity, and k-core.  Each round is
+    two keyed joins + one grouped min at any graph size."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct().select("s", "p", F.lit(1).cast("bigint").alias("w"))
+    srcs = (
+        li.select(F.col("l_suppkey").alias("src"))
+        .distinct()
+        .orderBy("src")
+        .limit(4)
+    )
+    source = srcs.select(
+        "src",
+        F.lit("s").alias("kind"),
+        F.col("src").cast("bigint").alias("id"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    d = sssp_bounded(e, source, rounds=6, carry_cols=("src",))
+    return (
+        d.groupBy(F.col("src").alias("source_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+            F.round(
+                (F.count(F.lit(1)) - 1).cast("double")
+                / F.sum("dist").cast("double"),
+                6,
+            ).alias("closeness"),
+        )
+        .orderBy("source_id")
+    )
+
+
+def _clf_score_cte() -> str:
+    """The hashed-linear-classifier scoring chain as a WITH-fragment —
+    the same w/tok/feat/s pipeline the ``classifier_auc_eval`` oracle
+    replays (md5-PRF weights over 4096 hashed features, score =
+    mean feature weight on the 1e-6 lattice, one row per non-blank
+    document: s(doc_id, lang, sv))."""
+    return """
+    w AS (
+        SELECT i AS fid,
+               (('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 18, 15))
+                   ::BIGINT % 2001 - 1000) / 1000.0 AS wt
+        FROM generate_series(0, 4095) t(i)
+    ), tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text),
+                   '[ \\t\\n\\r\\f\\x0b]+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), feat AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 18, 15))::BIGINT % 4096 AS fid
+        FROM tok
+    ), s AS (
+        SELECT doc_id, MAX(lang) AS lang,
+               CAST(round(SUM(wt) / COUNT(*) * 1e6, 0) AS BIGINT) AS sv
+        FROM feat JOIN w ON feat.fid = w.fid
+        GROUP BY doc_id
+    )"""
+
+
+@query(
+    "classifier_isotonic_calibration",
+    oracle=f"""
+    WITH {_clf_score_cte()}, mm AS (
+        SELECT MIN(sv) AS mn, MAX(sv) AS mx FROM s
+    ), b AS (
+        SELECT ((sv - mn) * 12) // (mx - mn + 1) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS w2,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS y
+        FROM s CROSS JOIN mm GROUP BY 1
+    ), p AS (
+        SELECT bin,
+               CAST(SUM(w2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+               CAST(SUM(y) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+        FROM b
+    ), pa AS (
+        SELECT CAST(-1 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS cw,
+               CAST(0 AS BIGINT) AS cy
+        UNION ALL SELECT bin, cw, cy FROM p
+    ), pairs AS (
+        SELECT a.bin AS i0, j.bin AS j,
+               CAST(j.cy - a.cy AS DOUBLE)
+                   / CAST(j.cw - a.cw AS DOUBLE) AS m
+        FROM pa a JOIN p j ON j.bin > a.bin
+    ), inner_ AS (
+        SELECT k.bin AS k, pr.i0, MIN(pr.m) AS mn
+        FROM b k JOIN pairs pr
+          ON pr.i0 < k.bin AND pr.j >= k.bin
+        GROUP BY 1, 2
+    ), fit AS (
+        SELECT k, MAX(mn) AS f FROM inner_ GROUP BY k
+    )
+    SELECT b.bin, b.w2 AS w, b.y,
+           round(CAST(b.y AS DOUBLE) / CAST(b.w2 AS DOUBLE), 6)
+               AS rate,
+           round(f.f, 6) AS isotonic
+    FROM b JOIN fit f ON f.k = b.bin ORDER BY b.bin
+    """,
+)
+def classifier_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) calibration of the hashed linear classifier
+    against the English label — 12 equal-width score bins, then the
+    EXACT pool-adjacent-violators solution via its closed minimax form
+    (``plans.metrics.isotonic_fit_bins``): no iteration, just pair
+    enumeration over the bin-sized frame, so the iterative-looking fit
+    stays one-shot hash-checkable.  The output is the monotone
+    calibrated rate per bin next to the raw rate — the curve a
+    quality-score threshold should be read off of.  The 100 TB pass is
+    the score rollup; everything after is calendar-scale."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        isotonic_fit_bins,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    wgt = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, wgt, n_features=4096).select(
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    mm = scored.agg(
+        F.min("sv").alias("mn"), F.max("sv").alias("mx")
+    )
+    bins = (
+        scored.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr("((sv - mn) * 12) div (mx - mn + 1)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+            F.sum("pos").cast("bigint").alias("y"),
+        )
+    )
+    return isotonic_fit_bins(bins, "bin", "w", "y")
+
+
+@query(
+    "classifier_brier_decomposition",
+    oracle=f"""
+    WITH {_clf_score_cte()}, mm AS (
+        SELECT MIN(sv) AS mn, MAX(sv) AS mx FROM s
+    ), pr AS (
+        SELECT ((sv - mn) * 1000000000) // (mx - mn) AS p9,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM s CROSS JOIN mm
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS ysum,
+               CAST(SUM(CAST(p9 - y * 1000000000 AS HUGEINT)
+                        * (p9 - y * 1000000000)) AS HUGEINT) AS sqsum
+        FROM pr
+    ), b AS (
+        SELECT LEAST(p9 // 100000000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS w2,
+               CAST(SUM(y) AS BIGINT) AS yb,
+               CAST(SUM(p9) AS BIGINT) AS pb
+        FROM pr GROUP BY 1
+    ), cells AS (
+        SELECT b.bin, b.w2,
+               CAST(b.pb AS DOUBLE) / b.w2 / 1e9 AS pbar,
+               CAST(b.yb AS DOUBLE) / b.w2 AS obar_k,
+               CAST(t.ysum AS DOUBLE) / t.n AS obar
+        FROM b CROSS JOIN tot t
+    ), terms AS (
+        SELECT SUM(CAST(round(CAST(w2 AS DOUBLE)
+                   * (pbar - obar_k) * (pbar - obar_k) * 1e6, 0)
+                   AS BIGINT)) AS relc,
+               SUM(CAST(round(CAST(w2 AS DOUBLE)
+                   * (obar_k - obar) * (obar_k - obar) * 1e6, 0)
+                   AS BIGINT)) AS resc
+        FROM cells
+    )
+    SELECT t.n, t.ysum AS n_pos,
+           round(CAST(t.sqsum AS DOUBLE) / t.n / 1e18, 6) AS brier,
+           round(CAST(tm.relc AS DOUBLE) / 1e6 / t.n, 6)
+               AS reliability,
+           round(CAST(tm.resc AS DOUBLE) / 1e6 / t.n, 6)
+               AS resolution,
+           round((CAST(t.ysum AS DOUBLE) / t.n)
+                 * (1.0 - CAST(t.ysum AS DOUBLE) / t.n), 6)
+               AS uncertainty
+    FROM tot t CROSS JOIN terms tm
+    """,
+)
+def classifier_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the Brier score for the hashed linear
+    classifier (min-max-normalized score as the forecast probability,
+    English as the outcome): BRIER exactly from per-document squared
+    errors on the 1e-9 probability lattice (HUGEINT/decimal sums —
+    per-doc error² reaches 1e18, so int64 would wrap), RELIABILITY and
+    RESOLUTION from 10 forecast deciles with per-bin scaled rounding
+    before the cross-bin sums, UNCERTAINTY = ō(1−ō).  The forecast-
+    quality triptych next to the registry's AUC / PR-AUC / calibration
+    deciles.  One score rollup + one decile rollup at any scale."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    dec = "decimal(38,0)"
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    wgt = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, wgt, n_features=4096).select(
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    mm = scored.agg(F.min("sv").alias("mn"), F.max("sv").alias("mx"))
+    pr = scored.crossJoin(F.broadcast(mm)).select(
+        F.expr("((sv - mn) * 1000000000) div (mx - mn)").alias("p9"),
+        "y",
+    )
+    pr = pr.localCheckpoint(eager=False)
+    err = F.col("p9") - F.col("y") * F.lit(1_000_000_000)
+    tot = pr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("ysum"),
+        F.sum(err.cast(dec) * err).alias("sqsum"),
+    )
+    b = pr.groupBy(
+        F.least(F.expr("p9 div 100000000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w2"),
+        F.sum("y").cast("bigint").alias("yb"),
+        F.sum("p9").cast("bigint").alias("pb"),
+    )
+    cells = b.crossJoin(F.broadcast(tot)).select(
+        "w2",
+        (F.col("pb").cast("double") / F.col("w2") / F.lit(1e9)).alias(
+            "pbar"
+        ),
+        (F.col("yb").cast("double") / F.col("w2")).alias("obar_k"),
+        (F.col("ysum").cast("double") / F.col("n")).alias("obar"),
+    )
+    terms = cells.agg(
+        F.sum(
+            F.round(
+                F.col("w2").cast("double")
+                * (F.col("pbar") - F.col("obar_k"))
+                * (F.col("pbar") - F.col("obar_k"))
+                * F.lit(1e6),
+                0,
+            ).cast("bigint")
+        ).alias("relc"),
+        F.sum(
+            F.round(
+                F.col("w2").cast("double")
+                * (F.col("obar_k") - F.col("obar"))
+                * (F.col("obar_k") - F.col("obar"))
+                * F.lit(1e6),
+                0,
+            ).cast("bigint")
+        ).alias("resc"),
+    )
+    obar = F.col("ysum").cast("double") / F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .select(
+            "n",
+            F.col("ysum").alias("n_pos"),
+            F.round(
+                F.col("sqsum").cast("double")
+                / F.col("n")
+                / F.lit(1e18),
+                6,
+            ).alias("brier"),
+            F.round(
+                F.col("relc").cast("double") / F.lit(1e6) / F.col("n"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.col("resc").cast("double") / F.lit(1e6) / F.col("n"),
+                6,
+            ).alias("resolution"),
+            F.round(obar * (F.lit(1.0) - obar), 6).alias(
+                "uncertainty"
+            ),
+        )
+    )
+
+
+@query(
+    "embedding_silhouette",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 1000, 0) AS BIGINT)) AS vv
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id, label, UNNEST(range(len(vv))) AS pos,
+               UNNEST(vv) AS x
+        FROM v
+    ), cent AS (
+        SELECT label AS clabel, pos,
+               CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 0)
+                   AS BIGINT) AS c
+        FROM ex GROUP BY 1, 2
+    ), d2 AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dd
+        FROM ex e JOIN cent c ON c.pos = e.pos
+        GROUP BY 1, 2, 3
+    ), per AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clabel = label THEN dd END) AS a2,
+               MIN(CASE WHEN clabel <> label THEN dd END) AS b2
+        FROM d2 GROUP BY 1, 2
+    ), sil AS (
+        SELECT label,
+               CAST(round((sqrt(CAST(b2 AS DOUBLE))
+                           - sqrt(CAST(a2 AS DOUBLE)))
+                   / GREATEST(sqrt(CAST(a2 AS DOUBLE)),
+                              sqrt(CAST(b2 AS DOUBLE))) * 1e9, 0)
+                   AS BIGINT) AS s9
+        FROM per
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(s9) AS DOUBLE) / COUNT(*) / 1e9, 6)
+               AS mean_silhouette
+    FROM sil GROUP BY label ORDER BY label
+    """,
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette score of the embedding corpus
+    (Hruschka et al.'s centroid variant — a(i) = distance to own
+    centroid, b(i) = nearest other centroid): the cluster-quality
+    readout that tells you whether the label structure is real before
+    you trust a per-cluster sampling or pruning decision.  Centroids
+    are integer-rounded lattice vectors (one rollup); per-vector
+    distances come from ONE keyed join against the broadcast-scale
+    centroid table (|labels|×dim rows) — the pairwise-free silhouette
+    that scales to any corpus; each s(i) lands on the 1e-9 lattice
+    before the per-label mean."""
+    e = _t(spark, sf_dir, "embeddings")
+    vint = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000, 0).cast("bigint"),
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode(vint).alias("pos", "x")
+    )
+    ex = ex.localCheckpoint(eager=False)
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
+        .cast("bigint")
+        .alias("c")
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            )
+            .cast("bigint")
+            .alias("dd")
+        )
+    )
+    per = d2.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("clabel") == F.col("label"), F.col("dd"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dd"))
+        ).alias("b2"),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    s9 = F.round((sb - sa) / F.greatest(sa, sb) * F.lit(1e9), 0).cast(
+        "bigint"
+    )
+    sil = per.select("label", s9.alias("s9"))
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("s9").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e9),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -16082,7 +16631,11 @@ HEADLINE: list[str] = [
     # events_bootstrap_ci, user_sprt_monitor, supplier_part_sssp,
     # user_seqpattern_support, orders_t_closeness,
     # embedding_jl_distortion, embedding_kcenter_coreset,
-    # lineitem_zonemap_audit, events_changepoint.
+    # lineitem_zonemap_audit, events_changepoint,
+    # events_mann_kendall, user_path_trigrams,
+    # events_ab_bootstrap_uplift, doc_textrank_keywords,
+    # supplier_closeness_centrality, classifier_isotonic_calibration,
+    # classifier_brier_decomposition, embedding_silhouette.
 ]
 
 

@@ -3254,3 +3254,62 @@ def test_poisson_bootstrap_uplift_detects_planted_shift(spark):
     assert r["boot_lo"] <= r["uplift"] <= r["boot_hi"]
     assert r["boot_lo"] > 0 and r["significant"] is True
     assert 25 < r["uplift"] < 35
+
+
+def test_isotonic_fit_matches_pav(spark):
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        isotonic_fit_bins,
+    )
+
+    # rates [0.1, 0.5, 0.3, 0.7] with equal weights: PAV pools the
+    # middle violator pair to 0.4
+    bins = spark.createDataFrame(
+        [(0, 10, 1), (1, 10, 5), (2, 10, 3), (3, 10, 7)],
+        "bin bigint, w bigint, y bigint",
+    )
+    got = {
+        r["bin"]: r for r in isotonic_fit_bins(bins).collect()
+    }
+    assert abs(got[0]["isotonic"] - 0.1) < 1e-9
+    assert abs(got[1]["isotonic"] - 0.4) < 1e-9
+    assert abs(got[2]["isotonic"] - 0.4) < 1e-9
+    assert abs(got[3]["isotonic"] - 0.7) < 1e-9
+    # monotone nondecreasing by construction
+    fits = [got[k]["isotonic"] for k in sorted(got)]
+    assert fits == sorted(fits)
+    # weighted version: heavy low-rate bin drags the pool down
+    bins2 = spark.createDataFrame(
+        [(0, 30, 3), (1, 10, 9)],
+        "bin bigint, w bigint, y bigint",
+    )
+    got2 = {
+        r["bin"]: r["isotonic"]
+        for r in isotonic_fit_bins(bins2).collect()
+    }
+    # no violation (0.1 < 0.9): fit equals the raw rates
+    assert abs(got2[0] - 0.1) < 1e-9 and abs(got2[1] - 0.9) < 1e-9
+
+
+def test_sssp_bounded_multi_source_carry(spark):
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1), (2, 2, 1)],
+        "s bigint, p bigint, w bigint",
+    )
+    src = spark.createDataFrame(
+        [(1, "s", 1, 0), (2, "s", 2, 0)],
+        "src bigint, kind string, id bigint, dist bigint",
+    )
+    got = {
+        (r["src"], r["kind"], r["id"]): r["dist"]
+        for r in sssp_bounded(
+            edges, src, rounds=3, carry_cols=("src",)
+        ).collect()
+    }
+    # from s1: p1 at 1, s2 at 2, p2 at 3 ; from s2: p1 and p2 at 1
+    assert got[(1, "p", 1)] == 1 and got[(1, "s", 2)] == 2
+    assert got[(1, "p", 2)] == 3
+    assert got[(2, "p", 1)] == 1 and got[(2, "p", 2)] == 1

@@ -930,3 +930,30 @@ def test_zonemap_single_scan_broadcast_preds(spark):
     final = _final_plan(plan)
     assert final.count("FileScan") == 1, final
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_path_trigrams_keyed_window_topk(spark):
+    # the two LEADs ride the per-user window; leaderboard is TakeOrdered
+    plan = _plan(spark, "user_path_trigrams")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        # LEAD windows key on user_id; the only other window is the
+        # rank pass over the k-row TakeOrdered result
+        assert "user_id" in m.group(1) or "n_paths" in m.group(1), (
+            m.group(0)
+        )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_textrank_keyed_rounds_topk(spark):
+    # every PageRank round is a keyed join + rollup; no cartesian, and
+    # the word leaderboard is TakeOrdered
+    plan = _plan(spark, "doc_textrank_keywords")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_silhouette_broadcast_centroids(spark):
+    # the centroid table joins in as a broadcast; no global windows
+    plan = _plan(spark, "embedding_silhouette")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
