@@ -59,6 +59,113 @@ def word_shingles(words_col, n: int = 3) -> F.Column:
     return F.array_distinct(F.when(k >= 1, sh).otherwise(empty))
 
 
+def prefix_filter_pairs(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join by PREFIX FILTERING (AllPairs /
+    PPJoin, Bayardo et al. '07): every pair with Jaccard ≥ t_num/t_den
+    — no hashing, no probabilistic recall — while never materializing
+    all pairs.
+
+    The lemma: order each set's tokens by GLOBAL rarity (document
+    frequency asc, token asc — one shared total order); two sets with
+    Jaccard ≥ t must share a token within each other's first
+    ``|s| − ⌈t·|s|⌉ + 1`` tokens, so candidate generation is an
+    equi-join on PREFIX tokens only — rare tokens first means tiny
+    candidate lists exactly where sets are large.  Verification
+    computes the exact intersection for candidates only, and the
+    threshold test is integer cross-multiplication
+    (``t_den·∩ ≥ t_num·(|a|+|b|−∩)``) — no float ever decides
+    membership, so any engine replaying the same order agrees row-for-
+    row.
+
+    ``tokens`` is the DISTINCT (id, token) exploded frame.  Shape: one
+    df rollup, one per-set rank window (keyed by id), one prefix
+    equi-join, one candidate-bounded verify join — at 100 TB the
+    candidate volume tracks true near-dup density, never |docs|².
+
+    Output: (id_a, id_b, size_a, size_b, intersection, jaccard).
+    """
+    toks = tokens.select(
+        F.col(id_col).alias("_id"), F.col(tok_col).alias("_tok")
+    )
+    toks = toks.localCheckpoint(eager=False)
+    freq = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    sz = toks.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    wpos = Window.partitionBy("_id").orderBy("_df", "_tok")
+    ordered = (
+        toks.join(freq, "_tok")
+        .select("_id", "_tok", F.row_number().over(wpos).alias("_pos"))
+    )
+    pref = ordered.join(sz, "_id").filter(
+        F.col("_pos")
+        <= F.col("_sz")
+        - F.expr(f"({t_num} * _sz + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("_da"), F.col("b._id").alias("_db")
+        )
+        .distinct()
+    )
+    wa = toks.select(
+        F.col("_id").alias("_da"), F.col("_tok").alias("_ta")
+    )
+    wb = toks.select(
+        F.col("_id").alias("_db"), F.col("_tok").alias("_tb")
+    ).alias("wb")
+    ca = cand.join(wa, "_da").alias("ca")
+    inter = (
+        ca.join(
+            wb,
+            (F.col("ca._db") == F.col("wb._db"))
+            & (F.col("ca._ta") == F.col("wb._tb")),
+        )
+        .groupBy(F.col("ca._da").alias("_da"), F.col("ca._db").alias("_db"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_i"))
+    )
+    sa = sz.select(F.col("_id").alias("_da"), F.col("_sz").alias("size_a"))
+    sb = sz.select(F.col("_id").alias("_db"), F.col("_sz").alias("size_b"))
+    return (
+        inter.join(sa, "_da")
+        .join(sb, "_db")
+        .filter(
+            F.lit(t_den) * F.col("_i")
+            >= F.lit(t_num)
+            * (F.col("size_a") + F.col("size_b") - F.col("_i"))
+        )
+        .select(
+            F.col("_da").alias("id_a"),
+            F.col("_db").alias("id_b"),
+            "size_a",
+            "size_b",
+            F.col("_i").alias("intersection"),
+            F.round(
+                F.col("_i").cast("double")
+                / (
+                    F.col("size_a") + F.col("size_b") - F.col("_i")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # -- exact dedup (hash-groupBy) ------------------------------------------
 
 

@@ -16497,6 +16497,247 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    ), j AS (
+        SELECT d.day, du.user_id, du.day AS uday
+        FROM days d JOIN du
+          ON du.day BETWEEN d.day - 6 AND d.day
+    ), agg AS (
+        SELECT day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+               CAST(COUNT(DISTINCT CASE WHEN uday = day
+                   THEN user_id END) AS BIGINT) AS dau
+        FROM j GROUP BY day
+    )
+    SELECT day, dau, wau,
+           round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+               AS stickiness
+    FROM agg ORDER BY day
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) next to daily actives
+    (DAU) and the DAU/WAU stickiness ratio — the windowed DISTINCT
+    that plain sliding windows cannot express (sets don't sum).  The
+    shape that scales: dedup to (user, day) FIRST (one grouped pass
+    over the raw stream), then each calendar day joins at most 7 of a
+    user's activity days — the expansion is bounded by the window
+    length, never by event volume, and the calendar side broadcasts."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.col("ts").cast("date").alias("uday")
+    ).distinct()
+    du = du.localCheckpoint(eager=False)
+    days = du.select(F.col("uday").alias("d")).distinct()
+    j = du.join(
+        F.broadcast(days),
+        (F.col("uday") >= F.date_sub(F.col("d"), 6))
+        & (F.col("uday") <= F.col("d")),
+    )
+    agg = j.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau"),
+        F.countDistinct(
+            F.when(F.col("uday") == F.col("d"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("dau"),
+    )
+    return agg.select(
+        "day",
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"),
+            6,
+        ).alias("stickiness"),
+    ).orderBy("day")
+
+
+@query(
+    "events_ks_test",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), hist AS (
+        SELECT cents, CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+        FROM base GROUP BY 1
+    ), cum AS (
+        SELECT CAST(SUM(ca) OVER (ORDER BY cents ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY cents ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cumb
+        FROM hist
+    ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na,
+               CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb
+        FROM base
+    ), d AS (
+        SELECT CAST(MAX(ABS(cuma * t.nb - cumb * t.na)) AS BIGINT)
+                   AS dn
+        FROM cum CROSS JOIN tot t
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round(CAST(d.dn AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6)
+               AS ks_d,
+           round(1.36 * sqrt(CAST(t.na + t.nb AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))), 6)
+               AS ks_crit,
+           (CAST(d.dn AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)))
+               > (1.36 * sqrt(CAST(t.na + t.nb AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))))
+               AS significant
+    FROM d CROSS JOIN tot t
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the purchase
+    and view value distributions: D = max |ECDF_A − ECDF_B| computed
+    on the INTEGER lattice — the max runs over |cumA·n_B − cumB·n_A|
+    (cross-multiplied exact counts, no float ECDF anywhere) and only
+    the final two divisions are doubles — against the α=0.05 Smirnov
+    critical value 1.36·√((n_A+n_B)/(n_A·n_B)).  The two cumulative
+    counts ride ONE :func:`ranking.global_cumsum` two-pass (encoded
+    as cntA·10¹⁰+cntB in a single prefix sum — decoded by div/mod),
+    so nothing single-tasks: one grouped histogram, one
+    range-partitioned prefix, one rollup."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    big = 10_000_000_000
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    base = e.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("a"),
+    )
+    hist = base.groupBy("cents").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a")).cast("bigint").alias("cb"),
+    )
+    comb = hist.select(
+        "cents", (F.col("ca") * big + F.col("cb")).alias("c")
+    )
+    cum, total = global_cumsum(comb, [F.col("cents")], "c")
+    na, nb = int(total) // big, int(total) % big
+    dn_row = cum.select(
+        F.expr(f"CAST(cum AS BIGINT) div {big}").alias("cuma"),
+        F.expr(f"CAST(cum AS BIGINT) % {big}").alias("cumb"),
+    ).agg(
+        F.max(
+            F.abs(
+                F.col("cuma") * F.lit(nb) - F.col("cumb") * F.lit(na)
+            )
+        )
+        .cast("bigint")
+        .alias("dn")
+    )
+    nad, nbd = float(na), float(nb)
+    ks_d = F.col("dn").cast("double") / (F.lit(nad) * F.lit(nbd))
+    crit = F.lit(1.36) * F.sqrt(
+        F.lit(float(na + nb)) / (F.lit(nad) * F.lit(nbd))
+    )
+    return dn_row.select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit"),
+        (ks_d > crit).alias("significant"),
+    )
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle="""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+                   '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ), sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tok
+        FROM (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+             LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
+                      AS i)
+    ), freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY tok
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM sh GROUP BY doc_id
+    ), ordered AS (
+        SELECT s.doc_id, s.tok,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                   ORDER BY f.df, s.tok) AS pos
+        FROM sh s JOIN freq f ON f.tok = s.tok
+    ), pref AS (
+        SELECT o.doc_id, o.tok
+        FROM ordered o JOIN sz ON sz.doc_id = o.doc_id
+        WHERE o.pos <= sz.sz - (3 * sz.sz + 4) // 5 + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh wa ON wa.doc_id = c.da
+        JOIN sh wb ON wb.doc_id = c.db AND wb.tok = wa.tok
+        GROUP BY c.da, c.db
+    )
+    SELECT i.da AS id_a, i.db AS id_b, sa.sz AS size_a,
+           sb.sz AS size_b, i.i AS intersection,
+           round(CAST(i.i AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+    FROM inter i JOIN sz sa ON sa.doc_id = i.da
+    JOIN sz sb ON sb.doc_id = i.db
+    WHERE 5 * i.i >= 3 * (sa.sz + sb.sz - i.i)
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_prefix_filter_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT near-dup pairs at Jaccard ≥ 0.6 over 3-word-shingle sets
+    by prefix filtering (``dedup.prefix_filter_pairs`` — AllPairs,
+    Bayardo et al. '07): the deterministic complement to the MinHash
+    family — 100% recall at the threshold, no banding probability,
+    still never all-pairs (candidates must share a token in the
+    rarity-ordered prefix, so candidate volume tracks true near-dup
+    density).  The threshold decision is integer cross-multiplication
+    — floats never decide membership."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        norm_words,
+        prefix_filter_pairs,
+        word_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", norm_words(F.col("text")).alias("_w"))
+    sh = words.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("_w"), 3)).alias("tok"),
+    )
+    return prefix_filter_pairs(
+        sh, "doc_id", "tok", t_num=3, t_den=5
+    ).orderBy("id_a", "id_b")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -16635,7 +16876,8 @@ HEADLINE: list[str] = [
     # events_mann_kendall, user_path_trigrams,
     # events_ab_bootstrap_uplift, doc_textrank_keywords,
     # supplier_closeness_centrality, classifier_isotonic_calibration,
-    # classifier_brier_decomposition, embedding_silhouette.
+    # classifier_brier_decomposition, embedding_silhouette,
+    # events_rolling_wau, events_ks_test, dedup_prefix_filter_join.
 ]
 
 

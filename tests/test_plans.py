@@ -957,3 +957,25 @@ def test_silhouette_broadcast_centroids(spark):
     plan = _plan(spark, "embedding_silhouette")
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+
+
+def test_prefix_filter_all_joins_keyed(spark):
+    # candidate generation and verification are keyed equi-joins —
+    # never cartesian, never nested-loop over the corpus
+    plan = _plan(spark, "dedup_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_two_pass_no_global_window(spark):
+    # both ECDFs ride the range-partitioned global_cumsum two-pass —
+    # no empty-partition-spec window over the value histogram
+    plan = _plan(spark, "events_ks_test")
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+
+
+def test_rolling_wau_broadcast_calendar(spark):
+    # the calendar side broadcasts; expansion is the 7-day window, not
+    # a shuffle of the activity table against itself
+    plan = _plan(spark, "events_rolling_wau")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
