@@ -16738,6 +16738,333 @@ def dedup_prefix_filter_join(
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "classifier_woe_iv",
+    oracle=f"""
+    WITH {_clf_score_cte()}, mm AS (
+        SELECT MIN(sv) AS mn, MAX(sv) AS mx FROM s
+    ), b AS (
+        SELECT ((sv - mn) * 10) // (mx - mn + 1) AS bin,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS neg
+        FROM s CROSS JOIN mm GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS tp,
+               CAST(SUM(neg) AS BIGINT) AS tn
+        FROM b
+    ), woe AS (
+        SELECT b.bin, b.pos, b.neg,
+               round(ln(CAST((2 * b.pos + 1)
+                       * CAST(2 * t.tn + 10 AS HUGEINT) AS DOUBLE)
+                     / CAST((2 * b.neg + 1)
+                       * CAST(2 * t.tp + 10 AS HUGEINT) AS DOUBLE)),
+                     6) AS woe,
+               CAST(round((CAST(2 * b.pos + 1 AS DOUBLE)
+                           / (2 * t.tp + 10)
+                         - CAST(2 * b.neg + 1 AS DOUBLE)
+                           / (2 * t.tn + 10))
+                   * ln(CAST((2 * b.pos + 1)
+                       * CAST(2 * t.tn + 10 AS HUGEINT) AS DOUBLE)
+                     / CAST((2 * b.neg + 1)
+                       * CAST(2 * t.tp + 10 AS HUGEINT) AS DOUBLE))
+                   * 1e9, 0) AS BIGINT) AS iv9
+        FROM b CROSS JOIN tot t
+    ), ivt AS (
+        SELECT CAST(SUM(iv9) AS BIGINT) AS ivs FROM woe
+    )
+    SELECT w.bin, w.pos, w.neg, w.woe,
+           round(CAST(w.iv9 AS DOUBLE) / 1e9, 6) AS iv_term,
+           round(CAST(i.ivs AS DOUBLE) / 1e9, 6) AS iv_total
+    FROM woe w CROSS JOIN ivt i ORDER BY w.bin
+    """,
+)
+def classifier_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of the hashed
+    linear classifier score against the English label — the
+    credit-scoring feature-strength standard: per score bin,
+    WOE = ln(smoothed pos share / smoothed neg share) and the IV
+    contribution (share difference × WOE), with IV_total grading the
+    score's separating power.  Smoothing is the exact +½ Laplace form
+    kept integral by doubling (2·c+1 / 2·T+K), each bin takes ONE ln
+    in a fixed term order, and IV contributions land on the 1e-9
+    lattice before the cross-bin sum.  One score rollup + one bin
+    rollup at any scale."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    wgt = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, wgt, n_features=4096).select(
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    mm = scored.agg(F.min("sv").alias("mn"), F.max("sv").alias("mx"))
+    b = (
+        scored.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr("((sv - mn) * 10) div (mx - mn + 1)").alias("bin")
+        )
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+        )
+    )
+    tot = b.agg(
+        F.sum("pos").cast("bigint").alias("tp"),
+        F.sum("neg").cast("bigint").alias("tn"),
+    )
+    dec = "decimal(38,0)"
+    g = b.crossJoin(F.broadcast(tot))
+    num = (2 * F.col("pos") + 1).cast(dec) * (
+        2 * F.col("tn") + 10
+    ).cast(dec)
+    den = (2 * F.col("neg") + 1).cast(dec) * (
+        2 * F.col("tp") + 10
+    ).cast(dec)
+    woe_raw = F.log(num.cast("double") / den.cast("double"))
+    share_diff = (2 * F.col("pos") + 1).cast("double") / (
+        2 * F.col("tp") + 10
+    ) - (2 * F.col("neg") + 1).cast("double") / (
+        2 * F.col("tn") + 10
+    )
+    iv9 = F.round(share_diff * woe_raw * F.lit(1e9), 0).cast("bigint")
+    woe = g.select(
+        "bin",
+        "pos",
+        "neg",
+        F.round(woe_raw, 6).alias("woe"),
+        iv9.alias("iv9"),
+    )
+    ivt = woe.agg(F.sum("iv9").cast("bigint").alias("ivs"))
+    return (
+        woe.crossJoin(F.broadcast(ivt))
+        .select(
+            "bin",
+            "pos",
+            "neg",
+            "woe",
+            F.round(F.col("iv9").cast("double") / 1e9, 6).alias(
+                "iv_term"
+            ),
+            F.round(F.col("ivs").cast("double") / 1e9, 6).alias(
+                "iv_total"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "classifier_cumulative_gains",
+    oracle=f"""
+    WITH {_clf_score_cte()}, mm AS (
+        SELECT MIN(sv) AS mn, MAX(sv) AS mx FROM s
+    ), b AS (
+        SELECT ((sv - mn) * 10) // (mx - mn + 1) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos
+        FROM s CROSS JOIN mm GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+               CAST(SUM(pos) AS BIGINT) AS tot_p
+        FROM b
+    ), c AS (
+        SELECT bin,
+               CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_n,
+               CAST(SUM(pos) OVER (ORDER BY bin DESC ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_pos
+        FROM b
+    )
+    SELECT c.bin, c.cum_n, c.cum_pos,
+           round(CAST(c.cum_pos AS DOUBLE) / t.tot_p, 6) AS gains,
+           round(CAST(c.cum_pos * t.tot_n AS DOUBLE)
+                 / CAST(c.cum_n * t.tot_p AS DOUBLE), 6) AS lift
+    FROM c CROSS JOIN tot t ORDER BY c.bin DESC
+    """,
+)
+def classifier_cumulative_gains(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative gains and lift of the hashed linear classifier,
+    top-score-bin down — "reading the top k% of the ranking captures
+    what share of the positives, at what multiple of random" — the
+    targeting curve next to AUC/PR-AUC/calibration/WOE in the
+    registry's classifier-eval family.  Cumulation runs over the
+    10-row POST-AGGREGATION bin frame (documented exception); gains
+    and lift are single divisions of exact integer products."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    wgt = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, wgt, n_features=4096).select(
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    mm = scored.agg(F.min("sv").alias("mn"), F.max("sv").alias("mx"))
+    b = (
+        scored.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr("((sv - mn) * 10) div (mx - mn + 1)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum("pos").cast("bigint").alias("tot_p"),
+    )
+    wdesc = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.select(
+        "bin",
+        F.sum("n").over(wdesc).cast("bigint").alias("cum_n"),
+        F.sum("pos").over(wdesc).cast("bigint").alias("cum_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "cum_n",
+            "cum_pos",
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("tot_p"), 6
+            ).alias("gains"),
+            F.round(
+                (F.col("cum_pos") * F.col("tot_n")).cast("double")
+                / (F.col("cum_n") * F.col("tot_p")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("bin"))
+    )
+
+
+def _sortkey_oracle() -> str:
+    """Two zone-map scan-fraction profiles (ingest-order buckets vs
+    ship-month clustering) joined per predicate — the SQL replay of
+    running ``plans.metrics.zonemap_pruning`` under both layouts."""
+    m_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{lo}' "
+        f"AND l_shipdate < TIMESTAMP '{hi}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS m{i}"
+        for i, (_, lo, hi) in enumerate(_ZONEMAP_PREDS)
+    )
+    values = ",\n        ".join(
+        f"({i}, '{lab}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for i, (lab, lo, hi) in enumerate(_ZONEMAP_PREDS)
+    )
+    m_case = " ".join(
+        f"WHEN {i} THEN m{i}" for i in range(len(_ZONEMAP_PREDS))
+    )
+
+    def layer(tag: str, gexpr: str) -> str:
+        return f""", z{tag} AS (
+        SELECT {gexpr} AS g,
+               MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {m_cols}
+        FROM lineitem GROUP BY 1
+    ), s{tag} AS (
+        SELECT p.pred_label,
+               round(CAST(SUM(CASE WHEN NOT (z.zmax < p.lo
+                       OR z.zmin >= p.hi) THEN z.n ELSE 0 END)
+                   AS DOUBLE) / SUM(z.n), 6) AS scan_fraction,
+               round(CAST(SUM(CASE p.pred_id {m_case} ELSE 0 END)
+                   AS DOUBLE) / SUM(z.n), 6) AS match_fraction
+        FROM z{tag} z CROSS JOIN preds p
+        GROUP BY p.pred_label, p.pred_id
+    )"""
+
+    return (
+        f"""
+    WITH preds(pred_id, pred_label, lo, hi) AS (
+        VALUES {values}
+    )"""
+        + layer("a", "l_orderkey // 4096")
+        + layer("b", "date_trunc('month', l_shipdate)")
+        + """
+    SELECT a.pred_label,
+           a.scan_fraction AS scan_ingest,
+           b.scan_fraction AS scan_shipmonth,
+           a.match_fraction,
+           CASE WHEN b.scan_fraction < a.scan_fraction
+                THEN 'cluster_by_shipdate' ELSE 'keep_ingest_order'
+           END AS recommended
+    FROM sa a JOIN sb b ON b.pred_label = a.pred_label
+    ORDER BY a.pred_label
+    """
+    )
+
+
+@query("lineitem_sortkey_recommendation", oracle=_sortkey_oracle())
+def lineitem_sortkey_recommendation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sort-key recommendation by MEASUREMENT: run the zone-map
+    pruning audit (``plans.metrics.zonemap_pruning``) under BOTH
+    candidate layouts — the current ingest order (orderkey buckets)
+    and ship-month clustering — and recommend per predicate whichever
+    scans less.  This is how a lakehouse decides Z-ORDER/cluster keys
+    at 100 TB: not by heuristics but by replaying the predicate set
+    against simulated footers; two grouped passes + a broadcast grid
+    each, and the verdict is a comparison of exact fractions."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        zonemap_pruning,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    za = zonemap_pruning(
+        li, F.expr("l_orderkey DIV 4096"), "l_shipdate", _ZONEMAP_PREDS
+    ).select(
+        "pred_label",
+        F.col("scan_fraction").alias("scan_ingest"),
+        "match_fraction",
+    )
+    zb = zonemap_pruning(
+        li,
+        F.date_trunc("month", F.col("l_shipdate")),
+        "l_shipdate",
+        _ZONEMAP_PREDS,
+    ).select(
+        "pred_label",
+        F.col("scan_fraction").alias("scan_shipmonth"),
+    )
+    return (
+        za.join(zb, "pred_label")
+        .select(
+            "pred_label",
+            "scan_ingest",
+            "scan_shipmonth",
+            "match_fraction",
+            F.when(
+                F.col("scan_shipmonth") < F.col("scan_ingest"),
+                F.lit("cluster_by_shipdate"),
+            )
+            .otherwise(F.lit("keep_ingest_order"))
+            .alias("recommended"),
+        )
+        .orderBy("pred_label")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -16877,7 +17204,9 @@ HEADLINE: list[str] = [
     # events_ab_bootstrap_uplift, doc_textrank_keywords,
     # supplier_closeness_centrality, classifier_isotonic_calibration,
     # classifier_brier_decomposition, embedding_silhouette,
-    # events_rolling_wau, events_ks_test, dedup_prefix_filter_join.
+    # events_rolling_wau, events_ks_test, dedup_prefix_filter_join,
+    # classifier_woe_iv, classifier_cumulative_gains,
+    # lineitem_sortkey_recommendation.
 ]
 
 
