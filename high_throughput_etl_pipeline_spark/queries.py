@@ -17065,6 +17065,363 @@ def lineitem_sortkey_recommendation(
     )
 
 
+@query(
+    "events_holt_winters",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type,
+               list_transform(list(n ORDER BY day),
+                              x -> CAST(x AS DOUBLE)) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d GROUP BY event_type HAVING COUNT(*) >= 14
+    ), init AS (
+        SELECT event_type, xs, n_days,
+               (xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6] + xs[7])
+                   / 7 AS l0,
+               ((xs[8] + xs[9] + xs[10] + xs[11] + xs[12] + xs[13]
+                 + xs[14]) / 7
+                - (xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6]
+                   + xs[7]) / 7) / 7 AS b0
+        FROM s
+    ), fold AS (
+        -- accumulator DOUBLE[10] = [level, trend, pos, s1..s7]; fold
+        -- elements wrapped to the same type (obs in slot 1)
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_prepend(
+                       [l0, b0, CAST(7 AS DOUBLE),
+                        xs[1] - l0, xs[2] - l0, xs[3] - l0,
+                        xs[4] - l0, xs[5] - l0, xs[6] - l0,
+                        xs[7] - l0],
+                       list_transform(xs[8:], x ->
+                           [x, CAST(0.0 AS DOUBLE),
+                            CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                            CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                            CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                            CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])
+                   ),
+                   (acc, x) -> list_concat(
+                       [
+                         0.3 * (x[1]
+                             - acc[CAST(acc[3] AS INT) % 7 + 4])
+                           + 0.7 * (acc[1] + acc[2]),
+                         0.1 * ((0.3 * (x[1]
+                             - acc[CAST(acc[3] AS INT) % 7 + 4])
+                           + 0.7 * (acc[1] + acc[2])) - acc[1])
+                           + 0.9 * acc[2],
+                         acc[3] + 1
+                       ],
+                       list_transform(range(1, 8), j ->
+                           CASE WHEN j = CAST(acc[3] AS INT) % 7 + 1
+                                THEN 0.2 * (x[1]
+                                    - (0.3 * (x[1]
+                                        - acc[CAST(acc[3] AS INT)
+                                              % 7 + 4])
+                                      + 0.7 * (acc[1] + acc[2])))
+                                  + 0.8 * acc[j + 3]
+                                ELSE acc[j + 3] END)
+                   )
+               ) AS st
+        FROM init
+    )
+    SELECT event_type, n_days,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[(CAST(st[3] AS INT) % 7) + 4], 6) AS season_next,
+           round(st[1] + 1 * st[2]
+                 + st[(CAST(st[3] AS INT) % 7) + 4], 6)
+               AS forecast_1d,
+           round(st[1] + 7 * st[2]
+                 + st[((CAST(st[3] AS INT) + 6) % 7) + 4], 6)
+               AS forecast_7d,
+           round(list_max(st[4:]) - list_min(st[4:]), 6)
+               AS season_amplitude
+    FROM fold ORDER BY event_type
+    """,
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing of daily
+    event volume per type — level + trend + weekly (m=7) season
+    (α=0.3, β=0.1, γ=0.2), classic first-two-weeks initialization.
+    The state is a 10-slot double array [level, trend, pos, s₁..s₇]
+    folded over the ordered day series with IDENTICAL expression
+    trees on both engines — the season slot update is a per-step
+    7-element array rebuild, the position counter picks the slot, and
+    both engines execute the same float sequence, so an inherently
+    iterative seasonal model stays hash-checkable.  Forecasts re-add
+    the right season slot at each horizon.  The fold touches |days|
+    values per type — trivial at any event volume; the 100 TB cost is
+    the daily rollup."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = (
+        d.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("day"), F.col("n")))
+            ).alias("series"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 14)
+    )
+    xs = F.transform(F.col("series"), lambda r: r["n"].cast("double"))
+    s = s.select("event_type", "n_days", xs.alias("xs"))
+
+    def el(arr, i):
+        return F.element_at(arr, i)
+
+    # keep the textual addition order identical to the oracle:
+    # ((((((x1+x2)+x3)+x4)+x5)+x6)+x7)
+    week1 = el(F.col("xs"), 1)
+    for i in range(2, 8):
+        week1 = week1 + el(F.col("xs"), i)
+    week2 = el(F.col("xs"), 8)
+    for i in range(9, 15):
+        week2 = week2 + el(F.col("xs"), i)
+    l0 = week1 / 7
+    b0 = (week2 / 7 - week1 / 7) / 7
+    init_arr = F.concat(
+        F.array(l0, b0, F.lit(7.0)),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(7)),
+            lambda j: F.element_at(F.col("xs"), j.cast("int")) - l0,
+        ),
+    )
+    rest = F.slice(F.col("xs"), 8, F.size(F.col("xs")) - 7)
+
+    def hw_step(acc, x):
+        pos = el(acc, 3)
+        j0 = F.pmod(pos.cast("int"), 7) + F.lit(1)
+        s_cur = F.element_at(acc, j0 + F.lit(3))
+        lnew = F.lit(0.3) * (x - s_cur) + F.lit(0.7) * (
+            el(acc, 1) + el(acc, 2)
+        )
+        bnew = F.lit(0.1) * (lnew - el(acc, 1)) + F.lit(0.9) * el(
+            acc, 2
+        )
+        head = F.array(lnew, bnew, pos + F.lit(1.0))
+        season = F.transform(
+            F.sequence(F.lit(1), F.lit(7)),
+            lambda j: F.when(
+                j == j0,
+                F.lit(0.2) * (x - lnew)
+                + F.lit(0.8) * F.element_at(acc, j + F.lit(3)),
+            ).otherwise(F.element_at(acc, j + F.lit(3))),
+        )
+        return F.concat(head, season)
+
+    st = F.aggregate(rest, init_arr, hw_step)
+    out = s.select("event_type", "n_days", st.alias("st"))
+    stc = F.col("st")
+    idx1 = F.pmod(el(stc, 3).cast("int"), 7) + F.lit(4)
+    idx7 = F.pmod(el(stc, 3).cast("int") + F.lit(6), 7) + F.lit(4)
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round(el(stc, 1), 6).alias("level"),
+        F.round(el(stc, 2), 6).alias("trend"),
+        F.round(F.element_at(stc, idx1), 6).alias("season_next"),
+        F.round(
+            el(stc, 1) + F.lit(1) * el(stc, 2)
+            + F.element_at(stc, idx1),
+            6,
+        ).alias("forecast_1d"),
+        F.round(
+            el(stc, 1) + F.lit(7) * el(stc, 2)
+            + F.element_at(stc, idx7),
+            6,
+        ).alias("forecast_7d"),
+        F.round(
+            F.array_max(F.slice(stc, 4, 7))
+            - F.array_min(F.slice(stc, 4, 7)),
+            6,
+        ).alias("season_amplitude"),
+    ).orderBy("event_type")
+
+
+@query(
+    "lineitem_partial_correlation",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS z
+        FROM lineitem
+    ), m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(z AS HUGEINT)) AS sz,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(z AS HUGEINT) * z) AS szz,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * z) AS sxz,
+               SUM(CAST(y AS HUGEINT) * z) AS syz
+        FROM base
+    ), r AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   AS rxy,
+               CAST(n * sxz - sx * sz AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * szz - sz * sz AS DOUBLE))
+                   AS rxz,
+               CAST(n * syz - sy * sz AS DOUBLE)
+                   / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                          * CAST(n * szz - sz * sz AS DOUBLE))
+                   AS ryz
+        FROM m
+    )
+    SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+           round(ryz, 6) AS r_yz,
+           round((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+               AS r_xy_given_z
+    FROM r
+    """,
+)
+def lineitem_partial_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount — r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) —
+    the confounder-removal statistic the correlation matrix alone
+    can't answer.  All three Pearson terms come from one pass of exact
+    integer moments on the lattice (decimal/HUGEINT sums), each r is a
+    single division of exact casts in a fixed order, and the partial
+    formula is four more shared float ops.  One scan, one rollup, one
+    row."""
+    dec = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("y"),
+        F.round(F.col("l_discount") * 100, 0)
+        .cast("bigint")
+        .alias("z"),
+    )
+    x, y, z = F.col("x").cast(dec), F.col("y").cast(dec), F.col(
+        "z"
+    ).cast(dec)
+    m = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        F.sum(x * F.col("x")).alias("sxx"),
+        F.sum(y * F.col("y")).alias("syy"),
+        F.sum(z * F.col("z")).alias("szz"),
+        F.sum(x * F.col("y")).alias("sxy"),
+        F.sum(x * F.col("z")).alias("sxz"),
+        F.sum(y * F.col("z")).alias("syz"),
+    )
+    n, sx, sy, sz = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sz"),
+    )
+    sxx, syy, szz = F.col("sxx"), F.col("syy"), F.col("szz")
+    sxy, sxz, syz = F.col("sxy"), F.col("sxz"), F.col("syz")
+    rxy = (n * sxy - sx * sy).cast("double") / F.sqrt(
+        (n * sxx - sx * sx).cast("double")
+        * (n * syy - sy * sy).cast("double")
+    )
+    rxz = (n * sxz - sx * sz).cast("double") / F.sqrt(
+        (n * sxx - sx * sx).cast("double")
+        * (n * szz - sz * sz).cast("double")
+    )
+    ryz = (n * syz - sy * sz).cast("double") / F.sqrt(
+        (n * syy - sy * sy).cast("double")
+        * (n * szz - sz * sz).cast("double")
+    )
+    r = m.select(
+        n.cast("bigint").alias("n"),
+        rxy.alias("rxy"),
+        rxz.alias("rxz"),
+        ryz.alias("ryz"),
+    )
+    return r.select(
+        "n",
+        F.round(F.col("rxy"), 6).alias("r_xy"),
+        F.round(F.col("rxz"), 6).alias("r_xz"),
+        F.round(F.col("ryz"), 6).alias("r_yz"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+                * (F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("r_xy_given_z"),
+    )
+
+
+@query(
+    "events_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                   ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                   ELSE 0 END) AS BIGINT) AS errors,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                   ELSE 0 END) AS BIGINT) AS purchases,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1
+                   ELSE 0 END) AS BIGINT) AS signups,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                   ELSE 0 END) AS BIGINT) AS views
+        FROM events GROUP BY 1
+    )
+    SELECT day, metric, n FROM (
+        UNPIVOT wide
+        ON clicks, errors, purchases, signups, views
+        INTO NAME metric VALUE n
+    ) ORDER BY day, metric
+    """,
+)
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → UNPIVOT round trip: the wide daily metrics matrix (one
+    conditional-sum column per event type) melted back to long form
+    with Spark's ``stack`` (its UNPIVOT) against DuckDB's native
+    UNPIVOT — the wide↔long reshaping pair every metrics store needs,
+    value-checked cell by cell.  One grouped pass builds the matrix;
+    the melt is a map-side expression (no shuffle, no explode join)."""
+    e = _t(spark, sf_dir, "events")
+    wide = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(c)
+            for t, c in [
+                ("click", "clicks"),
+                ("error", "errors"),
+                ("purchase", "purchases"),
+                ("signup", "signups"),
+                ("view", "views"),
+            ]
+        ]
+    )
+    long = wide.selectExpr(
+        "day",
+        "stack(5, 'clicks', clicks, 'errors', errors, "
+        "'purchases', purchases, 'signups', signups, "
+        "'views', views) AS (metric, n)",
+    )
+    return long.orderBy("day", "metric")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -17206,7 +17563,8 @@ HEADLINE: list[str] = [
     # classifier_brier_decomposition, embedding_silhouette,
     # events_rolling_wau, events_ks_test, dedup_prefix_filter_join,
     # classifier_woe_iv, classifier_cumulative_gains,
-    # lineitem_sortkey_recommendation.
+    # lineitem_sortkey_recommendation, events_holt_winters,
+    # lineitem_partial_correlation, events_unpivot_metrics.
 ]
 
 

@@ -979,3 +979,19 @@ def test_rolling_wau_broadcast_calendar(spark):
     # a shuffle of the activity table against itself
     plan = _plan(spark, "events_rolling_wau")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_holt_winters_single_rollup_keyed_fold(spark):
+    # the seasonal fold runs inside the per-type aggregate — one scan,
+    # one grouped shuffle, no window, no join
+    plan = _plan(spark, "events_holt_winters")
+    final = _final_plan(plan)
+    assert "Join" not in final, final
+    assert final.count("FileScan") == 1
+
+
+def test_unpivot_mapside_no_shuffle_after_agg(spark):
+    # the melt (stack) is a map-side Expand/Generate over the daily
+    # matrix — exactly one hash exchange (the daily rollup)
+    plan = _final_plan(_plan(spark, "events_unpivot_metrics"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
