@@ -346,3 +346,114 @@ __all__ = [
     "rrf_fuse",
     "math_rrf",
 ]
+
+
+def ql_dirichlet_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty '01) — the language-model scorer next to BM25:
+    score(q,d) = Σ_t ln((tf_t + μ·p(t|C)) / (dl + μ)) with the
+    collection model p(t|C) = cf_t / |C|.  Same shape discipline as
+    :func:`bm25_scores`: map-side tf per query term (no index, no
+    explode), ONE single-row corpus-stats broadcast, score terms
+    summed in ``query_terms`` order so the float chain is engine-
+    reproducible.  Returns (id_col, dl, score) for docs matching at
+    least one term.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    w = docs.select(
+        F.col(id_col), norm_words(F.col(text_col)).alias("_words")
+    )
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("_words", _eq(t))).alias(f"_tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    t = w.select(
+        F.col(id_col), F.size("_words").alias("dl"), *tf_cols
+    )
+    stats = t.agg(
+        F.sum(F.col("dl").cast("bigint")).cast("double").alias("_tc"),
+        *[
+            F.sum(F.col(f"_tf{i}").cast("bigint"))
+            .cast("double")
+            .alias(f"_cf{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        score = score + F.log(
+            (tf + F.lit(mu) * (F.col(f"_cf{i}") / F.col("_tc")))
+            / (F.col("dl") + F.lit(mu))
+        )
+    return (
+        t.join(F.broadcast(stats))
+        .withColumn("score", F.round(score, 6))
+        .filter(
+            sum(
+                (F.col(f"_tf{i}") > 0).cast("int")
+                for i in range(len(query_terms))
+            )
+            > 0
+        )
+        .select(id_col, "dl", "score")
+    )
+
+
+def ql_dirichlet_sql(
+    query_terms: list[str],
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB CTE chain equivalent to :func:`ql_dirichlet_scores` —
+    shared term order.  Exposes CTE ``ql`` with (id_col, dl, score)."""
+
+    def _q(t: str) -> str:
+        return t.replace("'", "''")
+
+    tf_exprs = ", ".join(
+        f"len(list_filter(_words, x -> x = '{_q(t)}')) AS _tf{i}"
+        for i, t in enumerate(query_terms)
+    )
+    cf_exprs = ", ".join(
+        f"CAST(sum(CAST(_tf{i} AS BIGINT)) AS DOUBLE) AS _cf{i}"
+        for i in range(len(query_terms))
+    )
+    score_terms = " + ".join(
+        f"ln((CAST(_tf{i} AS DOUBLE) + {mu!r} * (_cf{i} / _tc))"
+        f" / (dl + {mu!r}))"
+        for i in range(len(query_terms))
+    )
+    any_match = " + ".join(
+        f"(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(query_terms))
+    )
+    return f"""tok AS (
+        SELECT {id_col},
+               string_split_regex(trim(lower({text_col})),
+                                  '[ \\t\\n\\r\\f\\x0b]+') AS _words
+        FROM {table}
+    ), tf AS (
+        SELECT {id_col}, len(_words) AS dl, {tf_exprs} FROM tok
+    ), stats AS (
+        SELECT CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) AS _tc,
+               {cf_exprs}
+        FROM tf
+    ), ql AS (
+        SELECT {id_col}, dl, round({score_terms}, 6) AS score
+        FROM tf CROSS JOIN stats
+        WHERE {any_match} > 0
+    )"""

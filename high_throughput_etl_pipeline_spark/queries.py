@@ -17422,6 +17422,45 @@ def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.orderBy("day", "metric")
 
 
+def _ql_oracle() -> str:
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        ql_dirichlet_sql,
+    )
+
+    return f"""
+    WITH {ql_dirichlet_sql(_BM25_TERMS, mu=300.0)}
+    SELECT doc_id, dl, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+               AS INT) AS rank
+    FROM ql QUALIFY rank <= 10 ORDER BY rank
+    """
+
+
+@query("text_ql_dirichlet_topk", oracle=_ql_oracle())
+def text_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by Dirichlet-smoothed query likelihood
+    (``retrieval.ql_dirichlet_scores``, μ=300) for the registry's
+    fixed query terms — the language-model ranker next to BM25 (the
+    other classic lexical scorer; they disagree exactly where length
+    normalization matters, which is why eval stacks run both).  Same
+    scale shape as BM25: map-side tf, one single-row corpus-stats
+    broadcast, distributed TakeOrdered top-k."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+    from high_throughput_etl_pipeline_spark.operators.retrieval import (
+        ql_dirichlet_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = ql_dirichlet_scores(d, _BM25_TERMS, mu=300.0)
+    return (
+        take_top_k(scored, [F.desc("score"), F.col("doc_id")], 10)
+        .select("doc_id", "dl", "score", "rank")
+        .orderBy("rank")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
