@@ -17461,6 +17461,114 @@ def text_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "part_price_index",
+    oracle="""
+    WITH cell AS (
+        SELECT l_partkey AS part, YEAR(l_shipdate) AS yr,
+               CAST(round(CAST(SUM(CAST(round(l_extendedprice * 100, 0)
+                       AS BIGINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT))
+                       AS DOUBLE), 0) AS BIGINT) AS unit_cents,
+               CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT))
+                   AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ), base AS (
+        SELECT part, unit_cents AS p0, qty AS q0
+        FROM cell WHERE yr = 1995
+    ), j AS (
+        SELECT c.yr,
+               CAST(SUM(CAST(c.unit_cents AS HUGEINT) * b.q0)
+                   AS BIGINT) AS lasp_num,
+               CAST(SUM(CAST(b.p0 AS HUGEINT) * b.q0)
+                   AS BIGINT) AS lasp_den,
+               CAST(SUM(CAST(c.unit_cents AS HUGEINT) * c.qty)
+                   AS BIGINT) AS paas_num,
+               CAST(SUM(CAST(b.p0 AS HUGEINT) * c.qty)
+                   AS BIGINT) AS paas_den,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM cell c JOIN base b ON b.part = c.part
+        GROUP BY c.yr
+    )
+    SELECT yr, n_parts,
+           round(CAST(lasp_num AS DOUBLE) / CAST(lasp_den AS DOUBLE),
+                 6) AS laspeyres,
+           round(CAST(paas_num AS DOUBLE) / CAST(paas_den AS DOUBLE),
+                 6) AS paasche,
+           round(sqrt((CAST(lasp_num AS DOUBLE)
+                       / CAST(lasp_den AS DOUBLE))
+                    * (CAST(paas_num AS DOUBLE)
+                       / CAST(paas_den AS DOUBLE))), 6) AS fisher
+    FROM j ORDER BY yr
+    """,
+)
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices per ship year
+    against the 1995 base basket — the index-number family (the CPI
+    construction): base-quantity-weighted vs current-quantity-weighted
+    unit-price ratios over the parts traded in both periods.  Per-cell
+    unit prices land on the integer-cents lattice BEFORE the basket
+    sums (scaled per-cell rounding), the four basket sums are exact
+    HUGEINT/decimal products, and each index is one final division.
+    Shape: one grouped pass to |parts × years| cells, one keyed join
+    against the base-year frame, one rollup."""
+    dec = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    qty = F.round(F.col("l_quantity"), 0).cast("bigint")
+    cell = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        F.round(
+            F.sum(cents.cast(dec)).cast("double")
+            / F.sum(qty.cast(dec)).cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("unit_cents"),
+        F.sum(qty.cast(dec)).cast("bigint").alias("qty"),
+    )
+    cell = cell.localCheckpoint(eager=False)
+    base = cell.filter(F.col("yr") == 1995).select(
+        "part",
+        F.col("unit_cents").alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    j = (
+        cell.join(base, "part")
+        .groupBy("yr")
+        .agg(
+            F.sum(F.col("unit_cents").cast(dec) * F.col("q0"))
+            .cast("bigint")
+            .alias("lasp_num"),
+            F.sum(F.col("p0").cast(dec) * F.col("q0"))
+            .cast("bigint")
+            .alias("lasp_den"),
+            F.sum(F.col("unit_cents").cast(dec) * F.col("qty"))
+            .cast("bigint")
+            .alias("paas_num"),
+            F.sum(F.col("p0").cast(dec) * F.col("qty"))
+            .cast("bigint")
+            .alias("paas_den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        )
+    )
+    lasp = F.col("lasp_num").cast("double") / F.col("lasp_den").cast(
+        "double"
+    )
+    paas = F.col("paas_num").cast("double") / F.col("paas_den").cast(
+        "double"
+    )
+    return j.select(
+        "yr",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("yr")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -17603,7 +17711,8 @@ HEADLINE: list[str] = [
     # events_rolling_wau, events_ks_test, dedup_prefix_filter_join,
     # classifier_woe_iv, classifier_cumulative_gains,
     # lineitem_sortkey_recommendation, events_holt_winters,
-    # lineitem_partial_correlation, events_unpivot_metrics.
+    # lineitem_partial_correlation, events_unpivot_metrics,
+    # text_ql_dirichlet_topk, part_price_index.
 ]
 
 
