@@ -995,3 +995,11 @@ def test_unpivot_mapside_no_shuffle_after_agg(spark):
     # matrix — exactly one hash exchange (the daily rollup)
     plan = _final_plan(_plan(spark, "events_unpivot_metrics"))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_ql_dirichlet_takeordered_one_stats_broadcast(spark):
+    # same discipline as BM25: distributed top-k, stats broadcast,
+    # never a global-window rank over the scored corpus
+    plan = _plan(spark, "text_ql_dirichlet_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
