@@ -4028,9 +4028,10 @@ def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:linear_quality_score): md5-hashed bag-of-words
     into 4096 buckets, deterministic pseudo-weight table (the trained-
     model stand-in, reproduced by the oracle from the same md5
-    derivation), document score = mean feature weight via a broadcast
-    one-row weight map + higher-order aggregate — map-side, no explode,
-    no shuffle on the corpus.  Keep decision (score > 0) is
+    derivation), document score = mean feature weight via explode →
+    codegen md5 → broadcast weight join → per-doc rollup (the measured
+    8x replacement for the interpreted HOF fold — SCALE.md).  Keep
+    decision (score > 0) is
     value-checked per source via the kept-id sum; per-doc scores round
     to 6 before the cross-engine sum."""
     from high_throughput_etl_pipeline_spark.operators.text import (
@@ -16227,6 +16228,10 @@ def classifier_isotonic_calibration(
         F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     )
+    # the interpreted-HOF scoring pass is the dominant cost: pin it so
+    # the min/max agg, the binning, and every tiny downstream frame
+    # read the materialized scores instead of re-scoring the corpus
+    scored = scored.localCheckpoint(eager=False)
     mm = scored.agg(
         F.min("sv").alias("mn"), F.max("sv").alias("mx")
     )
@@ -16317,6 +16322,7 @@ def classifier_brier_decomposition(
         F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
+    scored = scored.localCheckpoint(eager=False)
     mm = scored.agg(F.min("sv").alias("mn"), F.max("sv").alias("mx"))
     pr = scored.crossJoin(F.broadcast(mm)).select(
         F.expr("((sv - mn) * 1000000000) div (mx - mn)").alias("p9"),
@@ -16804,6 +16810,7 @@ def classifier_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
+    scored = scored.localCheckpoint(eager=False)
     mm = scored.agg(F.min("sv").alias("mn"), F.max("sv").alias("mx"))
     b = (
         scored.crossJoin(F.broadcast(mm))
@@ -16915,6 +16922,7 @@ def classifier_cumulative_gains(
         F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
+    scored = scored.localCheckpoint(eager=False)
     mm = scored.agg(F.min("sv").alias("mn"), F.max("sv").alias("mx"))
     b = (
         scored.crossJoin(F.broadcast(mm))

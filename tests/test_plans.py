@@ -359,12 +359,15 @@ def test_epoch_shuffle_no_global_sort(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_classifier_scoring_is_map_side(spark):
+def test_classifier_scoring_codegen_explode_broadcast(spark):
     plan = _final_plan(_plan(spark, "text_classifier_scores"))
-    # weight lookup = broadcast 1-row map + HOF aggregate: no explode of
-    # the corpus into tokens, no shuffle-join against the weight table
-    assert "Generate" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # scoring = explode tokens (codegen md5) + BROADCAST hash-join of
+    # the weight table + per-doc rollup: the measured-8x replacement
+    # for the interpreted one-row-map HOF fold (SCALE.md).  The weight
+    # join must stay a broadcast — shuffling the token stream against
+    # 4096 weights would be the classic scale bug.
+    assert "Generate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
