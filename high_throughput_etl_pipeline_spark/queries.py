@@ -17577,6 +17577,317 @@ def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("yr")
 
 
+@query(
+    "events_entropy_rate",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS a,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS b
+        FROM events
+    ), cell AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE b IS NOT NULL GROUP BY a, b
+    ), marg AS (
+        SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cell GROUP BY a
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS ns
+        FROM cell
+    ), h AS (
+        SELECT CAST(SUM(CAST(round(
+                   CAST(c.n AS DOUBLE) / t.nt
+                   * ln(CAST(c.n AS DOUBLE) / m.na) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS h9
+        FROM cell c JOIN marg m ON m.a = c.a CROSS JOIN tot t
+    )
+    SELECT t.nt AS n_transitions, t.ns AS n_states,
+           round(-CAST(h.h9 AS DOUBLE) / 1e9, 6) AS entropy_rate,
+           round(ln(CAST(t.ns AS DOUBLE)), 6) AS max_entropy,
+           round((-CAST(h.h9 AS DOUBLE) / 1e9)
+                 / ln(CAST(t.ns AS DOUBLE)), 6) AS efficiency
+    FROM h CROSS JOIN tot t
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event-type Markov chain — how
+    predictable the NEXT action is given the current one:
+    H = −Σ_ij (n_ij/N)·ln(n_ij/n_i) over the empirical transition
+    counts, with the efficiency ratio against the ln|S| ceiling.  The
+    information-theoretic readout on top of the registry's Markov
+    transition matrix: one keyed LEAD window, one |S|²-cell rollup,
+    per-cell 1e-9 scaled rounding before the exact cross-cell sum."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    cell = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cell = cell.localCheckpoint(eager=False)
+    marg = cell.groupBy("a").agg(
+        F.sum("n").cast("bigint").alias("na")
+    )
+    tot = cell.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.countDistinct("a").cast("bigint").alias("ns"),
+    )
+    h9 = F.round(
+        F.col("n").cast("double")
+        / F.col("nt")
+        * F.log(F.col("n").cast("double") / F.col("na"))
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    h = (
+        cell.join(marg, "a")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(h9).cast("bigint").alias("h9"))
+    )
+    ent = -F.col("h9").cast("double") / F.lit(1e9)
+    maxent = F.log(F.col("ns").cast("double"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        F.col("nt").alias("n_transitions"),
+        F.col("ns").alias("n_states"),
+        F.round(ent, 6).alias("entropy_rate"),
+        F.round(maxent, 6).alias("max_entropy"),
+        F.round(ent / maxent, 6).alias("efficiency"),
+    )
+
+
+@query(
+    "user_absence_risk",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), g AS (
+        SELECT user_id, day,
+               day - LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS gap
+        FROM du
+    ), gaps AS (
+        SELECT user_id, CAST(gap AS BIGINT) AS gap, day
+        FROM g WHERE gap IS NOT NULL
+    ), ranked AS (
+        SELECT user_id, gap,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY gap, day) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM gaps
+    ), med AS (
+        SELECT user_id, gap AS med_gap FROM ranked
+        WHERE rn = (cnt + 1) // 2
+    ), mx AS (
+        SELECT user_id, CAST(MAX(gap) AS BIGINT) AS max_gap
+        FROM gaps GROUP BY user_id
+    ), last AS (
+        SELECT user_id, MAX(day) AS last_day FROM du GROUP BY user_id
+    ), horizon AS (
+        SELECT MAX(day) AS h FROM du
+    ), scored AS (
+        SELECT l.user_id,
+               CAST(hz.h - l.last_day AS BIGINT) AS cur_gap,
+               m.med_gap, x.max_gap
+        FROM last l
+        LEFT JOIN med m ON m.user_id = l.user_id
+        LEFT JOIN mx x ON x.user_id = l.user_id
+        CROSS JOIN horizon hz
+    ), lab AS (
+        SELECT CASE WHEN max_gap IS NULL THEN 'new'
+                    WHEN cur_gap > max_gap THEN 'dormant'
+                    WHEN cur_gap > med_gap THEN 'cooling'
+                    ELSE 'active' END AS status,
+               cur_gap
+        FROM scored
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(AVG(CAST(cur_gap AS DOUBLE)), 6) AS avg_cur_gap,
+           CAST(MAX(cur_gap) AS BIGINT) AS max_cur_gap
+    FROM lab GROUP BY status ORDER BY status
+    """,
+)
+def user_absence_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk staging from each user's own activity rhythm: the
+    current silence (days since last activity at the data horizon)
+    compared against that user's historical inter-activity gaps —
+    beyond their max gap = dormant, beyond their median = cooling,
+    else active (single-day users = new).  The personalized-baseline
+    absence detector: every gap statistic is a per-user keyed window
+    or rollup on exact day integers; the per-user median is rank
+    selection (never interpolation); the horizon broadcasts."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    du = du.localCheckpoint(eager=False)
+    wday = Window.partitionBy("user_id").orderBy("day")
+    g = du.select(
+        "user_id",
+        "day",
+        F.datediff(F.col("day"), F.lag("day").over(wday)).alias(
+            "gap"
+        ),
+    )
+    gaps = g.filter(F.col("gap").isNotNull()).select(
+        "user_id", F.col("gap").cast("bigint").alias("gap"), "day"
+    )
+    wrank = Window.partitionBy("user_id").orderBy("gap", "day")
+    wcnt = Window.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "gap",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("cnt"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select("user_id", F.col("gap").alias("med_gap"))
+    mx = gaps.groupBy("user_id").agg(
+        F.max("gap").cast("bigint").alias("max_gap")
+    )
+    last = du.groupBy("user_id").agg(F.max("day").alias("last_day"))
+    horizon = du.agg(F.max("day").alias("h"))
+    scored = (
+        last.join(med, "user_id", "left")
+        .join(mx, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.col("h"), F.col("last_day"))
+            .cast("bigint")
+            .alias("cur_gap"),
+            "med_gap",
+            "max_gap",
+        )
+    )
+    lab = scored.select(
+        F.when(F.col("max_gap").isNull(), F.lit("new"))
+        .when(F.col("cur_gap") > F.col("max_gap"), F.lit("dormant"))
+        .when(F.col("cur_gap") > F.col("med_gap"), F.lit("cooling"))
+        .otherwise(F.lit("active"))
+        .alias("status"),
+        "cur_gap",
+    )
+    return (
+        lab.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg(F.col("cur_gap").cast("double")), 6).alias(
+                "avg_cur_gap"
+            ),
+            F.max("cur_gap").cast("bigint").alias("max_cur_gap"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "doc_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)),
+                   '[ \\t\\n\\r\\f\\x0b]+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), wc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY source, w
+    ), per AS (
+        SELECT source,
+               CAST(SUM(f) AS BIGINT) AS t_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v_types,
+               CAST(SUM(CAST(f AS HUGEINT) * (f - 1)) AS BIGINT)
+                   AS rep_pairs
+        FROM wc GROUP BY source
+    ), sh AS (
+        SELECT wc.source,
+               CAST(SUM(CAST(round(CAST(wc.f AS DOUBLE) / p.t_tokens
+                   * ln(CAST(wc.f AS DOUBLE) / p.t_tokens) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS h9
+        FROM wc JOIN per p ON p.source = wc.source
+        GROUP BY wc.source
+    )
+    SELECT p.source, p.t_tokens, p.v_types,
+           round(CAST(p.v_types AS DOUBLE) / p.t_tokens, 6) AS ttr,
+           round(CAST(p.rep_pairs AS DOUBLE)
+                 / (CAST(p.t_tokens AS DOUBLE) * (p.t_tokens - 1)),
+                 6) AS simpson,
+           round(-CAST(sh.h9 AS DOUBLE) / 1e9, 6) AS shannon
+    FROM per p JOIN sh ON sh.source = p.source
+    ORDER BY p.source
+    """,
+)
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity profile — type-token ratio,
+    Simpson repeat-probability (EXACT: Σf(f−1)/T(T−1) on integer
+    counts), and Shannon vocabulary entropy (per-type 1e-9 scaled
+    rounding before the sum) — the corpus-health triptych that
+    separates boilerplate-heavy sources from genuinely diverse text.
+    One tokenize/explode + one (source, word) rollup + one per-source
+    rollup; nothing holds a vocabulary in memory."""
+    e = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        _lower_words,
+    )
+
+    tok = e.select(
+        "source", F.explode(_lower_words(F.col("text"))).alias("w")
+    )
+    wc = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    wc = wc.localCheckpoint(eager=False)
+    dec = "decimal(38,0)"
+    per = wc.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("t_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v_types"),
+        F.sum(F.col("f").cast(dec) * (F.col("f") - 1))
+        .cast("bigint")
+        .alias("rep_pairs"),
+    )
+    h9 = F.round(
+        F.col("f").cast("double")
+        / F.col("t_tokens")
+        * F.log(F.col("f").cast("double") / F.col("t_tokens"))
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    sh = (
+        wc.join(
+            F.broadcast(per.select("source", "t_tokens")), "source"
+        )
+        .groupBy("source")
+        .agg(F.sum(h9).cast("bigint").alias("h9"))
+    )
+    return (
+        per.join(sh, "source")
+        .select(
+            "source",
+            "t_tokens",
+            "v_types",
+            F.round(
+                F.col("v_types").cast("double") / F.col("t_tokens"),
+                6,
+            ).alias("ttr"),
+            F.round(
+                F.col("rep_pairs").cast("double")
+                / (
+                    F.col("t_tokens").cast("double")
+                    * (F.col("t_tokens") - 1)
+                ),
+                6,
+            ).alias("simpson"),
+            F.round(-F.col("h9").cast("double") / F.lit(1e9), 6).alias(
+                "shannon"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -17720,7 +18031,8 @@ HEADLINE: list[str] = [
     # classifier_woe_iv, classifier_cumulative_gains,
     # lineitem_sortkey_recommendation, events_holt_winters,
     # lineitem_partial_correlation, events_unpivot_metrics,
-    # text_ql_dirichlet_topk, part_price_index.
+    # text_ql_dirichlet_topk, part_price_index,
+    # events_entropy_rate, user_absence_risk, doc_lexical_diversity.
 ]
 
 
