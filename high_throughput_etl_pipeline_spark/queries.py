@@ -17888,6 +17888,568 @@ def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_two_way_anova",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS a, YEAR(o_orderdate) AS b,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+        FROM orders
+    ), cell AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS HUGEINT)) AS BIGINT) AS s
+        FROM base GROUP BY a, b
+    ), ma AS (
+        SELECT a, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s
+        FROM cell GROUP BY a
+    ), mb AS (
+        SELECT b, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s
+        FROM cell GROUP BY b
+    ), g AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+        FROM cell
+    ), sst AS (
+        SELECT CAST(SUM(CAST(round((CAST(y AS DOUBLE) / 100.0
+                   - CAST(g.s AS DOUBLE) / g.n / 100.0)
+                   * (CAST(y AS DOUBLE) / 100.0
+                   - CAST(g.s AS DOUBLE) / g.n / 100.0) * 100, 0)
+                   AS BIGINT)) AS BIGINT) AS t2
+        FROM base CROSS JOIN g
+    ), ssa AS (
+        SELECT CAST(SUM(CAST(round(ma.n * (CAST(ma.s AS DOUBLE)
+                   / ma.n / 100.0 - CAST(g.s AS DOUBLE) / g.n / 100.0)
+                   * (CAST(ma.s AS DOUBLE) / ma.n / 100.0
+                   - CAST(g.s AS DOUBLE) / g.n / 100.0) * 100, 0)
+                   AS BIGINT)) AS BIGINT) AS t2
+        FROM ma CROSS JOIN g
+    ), ssb AS (
+        SELECT CAST(SUM(CAST(round(mb.n * (CAST(mb.s AS DOUBLE)
+                   / mb.n / 100.0 - CAST(g.s AS DOUBLE) / g.n / 100.0)
+                   * (CAST(mb.s AS DOUBLE) / mb.n / 100.0
+                   - CAST(g.s AS DOUBLE) / g.n / 100.0) * 100, 0)
+                   AS BIGINT)) AS BIGINT) AS t2
+        FROM mb CROSS JOIN g
+    ), ssab AS (
+        SELECT CAST(SUM(CAST(round(c.n
+                   * (CAST(c.s AS DOUBLE) / c.n / 100.0
+                      - CAST(ma.s AS DOUBLE) / ma.n / 100.0
+                      - CAST(mb.s AS DOUBLE) / mb.n / 100.0
+                      + CAST(g.s AS DOUBLE) / g.n / 100.0)
+                   * (CAST(c.s AS DOUBLE) / c.n / 100.0
+                      - CAST(ma.s AS DOUBLE) / ma.n / 100.0
+                      - CAST(mb.s AS DOUBLE) / mb.n / 100.0
+                      + CAST(g.s AS DOUBLE) / g.n / 100.0) * 100, 0)
+                   AS BIGINT)) AS BIGINT) AS t2
+        FROM cell c JOIN ma ON ma.a = c.a JOIN mb ON mb.b = c.b
+        CROSS JOIN g
+    )
+    SELECT g.n AS n_rows, g.ka, g.kb,
+           round(CAST(ssa.t2 AS DOUBLE) / 100, 2) AS ss_a,
+           round(CAST(ssb.t2 AS DOUBLE) / 100, 2) AS ss_b,
+           round(CAST(ssab.t2 AS DOUBLE) / 100, 2) AS ss_ab,
+           round(CAST(sst.t2 - ssa.t2 - ssb.t2 - ssab.t2 AS DOUBLE)
+                 / 100, 2) AS ss_within,
+           round((CAST(ssa.t2 AS DOUBLE) / (g.ka - 1))
+                 / (CAST(sst.t2 - ssa.t2 - ssb.t2 - ssab.t2 AS DOUBLE)
+                    / (g.n - g.n_cells)), 6) AS f_a,
+           round((CAST(ssb.t2 AS DOUBLE) / (g.kb - 1))
+                 / (CAST(sst.t2 - ssa.t2 - ssb.t2 - ssab.t2 AS DOUBLE)
+                    / (g.n - g.n_cells)), 6) AS f_b,
+           round((CAST(ssab.t2 AS DOUBLE)
+                    / ((g.ka - 1) * (g.kb - 1)))
+                 / (CAST(sst.t2 - ssa.t2 - ssb.t2 - ssab.t2 AS DOUBLE)
+                    / (g.n - g.n_cells)), 6) AS f_ab
+    FROM g CROSS JOIN sst CROSS JOIN ssa CROSS JOIN ssb CROSS JOIN ssab
+    """,
+)
+def orders_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of order value by priority × order-year: the
+    SS_A / SS_B / SS_interaction / SS_within decomposition with F
+    ratios — the designed-experiment workhorse missing between the
+    registry's chi-square (categorical×categorical) and correlation
+    (numeric×numeric) tests.  Everything derives from exact per-cell
+    integer (n, Σy) moments; every squared deviation is scaled-rounded
+    per cell/row BEFORE its cross-cell sum (the hash discipline), and
+    SS_within falls out by subtraction from the equally-exact total.
+    One scan for SS_T, one |cells| rollup for the rest."""
+    e = _t(spark, sf_dir, "orders")
+    base = e.select(
+        F.col("o_orderpriority").alias("a"),
+        F.year("o_orderdate").alias("b"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    base = base.localCheckpoint(eager=False)
+    dec = "decimal(38,0)"
+    cell = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast(dec)).cast("bigint").alias("s"),
+    )
+    cell = cell.localCheckpoint(eager=False)
+    ma = cell.groupBy("a").agg(
+        F.sum("n").cast("bigint").alias("na"),
+        F.sum("s").cast("bigint").alias("sa"),
+    )
+    mb = cell.groupBy("b").agg(
+        F.sum("n").cast("bigint").alias("nb"),
+        F.sum("s").cast("bigint").alias("sb"),
+    )
+    g = cell.agg(
+        F.sum("n").cast("bigint").alias("gn"),
+        F.sum("s").cast("bigint").alias("gs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.countDistinct("a").cast("bigint").alias("ka"),
+        F.countDistinct("b").cast("bigint").alias("kb"),
+    )
+
+    def mean_d(s_col, n_col):
+        return F.col(s_col).cast("double") / F.col(n_col) / F.lit(
+            100.0
+        )
+
+    gmean = mean_d("gs", "gn")
+    dev_t = F.col("y").cast("double") / F.lit(100.0) - gmean
+    sst = (
+        base.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.round(dev_t * dev_t * F.lit(100), 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("t2")
+        )
+        .select(F.col("t2").alias("sst2"))
+    )
+    dev_a = mean_d("sa", "na") - gmean
+    ssa = (
+        ma.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("na") * dev_a * dev_a * F.lit(100), 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("t2")
+        )
+        .select(F.col("t2").alias("ssa2"))
+    )
+    dev_b = mean_d("sb", "nb") - gmean
+    ssb = (
+        mb.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("nb") * dev_b * dev_b * F.lit(100), 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("t2")
+        )
+        .select(F.col("t2").alias("ssb2"))
+    )
+    dev_ab = (
+        mean_d("s", "n")
+        - mean_d("sa", "na")
+        - mean_d("sb", "nb")
+        + gmean
+    )
+    ssab = (
+        cell.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n") * dev_ab * dev_ab * F.lit(100), 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("t2")
+        )
+        .select(F.col("t2").alias("ssab2"))
+    )
+    out = (
+        g.crossJoin(F.broadcast(sst))
+        .crossJoin(F.broadcast(ssa))
+        .crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(ssab))
+    )
+    ssw2 = (
+        F.col("sst2")
+        - F.col("ssa2")
+        - F.col("ssb2")
+        - F.col("ssab2")
+    ).cast("double")
+    msw = ssw2 / (F.col("gn") - F.col("n_cells"))
+    return out.select(
+        F.col("gn").alias("n_rows"),
+        "ka",
+        "kb",
+        F.round(F.col("ssa2").cast("double") / 100, 2).alias("ss_a"),
+        F.round(F.col("ssb2").cast("double") / 100, 2).alias("ss_b"),
+        F.round(F.col("ssab2").cast("double") / 100, 2).alias(
+            "ss_ab"
+        ),
+        F.round(ssw2 / 100, 2).alias("ss_within"),
+        F.round(
+            (F.col("ssa2").cast("double") / (F.col("ka") - 1)) / msw,
+            6,
+        ).alias("f_a"),
+        F.round(
+            (F.col("ssb2").cast("double") / (F.col("kb") - 1)) / msw,
+            6,
+        ).alias("f_b"),
+        F.round(
+            (
+                F.col("ssab2").cast("double")
+                / ((F.col("ka") - 1) * (F.col("kb") - 1))
+            )
+            / msw,
+            6,
+        ).alias("f_ab"),
+    )
+
+
+@query(
+    "events_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(round(CAST(SUM(CAST(round(value * 100, 0)
+                   AS BIGINT)) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS m
+        FROM events GROUP BY 1
+    ), med AS (
+        SELECT m AS medv FROM (
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m, day) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM daily
+        ) WHERE rn = (cnt + 1) // 2
+    ), signs AS (
+        SELECT day, CASE WHEN m > (SELECT medv FROM med)
+                         THEN 1 ELSE 0 END AS s
+        FROM daily
+    ), runs AS (
+        SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM signs
+    ), agg AS (
+        SELECT CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                   THEN 1 ELSE 0 END) AS BIGINT) AS r,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2
+        FROM runs
+    ), st AS (
+        SELECT r, n1, n2,
+               1.0 + 2.0 * n1 * n2 / (n1 + n2) AS er,
+               (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+                   / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                      * (n1 + n2 - 1)) AS vr
+        FROM agg
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round(er, 6) AS expected_runs,
+           round((r - er) / sqrt(vr), 6) AS z_score,
+           ABS((r - er) / sqrt(vr)) > 1.96 AS nonrandom
+    FROM st
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily mean value
+    sequence around its median — do high and low days cluster (trend /
+    regime) or alternate (negative autocorrelation)?  The third
+    classic nonparametric test beside Mann-Whitney and Mann-Kendall in
+    the registry.  The median is rank selection, the run count is one
+    LAG over the |days| frame, and E[R]/Var[R] are closed forms of
+    exact integer counts — only the final z divides doubles."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum(cents).cast("double") / F.count(F.lit(1)), 0)
+        .cast("bigint")
+        .alias("m")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    wrank = Window.orderBy("m", "day")
+    wall = Window.partitionBy()
+    med = (
+        daily.select(
+            "m",
+            F.row_number().over(wrank).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(F.col("m").alias("medv"))
+    )
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        (F.col("m") > F.col("medv")).cast("int").alias("s"),
+    )
+    wday = Window.orderBy("day")
+    runs = signs.select(
+        "s", F.lag("s").over(wday).alias("prev")
+    )
+    agg = runs.agg(
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = F.lit(1.0) + F.lit(2.0) * n1 * n2 / (n1 + n2)
+    vr = (F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)) / (
+        (n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)
+    )
+    z = (r - er) / F.sqrt(vr)
+    return agg.select(
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("nonrandom"),
+    )
+
+
+@query(
+    "corpus_heaps_law",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)),
+                   '[ \\t\\n\\r\\f\\x0b]+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS t_tokens,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS v_types
+        FROM tok GROUP BY source
+    ), pts AS (
+        SELECT CAST(round(ln(CAST(t_tokens AS DOUBLE)) * 1e6, 0)
+                   AS BIGINT) AS x,
+               CAST(round(ln(CAST(v_types AS DOUBLE)) * 1e6, 0)
+                   AS BIGINT) AS y
+        FROM per
+    ), m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_sources,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1e6, 6) AS ln_k,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+    """,
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·T^β across sources — vocabulary growth
+    against corpus size on the ln-ln plane, the companion to the
+    registry's Zipf slope (the two laws are duals).  Each source's
+    (ln T, ln V) point is micro-nat-quantized (the zipf_fit
+    discipline), the OLS moments are exact HUGEINT/decimal sums, and
+    β / ln K / R² are single fixed-order float expressions.  β far
+    from ~0.5 flags synthetic or boilerplate text.  One tokenize +
+    two rollups."""
+    dec = "decimal(38,0)"
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        _lower_words,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = d.select(
+        "source", F.explode(_lower_words(F.col("text"))).alias("w")
+    )
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_tokens"),
+        F.countDistinct("w").cast("bigint").alias("v_types"),
+    )
+    pts = per.select(
+        F.round(F.log(F.col("t_tokens").cast("double")) * 1e6, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("v_types").cast("double")) * 1e6, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    x, y = F.col("x").cast(dec), F.col("y").cast(dec)
+    m = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * F.col("x")).alias("sxx"),
+        F.sum(x * F.col("y")).alias("sxy"),
+        F.sum(y * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy).cast("double") / (
+        n * sxx - sx * sx
+    ).cast("double")
+    return m.select(
+        n.cast("bigint").alias("n_sources"),
+        F.round(slope, 6).alias("beta"),
+        F.round(
+            (sy.cast("double") - slope * sx.cast("double"))
+            / n.cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("ln_k"),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            * (n * sxy - sx * sy).cast("double")
+            / (
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "events_peak_over_threshold",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+    ), hist AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY v
+    ), cum AS (
+        SELECT v, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        FROM hist
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist
+    ), th AS (
+        SELECT 'p90' AS q_label,
+               (SELECT MIN(v) FROM cum CROSS JOIN tot
+                WHERE c >= (9 * n + 9) // 10) AS u
+        UNION ALL
+        SELECT 'p95',
+               (SELECT MIN(v) FROM cum CROSS JOIN tot
+                WHERE c >= (19 * n + 19) // 20)
+        UNION ALL
+        SELECT 'p99',
+               (SELECT MIN(v) FROM cum CROSS JOIN tot
+                WHERE c >= (99 * n + 99) // 100)
+    ), ex AS (
+        SELECT th.q_label, th.u,
+               CAST(SUM(CASE WHEN h.v > th.u THEN h.cnt
+                   ELSE 0 END) AS BIGINT) AS n_exceed,
+               CAST(SUM(CASE WHEN h.v > th.u
+                   THEN CAST(h.cnt AS HUGEINT) * (h.v - th.u)
+                   ELSE 0 END) AS BIGINT) AS sum_excess
+        FROM hist h CROSS JOIN th
+        GROUP BY th.q_label, th.u
+    )
+    SELECT q_label, CAST(u AS BIGINT) AS threshold_cents, n_exceed,
+           round(CAST(sum_excess AS DOUBLE) / n_exceed / 100.0, 6)
+               AS mean_excess
+    FROM ex ORDER BY q_label
+    """,
+)
+def events_peak_over_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peaks-over-threshold tail profile of event value — exceedance
+    counts and mean excess above the exact p90/p95/p99 thresholds: the
+    extreme-value-theory entry point (a mean-excess that grows with
+    the threshold diagnoses a heavy GPD tail; flat ≈ exponential).
+    Thresholds come by rank selection over the value histogram's
+    distributed prefix sum (``global_cumsum`` — never a global-window
+    quantile); the excess moments are conditional integer sums against
+    the BROADCAST 3-row threshold frame.  One histogram rollup, one
+    two-pass prefix, one conditional aggregate."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v")
+    )
+    hist = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    hist = hist.localCheckpoint(eager=True)
+    cum, total = global_cumsum(hist, [F.col("v")], "cnt")
+    n = int(total)
+    cum = cum.select("v", F.col("cum").cast("bigint").alias("c"))
+    ths = []
+    for lab, num, den in [("p90", 9, 10), ("p95", 19, 20), ("p99", 99, 100)]:
+        rank = (num * n + num) // den
+        u = (
+            cum.filter(F.col("c") >= rank)
+            .agg(F.min("v").alias("u"))
+            .collect()[0]["u"]
+        )
+        ths.append((lab, int(u)))
+    th = spark.createDataFrame(ths, "q_label STRING, u BIGINT")
+    dec = "decimal(38,0)"
+    ex = (
+        hist.crossJoin(F.broadcast(th))
+        .groupBy("q_label", "u")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > F.col("u"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_exceed"),
+            F.sum(
+                F.when(
+                    F.col("v") > F.col("u"),
+                    F.col("cnt").cast(dec) * (F.col("v") - F.col("u")),
+                ).otherwise(F.lit(0).cast(dec))
+            )
+            .cast("bigint")
+            .alias("sum_excess"),
+        )
+    )
+    return ex.select(
+        "q_label",
+        F.col("u").alias("threshold_cents"),
+        "n_exceed",
+        F.round(
+            F.col("sum_excess").cast("double")
+            / F.col("n_exceed")
+            / F.lit(100.0),
+            6,
+        ).alias("mean_excess"),
+    ).orderBy("q_label")
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -18032,7 +18594,9 @@ HEADLINE: list[str] = [
     # lineitem_sortkey_recommendation, events_holt_winters,
     # lineitem_partial_correlation, events_unpivot_metrics,
     # text_ql_dirichlet_topk, part_price_index,
-    # events_entropy_rate, user_absence_risk, doc_lexical_diversity.
+    # events_entropy_rate, user_absence_risk, doc_lexical_diversity,
+    # orders_two_way_anova, events_runs_test, corpus_heaps_law,
+    # events_peak_over_threshold.
 ]
 
 
