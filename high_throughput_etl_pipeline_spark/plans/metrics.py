@@ -1211,7 +1211,10 @@ def isotonic_fit_bins(
     pa = sent.unionByName(p)
     pairs = (
         pa.alias("a")
-        .join(p.alias("j"), F.col("j.bin") > F.col("a.bin"))
+        .join(
+            F.broadcast(p.alias("j")),
+            F.col("j.bin") > F.col("a.bin"),
+        )
         .select(
             F.col("a.bin").alias("i0"),
             F.col("j.bin").alias("j"),
@@ -1224,7 +1227,7 @@ def isotonic_fit_bins(
     inner = (
         b.select(F.col("bin").alias("k"))
         .join(
-            pairs,
+            F.broadcast(pairs),
             (F.col("i0") < F.col("k")) & (F.col("j") >= F.col("k")),
         )
         .groupBy("k", "i0")

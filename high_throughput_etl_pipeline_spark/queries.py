@@ -18450,6 +18450,94 @@ def events_peak_over_threshold(
     ).orderBy("q_label")
 
 
+@query(
+    "events_simpson_audit",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(HOUR(ts) AS BIGINT) AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM q GROUP BY event_type
+    ), p AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM q
+    ), r AS (
+        SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+               CASE WHEN s.n * s.sxx - s.sx * s.sx > 0 THEN
+                   round(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                         / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+                         * 1.0 / 100.0, 6) END AS slope,
+               CASE WHEN p.n * p.sxx - p.sx * p.sx > 0 THEN
+                   round(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                         / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+                         * 1.0 / 100.0, 6) END AS pooled_slope
+        FROM s CROSS JOIN p
+    )
+    SELECT event_type, n, slope, pooled_slope,
+           (slope > 0) <> (pooled_slope > 0) AS sign_flip
+    FROM r ORDER BY event_type
+    """,
+)
+def events_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the value-vs-hour trend fitted POOLED
+    and WITHIN each event type (``plans.metrics.grouped_trend`` both
+    times — exact decimal sufficient statistics), flagging strata
+    whose slope sign contradicts the pooled slope — the aggregation
+    fallacy detector every metrics review needs before acting on a
+    pooled trend.  Two rollups over one scan shape; the pooled row
+    broadcasts back over the |types| frame."""
+    from high_throughput_etl_pipeline_spark.plans.metrics import (
+        grouped_trend,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    base = base.localCheckpoint(eager=False)
+    per = grouped_trend(
+        base, "x", "y", ["event_type"], x_per_unit=1, y_per_unit=100
+    ).select("event_type", "n", F.col("slope_per_xunit").alias("slope"))
+    pooled = (
+        grouped_trend(
+            base.withColumn("_all", F.lit("ALL")),
+            "x",
+            "y",
+            ["_all"],
+            x_per_unit=1,
+            y_per_unit=100,
+        )
+        .select(F.col("slope_per_xunit").alias("pooled_slope"))
+    )
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            "event_type",
+            "n",
+            "slope",
+            "pooled_slope",
+            (
+                (F.col("slope") > 0) != (F.col("pooled_slope") > 0)
+            ).alias("sign_flip"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # r8 rotation: the six r7-tail queries with oracles but no driver row
 # yet all enter the window (ever-driver-checked goes to 150/150 of the
 # pre-r8 registry), and the ten NEW r8 operators get first rows too.
@@ -18596,7 +18684,7 @@ HEADLINE: list[str] = [
     # text_ql_dirichlet_topk, part_price_index,
     # events_entropy_rate, user_absence_risk, doc_lexical_diversity,
     # orders_two_way_anova, events_runs_test, corpus_heaps_law,
-    # events_peak_over_threshold.
+    # events_peak_over_threshold, events_simpson_audit.
 ]
 
 
