@@ -94,6 +94,27 @@ def bench_ingest(spark, work: str) -> tuple[float, int, int]:
     return best, n, nbytes
 
 
+
+def release_checkpoints(spark) -> None:
+    """Unpersist every persistent RDD (lazily-materialized
+    localCheckpoints included).  Queries pin heavy intermediate frames
+    with localCheckpoint; across a 260+-query suite those RDDs
+    accumulate in executor storage memory until a late query's
+    broadcast build OOMs (observed once at sf1: supplier_part_sssp,
+    query #260 of the run).  Results are already counted when this
+    runs, so dropping the RDDs is always safe."""
+    try:
+        it = (
+            spark.sparkContext._jsc.getPersistentRDDs()
+            .values()
+            .iterator()
+        )
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,9 +150,11 @@ def main() -> None:
             timings[name] = None
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+            release_checkpoints(spark)
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        release_checkpoints(spark)
 
     ingest_sec = ingest_bytes = gb = None
     work = tempfile.mkdtemp(prefix="bench_ingest_")
