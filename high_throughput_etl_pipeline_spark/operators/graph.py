@@ -846,11 +846,16 @@ def sssp_bounded(
     Each round is two keyed equi-joins (frontier × edges on the
     frontier's OWN side) + one grouped min — never a cartesian,
     never a global sort; ``localCheckpoint`` cuts lineage so the plan
-    does not double per round.  Unreached nodes simply never appear.
+    does not double per round.  The edge side carries a SHUFFLE_HASH
+    hint: letting AQE broadcast the edge table 2×rounds times
+    accumulates driver-built broadcasts faster than GC reclaims them
+    (observed OOM at sf1 on round 5 of 6) — and at real graph scale
+    the edge table must shuffle anyway, so the hint pins the plan
+    that survives both regimes.  Unreached nodes simply never appear.
 
     Output: (kind, id, dist) — the tentative-final distance table.
     """
-    e = edges.localCheckpoint(eager=False)
+    e = edges.localCheckpoint(eager=False).hint("shuffle_hash")
     carry = [F.col(f"d.{c}").alias(c) for c in carry_cols]
     dist = source
     for _ in range(rounds):
