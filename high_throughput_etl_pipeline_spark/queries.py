@@ -9488,11 +9488,13 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ent AS (
         SELECT *,
                ln(n_events)
-               - ((CASE WHEN n_click    > 0 THEN n_click    * ln(n_click)    ELSE 0 END)
-                + (CASE WHEN n_error    > 0 THEN n_error    * ln(n_error)    ELSE 0 END)
-                + (CASE WHEN n_purchase > 0 THEN n_purchase * ln(n_purchase) ELSE 0 END)
-                + (CASE WHEN n_signup   > 0 THEN n_signup   * ln(n_signup)   ELSE 0 END)
-                + (CASE WHEN n_view     > 0 THEN n_view     * ln(n_view)     ELSE 0 END))
+               - CAST(
+                   (CASE WHEN n_click    > 0 THEN CAST(round(n_click    * ln(n_click)    * 1e9, 0) AS BIGINT) ELSE 0 END)
+                 + (CASE WHEN n_error    > 0 THEN CAST(round(n_error    * ln(n_error)    * 1e9, 0) AS BIGINT) ELSE 0 END)
+                 + (CASE WHEN n_purchase > 0 THEN CAST(round(n_purchase * ln(n_purchase) * 1e9, 0) AS BIGINT) ELSE 0 END)
+                 + (CASE WHEN n_signup   > 0 THEN CAST(round(n_signup   * ln(n_signup)   * 1e9, 0) AS BIGINT) ELSE 0 END)
+                 + (CASE WHEN n_view     > 0 THEN CAST(round(n_view     * ln(n_view)     * 1e9, 0) AS BIGINT) ELSE 0 END)
+                 AS DOUBLE) / 1e9
                  / n_events AS h
         FROM pu
     )
@@ -9511,9 +9513,11 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Shannon entropy of the event-type mix — the behavioral-
     diversity feature (uniform mixers vs single-action users).  Float
     parity discipline: entropy comes from integer per-type counts via
-    ``ln(T) - (Σ nᵢ·ln nᵢ)/T`` with the five type terms added in ONE
-    FIXED textual order both engines share — no data-order float
-    accumulation, so the hash gate is exact.  One grouped agg with
+    ``ln(T) - (Σ nᵢ·ln nᵢ)/T``; each of the five nᵢ·ln nᵢ terms is
+    rounded to the 1e-9 integer lattice BEFORE the sum (ln is libm-
+    build-dependent — summing raw transcendental terms was the
+    customer_survival_curve r8 driver failure), so only single
+    un-summed ln calls remain on the float path.  One grouped agg with
     conditional counts; entirely map-side partials + one shuffle."""
     e = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
@@ -9529,8 +9533,11 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def term(c: str):
         return F.when(
-            F.col(c) > 0, F.col(c) * F.log(F.col(c))
-        ).otherwise(F.lit(0))
+            F.col(c) > 0,
+            F.round(F.col(c) * F.log(F.col(c)) * F.lit(1e9), 0).cast(
+                "bigint"
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
 
     s = (
         term("n_click")
@@ -9539,7 +9546,10 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         + term("n_signup")
         + term("n_view")
     )
-    h = F.log(F.col("n_events")) - s / F.col("n_events")
+    h = (
+        F.log(F.col("n_events"))
+        - s.cast("double") / F.lit(1e9) / F.col("n_events")
+    )
     n_types = sum(
         F.when(F.col(f"n_{t}") > 0, 1).otherwise(0) for t in types
     ).cast("int")
@@ -11529,7 +11539,9 @@ def part_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), curve AS (
         SELECT dur, d, c, n_risk,
                SUM(CASE WHEN d > 0 AND d < n_risk
-                        THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                        THEN CAST(round(
+                            ln(1 - CAST(d AS DOUBLE) / n_risk) * 1e12,
+                            0) AS BIGINT)
                         ELSE 0 END) OVER w AS lnsum,
                MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS hit0
         FROM risk
@@ -11537,7 +11549,8 @@ def part_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT dur AS duration_days, n_risk, d AS d_events, c AS c_censored,
-           CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
+           CASE WHEN hit0 = 1 THEN 0.0
+                ELSE round(exp(CAST(lnsum AS DOUBLE) / 1e12), 6) END
                AS survival
     FROM curve ORDER BY dur
     """,
@@ -11549,9 +11562,12 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction is a per-customer window (keyed, parallel); the KM
     product Π(1 − dᵢ/nᵢ) folds as exp(Σ ln·) over the distinct-duration
     life table, which is |distinct day gaps| rows — thousands at any
-    corpus size, so its ordered windows cost nothing.  Identical ordered
-    float folds on both engines make the curve hash-stable to 6 dp; a
-    risk set hitting zero pins survival to exactly 0 thereafter."""
+    corpus size, so its ordered windows cost nothing.  Each ln term is
+    rounded to the 1e-12 integer lattice BEFORE the cumulative sum (the
+    raw-fold variant hash-matched locally but flipped a 6-dp boundary on
+    the r8 driver's libm — transcendentals are build-dependent, integer
+    sums are not); the bigint sum is exact, exp+round happen once at the
+    end.  A risk set hitting zero pins survival to exactly 0 thereafter."""
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("d")
     )
@@ -11601,8 +11617,12 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
-                F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
-            ).otherwise(F.lit(0.0))
+                F.round(
+                    F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
+                    * F.lit(1e12),
+                    0,
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
         )
         .over(wcum)
         .alias("lnsum"),
@@ -11618,7 +11638,9 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("d_events"),
         F.col("c").alias("c_censored"),
         F.when(F.col("hit0") == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp("lnsum"), 6))
+        .otherwise(
+            F.round(F.exp(F.col("lnsum").cast("double") / F.lit(1e12)), 6)
+        )
         .alias("survival"),
     ).orderBy("duration_days")
 
