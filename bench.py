@@ -102,7 +102,19 @@ def release_checkpoints(spark) -> None:
     accumulate in executor storage memory until a late query's
     broadcast build OOMs (observed once at sf1: supplier_part_sssp,
     query #260 of the run).  Results are already counted when this
-    runs, so dropping the RDDs is always safe."""
+    runs, so dropping the RDDs is always safe.
+
+    ``spark.catalog.clearCache()`` (public API) releases cached
+    DataFrames first; the py4j walk over ``getPersistentRDDs`` is the
+    only route to RDDs pinned by ``localCheckpoint`` (no public
+    enumeration exists).  If that private surface is unavailable
+    (Spark Connect, API drift) we WARN ONCE instead of silently
+    no-oping — the late-suite OOM this mitigates would otherwise
+    return undetected."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
     try:
         it = (
             spark.sparkContext._jsc.getPersistentRDDs()
@@ -111,8 +123,16 @@ def release_checkpoints(spark) -> None:
         )
         while it.hasNext():
             it.next().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:
+        if not getattr(release_checkpoints, "_warned", False):
+            release_checkpoints._warned = True
+            print(
+                "WARN bench: persistent-RDD release unavailable "
+                f"({type(exc).__name__}: {exc}) — localCheckpoint RDDs "
+                "will accumulate; late-suite broadcast OOM mitigation "
+                "is OFF",
+                file=sys.stderr,
+            )
 
 
 def main() -> None:

@@ -55,8 +55,12 @@ def skyline_levels(
         offsets.append((pid, running))
         running = pmax[pid] if running is None else max(running, pmax[pid])
     spark = df.sparkSession
+    # the offset column must carry lvl_max's own type — a hardcoded
+    # BIGINT would make createDataFrame's schema verification raise for
+    # double/decimal metrics (the offsets are collected lvl_max values)
+    off_type = dict(parts.dtypes)["lvl_max"]
     off_df = spark.createDataFrame(
-        offsets or [(0, None)], "_pid INT, _off BIGINT"
+        offsets or [(0, None)], f"_pid INT, _off {off_type}"
     )
     w = (
         Window.partitionBy("_pid")

@@ -451,11 +451,20 @@ def linear_quality_score(
         F.col("feature_id").cast("bigint").alias("feature_id"),
         F.col("weight").cast("double").alias("_w"),
     )
+    # LEFT join + coalesce(weight, 0): an unmatched token contributes 0
+    # to the numerator but still counts in the denominator, preserving
+    # the documented "mean weight of its tokens" for SPARSE weight
+    # tables too.  For the dense tables hashed_feature_weights builds
+    # (every bucket present) this is value-identical to the old inner
+    # join, so no oracle moves.
     s = (
-        fid.join(F.broadcast(w), "feature_id")
+        fid.join(F.broadcast(w), "feature_id", "left")
         .groupBy(id_col)
         .agg(
-            (F.sum("_w") / F.count(F.lit(1))).alias(score_col)
+            (
+                F.sum(F.coalesce(F.col("_w"), F.lit(0.0)))
+                / F.count(F.lit(1))
+            ).alias(score_col)
         )
     )
     return df.join(s, id_col, "left")

@@ -1129,15 +1129,40 @@ def poisson_bootstrap_uplift(
             - F.max(F.when(F.col("_arm") == "A", F.col("_m")))
         ).alias("_d")
     )
+    # A replicate whose arm has zero total resample weight (or a
+    # missing arm) yields a NULL diff, which collect_list would DROP
+    # silently — the fixed lo_rank/hi_rank selection would then read a
+    # shorter array and skew the CI.  Fail loudly instead: the caller
+    # should widen n_boot or pre-filter degenerate arms.
+    guard = F.when(
+        F.col("_nmiss") > 0,
+        F.raise_error(
+            F.concat(
+                F.lit("poisson_bootstrap_uplift: "),
+                F.col("_nmiss").cast("string"),
+                F.lit(
+                    " replicate diff(s) NULL (zero-weight resample or"
+                    " missing arm) — fixed-rank CI would silently shift"
+                ),
+            )
+        ).cast("bigint"),
+    )
     st = diffs.agg(
-        F.sort_array(F.collect_list("_d")).alias("_arr")
+        F.sort_array(F.collect_list("_d")).alias("_arr"),
+        F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0)).alias(
+            "_nmiss"
+        ),
     ).select(
         F.round(
-            F.element_at(F.col("_arr"), lo_rank).cast("double") / 1e6,
+            guard.otherwise(F.element_at(F.col("_arr"), lo_rank))
+            .cast("double")
+            / 1e6,
             6,
         ).alias("boot_lo"),
         F.round(
-            F.element_at(F.col("_arr"), hi_rank).cast("double") / 1e6,
+            guard.otherwise(F.element_at(F.col("_arr"), hi_rank))
+            .cast("double")
+            / 1e6,
             6,
         ).alias("boot_hi"),
     )
