@@ -360,6 +360,7 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified by estimated
     Jaccard (signature agreement rate).
@@ -369,6 +370,15 @@ def minhash_near_duplicates(
       2. explode to ``bands`` rows/doc, band hash = md5(band values)
       3. self-join per (band_id, band_hash) bucket — ONLY bucket-mates pair
       4. pair-level verify: fraction of agreeing signature positions
+
+    ``portable=True`` swaps the per-lane ``xxhash64`` family for
+    Kirsch-Mitzenmacher double hashing over the md5-low-60-bit
+    primitive: lane i = h1(s) + i·h2(s) with h1 = md5_64(s) and
+    h2 = md5_64('kh2:'||s) mod 2^58 (bounds the lane value under
+    2^60 + lanes·2^58, far inside bigint) — TWO md5s per shingle
+    total, every lane pure integer arithmetic, replayable on any
+    engine.  The xxhash64 family stays the default for callers that
+    don't need an engine-independent oracle.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -387,12 +397,22 @@ def minhash_near_duplicates(
             F.explode(word_shingles(F.col("_words"), shingle_n)).alias("_s"),
         )
     )
-    sigs = exploded.groupBy("_id").agg(
-        *[
+    if portable:
+        h1 = md5_64(F.col("_s"))
+        h2 = F.pmod(
+            md5_64(F.concat(F.lit("kh2:"), F.col("_s"))),
+            F.lit(1 << 58),
+        )
+        lanes = [
+            F.min(h1 + F.lit(i) * h2).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        lanes = [
             F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
-    ).select(
+    sigs = exploded.groupBy("_id").agg(*lanes).select(
         "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_sig")
     )
     # signatures are tiny (num_hashes longs/doc) but the band self-join can
@@ -533,6 +553,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     prefix_bits: int = 8,
     n_tables: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -542,10 +563,14 @@ def simhash_near_duplicates(
     prefix still collides in another table (the standard simhash recall
     scheme: with hamming ≤ k and enough tables, some rotation pushes all
     differing bits out of the prefix).  Verify with bit_count(xor).
+
+    ``portable=True`` uses the md5-low-60-bit token hash (see
+    :func:`simhash64`), making hash, blocking, and verify replayable
+    value-for-value on any engine.
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
-        simhash64(text_col, n_bits).alias("_sh"),
+        simhash64(text_col, n_bits, portable=portable).alias("_sh"),
     ).persist()  # rotations + both self-join sides reuse the hash
 
     step = max(n_bits // max(n_tables, 1), 1)

@@ -269,6 +269,86 @@ def ivf_topk(
     )
 
 
+def kmeans_centers_lattice(
+    vectors: DataFrame,
+    nlist: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic, engine-replayable Lloyd training for the IVF
+    coarse quantizer: vectors quantized to the 1/``scale`` integer
+    lattice, init = the first ``nlist`` vectors by id (list_id = id),
+    a FIXED number of assignment/update rounds, and centroid updates
+    by exact round-half-away integer division (:func:`linalg.
+    round_div`) — no float ever enters the recurrence, so an oracle
+    can replay training bit-for-bit as ``rounds`` unrolled CTEs.
+
+    Each round is one broadcast-assign pass + one (list, dim) rollup;
+    only nlist×dim integer statistics ever reach the driver (the same
+    bounded-collect discipline as pyspark.ml's own KMeans).  A list
+    that empties in some round is dropped (identically on any engine
+    replaying the same rule).  Returns ``list_id INT, center
+    ARRAY<DOUBLE>`` ready for :func:`ivf_topk`'s ``centers=``.
+    """
+    from high_throughput_etl_pipeline_spark.operators.linalg import (
+        round_div,
+    )
+
+    spark = vectors.sparkSession
+    vi = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * scale, 0).cast("bigint"),
+        ).alias("_vi"),
+    ).persist()
+    init = vi.filter(F.col("_id") < nlist).orderBy("_id").collect()
+    centers = [(int(r["_id"]), list(r["_vi"])) for r in init]
+    for _ in range(rounds):
+        cdf = spark.createDataFrame(
+            centers, "list_id INT, c ARRAY<BIGINT>"
+        )
+        d2 = F.aggregate(
+            F.zip_with("_vi", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        assigned = (
+            vi.crossJoin(F.broadcast(cdf))
+            .withColumn("_d2", d2)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_id").orderBy("_d2", "list_id")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+        )
+        cells = (
+            assigned.select(
+                "list_id", F.posexplode("_vi").alias("_pos", "_x")
+            )
+            .groupBy("list_id", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        bylist: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in cells:
+            bylist.setdefault(r["list_id"], {})[r["_pos"]] = (
+                int(r["_s"]),
+                int(r["_n"]),
+            )
+        centers = [
+            (li, [round_div(s, n) for _p, (s, n) in sorted(d.items())])
+            for li, d in sorted(bylist.items())
+        ]
+    vi.unpersist()
+    out = [(li, [x / float(scale) for x in c]) for li, c in centers]
+    return spark.createDataFrame(out, "list_id INT, center ARRAY<DOUBLE>")
+
+
 def _ivf_assign(
     df: DataFrame,
     centers_df: DataFrame,

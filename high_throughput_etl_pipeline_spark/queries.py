@@ -2844,21 +2844,142 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("dedup_minhash_lsh")
+_MINHASH_LSH_ORACLE = """
+WITH docs AS (
+    SELECT doc_id,
+           string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               for i in range(1, len(words) - 1)
+           ]) AS shingles
+    FROM docs
+    WHERE len(words) >= 3
+), hp AS (
+    SELECT doc_id,
+           [('0x' || substr(md5(s), 18, 15))::BIGINT
+            for s in shingles] AS h1s,
+           [('0x' || substr(md5('kh2:' || s), 18, 15))::BIGINT
+                % 288230376151711744
+            for s in shingles] AS h2s
+    FROM sh
+), sig AS (
+    SELECT doc_id,
+           [list_min(list_transform(range(len(h1s)),
+                                    j -> h1s[j + 1] + i * h2s[j + 1]))
+            for i in range(0, 16)] AS sig
+    FROM hp
+), bands AS (
+    SELECT doc_id, b,
+           md5(array_to_string(
+               [CAST(x AS VARCHAR) for x in sig[b*4+1:b*4+4]], ',')) AS band_hash
+    FROM sig, (SELECT unnest(range(0, 4)) AS b)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+), scored AS (
+    SELECT p.id_a, p.id_b,
+           round(len([i for i in range(1, 17) if sa.sig[i] = sb.sig[i]]) / 16.0,
+                 4) AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, est_jaccard
+FROM scored
+WHERE est_jaccard >= 0.25
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (banded signatures)."""
+    """MinHash+LSH near-dup candidates (16 lanes, 4 bands, 3-gram
+    shingles) with the PORTABLE Kirsch-Mitzenmacher lane family —
+    lane i = h1 + i·h2 over two md5-low-60-bit hashes per shingle,
+    pure integer arithmetic after that, so banding, candidate
+    generation, and the signature-agreement estimate are value-checked
+    end-to-end (the r1/r3 driver rows for this name predate the
+    oracle; the md5-per-lane twin ``dedup_minhash_md5`` pins the same
+    band algebra at the 8-lane point).  xxhash64 remains the
+    operator's default family for oracle-free callers."""
     d = _t(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        d, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.25
+        d,
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.25,
+        portable=True,
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash")
+def _simhash_blocked_oracle(
+    n_bits: int = 64, max_hamming: int = 3, prefix_bits: int = 12
+) -> str:
+    """DuckDB replica of the PRODUCTION simhash shape — portable
+    md5-token hash, ±1 vote per bit, sign → bit, prefix blocking, then
+    pairwise hamming INSIDE blocks only (so the oracle checks the
+    blocking recall surface too, not just the vote algebra)."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(n_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) "
+        f"ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ')) AS t
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 18, 15))::BIGINT AS h
+        FROM toks
+    ), votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashed GROUP BY doc_id
+    ), sh AS (
+        SELECT doc_id, {bits} AS simhash FROM votes
+    ), blocked AS (
+        SELECT doc_id, simhash,
+               simhash >> {n_bits - prefix_bits} AS block
+        FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_blocked_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit, Hamming ≤ 3, 12-bit prefix block)."""
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 3, 12-bit prefix
+    block) over the PORTABLE md5-low-60-bit token hash — the full
+    production shape (vote algebra AND prefix blocking AND in-block
+    verify) is now value-checked against an independent replay; the
+    r1 driver row for this name predates the oracle.  With 60-bit
+    token hashes, simhash bits 60..63 are structurally zero, so the
+    12-bit prefix carries 8 effective bits — identically on both
+    engines.  xxhash64 remains the operator default for oracle-free
+    callers."""
     d = _t(spark, sf_dir, "documents")
     return simhash_near_duplicates(
-        d, n_bits=64, max_hamming=3, prefix_bits=12
+        d, n_bits=64, max_hamming=3, prefix_bits=12, portable=True
     ).orderBy("id_a", "id_b")
 
 
@@ -2979,16 +3100,132 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query("ann_ivf_kmeans_topk")
+def _ivf_kmeans_oracle(
+    nlist: int = 8,
+    rounds: int = 3,
+    nprobe: int = 4,
+    k: int = 5,
+    scale: int = 1000,
+) -> str:
+    """Unrolled-Lloyd DuckDB replay of the lattice k-means quantizer:
+    each round is (exact integer argmin assignment) → (per-list per-dim
+    integer sums) → (round-half-away integer division), then the
+    trained centers feed the same IVF assign/probe/rank chain the
+    ann_ivf_topk oracle pins."""
+    dist_int = (
+        "list_sum(list_transform(generate_series(1, len(v.vi)), "
+        "i -> (v.vi[i] - c.c[i]) * (v.vi[i] - c.c[i])))"
+    )
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(round(x * {scale}, 0) AS BIGINT)) AS vi,
+               embedding::DOUBLE[] AS ev
+        FROM embeddings
+    ), c0 AS (
+        SELECT CAST(vec_id AS INT) AS list_id, vi AS c
+        FROM v WHERE vec_id < {nlist}
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", a{r} AS (
+        SELECT v.vec_id, v.vi, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {dist_int}, c.list_id) AS rn
+        FROM v CROSS JOIN c{r} c
+    ), s{r} AS (
+        SELECT list_id, pos, SUM(x) AS s, COUNT(*) AS n
+        FROM (
+            SELECT list_id, UNNEST(generate_series(1, len(vi))) AS pos,
+                   UNNEST(vi) AS x
+            FROM a{r} WHERE rn = 1
+        ) GROUP BY 1, 2
+    ), c{r + 1} AS (
+        SELECT list_id,
+               list(CAST(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                              ELSE -((-2*s + n) // (2*n)) END
+                         AS BIGINT) ORDER BY pos) AS c
+        FROM s{r} GROUP BY list_id
+    )"""
+        )
+    parts.append(
+        f""", cf AS (
+        SELECT list_id,
+               list_transform(c, x -> CAST(x AS DOUBLE) / {scale})
+                   AS center
+        FROM c{rounds}
+    ), vd AS (
+        SELECT v.vec_id, v.ev, c.list_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.ev)),
+                       i -> (v.ev[i] - c.center[i]) * (v.ev[i] - c.center[i])
+                   )), c.list_id
+               ) AS rn
+        FROM v CROSS JOIN cf c
+    ), va AS (
+        SELECT vec_id, ev, list_id FROM vd WHERE rn = 1
+    ), qd AS (
+        SELECT v.vec_id AS query_id, v.ev AS qv, c.list_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.ev)),
+                       i -> (v.ev[i] - c.center[i]) * (v.ev[i] - c.center[i])
+                   )), c.list_id
+               ) AS rn
+        FROM v CROSS JOIN cf c WHERE v.vec_id < 3
+    ), qp AS (
+        SELECT query_id, qv, list_id FROM qd WHERE rn <= {nprobe}
+    ), scored AS (
+        SELECT qp.query_id, va.vec_id, va.list_id,
+               round(list_dot_product(va.ev, qp.qv)
+                     / (sqrt(list_dot_product(va.ev, va.ev))
+                        * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cosine
+        FROM va JOIN qp ON va.list_id = qp.list_id
+    )
+    SELECT query_id, vec_id, list_id, cosine, rank FROM (
+        SELECT query_id, vec_id, list_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+    return "".join(parts)
+
+
+@query("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k, k-means coarse quantizer (nlist=8,
-    nprobe=4) — the production training path; approximate, so checked
-    rows-only plus the recall-vs-exact pytest."""
+    """IVF approximate top-k with a TRAINED coarse quantizer — now the
+    deterministic lattice-Lloyd trainer (``similarity.
+    kmeans_centers_lattice``: 1e-3 integer lattice, init = first 8
+    vectors, 3 exact integer assignment/update rounds) instead of
+    pyspark.ml KMeans, which makes training itself value-checkable:
+    the oracle replays all three Lloyd rounds as unrolled CTEs
+    (integer argmin, integer sums, round-half-away division), then
+    pins assignment, probe selection, per-list search, and ranking —
+    the full production path train-to-serve (this name's r5 driver
+    row was rows-only; the fixed-quantizer machinery twin is
+    ann_ivf_topk)."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        kmeans_centers_lattice,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
+    centers = kmeans_centers_lattice(e, nlist=8, rounds=3)
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, q, k=5, nlist=8, nprobe=4).orderBy("query_id", "rank")
+    return ivf_topk(
+        e, q, k=5, nprobe=4, centers=centers, with_list_id=True
+    ).orderBy("query_id", "rank")
 
 
 def _lsh_topk_oracle() -> str:

@@ -160,6 +160,55 @@ def test_minhash_finds_near_dup(spark, docs):
     assert all(p[0] < p[1] for p in found)
 
 
+def test_minhash_portable_finds_near_dup(spark, docs):
+    """The Kirsch-Mitzenmacher md5 lane family (portable=True) keeps the
+    same banding behavior as the xxhash64 default: exact dups always
+    collide, near-dups are caught by some band, ids stay ordered."""
+    pairs = minhash_near_duplicates(
+        docs,
+        num_hashes=16,
+        bands=8,
+        shingle_n=2,
+        jaccard_threshold=0.3,
+        portable=True,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in found
+    assert (0, 1) in found or (1, 2) in found
+    assert all(p[0] < p[1] for p in found)
+
+
+def test_kmeans_lattice_recall_vs_exact(spark):
+    """The deterministic lattice-Lloyd quantizer trains centers good
+    enough for high IVF recall against exact cosine top-5 — and twice
+    in a row gives IDENTICAL centers (the determinism the oracle
+    replay depends on)."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centers_lattice,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_centers_lattice(e, nlist=8, rounds=3)
+    c2 = kmeans_centers_lattice(e, nlist=8, rounds=3)
+    assert sorted(map(tuple, c1.collect())) == sorted(
+        map(tuple, c2.collect())
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(e, q, k=5, nprobe=4, centers=c1).collect()
+    }
+    hits = len(exact & approx)
+    assert hits >= 10, f"lattice-IVF recall too low: {hits}/15"
+
+
 def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([("one two",), ("",)], "text STRING")
     out = df.select(
