@@ -18797,153 +18797,119 @@ def events_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r8 rotation: the six r7-tail queries with oracles but no driver row
-# yet all enter the window (ever-driver-checked goes to 150/150 of the
-# pre-r8 registry), and the ten NEW r8 operators get first rows too.
-# Rotated out for room — all two-round green (r6+r7) and still
-# oracle-checked in the full-registry local gate: multimodal_features,
-# quality_percentile_filter, text_sentiment_by_lang,
-# cluster_balanced_sample, events_props_json, validation_split,
-# dedup_spans, contamination_bloom, doc_bigram_perplexity,
-# data_quality_report, customer_snapshot_diff, corpus_weighted_sample,
-# audio_window_grid, events_freq_sketch, embedding_hard_negatives,
-# embedding_knn_label_eval, events_k_anonymity,
-# events_anonymity_report, corpus_packed_sequences, events_winsorized,
-# corpus_datacard, table_column_stats, text_classifier_scores,
-# embedding_centering.
+# r9 rotation. Window composition (50):
+#   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
+#      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
+#      lattice-rounded before the sum on both engines) — re-verify green.
+#   3  dedup_minhash_lsh, dedup_simhash, ann_ivf_kmeans_topk — the three
+#      legacy rows-only ledger entries, now carrying REAL value oracles
+#      (portable KM double-hash lanes / blocked md5 simhash replay /
+#      unrolled lattice-Lloyd training replay) — their stale no_oracle
+#      latest rows retire with a green hash row each.
+#   46 never-driver-checked backlog (of 73 after r8; the 27 left over are
+#      the r10 queue below).
 #
-# r9 rotation queue (r8-tail): the 18 operators added late in r8, every
-# one verified hash-green through tools/check_correctness.py in-session
-# (full-registry sweep 186/186) but without a driver row yet —
-# purchase_attribution_models, customer_rfm_segments,
-# orders_benford_audit, user_type_entropy, text_nb_confusion,
-# events_autocorrelation, events_cusum_alarms, events_seasonal_backtest,
-# supplier_part_hits, graph_degree_assortativity, customer_match_k_core,
-# orders_basket_rules, doc_pmi_collocations, corpus_zipf_slope,
-# doc_ngram_novelty, user_cohort_ltv, events_theilsen_trend,
-# user_conversion_lag, customer_golden_record,
-# source_quantile_calibration, brand_pareto_analysis,
-# customer_mutual_best_match, doc_rake_keywords,
-# events_hourweek_profile, orders_reorder_intervals.
+# Transcendental audit (VERDICT r9 ask #2) — each queued query that takes
+# ln/log/sqrt/exp on the value path, one line each:
+#   user_type_entropy        HARDENED r9: five n*ln(n) terms now 1e-9
+#                            lattice ints before the per-row sum
+#   text_nb_confusion        safe: log-probs micro-nat bigints pre-sum
+#   graph_degree_assortativity safe: integer moments; final sqrt only
+#                            (IEEE sqrt is correctly rounded everywhere)
+#   doc_pmi_collocations     safe: ONE ln per pair, rounded; never summed
+#   corpus_zipf_slope        safe: ln(r)/ln(f) micro-nat ints pre-sum
+#   supplier_adamic_adar     safe: round(1e6/ln(deg)) per part pre-sum;
+#                            deg in 2..8, all 7 constants >= 0.02 from a
+#                            rounding boundary (1-ulp drift moves ~1e-4)
+#   classifier_pr_auc        safe: P@k terms micro ints pre-sum
+#   events_bootstrap_ci      safe: lattice replicate means; final sqrt
+#   events_mann_kendall      safe: integer S/ties; final sqrt
+#   embedding_silhouette     safe: sqrt of exact ints, then 1e-9 lattice
+#                            before the per-label mean
+#   events_ks_test           safe: integer cross-mult D; final sqrt
+#   classifier_woe_iv        safe: one ln per bin; IV terms 1e-9 lattice
+#                            before the cross-bin sum
+#   lineitem_partial_correlation safe: integer moments; final sqrts
+#   part_price_index         safe: lattice unit prices, exact basket
+#                            sums; final sqrt (fisher)
+#   events_entropy_rate      safe: per-cell 1e-9 lattice pre-sum
+#   doc_lexical_diversity    safe: per-type 1e-9 lattice pre-sum
+#   events_runs_test         safe: integer counts, closed forms; final
+#                            sqrt
+#   corpus_heaps_law         safe: micro-nat points, exact OLS moments
 HEADLINE: list[str] = [
-    # --- r8 first-timers, wave 1 (r7-tail verification debt):
-    # leakage-safe splitting, recursive hierarchy closure, exact
-    # weighted quantiles, LOCF forward fill, native session_window,
-    # hashed TF-IDF lexical k-NN (TakeOrdered path)
-    "corpus_leakage_safe_split",
-    "customer_hierarchy_rollup",
-    "doc_token_weighted_length",
-    "events_forward_fill",
-    "events_session_window_native",
-    "text_tfidf_knn",
-    # --- r8 first-timers, wave 2: CEP, exact-integer PageRank,
-    # Hamming retrieval, OLS trend, MAD outliers, reservoir, TWAP,
-    # sweep-line concurrency, triangle census, PSI drift, Wilson A/B,
-    # FS linkage, Markov transitions, Gini, label propagation,
-    # burstiness, equi-depth histogram
-    "user_funnel_chained",
-    "user_event_patterns",
-    "supplier_part_pagerank",
-    "ann_hamming_topk",
-    "events_value_trend",
-    "events_mad_outliers",
-    "corpus_reservoir_sample",
-    "events_twap",
-    "events_peak_concurrency",
-    "embedding_neardup_triangles",
-    "events_value_drift",
-    "events_ab_conversion",
-    "customer_fs_linkage",
-    "events_markov_transitions",
-    "events_value_gini",
-    "embedding_label_propagation",
-    "user_burstiness",
-    "events_equidepth_histogram",
-    # --- r8-tail first-timers already slotted earlier in the round
-    "purchase_attribution_models",
-    "bpe_encode_docs",
-    # --- r8 statistics / ML-eval wave (all locally hash-green via
-    # tools/check_correctness.py full-registry sweep, 213/213): LOO
-    # target encoding, chi-square + Cramer's V, mutual information,
-    # Spearman + Pearson-matrix correlation, JS divergence, distributed
-    # 2-D skyline, item-item cosine, Kaplan-Meier, FD audit,
-    # Mann-Whitney AUC, calibration deciles, split-conformal coverage,
-    # ANN recall/MRR/NDCG eval, LSH S-curve eval, CUPED, rendezvous
-    # sharding, EWMA fold, seasonal decomposition, LP-community
-    # modularity
-    "orders_target_encoding",
-    "events_chisq_independence",
-    "events_mutual_information",
-    "lineitem_spearman_corr",
-    "lineitem_correlation_matrix",
-    "source_lang_divergence",
-    "part_skyline",
-    "part_cooccurrence_similarity",
+    # --- the r8 red row, fixed (lattice-rounded KM fold)
     "customer_survival_curve",
-    "orders_fd_audit",
-    "classifier_auc_eval",
-    "classifier_calibration_curve",
-    "events_conformal_intervals",
-    "ann_recall_eval",
-    "dedup_lsh_scurve",
-    "events_cuped_adjusted",
-    "events_rendezvous_shards",
-    "events_ewma_daily",
-    "events_seasonal_decomposition",
-    "embedding_community_modularity",
-    # --- four promoted from the r9 queue (diverse families)
-    "customer_rfm_segments",
-    "supplier_part_hits",
-    "customer_golden_record",
-    "orders_basket_rules",
-    # Rotated out for room — ALL have r7 driver rows (hash-green) and
-    # stay oracle-checked in the full-registry local gate:
-    # events_distinct_sketch, events_quantile_sketch,
-    # events_segment_overlap, maxsim_multivector_topk,
-    # maxsim_ann_rerank, user_retention_cohorts, weekly_revenue_growth,
-    # events_outlier_audit, orders_cdc_apply, events_dp_release,
-    # corpus_length_match_sample, events_skew_profile, text_bm25_topk,
-    # hybrid_rrf_topk, customer_fuzzy_match, dedup_cc_rounds,
-    # decontamination_fuzzy, ann_pq_topk, ann_ivfpq_topk,
-    # join_size_audit, customer_value_ntiles, source_overlap_matrix,
-    # scd2_customer_merge, corpus_mixture_sample.
+    # --- legacy no_oracle retirement (new value oracles this round)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_kmeans_topk",
+    # --- backlog wave 1: the r8-tail queue documented last round
+    "customer_mutual_best_match",
+    "orders_benford_audit",
+    "user_type_entropy",
+    "text_nb_confusion",
+    "events_autocorrelation",
+    "events_cusum_alarms",
+    "events_seasonal_backtest",
+    "graph_degree_assortativity",
+    "customer_match_k_core",
+    "doc_pmi_collocations",
+    "corpus_zipf_slope",
+    "doc_ngram_novelty",
+    "user_cohort_ltv",
+    "events_theilsen_trend",
+    "user_conversion_lag",
+    "source_quantile_calibration",
+    "brand_pareto_analysis",
+    "doc_rake_keywords",
+    "events_hourweek_profile",
+    "orders_reorder_intervals",
+    # --- backlog wave 2: the r8 session-2 extension wave
+    "events_max_drawdown",
+    "user_longest_streak",
+    "user_activity_bitmask",
+    "supplier_adamic_adar",
+    "classifier_pr_auc",
+    "classifier_class_report",
+    "classifier_kappa",
+    "events_incremental_rollup",
+    "events_compaction_plan",
+    "events_holt_forecast",
+    "ranker_rbo_eval",
+    "doc_readability",
+    "events_interval_overlap",
+    "embedding_pca_power",
+    "embedding_pca_scores",
+    "supplier_part_bfs_layers",
+    # --- backlog wave 3: first slice of the r8 session-3 wave
+    "lineitem_price_model",
+    "events_bootstrap_ci",
+    "user_sprt_monitor",
+    "supplier_part_sssp",
+    "user_seqpattern_support",
+    "orders_t_closeness",
+    "embedding_jl_distortion",
+    "embedding_kcenter_coreset",
+    "lineitem_zonemap_audit",
+    "dedup_prefix_filter_join",
+    # Rotated out for room — ALL 49 have green r8 rows and stay
+    # oracle-checked in the full-registry local gate.
     #
-    # r9 rotation queue (no driver row yet, all locally hash-green):
-    # customer_mutual_best_match, orders_benford_audit,
-    # user_type_entropy, text_nb_confusion, events_autocorrelation,
-    # events_cusum_alarms, events_seasonal_backtest,
-    # graph_degree_assortativity, customer_match_k_core,
-    # doc_pmi_collocations, corpus_zipf_slope, doc_ngram_novelty,
-    # user_cohort_ltv, events_theilsen_trend, user_conversion_lag,
-    # source_quantile_calibration, brand_pareto_analysis,
-    # doc_rake_keywords, events_hourweek_profile,
-    # orders_reorder_intervals,
-    # plus the r8 session-2 wave (all 16 verified hash-green via
-    # tools/check_correctness.py at add time): events_max_drawdown,
-    # user_longest_streak, user_activity_bitmask, supplier_adamic_adar,
-    # classifier_pr_auc, classifier_class_report, classifier_kappa,
-    # events_incremental_rollup, events_compaction_plan,
-    # events_holt_forecast, ranker_rbo_eval, doc_readability,
-    # events_interval_overlap, embedding_pca_power,
-    # embedding_pca_scores, supplier_part_bfs_layers,
-    # plus the r8 session-3 wave (all 10 verified hash-green via
-    # tools/check_correctness.py at add time): lineitem_price_model,
-    # events_bootstrap_ci, user_sprt_monitor, supplier_part_sssp,
-    # user_seqpattern_support, orders_t_closeness,
-    # embedding_jl_distortion, embedding_kcenter_coreset,
-    # lineitem_zonemap_audit, events_changepoint,
-    # events_mann_kendall, user_path_trigrams,
-    # events_ab_bootstrap_uplift, doc_textrank_keywords,
-    # supplier_closeness_centrality, classifier_isotonic_calibration,
-    # classifier_brier_decomposition, embedding_silhouette,
-    # events_rolling_wau, events_ks_test, dedup_prefix_filter_join,
+    # r10 rotation queue — the COMPLETE no-driver-row remainder
+    # (27 names; every one locally hash-green, transcendental-audited
+    # above where applicable): events_changepoint, events_mann_kendall,
+    # user_path_trigrams, events_ab_bootstrap_uplift,
+    # doc_textrank_keywords, supplier_closeness_centrality,
+    # classifier_isotonic_calibration, classifier_brier_decomposition,
+    # embedding_silhouette, events_rolling_wau, events_ks_test,
     # classifier_woe_iv, classifier_cumulative_gains,
     # lineitem_sortkey_recommendation, events_holt_winters,
     # lineitem_partial_correlation, events_unpivot_metrics,
-    # text_ql_dirichlet_topk, part_price_index,
-    # events_entropy_rate, user_absence_risk, doc_lexical_diversity,
-    # orders_two_way_anova, events_runs_test, corpus_heaps_law,
-    # events_peak_over_threshold, events_simpson_audit.
+    # text_ql_dirichlet_topk, part_price_index, events_entropy_rate,
+    # user_absence_risk, doc_lexical_diversity, orders_two_way_anova,
+    # events_runs_test, corpus_heaps_law, events_peak_over_threshold,
+    # events_simpson_audit.
 ]
 
 
