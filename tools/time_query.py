@@ -12,8 +12,11 @@ identical machine state, no 260-query suite around it).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from high_throughput_etl_pipeline_spark.queries import QUERIES
 from high_throughput_etl_pipeline_spark.session import get_spark
