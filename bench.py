@@ -116,13 +116,16 @@ def release_checkpoints(spark) -> None:
     except Exception:
         pass
     try:
-        it = (
-            spark.sparkContext._jsc.getPersistentRDDs()
-            .values()
-            .iterator()
-        )
-        while it.hasNext():
-            it.next().unpersist(False)
+        # _jsc.getPersistentRDDs() is a py4j JavaMap — a Python
+        # MutableMapping whose .values() yields JavaRDD refs directly.
+        # (The previous .values().iterator() walk raised AttributeError
+        # on every call and the bare except swallowed it — the r8 OOM
+        # mitigation was silently OFF; the warning below is what
+        # surfaced it.)
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist(False)
     except Exception as exc:
         if not getattr(release_checkpoints, "_warned", False):
             release_checkpoints._warned = True
