@@ -315,16 +315,21 @@ def kmeans_centers_lattice(
             F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
         )
+        # argmin via min_by over struct(_d2, list_id) — same semantics
+        # as a rank-1 window (exact integer distance, list_id
+        # tie-break) but the aggregation combines map-side right where
+        # the broadcast crossJoin produced the 8 candidate rows, so no
+        # per-id sort/shuffle of the wide arrays
         assigned = (
             vi.crossJoin(F.broadcast(cdf))
             .withColumn("_d2", d2)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("_id").orderBy("_d2", "list_id")
-                ),
+            .groupBy("_id")
+            .agg(
+                F.min_by(
+                    "list_id", F.struct("_d2", "list_id")
+                ).alias("list_id"),
+                F.first("_vi").alias("_vi"),
             )
-            .filter(F.col("_rn") == 1)
         )
         cells = (
             assigned.select(
