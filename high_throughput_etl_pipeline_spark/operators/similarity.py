@@ -354,6 +354,72 @@ def kmeans_centers_lattice(
     return spark.createDataFrame(out, "list_id INT, center ARRAY<DOUBLE>")
 
 
+def semdedup(
+    vectors: DataFrame,
+    nlist: int = 8,
+    rounds: int = 3,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning.  A vector is PRUNED when
+    some lower-id vector in its cluster has cosine ≥ ``tau`` (the
+    deterministic "keep earliest" representative rule — no iterative
+    component walk, so the prune set is exactly replayable).
+
+    Shape: lattice-Lloyd training (:func:`kmeans_centers_lattice`),
+    one broadcast-assign pass, then a per-cluster self-join — the
+    cluster IS the blocking key, exactly the paper's trick for never
+    materializing corpus² pairs.  ``nlist`` is the scale knob: the
+    paper runs k ≈ |corpus|/⟨cluster⟩ (50k clusters on LAION), keeping
+    per-cluster pair mass bounded as the corpus grows.
+
+    Returns (id, list_id, n_dup_smaller, keep) per vector.
+    """
+    centers = kmeans_centers_lattice(
+        vectors, nlist=nlist, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _ivf_assign(vectors, centers, id_col, vec_col, 1)
+    vu = assigned.select(
+        F.col(id_col),
+        "list_id",
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_na"),
+    ).persist()
+    a = vu.select(
+        "list_id",
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_na").alias("_nva"),
+    )
+    b = vu.select(
+        "list_id",
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_na").alias("_nvb"),
+    )
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_nva") * F.col("_nvb")),
+        6,
+    )
+    close = (
+        a.join(b, on="list_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cos >= F.lit(tau))
+        .groupBy(F.col("_idb").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_smaller"))
+    )
+    return vu.join(close, on=id_col, how="left").select(
+        id_col,
+        "list_id",
+        F.coalesce(F.col("n_dup_smaller"), F.lit(0).cast("bigint")).alias(
+            "n_dup_smaller"
+        ),
+        F.col("n_dup_smaller").isNull().alias("keep"),
+    )
+
+
 def _ivf_assign(
     df: DataFrame,
     centers_df: DataFrame,

@@ -9,7 +9,7 @@ JVM-side, codegen-friendly, zero Python on the hot path, so they scale to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword anchors for the n-gram/stopword heuristic.
@@ -373,6 +373,88 @@ def sentiment_score(
     )
     return F.round(
         (pos - neg) / (pos + neg + F.lit(1)).cast("double"), 4
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    n_features: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. '23, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed unigram distribution is,
+    log w(d) = Σ_tokens ln( p_target(bucket) / p_raw(bucket) ),
+    with +1/+n_features Laplace smoothing on both distributions.  Rows
+    where ``target`` is true define the target domain; the raw corpus
+    is ``df`` itself.  Resample/filter on ``dsir_logw`` downstream.
+
+    Hash-parity discipline: bucket counts and totals are exact
+    bigints; each bucket takes ONE ln of a ratio of exact-bigint casts
+    and is rounded to the 1e-6 lattice BEFORE the per-document sum
+    (transcendentals are never accumulated raw — the
+    customer_survival_curve lesson).
+
+    Shape: one token explode, two grouped counts, a broadcast
+    ``n_features``-row ratio table, one per-doc rollup — the classifier-
+    scoring plan, so it scales exactly like linear_quality_score.
+    """
+    from high_throughput_etl_pipeline_spark.operators.dedup import md5_64
+
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    feat = nonempty.select(
+        F.col(id_col),
+        target.cast("int").alias("_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).select(
+        id_col,
+        "_tgt",
+        F.pmod(md5_64(F.col("_t")), F.lit(n_features)).alias("_fid"),
+    )
+    feat = feat.localCheckpoint(eager=False)
+    cnt = feat.groupBy("_fid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cr"),
+        F.sum("_tgt").cast("bigint").alias("_ct"),
+    )
+    tot = cnt.agg(
+        F.sum("_cr").cast("bigint").alias("_tr"),
+        F.sum("_ct").cast("bigint").alias("_tt"),
+    )
+    lr = cnt.join(F.broadcast(tot)).select(
+        "_fid",
+        F.round(
+            F.log(
+                ((F.col("_ct") + 1) * (F.col("_tr") + n_features)).cast(
+                    "double"
+                )
+                / ((F.col("_cr") + 1) * (F.col("_tt") + n_features)).cast(
+                    "double"
+                )
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("_lr"),
+    )
+    return (
+        feat.join(F.broadcast(lr), "_fid")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.max("_tgt").alias("_is_tgt"),
+            F.sum("_lr").cast("bigint").alias("_sw"),
+        )
+        .select(
+            id_col,
+            (F.col("_is_tgt") == 1).alias("is_target"),
+            "n_tokens",
+            F.round(F.col("_sw").cast("double") / 1e6, 6).alias(
+                "dsir_logw"
+            ),
+        )
     )
 
 

@@ -3100,25 +3100,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ivf_kmeans_oracle(
-    nlist: int = 8,
-    rounds: int = 3,
-    nprobe: int = 4,
-    k: int = 5,
-    scale: int = 1000,
+def _kmeans_train_cte(
+    nlist: int = 8, rounds: int = 3, scale: int = 1000
 ) -> str:
-    """Unrolled-Lloyd DuckDB replay of the lattice k-means quantizer:
-    each round is (exact integer argmin assignment) → (per-list per-dim
-    integer sums) → (round-half-away integer division), then the
-    trained centers feed the same IVF assign/probe/rank chain the
-    ann_ivf_topk oracle pins."""
+    """Unrolled-Lloyd DuckDB replay of the lattice k-means quantizer
+    (``similarity.kmeans_centers_lattice``): each round is (exact
+    integer argmin assignment) → (per-list per-dim integer sums) →
+    (round-half-away integer division).  Produces CTEs ``v`` (vec_id,
+    vi lattice ints, ev doubles) and ``cf`` (list_id, center DOUBLE[])
+    — shared by the ann_ivf_kmeans_topk and corpus_semdedup oracles."""
     dist_int = (
         "list_sum(list_transform(generate_series(1, len(v.vi)), "
         "i -> (v.vi[i] - c.c[i]) * (v.vi[i] - c.c[i])))"
     )
     parts = [
-        f"""
-    WITH v AS MATERIALIZED (
+        f"""v AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[],
                    x -> CAST(round(x * {scale}, 0) AS BIGINT)) AS vi,
@@ -3157,7 +3153,26 @@ def _ivf_kmeans_oracle(
                list_transform(c, x -> CAST(x AS DOUBLE) / {scale})
                    AS center
         FROM c{rounds}
-    ), vd AS (
+    )"""
+    )
+    return "".join(parts)
+
+
+def _ivf_kmeans_oracle(
+    nlist: int = 8,
+    rounds: int = 3,
+    nprobe: int = 4,
+    k: int = 5,
+    scale: int = 1000,
+) -> str:
+    """Lattice k-means training replay + the same IVF assign/probe/rank
+    chain the ann_ivf_topk oracle pins."""
+    parts = [
+        "\n    WITH ",
+        _kmeans_train_cte(nlist, rounds, scale),
+    ]
+    parts.append(
+        f""", vd AS (
         SELECT v.vec_id, v.ev, c.list_id,
                row_number() OVER (
                    PARTITION BY v.vec_id
@@ -3226,6 +3241,194 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, q, k=5, nprobe=4, centers=centers, with_list_id=True
     ).orderBy("query_id", "rank")
+
+
+def _semdedup_oracle(
+    nlist: int = 8, rounds: int = 3, tau: float = 0.95
+) -> str:
+    return f"""
+    WITH {_kmeans_train_cte(nlist, rounds)}, vd AS (
+        SELECT v.vec_id, v.ev, c.list_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.ev)),
+                       i -> (v.ev[i] - c.center[i]) * (v.ev[i] - c.center[i])
+                   )), c.list_id
+               ) AS rn
+        FROM v CROSS JOIN cf c
+    ), va AS (
+        SELECT vec_id, ev, list_id FROM vd WHERE rn = 1
+    ), pr AS (
+        SELECT b.vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup_smaller
+        FROM va a JOIN va b
+          ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.ev, b.ev)
+                    / (sqrt(list_dot_product(a.ev, a.ev))
+                       * sqrt(list_dot_product(b.ev, b.ev))), 6) >= {tau}
+        GROUP BY b.vec_id
+    )
+    SELECT va.vec_id, va.list_id,
+           COALESCE(pr.n_dup_smaller, 0) AS n_dup_smaller,
+           pr.vec_id IS NULL AS keep
+    FROM va LEFT JOIN pr ON pr.vec_id = va.vec_id
+    ORDER BY va.vec_id
+    """
+
+
+@query("corpus_semdedup", oracle=_semdedup_oracle())
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23) over the embedding corpus
+    (``similarity.semdedup``): lattice-Lloyd k-means clusters, then a
+    within-cluster cosine self-join prunes every vector that has a
+    LOWER-id neighbor at cosine ≥ 0.95 — the semantic near-duplicate
+    filter that catches paraphrases exact/MinHash dedup cannot see.
+    Fully value-checked train-to-prune: the oracle replays the three
+    Lloyd rounds (exact integer CTEs), the assignment argmin, and the
+    per-cluster pair pruning.  The cluster is the blocking key (no
+    corpus² pairs); nlist is the paper's scale knob (k grows with the
+    corpus so per-cluster pair mass stays bounded)."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        semdedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, nlist=8, rounds=3, tau=0.95).orderBy("vec_id")
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+               unnest(string_split_regex(trim(text),
+                                         '[ \\t\\n\\r\\f\\x0b]+')) AS t
+        FROM documents WHERE trim(text) <> ''
+    ), feat AS (
+        SELECT doc_id, tgt,
+               ('0x' || substr(md5(t), 18, 15))::BIGINT % 4096 AS fid
+        FROM tok
+    ), cnt AS (
+        SELECT fid, CAST(COUNT(*) AS BIGINT) AS cr,
+               CAST(SUM(tgt) AS BIGINT) AS ct
+        FROM feat GROUP BY fid
+    ), tot AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+               CAST(SUM(ct) AS BIGINT) AS tt
+        FROM cnt
+    ), lr AS (
+        SELECT fid,
+               CAST(round(ln(CAST((ct + 1) * (tr + 4096) AS DOUBLE)
+                             / CAST((cr + 1) * (tt + 4096) AS DOUBLE))
+                          * 1e6, 0) AS BIGINT) AS lr
+        FROM cnt CROSS JOIN tot
+    ), per AS (
+        SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               MAX(f.tgt) AS is_tgt, CAST(SUM(lr.lr) AS BIGINT) AS sw
+        FROM feat f JOIN lr ON lr.fid = f.fid GROUP BY f.doc_id
+    )
+    SELECT doc_id, is_tgt = 1 AS is_target, n_tokens,
+           round(CAST(sw AS DOUBLE) / 1e6, 6) AS dsir_logw
+    FROM per ORDER BY doc_id
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. '23) with the English
+    slice as the target domain (``text.dsir_log_weights``): per-doc
+    log importance weight Σ ln(p_target/p_raw) over hashed unigram
+    buckets, Laplace-smoothed — the importance-resampling score that
+    picks pretraining data "like the target" from a raw crawl.  Each
+    bucket's single ln is 1e-6 lattice-rounded BEFORE the per-doc sum
+    (the hardened transcendental discipline), so the driver check is
+    exact.  Classifier-scoring plan shape: one explode, two rollups,
+    one broadcast ratio table."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        dsir_log_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        d, target=F.col("lang") == "en", n_features=4096
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_token_savings",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_MINHASH_PAIRS_CTE},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+    tokc AS (
+        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok FROM docs
+    )
+    SELECT cc.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN cc.node = cc.cluster_id
+                         THEN t.n_tok ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           CAST(SUM(CASE WHEN cc.node = cc.cluster_id
+                         THEN 0 ELSE t.n_tok END) AS BIGINT)
+               AS saved_tokens
+    FROM cc JOIN tokc t ON t.doc_id = cc.node
+    GROUP BY cc.cluster_id
+    ORDER BY cc.cluster_id
+    """,
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ROI readout: near-dup clusters (md5-MinHash pairs →
+    connected components, the dedup_cc_clusters pipeline) joined back
+    to per-document token counts — per cluster, how many tokens the
+    keep-one policy (representative = min doc id) actually removes
+    from the training corpus.  This is the number a data team budgets
+    by before running the full dedup: one extra broadcast-scale join
+    over the CC output, everything else shared with the cluster
+    query."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        norm_words,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_via_minhash(
+        d, num_hashes=8, bands=4, shingle_n=2, threshold=0.05
+    )
+    cc = dedup_clusters(pairs)
+    tokc = d.select(
+        F.col("doc_id").alias("node"),
+        F.size(norm_words(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    return (
+        cc.join(tokc, "node")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(
+                F.when(
+                    F.col("node") == F.col("cluster_id"), F.col("n_tok")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(
+                F.when(
+                    F.col("node") == F.col("cluster_id"), 0
+                ).otherwise(F.col("n_tok"))
+            )
+            .cast("bigint")
+            .alias("saved_tokens"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 def _lsh_topk_oracle() -> str:
@@ -18897,8 +19100,12 @@ HEADLINE: list[str] = [
     # oracle-checked in the full-registry local gate.
     #
     # r10 rotation queue — the COMPLETE no-driver-row remainder
-    # (27 names; every one locally hash-green, transcendental-audited
-    # above where applicable): events_changepoint, events_mann_kendall,
+    # (30 names; every one locally hash-green, transcendental-audited
+    # above where applicable).  The three r9-NEW queries first —
+    # corpus_semdedup (lattice-kmeans + within-cluster cosine prune,
+    # train-to-prune oracle), corpus_dsir_weights (per-bucket ln
+    # 1e-6-lattice-rounded before per-doc sums), dedup_token_savings
+    # (CC + token-count join) — then: events_changepoint, events_mann_kendall,
     # user_path_trigrams, events_ab_bootstrap_uplift,
     # doc_textrank_keywords, supplier_closeness_centrality,
     # classifier_isotonic_calibration, classifier_brier_decomposition,
