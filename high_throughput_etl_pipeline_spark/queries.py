@@ -19000,6 +19000,531 @@ def events_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_kendall_tau",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_quantity, 0) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS pb
+        FROM lineitem
+    ), cell AS (
+        SELECT flag, q, pb, CAST(COUNT(*) AS HUGEINT) AS n
+        FROM v GROUP BY 1, 2, 3
+    ), pairs AS (
+        SELECT a.flag,
+               SUM(CASE WHEN b.pb > a.pb THEN a.n * b.n
+                        ELSE CAST(0 AS HUGEINT) END) AS conc,
+               SUM(CASE WHEN b.pb < a.pb THEN a.n * b.n
+                        ELSE CAST(0 AS HUGEINT) END) AS disc
+        FROM cell a JOIN cell b ON a.flag = b.flag AND b.q > a.q
+        GROUP BY 1
+    ), mq AS (
+        SELECT flag, SUM(nq * (nq - 1)) AS tq
+        FROM (SELECT flag, q, CAST(SUM(n) AS HUGEINT) AS nq
+              FROM cell GROUP BY 1, 2) GROUP BY 1
+    ), mp AS (
+        SELECT flag, SUM(np * (np - 1)) AS tp
+        FROM (SELECT flag, pb, CAST(SUM(n) AS HUGEINT) AS np
+              FROM cell GROUP BY 1, 2) GROUP BY 1
+    ), tot AS (
+        SELECT flag, CAST(SUM(n) AS HUGEINT) AS nn FROM cell GROUP BY 1
+    )
+    SELECT flag, CAST(nn AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round(CAST(2 AS DOUBLE) * CAST(conc - disc AS DOUBLE)
+                 / (sqrt(CAST(nn * (nn - 1) - tq AS DOUBLE))
+                    * sqrt(CAST(nn * (nn - 1) - tp AS DOUBLE))), 6)
+               AS tau_b
+    FROM tot JOIN pairs USING (flag)
+    JOIN mq USING (flag) JOIN mp USING (flag)
+    ORDER BY flag
+    """,
+)
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b of quantity vs price per return flag, computed
+    EXACTLY from the joint contingency grid rather than O(n²) row
+    pairs: concordant/discordant pair mass is Σ n_c1·n_c2 over ordered
+    CELL pairs, and tie corrections come from the two marginal
+    histograms.  The grid is value-domain-bounded (|quantities| ×
+    |price buckets| ≈ 5k cells per flag) regardless of row count, so
+    the cell self-join costs the same at 100 TB as at sf0.01 — the
+    scan collapses to the grid in one grouped count.  All pair masses
+    accumulate as exact decimal(38,0)/HUGEINT (τ numerator ×2 to stay
+    integral); the only float ops are the two final sqrts (IEEE
+    correctly-rounded everywhere) and one divide."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity", 0).cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("pb"),
+    )
+    cell = v.groupBy("flag", "q", "pb").agg(
+        F.count(F.lit(1)).cast(dec).alias("n")
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    zero = F.lit(0).cast(dec)
+    prod = F.col("a.n") * F.col("b.n")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.flag") == F.col("b.flag"))
+            & (F.col("b.q") > F.col("a.q")),
+        )
+        .groupBy(F.col("a.flag").alias("flag"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.pb") > F.col("a.pb"), prod).otherwise(zero)
+            ).alias("conc"),
+            F.sum(
+                F.when(F.col("b.pb") < F.col("a.pb"), prod).otherwise(zero)
+            ).alias("disc"),
+        )
+    )
+    mq = (
+        cell.groupBy("flag", "q")
+        .agg(F.sum("n").alias("nq"))
+        .groupBy("flag")
+        .agg(F.sum(F.col("nq") * (F.col("nq") - 1)).alias("tq"))
+    )
+    mp = (
+        cell.groupBy("flag", "pb")
+        .agg(F.sum("n").alias("np"))
+        .groupBy("flag")
+        .agg(F.sum(F.col("np") * (F.col("np") - 1)).alias("tp"))
+    )
+    tot = cell.groupBy("flag").agg(F.sum("n").alias("nn"))
+    n0x2 = F.col("nn") * (F.col("nn") - 1)
+    den = F.sqrt((n0x2 - F.col("tq")).cast("double")) * F.sqrt(
+        (n0x2 - F.col("tp")).cast("double")
+    )
+    return (
+        tot.join(pairs, "flag")
+        .join(mq, "flag")
+        .join(mp, "flag")
+        .select(
+            "flag",
+            F.col("nn").cast("bigint").alias("n"),
+            F.col("conc").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            F.round(
+                F.lit(2).cast("double")
+                * (F.col("conc") - F.col("disc")).cast("double")
+                / den,
+                6,
+            ).alias("tau_b"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "events_welch_ttest",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ), m AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(v) AS HUGEINT) AS s,
+               CAST(SUM(v * v) AS HUGEINT) AS ss
+        FROM c GROUP BY 1
+    ), p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+               CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+               CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+                   / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)
+                      * CAST(a.n AS DOUBLE)) AS vna,
+               CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+                   / (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)
+                      * CAST(b.n AS DOUBLE)) AS vnb
+        FROM m a JOIN m b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, n_a, n_b,
+           round((ma - mb) / CAST(100 AS DOUBLE), 6) AS mean_diff,
+           round((ma - mb) / sqrt(vna + vnb), 6) AS t_stat,
+           round((vna + vnb) * (vna + vnb)
+                 / (vna * vna / CAST(n_a - 1 AS DOUBLE)
+                    + vnb * vnb / CAST(n_b - 1 AS DOUBLE)), 4) AS df
+    FROM p ORDER BY type_a, type_b
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between every pair of event
+    types on `value` — the A/B significance primitive that doesn't
+    assume equal variances.  One grouped pass collects exact integer
+    moments (cents lattice, HUGEINT/decimal38); the 5-row moment frame
+    self-joins into 10 ordered pairs, and the t statistic plus
+    Welch–Satterthwaite df are closed-form over those moments.  Every
+    float op is IEEE-exact (+−×÷, one sqrt) with textually identical
+    expression trees on both engines, so the result hash-matches.  At
+    any corpus size the pair frame stays |types|² rows."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("v")
+    )
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+
+    def _vn(side: str):
+        n, s, ss = (F.col(f"{side}.{c}") for c in ("n", "s", "ss"))
+        return (n * ss - s * s).cast("double") / (
+            n.cast("double") * (n - 1).cast("double") * n.cast("double")
+        )
+
+    p = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("b.n").cast("bigint").alias("n_b"),
+        (F.col("a.s").cast("double") / F.col("a.n").cast("double")).alias("ma"),
+        (F.col("b.s").cast("double") / F.col("b.n").cast("double")).alias("mb"),
+        _vn("a").alias("vna"),
+        _vn("b").alias("vnb"),
+    )
+    vsum = F.col("vna") + F.col("vnb")
+    return p.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(
+            (F.col("ma") - F.col("mb")) / F.lit(100).cast("double"), 6
+        ).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(vsum), 6).alias("t_stat"),
+        F.round(
+            vsum * vsum
+            / (
+                F.col("vna") * F.col("vna")
+                / (F.col("n_a") - 1).cast("double")
+                + F.col("vnb") * F.col("vnb")
+                / (F.col("n_b") - 1).cast("double")
+            ),
+            4,
+        ).alias("df"),
+    ).orderBy("type_a", "type_b")
+
+
+@query(
+    "events_leadlag_xcorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS di,
+               CAST(COUNT(*) AS HUGEINT) AS x
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT d.event_type, d.di - l.lag AS adi, d.di, d.x, l.lag
+        FROM daily d
+        JOIN (SELECT unnest(range(0, 8)) AS lag) l ON TRUE
+    ), j AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, b.lag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(a.x) AS sx, SUM(b.x) AS sy, SUM(a.x * b.x) AS sxy,
+               SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy
+        FROM daily a
+        JOIN lagged b
+          ON a.di = b.adi AND a.event_type < b.event_type
+        GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                ELSE NULL END AS xcorr
+    FROM j WHERE n >= 3
+    ORDER BY type_a, type_b, lag
+    """,
+)
+def events_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type pairs: Pearson r
+    of type-a's daily count against type-b's count `lag` days LATER,
+    for lags 0..7 — "does a spike in views predict purchases three
+    days out".  The raw table collapses to the |types × days| daily
+    frame in one grouped count; the lag alignment is an integer-day
+    equi-join of that tiny frame against its lag-shifted self (the
+    8-row lag grid joins broadcast), and all Pearson moments
+    accumulate as exact decimal38/HUGEINT.  Only the final
+    divide-by-sqrt-product is float, guarded identically on both
+    engines against zero-variance series.  At 100 TB the daily frame
+    is still |types| × |calendar| rows."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("di"),
+    ).agg(F.count(F.lit(1)).cast(dec).alias("x"))
+    lags = spark.range(0, 8).select(F.col("id").cast("bigint").alias("lag"))
+    lagged = (
+        daily.crossJoin(F.broadcast(lags))
+        .select(
+            F.col("event_type").alias("type_b"),
+            (F.col("di") - F.col("lag")).alias("adi"),
+            F.col("x").alias("y"),
+            "lag",
+        )
+    )
+    j = (
+        daily.join(
+            lagged,
+            (F.col("di") == F.col("adi"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(
+            F.col("event_type").alias("type_a"), "type_b", "lag"
+        )
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nsxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nsyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        j.filter(F.col("n") >= 3)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.when(
+                (nsxx > 0) & (nsyy > 0),
+                F.round(
+                    num
+                    / (
+                        F.sqrt(nsxx.cast("double"))
+                        * F.sqrt(nsyy.cast("double"))
+                    ),
+                    6,
+                ),
+            ).alias("xcorr"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+@query(
+    "events_sax_motifs",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(x * x) AS HUGEINT) AS ss
+        FROM daily GROUP BY 1
+    ), sym AS (
+        SELECT d.event_type, d.d,
+               CASE WHEN CAST(st.n * d.x - st.s AS DOUBLE)
+                         < -(CAST(0.6745 AS DOUBLE)
+                             * sqrt(CAST(st.n * st.ss - st.s * st.s
+                                         AS DOUBLE))) THEN 'a'
+                    WHEN st.n * d.x - st.s < 0 THEN 'b'
+                    WHEN CAST(st.n * d.x - st.s AS DOUBLE)
+                         < CAST(0.6745 AS DOUBLE)
+                           * sqrt(CAST(st.n * st.ss - st.s * st.s
+                                       AS DOUBLE)) THEN 'c'
+                    ELSE 'd' END AS s
+        FROM daily d JOIN st USING (event_type)
+    ), tri AS (
+        SELECT event_type,
+               s || lead(s, 1) OVER w || lead(s, 2) OVER w AS motif
+        FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), cnt AS (
+        SELECT event_type, motif, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tri WHERE motif IS NOT NULL GROUP BY 1, 2
+    ), rk AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cnt DESC, motif) AS rnk
+        FROM cnt
+    )
+    SELECT event_type, motif, cnt, CAST(rnk AS INT) AS rnk
+    FROM rk WHERE rnk <= 3 ORDER BY event_type, rnk
+    """,
+)
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization of each type's daily-count series
+    (4-symbol alphabet at the quartile breakpoints of N(0,1)) plus
+    top-3 trigram MOTIFS per type — the classic time-series-mining
+    shape for "what weekly patterns recur".  The z-score comparison is
+    lattice-exact: z = (n·x − S)/√(n·SS − S²), so symbols compare the
+    integer deviation n·x − S against ±0.6745·√M where M is an exact
+    integer — one IEEE sqrt and multiply per row, bit-identical on
+    both engines, and the sign breakpoint is a pure integer compare.
+    Motif extraction is a per-type lead window over the |days|-sized
+    post-aggregation frame; counts and ranks are integers.  State is
+    calendar-bounded at any data volume."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("ss"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    thr = F.lit(0.6745).cast("double") * F.sqrt(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    )
+    sym = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "d",
+        F.when(dev.cast("double") < -thr, F.lit("a"))
+        .when(dev < 0, F.lit("b"))
+        .when(dev.cast("double") < thr, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    tri = sym.select(
+        "event_type",
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(w), F.lead("s", 2).over(w)
+        ).alias("motif"),
+    )
+    cnt = (
+        tri.filter(F.col("motif").isNotNull())
+        .groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("motif")
+    )
+    return (
+        cnt.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk")
+    )
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle="""
+    WITH vid AS (
+        SELECT doc_id AS media_id, text,
+               LEAST(GREATEST(n_chars // 50, 1), 16) AS nf
+        FROM documents
+    ), frames AS (
+        SELECT media_id,
+               CAST(g.fi AS INT) AS frame_index,
+               CAST(('0x' || substr(md5(substr(text, CAST(g.fi AS INT) * 37
+                                                     + 1, 64)), 18, 15))
+                    AS BIGINT) AS sig
+        FROM vid JOIN (SELECT unnest(range(0, 16)) AS fi) g
+          ON g.fi < vid.nf
+    ), sigstat AS (
+        SELECT sig, CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media
+        FROM frames GROUP BY 1
+    )
+    SELECT f.media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN s.n_media > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_frames,
+           round(CAST(SUM(CASE WHEN s.n_media > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dup_ratio,
+           SUM(CASE WHEN s.n_media > 1 THEN 1 ELSE 0 END) * 5
+               >= COUNT(*) * 4 AS is_dup
+    FROM frames f JOIN sigstat s USING (sig)
+    GROUP BY f.media_id
+    HAVING SUM(CASE WHEN s.n_media > 1 THEN 1 ELSE 0 END) > 0
+    ORDER BY f.media_id
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection by frame-fingerprint overlap —
+    the multimodal twin of document near-dup: sample a bounded frame
+    grid per media item (here the deterministic text-backed stand-in
+    table, duration ∝ n_chars, ≤16 frames — the same JVM-side
+    explode-over-sequence grid as operators/multimodal.py:sample_frames),
+    fingerprint each frame (md5_64 of the frame's content window — the
+    stand-in for a real perceptual hash), then flag media whose frames
+    mostly appear in OTHER media (≥80 % shared → is_dup, the
+    cross-multiplied integer threshold so no float gates membership).
+    The whole plan is fingerprint-equi-join bounded: |frames| ≤
+    16·|docs| rows shuffle twice (by signature, then by media), never
+    pairwise — at 100 TB the candidate mass tracks true duplicate
+    density exactly like the text MinHash family."""
+    d = _t(spark, sf_dir, "documents")
+    vid = d.select(
+        F.col("doc_id").alias("media_id"),
+        "text",
+        F.least(
+            F.greatest(
+                (F.col("n_chars") / 50).cast("int"), F.lit(1)
+            ),
+            F.lit(16),
+        ).alias("nf"),
+    )
+    frames = vid.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("frame_index"),
+        "text",
+    ).select(
+        "media_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.expr("substring(text, frame_index * 37 + 1, 64)")
+                ),
+                18,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("sig"),
+    )
+    sigstat = frames.groupBy("sig").agg(
+        F.countDistinct("media_id").cast("bigint").alias("n_media")
+    )
+    dup = F.sum(
+        F.when(F.col("n_media") > 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        frames.join(sigstat, "sig")
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            dup.cast("bigint").alias("dup_frames"),
+            F.round(
+                dup.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_ratio"),
+            (dup * 5 >= F.count(F.lit(1)) * 4).alias("is_dup"),
+        )
+        .filter(F.col("dup_frames") > 0)
+        .orderBy("media_id")
+    )
+
+
 # r9 rotation. Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
@@ -19100,12 +19625,18 @@ HEADLINE: list[str] = [
     # oracle-checked in the full-registry local gate.
     #
     # r10 rotation queue — the COMPLETE no-driver-row remainder
-    # (30 names; every one locally hash-green, transcendental-audited
-    # above where applicable).  The three r9-NEW queries first —
+    # (35 names; every one locally hash-green, transcendental-audited
+    # above where applicable).  The eight r9-NEW queries first —
     # corpus_semdedup (lattice-kmeans + within-cluster cosine prune,
     # train-to-prune oracle), corpus_dsir_weights (per-bucket ln
     # 1e-6-lattice-rounded before per-doc sums), dedup_token_savings
-    # (CC + token-count join) — then: events_changepoint, events_mann_kendall,
+    # (CC + token-count join), lineitem_kendall_tau (grid-exact τ-b,
+    # integer pair masses, final sqrts only), events_welch_ttest
+    # (exact moments, IEEE-only float tail), events_leadlag_xcorr
+    # (integer-day lag join, exact Pearson moments), events_sax_motifs
+    # (integer z-compare vs ±0.6745·√M, one IEEE sqrt),
+    # multimodal_frame_dedup (md5_64 frame fingerprints, integer
+    # cross-mult dup threshold) — then: events_changepoint, events_mann_kendall,
     # user_path_trigrams, events_ab_bootstrap_uplift,
     # doc_textrank_keywords, supplier_closeness_centrality,
     # classifier_isotonic_calibration, classifier_brier_decomposition,
