@@ -147,7 +147,16 @@ class DriverLock:
             if not won:
                 return  # another stealer is mid-steal; retry the create
             held = self.holder()
-            if held is None or self._expired(held):
+            # Remove ONLY a present-and-expired document.  While the mutex
+            # is held no competitor can remove, so the expired doc we just
+            # read still occupies the path and no fresh ``os.link`` can
+            # land before our remove.  When ``held is None`` a competitor
+            # already removed the expired doc and may be mid-link: removing
+            # "nothing" here would race that link and delete the
+            # competitor's FRESH lock (the double-steal) — skip and retry
+            # the create instead; if the competitor won, the next loop
+            # iteration sees a live document and raises LockHeldError.
+            if held is not None and self._expired(held):
                 try:
                     os.remove(self.path)
                 except FileNotFoundError:
