@@ -19525,6 +19525,267 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_shingle_containment",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               string_split_regex(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') AS words
+        FROM documents
+    ), sh0 AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(words[i:i+2], ' ')
+                   for i in range(1, len(words) - 1)
+               ]) AS shingles
+        FROM docs WHERE len(words) >= 3
+    ), sh AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh0
+    ), sizes AS (
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS size_a FROM sh0
+    ), rare AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) <= 20
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+        WHERE a.doc_id <> b.doc_id
+    ), shared AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, z.size_a, s.shared,
+           round(CAST(s.shared AS DOUBLE) / CAST(z.size_a AS DOUBLE), 6)
+               AS containment
+    FROM shared s JOIN sizes z ON z.doc_id = s.id_a
+    WHERE 5 * s.shared >= 4 * z.size_a AND z.size_a >= 5
+    ORDER BY s.id_a, s.id_b
+    """,
+)
+def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: shingle CONTAINMENT
+    C(A,B) = |S(A)∩S(B)|/|S(A)| ≥ 0.8 — catches a short document
+    swallowed whole by a longer one, which resemblance (Jaccard)
+    misses because the union is dominated by the big doc (Broder '97
+    distinguishes exactly these two measures).  Candidate generation
+    is the inverted shingle index restricted to RARE shingles
+    (document frequency ≤ 20) — the posting-list join is bounded by
+    df², never |docs|²; candidates are then EXACTLY verified by
+    re-joining both docs' full shingle sets (candidate-then-verify,
+    same discipline as the MinHash family).  The 0.8 gate is the
+    integer cross-multiplication 5·shared ≥ 4·|S(A)| so no float
+    decides membership; the reported containment is display-only.
+    At 100 TB the df cap keeps candidate mass tracking true
+    containment density."""
+    d = _t(spark, sf_dir, "documents")
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        norm_words,
+        word_shingles,
+    )
+
+    docs = d.select("doc_id", norm_words(F.col("text")).alias("words"))
+    sh0 = docs.filter(F.size("words") >= 3).select(
+        "doc_id", word_shingles(F.col("words"), 3).alias("shingles")
+    )
+    sh = sh0.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh0.select(
+        "doc_id", F.size("shingles").cast("bigint").alias("size_a")
+    )
+    rare = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") <= 20)
+        .select("s")
+    )
+    cand = (
+        sh.join(rare, "s")
+        .alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    shared = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.doc_id"))
+            & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        shared.join(sizes, F.col("id_a") == F.col("doc_id"))
+        .filter(
+            (F.lit(5) * F.col("shared") >= F.lit(4) * F.col("size_a"))
+            & (F.col("size_a") >= 5)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / F.col("size_a").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _circular_trig_tables() -> tuple[list[int], list[int]]:
+    """Hour-of-day cos/sin on the 1e9 integer lattice — computed ONCE in
+    Python and embedded as shared literals in both engines (the repo's
+    shared-literal idiom: no engine evaluates a transcendental)."""
+    import math
+
+    cos = [round(math.cos(2 * math.pi * h / 24) * 1e9) for h in range(24)]
+    sin = [round(math.sin(2 * math.pi * h / 24) * 1e9) for h in range(24)]
+    return cos, sin
+
+
+def _circular_oracle() -> str:
+    cos, sin = _circular_trig_tables()
+    return f"""
+    WITH hr AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS h,
+               CAST(COUNT(*) AS HUGEINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), comb AS (
+        SELECT event_type, SUM(cnt) AS n,
+               SUM(cnt * ([{', '.join(str(c) for c in cos)}][h + 1])) AS sc,
+               SUM(cnt * ([{', '.join(str(s) for s in sin)}][h + 1])) AS ss,
+               MAX(cnt * 24 + (23 - h)) AS modal_enc
+        FROM hr GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(sqrt(CAST(sc * sc + ss * ss AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * 1e9), 6) AS resultant_r,
+           round(1 - sqrt(CAST(sc * sc + ss * ss AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * 1e9), 6) AS circ_variance,
+           CAST(23 - modal_enc % 24 AS INT) AS modal_hour
+    FROM comb ORDER BY event_type
+    """
+
+
+@query("events_hour_circular", oracle=_circular_oracle())
+def events_hour_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of activity time-of-day per event type —
+    resultant length R (how CONCENTRATED around one time of day),
+    circular variance 1−R, and the modal hour.  Hours are angles on
+    the 24-hour circle; cos/sin per hour come from a 24-entry integer
+    lattice table computed once driver-side and embedded in BOTH
+    engines (shared-literal idiom — neither engine evaluates a
+    transcendental, so the vector sums are exact integers).  The scan
+    collapses to |types|×24 hour counts; R needs one IEEE sqrt.  The
+    modal hour rides the composite-integer argmax (cnt·24 + 23−h) —
+    ties break to the EARLIEST hour identically everywhere.  At 1e12
+    rows sc² needs a double cast before squaring — noted, irrelevant
+    below ~1e9 events per type."""
+    cos_t, sin_t = _circular_trig_tables()
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    hr = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).cast(dec).alias("cnt"))
+    cos_arr = F.array([F.lit(c) for c in cos_t])
+    sin_arr = F.array([F.lit(s) for s in sin_t])
+    comb = hr.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.col("cnt") * F.element_at(cos_arr, F.col("h") + 1)
+        ).alias("sc"),
+        F.sum(
+            F.col("cnt") * F.element_at(sin_arr, F.col("h") + 1)
+        ).alias("ss"),
+        F.max(F.col("cnt") * 24 + (23 - F.col("h"))).alias("modal_enc"),
+    )
+    r = F.sqrt(
+        (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")).cast(
+            "double"
+        )
+    ) / (F.col("n").cast("double") * F.lit(1e9))
+    return comb.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(r, 6).alias("resultant_r"),
+        F.round(1 - r, 6).alias("circ_variance"),
+        (23 - F.col("modal_enc") % 24).cast("int").alias("modal_hour"),
+    ).orderBy("event_type")
+
+
+@query(
+    "corpus_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text),
+                             '[ \\t\\n\\r\\f\\x0b]+'))
+                    END) AS BIGINT) AS total_words,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_PIECE_RE}')))
+               AS BIGINT) AS total_pieces,
+           round(CAST(SUM(len(regexp_extract_all(text, '{BPE_PIECE_RE}')))
+                      AS DOUBLE)
+                 / CAST(GREATEST(SUM(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                   '[ \\t\\n\\r\\f\\x0b]+'))
+                          END), 1) AS DOUBLE), 6) AS fertility
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE-ish pieces per whitespace
+    word, the standard multilingual-tokenizer cost metric (a lang with
+    fertility 3 pays 3× the sequence length per word).  Reuses the
+    text operators' JVM-side regexp counters (operators/text.py:
+    token_count / bpe_token_estimate — no Python in the loop); one
+    grouped pass, |langs| output rows at any corpus size.  The ratio
+    divides two exact bigint totals once at the end."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        bpe_token_estimate,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("w"),
+        bpe_token_estimate(F.col("text")).cast("bigint").alias("p"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("w").cast("bigint").alias("total_words"),
+            F.sum("p").cast("bigint").alias("total_pieces"),
+        )
+        .select(
+            "lang",
+            "docs",
+            "total_words",
+            "total_pieces",
+            F.round(
+                F.col("total_pieces").cast("double")
+                / F.greatest(F.col("total_words"), F.lit(1)).cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 # r9 rotation. Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
@@ -19625,8 +19886,12 @@ HEADLINE: list[str] = [
     # oracle-checked in the full-registry local gate.
     #
     # r10 rotation queue — the COMPLETE no-driver-row remainder
-    # (35 names; every one locally hash-green, transcendental-audited
-    # above where applicable).  The eight r9-NEW queries first —
+    # (38 names; every one locally hash-green, transcendental-audited
+    # above where applicable).  Wave-2 r9-NEW: doc_shingle_containment
+    # (rare-shingle candidates + exact verify, integer 0.8 gate),
+    # events_hour_circular (shared-literal trig lattice — NO engine
+    # evaluates a transcendental), corpus_tokenizer_fertility (exact
+    # bigint totals, one final divide).  The eight earlier r9-NEW first —
     # corpus_semdedup (lattice-kmeans + within-cluster cosine prune,
     # train-to-prune oracle), corpus_dsir_weights (per-bucket ln
     # 1e-6-lattice-rounded before per-doc sums), dedup_token_savings
