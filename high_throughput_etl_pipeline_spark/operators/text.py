@@ -303,7 +303,11 @@ def bigram_lm_scores(
     mass for unseen words).  Unseen bigrams/contexts coalesce to count
     0, so every held-out token gets finite smoothed mass.
 
-    Output: (id, n_tokens, avg_logprob, perplexity).  ``perplexity`` is
+    Output: (id, n_tokens, avg_logprob, perplexity).  Each per-token
+    log-prob rounds to the 1e-9 integer lattice BEFORE the per-doc
+    average (libm ln is build-dependent; summing raw ln outputs across
+    rows is the class that flipped customer_survival_curve on the r8
+    driver — integer sums cannot drift), and ``perplexity`` is
     exp(-avg_logprob) computed from the 6-dp-rounded average — rounding
     before the exp keeps the value engine-portable (exp amplifies
     last-bit float divergence past any fixed rounding otherwise).
@@ -326,16 +330,24 @@ def bigram_lm_scores(
         .crossJoin(F.broadcast(vocab))
         .select(
             "_id",
-            F.log(
-                (F.coalesce(F.col("_cbw"), F.lit(0)) + F.lit(k))
-                / (
-                    F.coalesce(F.col("_cp"), F.lit(0))
-                    + F.lit(k) * (F.col("_v") + 1)
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_cbw"), F.lit(0)) + F.lit(k))
+                    / (
+                        F.coalesce(F.col("_cp"), F.lit(0))
+                        + F.lit(k) * (F.col("_v") + 1)
+                    )
                 )
-            ).alias("_lp"),
+                * F.lit(1e9),
+                0,
+            )
+            .cast("bigint")
+            .alias("_lp9"),
         )
     )
-    avg = F.round(F.avg("_lp"), 6)
+    avg = F.round(
+        F.sum("_lp9").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+    )
     return (
         scored.groupBy("_id")
         .agg(

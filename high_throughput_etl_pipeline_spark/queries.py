@@ -4022,8 +4022,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT unnest(generate_series(1, len(t) - 1)) AS i)
     ), lp AS (
         SELECT s.doc_id,
-               ln((coalesce(b.cbw, 0) + 0.5)
-                  / (coalesce(c.cp, 0) + 0.5 * (v.vv + 1))) AS lp
+               CAST(round(ln((coalesce(b.cbw, 0) + 0.5)
+                  / (coalesce(c.cp, 0) + 0.5 * (v.vv + 1))) * 1e9, 0)
+                    AS BIGINT) AS lp9
         FROM scb s
         LEFT JOIN bc b ON s.prev = b.prev AND s.w = b.w
         LEFT JOIN cc c ON s.prev = c.prev
@@ -4031,8 +4032,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(lp), 6) AS avg_logprob,
-           round(exp(-round(avg(lp), 6)), 4) AS perplexity
+           round(CAST(SUM(lp9) AS DOUBLE) / 1e9 / count(*), 6)
+               AS avg_logprob,
+           round(exp(-round(CAST(SUM(lp9) AS DOUBLE) / 1e9 / count(*),
+                            6)), 4) AS perplexity
     FROM lp GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -11685,12 +11688,12 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN cnt cb ON cb.source = p.source_b AND cb.lang = l.lang
     )
     SELECT source_a, source_b, n_a, n_b,
-           round(SUM(
+           round(CAST(SUM(CAST(round((
                CASE WHEN pa > 0
                     THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END
                + CASE WHEN pb > 0
                       THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END
-           ), 6) AS js_divergence
+           ) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS js_divergence
     FROM grid
     GROUP BY source_a, source_b, n_a, n_b
     ORDER BY source_a, source_b
@@ -11703,9 +11706,11 @@ def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources into a training mix.  ONE grouped count over the corpus;
     everything after operates on the (sources × langs) frame — tiny at
     any scale — so the pairwise "self-join" is a broadcast over
-    kilobytes, never a corpus shuffle.  0·ln0 terms drop exactly; the
-    ~|langs| float terms per pair sum after each is a deterministic
-    expression of exact counts, and the result rounds to 6 dp."""
+    kilobytes, never a corpus shuffle.  0·ln0 terms drop exactly; each
+    per-lang JS term is rounded to the 1e-9 integer lattice BEFORE the
+    cross-lang sum (libm-portable — raw ln-sums are the class that
+    flipped customer_survival_curve on the r8 driver), and the exact
+    integer sum rounds once to 6 dp."""
     d = _t(spark, sf_dir, "documents")
     cnt = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -11767,9 +11772,18 @@ def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pb") > 0,
         half * F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb"))),
     ).otherwise(F.lit(0.0))
+    # each per-lang JS term rounds to the 1e-9 integer lattice BEFORE
+    # the cross-lang sum (transcendentals are libm-build-dependent; raw
+    # ln-sums flipped a rounding boundary on the r8 driver for the KM
+    # fold — integer sums cannot)
+    term9 = F.round((term_a + term_b) * F.lit(1e9), 0).cast("bigint")
     return (
         grid.groupBy("source_a", "source_b", "n_a", "n_b")
-        .agg(F.round(F.sum(term_a + term_b), 6).alias("js_divergence"))
+        .agg(
+            F.round(
+                F.sum(term9).cast("double") / F.lit(1e9), 6
+            ).alias("js_divergence")
+        )
         .orderBy("source_a", "source_b")
     )
 
@@ -12449,6 +12463,16 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ndcg_disc_lattice() -> list[int]:
+    """Rank discounts 1/log2(r+1) for r=1..10 on the 1e9 integer
+    lattice — computed ONCE in Python and embedded in both engines
+    (shared-literal idiom), so neither engine's libm log2 enters the
+    cross-rank DCG sum."""
+    import math
+
+    return [round(1e9 / math.log2(r + 1)) for r in range(1, 11)]
+
+
 def _ann_recall_oracle() -> str:
     import math
 
@@ -12532,8 +12556,10 @@ def _ann_recall_oracle() -> str:
            round(COALESCE(MAX(CASE WHEN ex_rank = 1
                                    THEN 1.0 / ap_rank END), 0.0), 6)
                AS mrr,
-           round(SUM(CASE WHEN ex_rank IS NOT NULL
-                          THEN 1.0 / log2(ap_rank + 1) ELSE 0 END)
+           round(CAST(SUM(CASE WHEN ex_rank IS NOT NULL
+                          THEN [{', '.join(str(d) for d in
+                                           _ndcg_disc_lattice())}][ap_rank]
+                          ELSE 0 END) AS DOUBLE) / 1e9
                  / {idcg!r}, 6) AS ndcg_at_10
     FROM joined GROUP BY query_id ORDER BY query_id
     """
@@ -12604,9 +12630,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(
-                        hit, 1.0 / F.log2(F.col("ap_rank") + 1)
-                    ).otherwise(F.lit(0.0))
-                )
+                        hit,
+                        F.element_at(
+                            F.array(
+                                [F.lit(d) for d in _ndcg_disc_lattice()]
+                            ),
+                            F.col("ap_rank"),
+                        ),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.lit(1e9)
                 / F.lit(idcg),
                 6,
             ).alias("ndcg_at_10"),

@@ -138,13 +138,18 @@ def test_bigram_lm_scores_hand_computed(spark):
     }
     # train bigrams: (<s>,a)x3, (a,b)x2, (a,c)x1; V = |{a,b,c}| = 3
     # doc 10: p(a|<s>) = 3.5/(3+0.5*4) = 0.7, p(b|a) = 2.5/(3+2) = 0.5
-    exp_avg = round((math.log(0.7) + math.log(0.5)) / 2, 6)
+    # per-token log-probs land on the 1e-9 lattice BEFORE the average
+    # (libm-portability discipline — mirror it here)
+    def lat(p):
+        return round(math.log(p) * 1e9)
+
+    exp_avg = round((lat(0.7) + lat(0.5)) / 1e9 / 2, 6)
     assert out[10]["n_tokens"] == 2
     assert out[10]["avg_logprob"] == exp_avg
     assert out[10]["perplexity"] == round(math.exp(-exp_avg), 4)
     # doc 11 is fully unseen: p(z|<s>) = 0.5/(3+2) = 0.1 (seen context),
     # p(q|z) = 0.5/(0+2) = 0.25 (unseen context) — finite either way
-    exp_avg11 = round((math.log(0.1) + math.log(0.25)) / 2, 6)
+    exp_avg11 = round((lat(0.1) + lat(0.25)) / 1e9 / 2, 6)
     assert out[11]["avg_logprob"] == exp_avg11
     # unseen text scores strictly worse than in-distribution text
     assert out[11]["perplexity"] > out[10]["perplexity"]
