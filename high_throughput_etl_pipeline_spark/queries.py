@@ -19819,6 +19819,120 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_kneser_ney_bigrams",
+    oracle="""
+    WITH tr AS (
+        SELECT doc_id,
+               list_prepend('<s>', string_split_regex(trim(lower(text)),
+                                                      '[ \\t\\n\\r\\f\\x0b]+')) AS t
+        FROM documents WHERE trim(text) <> ''
+    ), trb AS (
+        SELECT t[i] AS prev, t[i+1] AS w
+        FROM tr, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ), bc AS (
+        SELECT prev, w, CAST(count(*) AS HUGEINT) AS c12
+        FROM trb GROUP BY 1, 2
+    ), ctx AS (
+        SELECT prev, CAST(SUM(c12) AS HUGEINT) AS c1,
+               CAST(COUNT(*) AS HUGEINT) AS n1fw
+        FROM bc GROUP BY 1
+    ), pre AS (
+        SELECT w, CAST(COUNT(*) AS HUGEINT) AS n1pw FROM bc GROUP BY 1
+    ), btot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM bc
+    ), top20 AS (
+        SELECT prev, c1, n1fw FROM ctx ORDER BY c1 DESC, prev LIMIT 20
+    ), cand AS (
+        SELECT bc.prev, bc.w, bc.c12, t.c1, t.n1fw, p.n1pw, btot.b
+        FROM bc JOIN top20 t USING (prev)
+        JOIN pre p ON p.w = bc.w
+        CROSS JOIN btot
+    ), rk AS (
+        SELECT *, row_number() OVER (PARTITION BY prev
+                                     ORDER BY c12 DESC, w) AS rnk
+        FROM cand
+    )
+    SELECT prev AS w1, w AS w2,
+           CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+           round(CAST(GREATEST(4 * c12 - 3, 0) * b + 3 * n1fw * n1pw
+                      AS DOUBLE)
+                 / CAST(4 * c1 * b AS DOUBLE), 6) AS kn_prob,
+           CAST(rnk AS INT) AS rnk
+    FROM rk WHERE rnk <= 3 ORDER BY w1, rnk
+    """,
+)
+def corpus_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM over the corpus — the classic
+    n-gram language model (Chen & Goodman '98): P(w₂|w₁) =
+    max(c₁₂−d,0)/c₁ + d·N₁₊(w₁·)/c₁ · N₁₊(·w₂)/B with discount
+    d = 0.75, where the continuation probability N₁₊(·w₂)/B is what
+    distinguishes KN from additive smoothing (types, not tokens).
+    With d = 3/4 the whole probability is the RATIONAL
+    (max(4c₁₂−3,0)·B + 3·N₁₊(w₁·)·N₁₊(·w₂)) / (4·c₁·B) — exact
+    integers until ONE final divide, so the hash gate never touches a
+    transcendental.  Output: top-3 continuations for the 20 most
+    frequent contexts (TakeOrderedAndProject global top-k, then a
+    window over the 20-context slice only).  The model IS three count
+    DataFrames — never collected; all joins are keyed on words; at
+    1e12 tokens the numerator needs ~4·c₁₂·B < 1e38, inside
+    decimal(38,0)/HUGEINT."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        _doc_bigrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    tb = _doc_bigrams(d, "doc_id", "text")
+    bc = tb.groupBy(
+        F.col("_prev").alias("w1"), F.col("_w").alias("w2")
+    ).agg(F.count(F.lit(1)).cast(dec).alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast(dec).alias("n1fw"),
+    )
+    pre = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast(dec).alias("n1pw")
+    )
+    btot = bc.agg(F.count(F.lit(1)).cast(dec).alias("b"))
+    top20 = take_top_k(
+        ctx, [F.desc("c1"), F.asc("w1")], 20
+    ).select("w1", "c1", "n1fw")
+    cand = (
+        bc.join(F.broadcast(top20), "w1")
+        .join(pre, "w2")
+        .join(F.broadcast(btot))
+    )
+    num = (
+        F.greatest(
+            F.lit(4) * F.col("c12") - 3, F.lit(0).cast(dec)
+        )
+        * F.col("b")
+        + F.lit(3) * F.col("n1fw") * F.col("n1pw")
+    )
+    den = F.lit(4) * F.col("c1") * F.col("b")
+    w = Window.partitionBy("w1").orderBy(F.desc("c12"), F.asc("w2"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "kn_prob"
+            ),
+            "rnk",
+        )
+        .orderBy("w1", "rnk")
+    )
+
+
 # r9 rotation. Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
@@ -19919,12 +20033,14 @@ HEADLINE: list[str] = [
     # oracle-checked in the full-registry local gate.
     #
     # r10 rotation queue — the COMPLETE no-driver-row remainder
-    # (38 names; every one locally hash-green, transcendental-audited
+    # (39 names; every one locally hash-green, transcendental-audited
     # above where applicable).  Wave-2 r9-NEW: doc_shingle_containment
     # (rare-shingle candidates + exact verify, integer 0.8 gate),
     # events_hour_circular (shared-literal trig lattice — NO engine
     # evaluates a transcendental), corpus_tokenizer_fertility (exact
-    # bigint totals, one final divide).  The eight earlier r9-NEW first —
+    # bigint totals, one final divide), corpus_kneser_ney_bigrams
+    # (d=3/4 makes KN a pure rational — exact integers, ONE divide).
+    # The eight earlier r9-NEW first —
     # corpus_semdedup (lattice-kmeans + within-cluster cosine prune,
     # train-to-prune oracle), corpus_dsir_weights (per-bucket ln
     # 1e-6-lattice-rounded before per-doc sums), dedup_token_savings
