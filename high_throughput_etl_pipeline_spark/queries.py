@@ -19933,6 +19933,224 @@ def corpus_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_hbos_outliers",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(hour(ts) AS INT) AS h,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+               CAST(LEAST(GREATEST(floor(value / 50), 0), 19) AS INT)
+                   AS vb
+        FROM events
+    ), combo AS (
+        SELECT h, dow, vb, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM f GROUP BY 1, 2, 3
+    ), n AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS nt FROM combo
+    ), bh AS (
+        SELECT h, CAST(round(-ln(CAST(SUM(n_events) AS DOUBLE)
+                                 / (SELECT nt FROM n)) * 1e9, 0)
+                       AS BIGINT) AS li
+        FROM combo GROUP BY h
+    ), bd AS (
+        SELECT dow, CAST(round(-ln(CAST(SUM(n_events) AS DOUBLE)
+                                   / (SELECT nt FROM n)) * 1e9, 0)
+                         AS BIGINT) AS li
+        FROM combo GROUP BY dow
+    ), bv AS (
+        SELECT vb, CAST(round(-ln(CAST(SUM(n_events) AS DOUBLE)
+                                  / (SELECT nt FROM n)) * 1e9, 0)
+                        AS BIGINT) AS li
+        FROM combo GROUP BY vb
+    ), scored AS (
+        SELECT c.h, c.dow, c.vb, c.n_events,
+               bh.li + bd.li + bv.li AS s9
+        FROM combo c JOIN bh USING (h) JOIN bd USING (dow)
+        JOIN bv USING (vb)
+    ), rk AS (
+        SELECT *, row_number() OVER (ORDER BY s9 DESC, h, dow, vb)
+                      AS rnk
+        FROM scored
+    )
+    SELECT h, dow, vb, n_events,
+           round(CAST(s9 AS DOUBLE) / 1e9, 6) AS hbos_score,
+           CAST(rnk AS INT) AS rnk
+    FROM rk WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS anomaly detection (Goldstein & Dengel '12) over events:
+    score = Σ_features −ln(bin frequency) for hour-of-day, day-of-week,
+    and value bucket — the histogram-based outlier detector that scales
+    where isolation forests can't (no trees, no sampling: three
+    1-D histograms).  Scores live on feature COMBOS, not rows — the
+    scan collapses to ≤ 24·7·20 combos, each per-bin −ln term is
+    rounded to the 1e-9 integer lattice at the BIN level (tiny frames)
+    and the 3-term sum is exact integer, so the top-20 ordering
+    compares integers, never floats.  Spark dayofweek is 1=Sunday;
+    DuckDB 0=Sunday — the oracle shifts +1 (repo idiom)."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    f = e.select(
+        F.hour("ts").cast("int").alias("h"),
+        F.dayofweek(F.to_date("ts")).cast("int").alias("dow"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50), F.lit(0)), F.lit(19)
+        )
+        .cast("int")
+        .alias("vb"),
+    )
+    combo = f.groupBy("h", "dow", "vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    nt = combo.agg(F.sum("n_events").cast("bigint").alias("nt"))
+
+    def _bin(col: str) -> DataFrame:
+        return (
+            combo.groupBy(col)
+            .agg(F.sum("n_events").cast("bigint").alias("_bn"))
+            .join(F.broadcast(nt))
+            .select(
+                col,
+                F.round(
+                    -F.log(
+                        F.col("_bn").cast("double")
+                        / F.col("nt").cast("double")
+                    )
+                    * F.lit(1e9),
+                    0,
+                )
+                .cast("bigint")
+                .alias(f"_li_{col}"),
+            )
+        )
+
+    scored = (
+        combo.join(F.broadcast(_bin("h")), "h")
+        .join(F.broadcast(_bin("dow")), "dow")
+        .join(F.broadcast(_bin("vb")), "vb")
+        .select(
+            "h",
+            "dow",
+            "vb",
+            "n_events",
+            (
+                F.col("_li_h") + F.col("_li_dow") + F.col("_li_vb")
+            ).alias("s9"),
+        )
+    )
+    top = take_top_k(
+        scored,
+        [F.desc("s9"), F.asc("h"), F.asc("dow"), F.asc("vb")],
+        20,
+        rank_col="rnk",
+    )
+    return top.select(
+        "h",
+        "dow",
+        "vb",
+        "n_events",
+        F.round(F.col("s9").cast("double") / F.lit(1e9), 6).alias(
+            "hbos_score"
+        ),
+        F.col("rnk").cast("int").alias("rnk"),
+    ).orderBy("rnk")
+
+
+@query(
+    "corpus_oov_rate",
+    oracle="""
+    WITH tr AS (
+        SELECT unnest(string_split_regex(trim(lower(text)),
+                                         '[ \\t\\n\\r\\f\\x0b]+')) AS w
+        FROM documents WHERE trim(text) <> '' AND doc_id % 10 < 8
+    ), vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tr GROUP BY w
+    ), held AS (
+        SELECT lang,
+               unnest(string_split_regex(trim(lower(text)),
+                                         '[ \\t\\n\\r\\f\\x0b]+')) AS w
+        FROM documents WHERE trim(text) <> '' AND doc_id % 10 >= 8
+    ), joined AS (
+        SELECT h.lang, COALESCE(v.freq, 0) AS freq
+        FROM held h LEFT JOIN vocab v ON v.w = h.w
+    ), grid AS (
+        SELECT j.lang, c.min_count,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN j.freq < c.min_count THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM joined j
+        JOIN (SELECT unnest([2, 10, 100]) AS min_count) c ON TRUE
+        GROUP BY 1, 2
+    )
+    SELECT lang, CAST(min_count AS INT) AS min_count, n_tokens, n_oov,
+           round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS oov_rate
+    FROM grid ORDER BY lang, min_count
+    """,
+)
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of held-out documents against the train
+    split's vocabulary at min-frequency cutoffs {2, 10, 100} — the
+    vocab-pruning curve a tokenizer/embedding builder reads before
+    fixing min_count (word2vec's knob) per language.  Train vocabulary
+    is ONE grouped count (never collected); held-out tokens LEFT-join
+    it keyed on the word and compare exact integer frequencies against
+    the broadcast 3-row cutoff grid — counts and one final divide, no
+    floats in any gate.  Linear in token count at any corpus size;
+    frequent-word join skew is ordinary AQE-handled skew."""
+    from high_throughput_etl_pipeline_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    nonempty = d.filter(F.length(F.trim(F.col("text"))) > 0)
+    tr = (
+        nonempty.filter(F.col("doc_id") % 10 < 8)
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+    )
+    vocab = tr.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    held = (
+        nonempty.filter(F.col("doc_id") % 10 >= 8)
+        .select(
+            "lang", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+    )
+    joined = held.join(vocab, "w", "left").select(
+        "lang", F.coalesce("freq", F.lit(0)).alias("freq")
+    )
+    cuts = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(10), F.lit(100))).alias(
+            "min_count"
+        )
+    )
+    grid = (
+        joined.crossJoin(F.broadcast(cuts))
+        .groupBy("lang", "min_count")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("freq") < F.col("min_count"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return grid.select(
+        "lang",
+        F.col("min_count").cast("int").alias("min_count"),
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    ).orderBy("lang", "min_count")
+
+
 # r9 rotation. Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
@@ -20039,7 +20257,9 @@ HEADLINE: list[str] = [
     # events_hour_circular (shared-literal trig lattice — NO engine
     # evaluates a transcendental), corpus_tokenizer_fertility (exact
     # bigint totals, one final divide), corpus_kneser_ney_bigrams
-    # (d=3/4 makes KN a pure rational — exact integers, ONE divide).
+    # (d=3/4 makes KN a pure rational — exact integers, ONE divide),
+    # events_hbos_outliers (bin-level 1e-9 lattice −ln, integer-sum
+    # ordering), corpus_oov_rate (pure counts, one final divide).
     # The eight earlier r9-NEW first —
     # corpus_semdedup (lattice-kmeans + within-cluster cosine prune,
     # train-to-prune oracle), corpus_dsir_weights (per-bucket ln
