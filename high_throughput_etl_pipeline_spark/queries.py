@@ -20151,6 +20151,199 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "min_count")
 
 
+_SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _shapley_subset_rows() -> list[tuple[str, int, int, int]]:
+    """(channel, T_mask, T∪{i}_mask, 24·w(|T|)) for every channel i and
+    every coalition T ⊆ N\\{i} over the 4 non-purchase channels —
+    enumerated ONCE in Python (32 rows) and embedded in both engines.
+    24·w(t) = t!·(3−t)! is integer, so the only floats are the v(T)
+    conversion-rate divides."""
+    import math
+
+    rows = []
+    n = len(_SHAPLEY_CHANNELS)
+    for i, ch in enumerate(_SHAPLEY_CHANNELS):
+        others = [j for j in range(n) if j != i]
+        for k in range(1 << (n - 1)):
+            t_mask = sum(1 << others[j] for j in range(n - 1) if k >> j & 1)
+            t = bin(k).count("1")
+            w24 = math.factorial(t) * math.factorial(n - 1 - t)
+            rows.append((ch, t_mask, t_mask | (1 << i), w24))
+    return rows
+
+
+def _shapley_oracle() -> str:
+    st = ", ".join(
+        f"('{c}', {t}, {ti}, {w})" for c, t, ti, w in _shapley_subset_rows()
+    )
+    bits = ", ".join(
+        f"('{c}', {1 << i})" for i, c in enumerate(_SHAPLEY_CHANNELS)
+    )
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    + 2 * MAX(CASE WHEN event_type = 'error' THEN 1
+                              ELSE 0 END)
+                    + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1
+                              ELSE 0 END)
+                    + 8 * MAX(CASE WHEN event_type = 'view' THEN 1
+                              ELSE 0 END) AS INT) AS mask,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS nu,
+               CAST(SUM(conv) AS BIGINT) AS nc
+        FROM u GROUP BY mask
+    ), st(channel, t_mask, ti_mask, w24) AS (VALUES {st}),
+    terms AS (
+        SELECT st.channel,
+               CAST(round(st.w24 * (
+                   CASE WHEN COALESCE(a.nu, 0) > 0
+                        THEN CAST(a.nc AS DOUBLE) / CAST(a.nu AS DOUBLE)
+                        ELSE 0 END
+                   - CASE WHEN COALESCE(b.nu, 0) > 0
+                          THEN CAST(b.nc AS DOUBLE) / CAST(b.nu AS DOUBLE)
+                          ELSE 0 END) * 1e9, 0) AS BIGINT) AS t9
+        FROM st
+        LEFT JOIN m a ON a.mask = st.ti_mask
+        LEFT JOIN m b ON b.mask = st.t_mask
+    ), chbit(channel, bit) AS (VALUES {bits}),
+    chstat AS (
+        SELECT cb.channel,
+               CAST(SUM(CASE WHEN m.mask & cb.bit <> 0 THEN m.nu
+                        ELSE 0 END) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN m.mask & cb.bit <> 0 THEN m.nc
+                        ELSE 0 END) AS BIGINT) AS n_conv
+        FROM chbit cb CROSS JOIN m GROUP BY cb.channel
+    )
+    SELECT t.channel, c.n_users, c.n_conv,
+           round(CAST(SUM(t.t9) AS DOUBLE) / 1e9 / 24, 6)
+               AS shapley_credit
+    FROM terms t JOIN chstat c ON c.channel = t.channel
+    GROUP BY t.channel, c.n_users, c.n_conv
+    ORDER BY t.channel
+    """
+
+
+@query("purchase_shapley_attribution", oracle=_shapley_oracle())
+def purchase_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value marketing attribution over channel SETS
+    (Zhao et al. '18): each user contributes their touched-channel
+    coalition (bitmask over the 4 non-purchase event types) and
+    whether they purchased; the characteristic function v(T) is the
+    conversion rate of users with EXACTLY coalition T; each channel's
+    Shapley credit is the factorial-weighted sum of its marginal
+    contributions over all 2³ coalitions of the others.  With n = 4,
+    24·w(t) = t!(3−t)! is integer, and the full 32-row
+    (channel × coalition) enumeration is computed once in Python and
+    embedded in both engines (shared-literal idiom).  Each marginal
+    term rounds to the 1e-9 lattice before the cross-coalition sum
+    (the v(T) divides are IEEE-exact, but SQL SUM order isn't
+    guaranteed — integer sums are order-free).  The scan collapses to
+    ≤16 coalition rows; everything after is literal-table joins.  At
+    1e12 events the per-user mask agg is the only real work — one
+    map-side-combining groupBy."""
+    e = _t(spark, sf_dir, "events")
+    bit = {c: 1 << i for i, c in enumerate(_SHAPLEY_CHANNELS)}
+    u = e.groupBy("user_id").agg(
+        sum(
+            (
+                F.max(
+                    F.when(F.col("event_type") == c, 1).otherwise(0)
+                )
+                * F.lit(b)
+            )
+            for c, b in bit.items()
+        )
+        .cast("int")
+        .alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv"),
+    )
+    m = u.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("conv").cast("bigint").alias("nc"),
+    )
+    st = spark.createDataFrame(
+        _shapley_subset_rows(),
+        "channel STRING, t_mask INT, ti_mask INT, w24 INT",
+    )
+
+    def _rate(side: str):
+        return F.when(
+            F.coalesce(F.col(f"{side}.nu"), F.lit(0)) > 0,
+            F.col(f"{side}.nc").cast("double")
+            / F.col(f"{side}.nu").cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    terms = (
+        st.join(
+            F.broadcast(m.alias("a")),
+            F.col("a.mask") == F.col("ti_mask"),
+            "left",
+        )
+        .join(
+            F.broadcast(m.alias("b")),
+            F.col("b.mask") == F.col("t_mask"),
+            "left",
+        )
+        .select(
+            "channel",
+            F.round(
+                F.col("w24") * (_rate("a") - _rate("b")) * F.lit(1e9), 0
+            )
+            .cast("bigint")
+            .alias("t9"),
+        )
+    )
+    chbit = spark.createDataFrame(
+        [(c, b) for c, b in bit.items()], "channel STRING, bit INT"
+    )
+    chstat = (
+        chbit.crossJoin(F.broadcast(m))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("mask").bitwiseAND(F.col("bit")) != 0,
+                    F.col("nu"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("mask").bitwiseAND(F.col("bit")) != 0,
+                    F.col("nc"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_conv"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("t9").alias("s9"))
+        .join(F.broadcast(chstat), "channel")
+        .select(
+            "channel",
+            "n_users",
+            "n_conv",
+            F.round(
+                F.col("s9").cast("double") / F.lit(1e9) / F.lit(24), 6
+            ).alias("shapley_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
 # r9 rotation. Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
