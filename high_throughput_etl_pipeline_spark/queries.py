@@ -20344,6 +20344,212 @@ def purchase_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_logrank_test",
+    oracle="""
+    WITH o AS (
+        SELECT o.o_custkey,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS grp,
+               CAST(o.o_orderdate AS DATE) AS d
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), hz AS (
+        SELECT MAX(d) AS h FROM o
+    ), gaps AS (
+        SELECT grp,
+               CAST(date_diff('day', lag(d) OVER w, d) AS BIGINT) AS dur,
+               1 AS ev
+        FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d)
+    ), cens AS (
+        SELECT grp,
+               CAST(date_diff('day', MAX(d), (SELECT h FROM hz))
+                    AS BIGINT) AS dur,
+               0 AS ev
+        FROM o GROUP BY o_custkey, grp
+    ), durs AS (
+        SELECT grp, dur, ev FROM gaps WHERE dur IS NOT NULL
+        UNION ALL SELECT grp, dur, ev FROM cens
+    ), tbl AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t1,
+               CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d0,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t0
+        FROM durs GROUP BY dur
+    ), tot AS (
+        SELECT CAST(SUM(t1) AS BIGINT) AS na,
+               CAST(SUM(t0) AS BIGINT) AS nb
+        FROM tbl
+    ), risk AS (
+        SELECT dur, d1, d0,
+               (SELECT na FROM tot)
+                   - COALESCE(SUM(t1) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n1,
+               (SELECT nb FROM tot)
+                   - COALESCE(SUM(t0) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n0
+        FROM tbl
+    ), terms AS (
+        SELECT d1,
+               CAST(round(CAST(n1 AS DOUBLE) * (d1 + d0)
+                          / (n1 + n0) * 1e9, 0) AS BIGINT) AS e9,
+               CASE WHEN n1 + n0 > 1
+                    THEN CAST(round(
+                        CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                        * CAST(d1 + d0 AS DOUBLE)
+                        * CAST(n1 + n0 - d1 - d0 AS DOUBLE)
+                        / (CAST(n1 + n0 AS DOUBLE)
+                           * CAST(n1 + n0 AS DOUBLE)
+                           * CAST(n1 + n0 - 1 AS DOUBLE)) * 1e9, 0)
+                        AS BIGINT)
+                    ELSE 0 END AS v9
+        FROM risk WHERE d1 + d0 > 0
+    )
+    SELECT tot.na AS n_building, tot.nb AS n_other,
+           CAST(SUM(t.d1) AS BIGINT) AS observed_events,
+           round(CAST(SUM(t.e9) AS DOUBLE) / 1e9, 6) AS expected_events,
+           round((CAST(SUM(t.d1) AS DOUBLE)
+                  - CAST(SUM(t.e9) AS DOUBLE) / 1e9)
+                 * (CAST(SUM(t.d1) AS DOUBLE)
+                    - CAST(SUM(t.e9) AS DOUBLE) / 1e9)
+                 / (CAST(SUM(t.v9) AS DOUBLE) / 1e9), 4) AS chi2
+    FROM terms t CROSS JOIN tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def customer_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test: do BUILDING-segment customers
+    reorder on a different survival curve than everyone else?  The
+    companion hypothesis test to customer_survival_curve, on the same
+    censored reorder-interval life table but split by segment.  Every
+    per-duration term — expected events n1·d/n and hypergeometric
+    variance n1·n0·d·(n−d)/(n²(n−1)) — is a RATIONAL of exact risk-set
+    integers (no transcendental anywhere), rounded to the 1e-9 lattice
+    per duration before the order-free integer sums; the χ² is one
+    final divide.  The life table is |distinct day gaps| rows, so the
+    ordered risk-set windows cost nothing at any corpus size; the
+    customer join is keyed and the gap window partitions by customer."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                .otherwise(0)
+                .alias("grp"),
+            ),
+            "o_custkey",
+        )
+        .select("o_custkey", "grp", F.col("o_orderdate").cast("date").alias("d"))
+    )
+    hz = o.agg(F.max("d").alias("_h"))
+    wcust = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = (
+        o.withColumn(
+            "dur", F.datediff("d", F.lag("d").over(wcust)).cast("bigint")
+        )
+        .filter(F.col("dur").isNotNull())
+        .select("grp", "dur", F.lit(1).alias("ev"))
+    )
+    cens = (
+        o.groupBy("o_custkey", "grp")
+        .agg(F.max("d").alias("_last"))
+        .join(F.broadcast(hz))
+        .select(
+            "grp",
+            F.datediff("_h", "_last").cast("bigint").alias("dur"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    tbl = (
+        gaps.unionByName(cens)
+        .groupBy("dur")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0))
+            .cast("bigint")
+            .alias("d1"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("t1"),
+            F.sum(F.when(F.col("grp") == 0, F.col("ev")).otherwise(0))
+            .cast("bigint")
+            .alias("d0"),
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("t0"),
+        )
+    )
+    tot = tbl.agg(
+        F.sum("t1").cast("bigint").alias("na"),
+        F.sum("t0").cast("bigint").alias("nb"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = tbl.join(F.broadcast(tot)).select(
+        "dur",
+        "d1",
+        "d0",
+        (
+            F.col("na")
+            - F.coalesce(F.sum("t1").over(wprev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("nb")
+            - F.coalesce(F.sum("t0").over(wprev), F.lit(0))
+        ).alias("n0"),
+    )
+    dtot = F.col("d1") + F.col("d0")
+    ntot = F.col("n1") + F.col("n0")
+    e9 = F.round(
+        F.col("n1").cast("double") * dtot / ntot * F.lit(1e9), 0
+    ).cast("bigint")
+    v9 = F.when(
+        ntot > 1,
+        F.round(
+            F.col("n1").cast("double")
+            * F.col("n0").cast("double")
+            * dtot.cast("double")
+            * (ntot - dtot).cast("double")
+            / (
+                ntot.cast("double")
+                * ntot.cast("double")
+                * (ntot - 1).cast("double")
+            )
+            * F.lit(1e9),
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    terms = risk.filter(dtot > 0).select(
+        "d1", e9.alias("e9"), v9.alias("v9")
+    )
+    s = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e9").alias("se9"),
+        F.sum("v9").alias("sv9"),
+    ).join(F.broadcast(tot))
+    diff = F.col("o1").cast("double") - F.col("se9").cast("double") / F.lit(
+        1e9
+    )
+    return s.select(
+        F.col("na").alias("n_building"),
+        F.col("nb").alias("n_other"),
+        F.col("o1").alias("observed_events"),
+        F.round(F.col("se9").cast("double") / F.lit(1e9), 6).alias(
+            "expected_events"
+        ),
+        F.round(
+            diff * diff / (F.col("sv9").cast("double") / F.lit(1e9)), 4
+        ).alias("chi2"),
+    )
+
+
 # r9 rotation. Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
@@ -20452,7 +20658,10 @@ HEADLINE: list[str] = [
     # bigint totals, one final divide), corpus_kneser_ney_bigrams
     # (d=3/4 makes KN a pure rational — exact integers, ONE divide),
     # events_hbos_outliers (bin-level 1e-9 lattice −ln, integer-sum
-    # ordering), corpus_oov_rate (pure counts, one final divide).
+    # ordering), corpus_oov_rate (pure counts, one final divide),
+    # purchase_shapley_attribution (shared-literal 32-row coalition
+    # table, rational v(T), per-term lattice), customer_logrank_test
+    # (all-rational Mantel-Cox over the censored life table).
     # The eight earlier r9-NEW first —
     # corpus_semdedup (lattice-kmeans + within-cluster cosine prune,
     # train-to-prune oracle), corpus_dsir_weights (per-bucket ln
