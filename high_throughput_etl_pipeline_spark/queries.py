@@ -20550,6 +20550,277 @@ def customer_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_cumulative_hazard",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ), hz AS (
+        SELECT MAX(d) AS h FROM o
+    ), gaps AS (
+        SELECT CAST(date_diff('day', lag(d) OVER w, d) AS BIGINT) AS dur,
+               1 AS ev
+        FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d)
+    ), cens AS (
+        SELECT CAST(date_diff('day', MAX(d), (SELECT h FROM hz))
+                    AS BIGINT) AS dur,
+               0 AS ev
+        FROM o GROUP BY o_custkey
+    ), durs AS (
+        SELECT dur, ev FROM gaps WHERE dur IS NOT NULL
+        UNION ALL SELECT dur, ev FROM cens
+    ), tbl AS (
+        SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM durs GROUP BY dur
+    ), tot AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n FROM tbl
+    ), risk AS (
+        SELECT dur, d,
+               (SELECT n FROM tot)
+                   - COALESCE(SUM(t) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+        FROM tbl
+    ), curve AS (
+        SELECT dur, d, n_risk,
+               SUM(CASE WHEN d > 0
+                        THEN CAST(round(CAST(d AS DOUBLE) / n_risk * 1e9,
+                                        0) AS BIGINT)
+                        ELSE 0 END) OVER (
+                   ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS h9
+        FROM risk
+    )
+    SELECT dur AS duration_days, n_risk, d AS d_events,
+           round(CAST(h9 AS DOUBLE) / 1e9, 6) AS cumulative_hazard
+    FROM curve WHERE d > 0 ORDER BY dur
+    """,
+)
+def customer_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the
+    censored reorder-interval life table — the Kaplan-Meier companion
+    estimator (hazard accumulates ADDITIVELY, so unlike KM's product it
+    needs no ln/exp at all).  Each dᵢ/nᵢ increment is an IEEE-exact
+    divide of exact integers, rounded to the 1e-9 lattice per duration
+    before the cumulative window sum — the sum is integer, portable by
+    construction.  Same |distinct gaps|-row life table as
+    customer_survival_curve; event-free durations are censor-only rows
+    and drop from the output (they leave H unchanged)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    hz = o.agg(F.max("d").alias("_h"))
+    wcust = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = (
+        o.withColumn(
+            "dur", F.datediff("d", F.lag("d").over(wcust)).cast("bigint")
+        )
+        .filter(F.col("dur").isNotNull())
+        .select("dur", F.lit(1).alias("ev"))
+    )
+    cens = (
+        o.groupBy("o_custkey")
+        .agg(F.max("d").alias("_last"))
+        .join(F.broadcast(hz))
+        .select(
+            F.datediff("_h", "_last").cast("bigint").alias("dur"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    tbl = (
+        gaps.unionByName(cens)
+        .groupBy("dur")
+        .agg(
+            F.sum("ev").cast("bigint").alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("t"),
+        )
+    )
+    tot = tbl.agg(F.sum("t").cast("bigint").alias("_n"))
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = tbl.join(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("_n") - F.coalesce(F.sum("t").over(wprev), F.lit(0)),
+    )
+    curve = risk.withColumn(
+        "h9",
+        F.sum(
+            F.when(
+                F.col("d") > 0,
+                F.round(
+                    F.col("d").cast("double") / F.col("n_risk") * F.lit(1e9),
+                    0,
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).over(wcum),
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            F.col("d").alias("d_events"),
+            F.round(F.col("h9").cast("double") / F.lit(1e9), 6).alias(
+                "cumulative_hazard"
+            ),
+        )
+        .orderBy("duration_days")
+    )
+
+
+def _periodogram_trig_rows() -> list[tuple[int, int, int, int]]:
+    """(period, residue, cos·1e9, sin·1e9) for candidate periods
+    2..14 days — 104 rows enumerated once in Python and embedded in
+    both engines (shared-literal idiom: no engine's libm enters the
+    spectrum sums)."""
+    import math
+
+    rows = []
+    for p in range(2, 15):
+        for r in range(p):
+            rows.append(
+                (
+                    p,
+                    r,
+                    round(math.cos(2 * math.pi * r / p) * 1e9),
+                    round(math.sin(2 * math.pi * r / p) * 1e9),
+                )
+            )
+    return rows
+
+
+def _periodogram_oracle() -> str:
+    vals = ", ".join(
+        f"({p}, {r}, {c}, {s})" for p, r, c, s in _periodogram_trig_rows()
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS di,
+               CAST(COUNT(*) AS HUGEINT) AS x
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s
+        FROM daily GROUP BY 1
+    ), dev AS (
+        SELECT d.event_type, d.di, st.n * d.x - st.s AS dv
+        FROM daily d JOIN st USING (event_type)
+    ), trig(p, r, c9, s9) AS (VALUES {vals}),
+    grid AS (
+        SELECT dv.event_type, t.p,
+               SUM(dv.dv * t.c9) AS sc, SUM(dv.dv * t.s9) AS ss
+        FROM dev dv
+        JOIN trig t ON t.r = dv.di % t.p
+        GROUP BY 1, 2
+    ), dsq AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS nd,
+               SUM(dv * dv) AS sdd
+        FROM dev GROUP BY 1
+    ), scored AS (
+        SELECT g.event_type, g.p,
+               g.sc * g.sc + g.ss * g.ss AS pw,
+               d.nd, d.sdd
+        FROM grid g JOIN dsq d USING (event_type)
+    ), rk AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY pw DESC, p) AS rnk
+        FROM scored
+    )
+    SELECT event_type, CAST(p AS INT) AS period,
+           round(CAST(pw AS DOUBLE)
+                 / (CAST(nd AS DOUBLE) * CAST(sdd AS DOUBLE) * 1e18), 6)
+               AS power_ratio,
+           CAST(rnk AS INT) AS rnk
+    FROM rk WHERE rnk <= 3 ORDER BY event_type, rnk
+    """
+
+
+@query("events_periodogram", oracle=_periodogram_oracle())
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram over each type's daily-count series at
+    candidate periods 2..14 days — "is this signal weekly?" as the
+    top-3 spectral peaks per type.  The DFT-at-period-p power
+    (Σdev·cos)² + (Σdev·sin)² uses mean-removed n-scaled deviations
+    (dev = n·x − S, exact integer) and the 104-row shared-literal trig
+    lattice, so the spectrum sums are EXACT integers and peak ranking
+    compares integers — the only float is the final normalization
+    divide (power as a fraction of nd·Σdev², ~variance share at that
+    frequency).  The scan collapses to the |types × days| daily frame;
+    the 13-period expansion and residue join are broadcast joins of
+    that tiny frame.  Calendar-bounded state at any volume."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("di"),
+    ).agg(F.count(F.lit(1)).cast(dec).alias("x"))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("s"),
+    )
+    dev = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "di",
+        (F.col("n") * F.col("x") - F.col("s")).alias("dv"),
+    )
+    trig = spark.createDataFrame(
+        _periodogram_trig_rows(), "p INT, r INT, c9 BIGINT, s9 BIGINT"
+    )
+    grid = (
+        dev.join(
+            F.broadcast(trig),
+            F.pmod(F.col("di"), F.col("p")) == F.col("r"),
+        )
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(F.col("dv") * F.col("c9")).alias("sc"),
+            F.sum(F.col("dv") * F.col("s9")).alias("ss"),
+        )
+    )
+    dsq = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("nd"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sdd"),
+    )
+    scored = grid.join(F.broadcast(dsq), "event_type").select(
+        "event_type",
+        "p",
+        (
+            F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")
+        ).alias("pw"),
+        "nd",
+        "sdd",
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("pw"), F.asc("p"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            F.col("p").cast("int").alias("period"),
+            F.round(
+                F.col("pw").cast("double")
+                / (
+                    F.col("nd").cast("double")
+                    * F.col("sdd").cast("double")
+                    * F.lit(1e18)
+                ),
+                6,
+            ).alias("power_ratio"),
+            "rnk",
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
 # r9 rotation. Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
@@ -20649,41 +20920,43 @@ HEADLINE: list[str] = [
     # Rotated out for room — ALL 49 have green r8 rows and stay
     # oracle-checked in the full-registry local gate.
     #
-    # r10 rotation queue — the COMPLETE no-driver-row remainder
-    # (39 names; every one locally hash-green, transcendental-audited
-    # above where applicable).  Wave-2 r9-NEW: doc_shingle_containment
-    # (rare-shingle candidates + exact verify, integer 0.8 gate),
-    # events_hour_circular (shared-literal trig lattice — NO engine
-    # evaluates a transcendental), corpus_tokenizer_fertility (exact
-    # bigint totals, one final divide), corpus_kneser_ney_bigrams
-    # (d=3/4 makes KN a pure rational — exact integers, ONE divide),
-    # events_hbos_outliers (bin-level 1e-9 lattice −ln, integer-sum
-    # ordering), corpus_oov_rate (pure counts, one final divide),
-    # purchase_shapley_attribution (shared-literal 32-row coalition
-    # table, rational v(T), per-term lattice), customer_logrank_test
-    # (all-rational Mantel-Cox over the censored life table).
-    # The eight earlier r9-NEW first —
-    # corpus_semdedup (lattice-kmeans + within-cluster cosine prune,
-    # train-to-prune oracle), corpus_dsir_weights (per-bucket ln
-    # 1e-6-lattice-rounded before per-doc sums), dedup_token_savings
-    # (CC + token-count join), lineitem_kendall_tau (grid-exact τ-b,
-    # integer pair masses, final sqrts only), events_welch_ttest
-    # (exact moments, IEEE-only float tail), events_leadlag_xcorr
-    # (integer-day lag join, exact Pearson moments), events_sax_motifs
-    # (integer z-compare vs ±0.6745·√M, one IEEE sqrt),
-    # multimodal_frame_dedup (md5_64 frame fingerprints, integer
-    # cross-mult dup threshold) — then: events_changepoint, events_mann_kendall,
-    # user_path_trigrams, events_ab_bootstrap_uplift,
-    # doc_textrank_keywords, supplier_closeness_centrality,
-    # classifier_isotonic_calibration, classifier_brier_decomposition,
-    # embedding_silhouette, events_rolling_wau, events_ks_test,
-    # classifier_woe_iv, classifier_cumulative_gains,
-    # lineitem_sortkey_recommendation, events_holt_winters,
-    # lineitem_partial_correlation, events_unpivot_metrics,
-    # text_ql_dirichlet_topk, part_price_index, events_entropy_rate,
-    # user_absence_risk, doc_lexical_diversity, orders_two_way_anova,
-    # events_runs_test, corpus_heaps_law, events_peak_over_threshold,
-    # events_simpson_audit.
+    # r10 rotation queue — the COMPLETE no-driver-row remainder,
+    # EXACTLY 45 names (so the r10 window is these 45 + 5 re-checks —
+    # one clean sweep retires the backlog).  Every one is locally
+    # hash-green and transcendental-audited above where applicable.
+    #
+    # The 18 r9-NEW queries (portability discipline noted per name):
+    #   corpus_semdedup (lattice-kmeans + within-cluster cosine prune),
+    #   corpus_dsir_weights (per-bucket ln 1e-6-lattice pre-sum),
+    #   dedup_token_savings (CC + token-count join),
+    #   lineitem_kendall_tau (grid-exact τ-b, integer pair masses),
+    #   events_welch_ttest (exact moments, IEEE-only float tail),
+    #   events_leadlag_xcorr (integer-day lag join, exact moments),
+    #   events_sax_motifs (integer z-compare vs ±0.6745·√M),
+    #   multimodal_frame_dedup (md5_64 fingerprints, integer gate),
+    #   doc_shingle_containment (rare-shingle cands + exact verify),
+    #   events_hour_circular (shared-literal trig lattice),
+    #   corpus_tokenizer_fertility (bigint totals, one divide),
+    #   corpus_kneser_ney_bigrams (d=3/4 → pure rational),
+    #   events_hbos_outliers (bin-level lattice −ln, integer order),
+    #   corpus_oov_rate (pure counts), purchase_shapley_attribution
+    #   (32-row shared-literal coalition table, per-term lattice),
+    #   customer_logrank_test (all-rational Mantel-Cox),
+    #   customer_cumulative_hazard (lattice d/n increments),
+    #   events_periodogram (104-row shared-literal trig lattice).
+    # The r8 session-3 remainder:
+    #   events_changepoint, events_mann_kendall, user_path_trigrams,
+    #   events_ab_bootstrap_uplift, doc_textrank_keywords,
+    #   supplier_closeness_centrality, classifier_isotonic_calibration,
+    #   classifier_brier_decomposition, embedding_silhouette,
+    #   events_rolling_wau, events_ks_test, classifier_woe_iv,
+    #   classifier_cumulative_gains, lineitem_sortkey_recommendation,
+    #   events_holt_winters, lineitem_partial_correlation,
+    #   events_unpivot_metrics, text_ql_dirichlet_topk,
+    #   part_price_index, events_entropy_rate, user_absence_risk,
+    #   doc_lexical_diversity, orders_two_way_anova, events_runs_test,
+    #   corpus_heaps_law, events_peak_over_threshold,
+    #   events_simpson_audit.
 ]
 
 
