@@ -19585,11 +19585,12 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
         WHERE a.doc_id <> b.doc_id
     ), shared AS (
-        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS shared
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.shingles, b.shingles))
+                    AS BIGINT) AS shared
         FROM cand c
-        JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-        GROUP BY 1, 2
+        JOIN sh0 a ON a.doc_id = c.id_a
+        JOIN sh0 b ON b.doc_id = c.id_b
     )
     SELECT s.id_a, s.id_b, z.size_a, s.shared,
            round(CAST(s.shared AS DOUBLE) / CAST(z.size_a AS DOUBLE), 6)
@@ -19644,15 +19645,34 @@ def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # exact verify via JVM array intersection — ONE row per candidate
+    # pair with a set-op over its two shingle arrays, instead of
+    # exploding |cand| × |S(A)| rows through a shuffle (the explode
+    # form measured 210 s at sf1; this is the _JACCARD_PAIRS_CTE
+    # idiom, list_intersect ≡ array_intersect on already-distinct
+    # shingle arrays)
     shared = (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("id_b") == F.col("sb.doc_id"))
-            & (F.col("sb.s") == F.col("sa.s")),
+        cand.join(
+            sh0.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("shingles").alias("_sha"),
+            ),
+            "id_a",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .join(
+            sh0.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shingles").alias("_shb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sha", "_shb"))
+            .cast("bigint")
+            .alias("shared"),
+        )
     )
     return (
         shared.join(sizes, F.col("id_a") == F.col("doc_id"))
