@@ -20841,6 +20841,121 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_aqp_sample_estimate",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS v,
+               CAST(('0x' || substr(md5('aqp-v1:' || CAST(event_id
+                     AS VARCHAR)), 18, 15)) AS BIGINT) % 100 < 10
+                   AS in_sample
+        FROM events
+    ), ex AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(v) AS HUGEINT) AS s
+        FROM base GROUP BY 1
+    ), sm AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS m,
+               CAST(SUM(v) AS HUGEINT) AS ss,
+               CAST(SUM(v * v) AS HUGEINT) AS ssq
+        FROM base WHERE in_sample GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(e.n AS BIGINT) AS n, CAST(s.m AS BIGINT) AS n_sample,
+           round(CAST(e.s AS DOUBLE) / CAST(e.n AS DOUBLE) / 100, 6)
+               AS exact_mean,
+           round(CAST(s.ss AS DOUBLE) / CAST(s.m AS DOUBLE) / 100, 6)
+               AS est_mean,
+           abs(CAST(e.s AS DOUBLE) / CAST(e.n AS DOUBLE)
+               - CAST(s.ss AS DOUBLE) / CAST(s.m AS DOUBLE))
+               <= 3 * sqrt(CAST(s.m * s.ssq - s.ss * s.ss AS DOUBLE)
+                           / (CAST(s.m AS DOUBLE) * CAST(s.m - 1
+                                   AS DOUBLE))
+                           / CAST(s.m AS DOUBLE)
+                           * (1 - CAST(s.m AS DOUBLE)
+                                  / CAST(e.n AS DOUBLE)))
+               AS in_bounds
+    FROM ex e JOIN sm s USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def events_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with an ERROR CONTRACT: a
+    deterministic 10 % PRF sample (keyed md5 of event_id — replayable
+    on any engine, no RNG) estimates each type's mean value, and the
+    output CARRIES the contract check — `in_bounds` asserts the
+    estimate sits within 3 standard errors (finite-population
+    corrected) of the exact answer computed in the same pass.  This is
+    the sketch queries' tolerance-binding discipline applied to
+    sampling: a drifting estimator flips the boolean and the hash
+    gate catches it.  Both sides are exact integer moments; the only
+    floats are the final IEEE divides and one sqrt, with textually
+    identical trees on both engines.  At 100 TB the sample predicate
+    is map-side (no shuffle beyond the grouped moments) — this is how
+    you answer dashboard queries at interactive latency against the
+    full corpus."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    base = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("aqp-v1:"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ),
+                    18,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+            < 10
+        ).alias("in_sample"),
+    )
+    ex = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+    )
+    sm = (
+        base.filter("in_sample")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("m"),
+            F.sum(F.col("v").cast(dec)).alias("ss"),
+            F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ssq"),
+        )
+    )
+    exact_mean = F.col("s").cast("double") / F.col("n").cast("double")
+    est_mean = F.col("ss").cast("double") / F.col("m").cast("double")
+    se = F.sqrt(
+        (F.col("m") * F.col("ssq") - F.col("ss") * F.col("ss")).cast(
+            "double"
+        )
+        / (F.col("m").cast("double") * (F.col("m") - 1).cast("double"))
+        / F.col("m").cast("double")
+        * (1 - F.col("m").cast("double") / F.col("n").cast("double"))
+    )
+    return (
+        ex.join(sm, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("m").cast("bigint").alias("n_sample"),
+            F.round(exact_mean / F.lit(100), 6).alias("exact_mean"),
+            F.round(est_mean / F.lit(100), 6).alias("est_mean"),
+            (F.abs(exact_mean - est_mean) <= 3 * se).alias("in_bounds"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # r9 rotation. Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
@@ -20941,11 +21056,11 @@ HEADLINE: list[str] = [
     # oracle-checked in the full-registry local gate.
     #
     # r10 rotation queue — the COMPLETE no-driver-row remainder,
-    # EXACTLY 45 names (so the r10 window is these 45 + 5 re-checks —
+    # EXACTLY 46 names (so the r10 window is these 46 + 4 re-checks —
     # one clean sweep retires the backlog).  Every one is locally
     # hash-green and transcendental-audited above where applicable.
     #
-    # The 18 r9-NEW queries (portability discipline noted per name):
+    # The 19 r9-NEW queries (portability discipline noted per name):
     #   corpus_semdedup (lattice-kmeans + within-cluster cosine prune),
     #   corpus_dsir_weights (per-bucket ln 1e-6-lattice pre-sum),
     #   dedup_token_savings (CC + token-count join),
@@ -20963,7 +21078,8 @@ HEADLINE: list[str] = [
     #   (32-row shared-literal coalition table, per-term lattice),
     #   customer_logrank_test (all-rational Mantel-Cox),
     #   customer_cumulative_hazard (lattice d/n increments),
-    #   events_periodogram (104-row shared-literal trig lattice).
+    #   events_periodogram (104-row shared-literal trig lattice),
+    #   events_aqp_sample_estimate (PRF sample + tolerance binding).
     # The r8 session-3 remainder:
     #   events_changepoint, events_mann_kendall, user_path_trigrams,
     #   events_ab_bootstrap_uplift, doc_textrank_keywords,
