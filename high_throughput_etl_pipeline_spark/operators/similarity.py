@@ -305,6 +305,18 @@ def kmeans_centers_lattice(
         ).alias("_vi"),
     ).persist()
     init = vi.filter(F.col("_id") < nlist).orderBy("_id").collect()
+    if len(init) != nlist:
+        # the seed rule is part of the replayable contract (oracles
+        # unroll it as `id < nlist`), so a sparse / non-zero-based id
+        # space must fail loudly here — silently training with fewer
+        # (possibly zero) centers makes ivf_topk/semdedup return empty
+        # results with no error anywhere near the cause
+        raise ValueError(
+            f"kmeans_centers_lattice seeds from ids 0..{nlist - 1} "
+            f"(list_id = id, oracle-replayable); found {len(init)} of "
+            f"{nlist} seed ids — re-key {id_col!r} to a dense 0-based "
+            "id space first"
+        )
     centers = [(int(r["_id"]), list(r["_vi"])) for r in init]
     for _ in range(rounds):
         cdf = spark.createDataFrame(

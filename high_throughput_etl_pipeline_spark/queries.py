@@ -11991,21 +11991,18 @@ def part_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ), 0) AS n_risk
         FROM tbl
     ), curve AS (
-        SELECT dur, d, c, n_risk,
-               SUM(CASE WHEN d > 0 AND d < n_risk
-                        THEN CAST(round(
-                            ln(1 - CAST(d AS DOUBLE) / n_risk) * 1e12,
-                            0) AS BIGINT)
-                        ELSE 0 END) OVER w AS lnsum,
-               MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS hit0
-        FROM risk
-        WINDOW w AS (ORDER BY dur
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        SELECT r.dur, r.d, r.c, r.n_risk,
+               list_reduce(
+                   list_prepend(CAST(1.0 AS DOUBLE),
+                       list(CAST(f.n_risk - f.d AS DOUBLE)
+                                / CAST(f.n_risk AS DOUBLE)
+                            ORDER BY f.dur)),
+                   (acc, x) -> acc * x) AS surv_raw
+        FROM risk r JOIN risk f ON f.dur <= r.dur
+        GROUP BY r.dur, r.d, r.c, r.n_risk
     )
     SELECT dur AS duration_days, n_risk, d AS d_events, c AS c_censored,
-           CASE WHEN hit0 = 1 THEN 0.0
-                ELSE round(exp(CAST(lnsum AS DOUBLE) / 1e12), 6) END
-               AS survival
+           round(surv_raw, 6) AS survival
     FROM curve ORDER BY dur
     """,
 )
@@ -12014,14 +12011,18 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probability a customer has NOT reordered by day t", with each
     customer's last order right-censored at the corpus horizon.  Gap
     extraction is a per-customer window (keyed, parallel); the KM
-    product Π(1 − dᵢ/nᵢ) folds as exp(Σ ln·) over the distinct-duration
-    life table, which is |distinct day gaps| rows — thousands at any
-    corpus size, so its ordered windows cost nothing.  Each ln term is
-    rounded to the 1e-12 integer lattice BEFORE the cumulative sum (the
-    raw-fold variant hash-matched locally but flipped a 6-dp boundary on
-    the r8 driver's libm — transcendentals are build-dependent, integer
-    sums are not); the bigint sum is exact, exp+round happen once at the
-    end.  A risk set hitting zero pins survival to exactly 0 thereafter."""
+    product Π(1 − dᵢ/nᵢ) = Π((nᵢ−dᵢ)/nᵢ) is an exact rational, so it is
+    folded as an ORDERED FLOAT PRODUCT with NO transcendental anywhere:
+    per output row, acc × (n−d)/n over all life-table rows of smaller
+    duration, in duration order.  IEEE ÷ and × are correctly rounded on
+    every engine, so the fold is bit-identical between Spark and DuckDB
+    (two prior rounds proved ln/exp variants are NOT: a raw ln-sum and
+    then a 1e-12-lattice ln-sum each hash-matched locally yet flipped on
+    the driver's libm).  The life table is |distinct day gaps| rows —
+    ~1k at any corpus size — so the triangular self-join feeding each
+    row's fold is a few hundred thousand pairs, post-aggregation.  A
+    risk set hitting zero gives a factor of exactly 0.0, which the
+    product propagates exactly — no special case needed."""
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("d")
     )
@@ -12055,47 +12056,37 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     wprev = Window.orderBy("dur").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    wcum = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     risk = tbl.join(F.broadcast(tot)).withColumn(
         "n_risk",
         F.col("_n")
         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
     )
-    curve = risk.select(
-        "dur",
-        "d",
-        "c",
-        "n_risk",
-        F.sum(
-            F.when(
-                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
-                F.round(
-                    F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
-                    * F.lit(1e12),
-                    0,
-                ).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
+    factors = risk.select(
+        F.col("dur").alias("fdur"),
+        (
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ).alias("factor"),
+    )
+    curve = (
+        risk.join(F.broadcast(factors), F.col("fdur") <= F.col("dur"))
+        .groupBy("dur", "d", "c", "n_risk")
+        .agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("fdur", "factor"))
+                ),
+                F.lit(1.0).cast("double"),
+                lambda acc, x: acc * x["factor"],
+            ).alias("surv_raw")
         )
-        .over(wcum)
-        .alias("lnsum"),
-        F.max(
-            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
-        )
-        .over(wcum)
-        .alias("hit0"),
     )
     return curve.select(
         F.col("dur").alias("duration_days"),
         "n_risk",
         F.col("d").alias("d_events"),
         F.col("c").alias("c_censored"),
-        F.when(F.col("hit0") == 1, F.lit(0.0))
-        .otherwise(
-            F.round(F.exp(F.col("lnsum").cast("double") / F.lit(1e12)), 6)
-        )
-        .alias("survival"),
+        F.round(F.col("surv_raw"), 6).alias("survival"),
     ).orderBy("duration_days")
 
 
@@ -17270,14 +17261,14 @@ def dedup_prefix_filter_join(
                        * CAST(2 * t.tn + 10 AS HUGEINT) AS DOUBLE)
                      / CAST((2 * b.neg + 1)
                        * CAST(2 * t.tp + 10 AS HUGEINT) AS DOUBLE))
-                   * 1e9, 0) AS BIGINT) AS iv9
+                   * 1e6, 0) AS BIGINT) AS iv6
         FROM b CROSS JOIN tot t
     ), ivt AS (
-        SELECT CAST(SUM(iv9) AS BIGINT) AS ivs FROM woe
+        SELECT CAST(SUM(iv6) AS BIGINT) AS ivs FROM woe
     )
     SELECT w.bin, w.pos, w.neg, w.woe,
-           round(CAST(w.iv9 AS DOUBLE) / 1e9, 6) AS iv_term,
-           round(CAST(i.ivs AS DOUBLE) / 1e9, 6) AS iv_total
+           round(CAST(w.iv6 AS DOUBLE) / 1e6, 6) AS iv_term,
+           round(CAST(i.ivs AS DOUBLE) / 1e6, 6) AS iv_total
     FROM woe w CROSS JOIN ivt i ORDER BY w.bin
     """,
 )
@@ -17289,9 +17280,11 @@ def classifier_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution (share difference × WOE), with IV_total grading the
     score's separating power.  Smoothing is the exact +½ Laplace form
     kept integral by doubling (2·c+1 / 2·T+K), each bin takes ONE ln
-    in a fixed term order, and IV contributions land on the 1e-9
-    lattice before the cross-bin sum.  One score rollup + one bin
-    rollup at any scale."""
+    in a fixed term order, and IV contributions land on the 1e-6
+    lattice before the cross-bin sum (coarsened from 1e-9 in r10: the
+    driver's libm drift exceeds what a fine lattice absorbs — 1e-6 is
+    the fleet-proven margin).  One score rollup + one bin rollup at
+    any scale."""
     from high_throughput_etl_pipeline_spark.operators.text import (
         hashed_feature_weights,
         linear_quality_score,
@@ -17335,15 +17328,15 @@ def classifier_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) - (2 * F.col("neg") + 1).cast("double") / (
         2 * F.col("tn") + 10
     )
-    iv9 = F.round(share_diff * woe_raw * F.lit(1e9), 0).cast("bigint")
+    iv6 = F.round(share_diff * woe_raw * F.lit(1e6), 0).cast("bigint")
     woe = g.select(
         "bin",
         "pos",
         "neg",
         F.round(woe_raw, 6).alias("woe"),
-        iv9.alias("iv9"),
+        iv6.alias("iv6"),
     )
-    ivt = woe.agg(F.sum("iv9").cast("bigint").alias("ivs"))
+    ivt = woe.agg(F.sum("iv6").cast("bigint").alias("ivs"))
     return (
         woe.crossJoin(F.broadcast(ivt))
         .select(
@@ -17351,10 +17344,10 @@ def classifier_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             "neg",
             "woe",
-            F.round(F.col("iv9").cast("double") / 1e9, 6).alias(
+            F.round(F.col("iv6").cast("double") / 1e6, 6).alias(
                 "iv_term"
             ),
-            F.round(F.col("ivs").cast("double") / 1e9, 6).alias(
+            F.round(F.col("ivs").cast("double") / 1e6, 6).alias(
                 "iv_total"
             ),
         )
@@ -18092,14 +18085,14 @@ def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), h AS (
         SELECT CAST(SUM(CAST(round(
                    CAST(c.n AS DOUBLE) / t.nt
-                   * ln(CAST(c.n AS DOUBLE) / m.na) * 1e9, 0)
-                   AS BIGINT)) AS BIGINT) AS h9
+                   * ln(CAST(c.n AS DOUBLE) / m.na) * 1e6, 0)
+                   AS BIGINT)) AS BIGINT) AS h6
         FROM cell c JOIN marg m ON m.a = c.a CROSS JOIN tot t
     )
     SELECT t.nt AS n_transitions, t.ns AS n_states,
-           round(-CAST(h.h9 AS DOUBLE) / 1e9, 6) AS entropy_rate,
+           round(-CAST(h.h6 AS DOUBLE) / 1e6, 6) AS entropy_rate,
            round(ln(CAST(t.ns AS DOUBLE)), 6) AS max_entropy,
-           round((-CAST(h.h9 AS DOUBLE) / 1e9)
+           round((-CAST(h.h6 AS DOUBLE) / 1e6)
                  / ln(CAST(t.ns AS DOUBLE)), 6) AS efficiency
     FROM h CROSS JOIN tot t
     """,
@@ -18111,7 +18104,8 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, with the efficiency ratio against the ln|S| ceiling.  The
     information-theoretic readout on top of the registry's Markov
     transition matrix: one keyed LEAD window, one |S|²-cell rollup,
-    per-cell 1e-9 scaled rounding before the exact cross-cell sum."""
+    per-cell 1e-6 scaled rounding before the exact cross-cell sum
+    (coarsened from 1e-9 in r10 — fleet libm-drift margin)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = e.select(
@@ -18129,19 +18123,19 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("nt"),
         F.countDistinct("a").cast("bigint").alias("ns"),
     )
-    h9 = F.round(
+    h6 = F.round(
         F.col("n").cast("double")
         / F.col("nt")
         * F.log(F.col("n").cast("double") / F.col("na"))
-        * F.lit(1e9),
+        * F.lit(1e6),
         0,
     ).cast("bigint")
     h = (
         cell.join(marg, "a")
         .crossJoin(F.broadcast(tot))
-        .agg(F.sum(h9).cast("bigint").alias("h9"))
+        .agg(F.sum(h6).cast("bigint").alias("h6"))
     )
-    ent = -F.col("h9").cast("double") / F.lit(1e9)
+    ent = -F.col("h6").cast("double") / F.lit(1e6)
     maxent = F.log(F.col("ns").cast("double"))
     return h.crossJoin(F.broadcast(tot)).select(
         F.col("nt").alias("n_transitions"),
@@ -18298,8 +18292,8 @@ def user_absence_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
         SELECT wc.source,
                CAST(SUM(CAST(round(CAST(wc.f AS DOUBLE) / p.t_tokens
-                   * ln(CAST(wc.f AS DOUBLE) / p.t_tokens) * 1e9, 0)
-                   AS BIGINT)) AS BIGINT) AS h9
+                   * ln(CAST(wc.f AS DOUBLE) / p.t_tokens) * 1e6, 0)
+                   AS BIGINT)) AS BIGINT) AS h6
         FROM wc JOIN per p ON p.source = wc.source
         GROUP BY wc.source
     )
@@ -18308,7 +18302,7 @@ def user_absence_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(p.rep_pairs AS DOUBLE)
                  / (CAST(p.t_tokens AS DOUBLE) * (p.t_tokens - 1)),
                  6) AS simpson,
-           round(-CAST(sh.h9 AS DOUBLE) / 1e9, 6) AS shannon
+           round(-CAST(sh.h6 AS DOUBLE) / 1e6, 6) AS shannon
     FROM per p JOIN sh ON sh.source = p.source
     ORDER BY p.source
     """,
@@ -18316,8 +18310,9 @@ def user_absence_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical diversity profile — type-token ratio,
     Simpson repeat-probability (EXACT: Σf(f−1)/T(T−1) on integer
-    counts), and Shannon vocabulary entropy (per-type 1e-9 scaled
-    rounding before the sum) — the corpus-health triptych that
+    counts), and Shannon vocabulary entropy (per-type 1e-6 scaled
+    rounding before the sum; coarsened from 1e-9 in r10 — fleet
+    libm-drift margin) — the corpus-health triptych that
     separates boilerplate-heavy sources from genuinely diverse text.
     One tokenize/explode + one (source, word) rollup + one per-source
     rollup; nothing holds a vocabulary in memory."""
@@ -18343,11 +18338,11 @@ def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rep_pairs"),
     )
-    h9 = F.round(
+    h6 = F.round(
         F.col("f").cast("double")
         / F.col("t_tokens")
         * F.log(F.col("f").cast("double") / F.col("t_tokens"))
-        * F.lit(1e9),
+        * F.lit(1e6),
         0,
     ).cast("bigint")
     sh = (
@@ -18355,7 +18350,7 @@ def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(per.select("source", "t_tokens")), "source"
         )
         .groupBy("source")
-        .agg(F.sum(h9).cast("bigint").alias("h9"))
+        .agg(F.sum(h6).cast("bigint").alias("h6"))
     )
     return (
         per.join(sh, "source")
@@ -18375,7 +18370,7 @@ def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("simpson"),
-            F.round(-F.col("h9").cast("double") / F.lit(1e9), 6).alias(
+            F.round(-F.col("h6").cast("double") / F.lit(1e6), 6).alias(
                 "shannon"
             ),
         )
@@ -19176,6 +19171,7 @@ def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)
                       * CAST(b.n AS DOUBLE)) AS vnb
         FROM m a JOIN m b ON a.event_type < b.event_type
+        WHERE a.n > 1 AND b.n > 1
     )
     SELECT type_a, type_b, n_a, n_b,
            round((ma - mb) / CAST(100 AS DOUBLE), 6) AS mean_diff,
@@ -19183,7 +19179,7 @@ def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((vna + vnb) * (vna + vnb)
                  / (vna * vna / CAST(n_a - 1 AS DOUBLE)
                     + vnb * vnb / CAST(n_b - 1 AS DOUBLE)), 4) AS df
-    FROM p ORDER BY type_a, type_b
+    FROM p WHERE vna + vnb > 0 ORDER BY type_a, type_b
     """,
 )
 def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19194,8 +19190,12 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins into 10 ordered pairs, and the t statistic plus
     Welch–Satterthwaite df are closed-form over those moments.  Every
     float op is IEEE-exact (+−×÷, one sqrt) with textually identical
-    expression trees on both engines, so the result hash-matches.  At
-    any corpus size the pair frame stays |types|² rows."""
+    expression trees on both engines, so the result hash-matches.
+    Degenerate groups are excluded identically on both sides (n ≤ 1
+    makes the n−1 divisor zero; vna+vnb = 0 makes the t divisor zero
+    — Spark and DuckDB Inf/NULL semantics diverge there, so such
+    pairs are filtered, not scored).  At any corpus size the pair
+    frame stays |types|² rows."""
     e = _t(spark, sf_dir, "events")
     dec = "decimal(38,0)"
     c = e.select(
@@ -19216,6 +19216,8 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = a.join(
         F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).filter(
+        (F.col("a.n") > 1) & (F.col("b.n") > 1)
     ).select(
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
@@ -19227,7 +19229,7 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vn("b").alias("vnb"),
     )
     vsum = F.col("vna") + F.col("vnb")
-    return p.select(
+    return p.filter(vsum > 0).select(
         "type_a",
         "type_b",
         "n_a",
@@ -19969,31 +19971,31 @@ def corpus_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(n_events) AS BIGINT) AS nt FROM combo
     ), bh AS (
         SELECT h, CAST(round(-ln(CAST(SUM(n_events) AS DOUBLE)
-                                 / (SELECT nt FROM n)) * 1e9, 0)
+                                 / (SELECT nt FROM n)) * 1e6, 0)
                        AS BIGINT) AS li
         FROM combo GROUP BY h
     ), bd AS (
         SELECT dow, CAST(round(-ln(CAST(SUM(n_events) AS DOUBLE)
-                                   / (SELECT nt FROM n)) * 1e9, 0)
+                                   / (SELECT nt FROM n)) * 1e6, 0)
                          AS BIGINT) AS li
         FROM combo GROUP BY dow
     ), bv AS (
         SELECT vb, CAST(round(-ln(CAST(SUM(n_events) AS DOUBLE)
-                                  / (SELECT nt FROM n)) * 1e9, 0)
+                                  / (SELECT nt FROM n)) * 1e6, 0)
                         AS BIGINT) AS li
         FROM combo GROUP BY vb
     ), scored AS (
         SELECT c.h, c.dow, c.vb, c.n_events,
-               bh.li + bd.li + bv.li AS s9
+               bh.li + bd.li + bv.li AS s6
         FROM combo c JOIN bh USING (h) JOIN bd USING (dow)
         JOIN bv USING (vb)
     ), rk AS (
-        SELECT *, row_number() OVER (ORDER BY s9 DESC, h, dow, vb)
+        SELECT *, row_number() OVER (ORDER BY s6 DESC, h, dow, vb)
                       AS rnk
         FROM scored
     )
     SELECT h, dow, vb, n_events,
-           round(CAST(s9 AS DOUBLE) / 1e9, 6) AS hbos_score,
+           round(CAST(s6 AS DOUBLE) / 1e6, 6) AS hbos_score,
            CAST(rnk AS INT) AS rnk
     FROM rk WHERE rnk <= 20 ORDER BY rnk
     """,
@@ -20005,9 +20007,10 @@ def events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     where isolation forests can't (no trees, no sampling: three
     1-D histograms).  Scores live on feature COMBOS, not rows — the
     scan collapses to ≤ 24·7·20 combos, each per-bin −ln term is
-    rounded to the 1e-9 integer lattice at the BIN level (tiny frames)
-    and the 3-term sum is exact integer, so the top-20 ordering
-    compares integers, never floats.  Spark dayofweek is 1=Sunday;
+    rounded to the 1e-6 integer lattice at the BIN level (tiny frames;
+    coarsened from 1e-9 in r10 — fleet libm-drift margin) and the
+    3-term sum is exact integer, so the top-20 ordering compares
+    integers, never floats.  Spark dayofweek is 1=Sunday;
     DuckDB 0=Sunday — the oracle shifts +1 (repo idiom)."""
     from high_throughput_etl_pipeline_spark.operators.ranking import (
         take_top_k,
@@ -20040,7 +20043,7 @@ def events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("_bn").cast("double")
                         / F.col("nt").cast("double")
                     )
-                    * F.lit(1e9),
+                    * F.lit(1e6),
                     0,
                 )
                 .cast("bigint")
@@ -20059,12 +20062,12 @@ def events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             (
                 F.col("_li_h") + F.col("_li_dow") + F.col("_li_vb")
-            ).alias("s9"),
+            ).alias("s6"),
         )
     )
     top = take_top_k(
         scored,
-        [F.desc("s9"), F.asc("h"), F.asc("dow"), F.asc("vb")],
+        [F.desc("s6"), F.asc("h"), F.asc("dow"), F.asc("vb")],
         20,
         rank_col="rnk",
     )
@@ -20073,7 +20076,7 @@ def events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "vb",
         "n_events",
-        F.round(F.col("s9").cast("double") / F.lit(1e9), 6).alias(
+        F.round(F.col("s6").cast("double") / F.lit(1e6), 6).alias(
             "hbos_score"
         ),
         F.col("rnk").cast("int").alias("rnk"),
@@ -20877,6 +20880,7 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / CAST(e.n AS DOUBLE)))
                AS in_bounds
     FROM ex e JOIN sm s USING (event_type)
+    WHERE s.m > 1
     ORDER BY e.event_type
     """,
 )
@@ -20891,7 +20895,9 @@ def events_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling: a drifting estimator flips the boolean and the hash
     gate catches it.  Both sides are exact integer moments; the only
     floats are the final IEEE divides and one sqrt, with textually
-    identical trees on both engines.  At 100 TB the sample predicate
+    identical trees on both engines.  Types whose sample holds ≤ 1 row
+    are excluded identically on both sides (the m−1 variance divisor
+    would be zero, where Spark and DuckDB Inf/NULL semantics diverge).  At 100 TB the sample predicate
     is map-side (no shuffle beyond the grouped moments) — this is how
     you answer dashboard queries at interactive latency against the
     full corpus."""
@@ -20944,6 +20950,7 @@ def events_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ex.join(sm, "event_type")
+        .filter(F.col("m") > 1)
         .select(
             "event_type",
             F.col("n").cast("bigint").alias("n"),

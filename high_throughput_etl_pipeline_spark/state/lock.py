@@ -47,15 +47,29 @@ class DriverLock:
         self.ttl_seconds = ttl_seconds
 
     def holder(self) -> dict | None:
-        """The current lock document, or None when unheld."""
+        """The current lock document, or None when the path is ABSENT.
+
+        A present-but-unparseable doc (torn disk write outside the
+        atomic-link protocol, manual tampering) returns a sentinel
+        ``{"corrupt": True, ...}`` rather than None: "absent" and
+        "present but garbage" must stay distinguishable, because the
+        steal path removes only PRESENT docs — collapsing corrupt to
+        None made a corrupt doc unstealable and acquire() raise
+        LockHeldError forever, where every other failure self-heals."""
         try:
             with open(self.path) as f:
                 return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+        except FileNotFoundError:
             return None
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return {"corrupt": True, "owner": None, "expires_at": 0.0}
 
     def _expired(self, doc: dict) -> bool:
-        return time.time() >= float(doc.get("expires_at", 0))
+        try:
+            return time.time() >= float(doc.get("expires_at", 0))
+        except (TypeError, ValueError):
+            # a doc whose expiry cannot be read is never live
+            return True
 
     def acquire(self) -> None:
         """Take the lock or raise :class:`LockHeldError`.

@@ -214,6 +214,24 @@ def test_kmeans_lattice_recall_vs_exact(spark):
     assert hits >= 10, f"lattice-IVF recall too low: {hits}/15"
 
 
+def test_kmeans_lattice_sparse_ids_fail_loudly(spark):
+    """A sparse / non-zero-based id space must raise at training time,
+    not silently seed fewer (or zero) centers and make downstream
+    ivf_topk/semdedup return empty results (r9 ADVICE)."""
+    import pytest as _pytest
+
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        kmeans_centers_lattice,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shifted = e.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="dense 0-based"):
+        kmeans_centers_lattice(shifted, nlist=8, rounds=1)
+
+
 def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([("one two",), ("",)], "text STRING")
     out = df.select(

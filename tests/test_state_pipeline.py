@@ -451,6 +451,39 @@ def test_driver_lock_atomic_publish_and_steal_races(tmp_path):
     assert winners[0].holder() is None
 
 
+def test_driver_lock_corrupt_doc_self_heals(tmp_path):
+    """A present-but-unparseable lock doc (torn write outside the atomic
+    protocol, manual tampering) must be stealable, not a permanent
+    LockHeldError: holder() returns a corrupt SENTINEL (not None — "absent"
+    and "present but garbage" are different states, and the steal path
+    removes only PRESENT docs), _expired treats it as never-live, and
+    acquire() recovers.  Same for a parseable doc whose expires_at is
+    garbage."""
+    from high_throughput_etl_pipeline_spark.state.lock import DriverLock
+
+    path = str(tmp_path / "lock.json")
+
+    # binary / truncated-JSON garbage at the lock path
+    with open(path, "wb") as f:
+        f.write(b'{"owner": "half-writ')
+    probe = DriverLock(path, owner="prober")
+    doc = probe.holder()
+    assert doc is not None and doc.get("corrupt") is True
+    lk = DriverLock(path, owner="healer")
+    lk.acquire()  # must steal the corrupt doc, not raise
+    assert lk.holder()["owner"] == "healer"
+    lk.release()
+
+    # parseable JSON with an unreadable expiry is also never-live
+    with open(path, "w") as f:
+        f.write('{"owner": "weird", "expires_at": "not-a-number"}')
+    lk2 = DriverLock(path, owner="healer2")
+    lk2.acquire()
+    assert lk2.holder()["owner"] == "healer2"
+    lk2.release()
+    assert lk2.holder() is None
+
+
 def test_circuit_breaker_survives_corrupt_state_file(tmp_path):
     """A truncated/corrupt breaker doc (crash mid-write, disk-full) must
     construct a fresh breaker, not brick the runner; _save is atomic so a
