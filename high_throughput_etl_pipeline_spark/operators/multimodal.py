@@ -5,17 +5,30 @@ metadata struct; heavy per-item work (decode, resize, frame-sample,
 feature-extract) runs as Arrow-batched ``mapInPandas`` stages so Python
 cost is amortized per batch, not per row.
 
-The decode internals are STUBBED (image/audio libs are not in this
-container): ``decode_image_batch`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic fake decoder so the
-Spark-side plumbing — schema, batch shape, partitioning — is fully
-exercised by tests.  Swapping the fake for PIL/libav is a one-function
-change that does not touch any plan.
+IMAGE/VIDEO decode internals are STUBBED (PIL/pyav are not in this
+container): ``extract_features``/``sample_frames`` raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake decoder so the Spark-side plumbing — schema, batch
+shape, partitioning — is fully exercised by tests.  Swapping the fake
+for PIL/libav is a one-function change that does not touch any plan.
+
+AUDIO decode is REAL: :func:`decode_wav` parses RIFF/WAVE PCM16 with the
+stdlib ``wave`` module (header + frame bytes → integer samples) and
+:func:`extract_wav_features` runs it behind the same Arrow
+``mapInPandas`` boundary, computing RMS / zero-crossings / peak from the
+DECODED samples — no third-party library, raises nothing in this
+sandbox.  :func:`synth_wav_pcm16` builds genuine WAV payloads from a
+closed-form integer waveform, which is what lets an engine-independent
+oracle value-check the whole encode → Arrow transfer → decode → DSP
+path (``multimodal_wav_decode`` in queries.py).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -165,6 +178,160 @@ def sample_frames(
             )
 
     return grid.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+WAV_MEDIA_SCHEMA = "media_id BIGINT, payload BINARY"
+
+WAV_FEATURE_SCHEMA = (
+    "media_id BIGINT, sample_rate INT, n_samples INT, "
+    "sum_sq BIGINT, zero_crossings INT, peak INT, decode_ok BOOLEAN"
+)
+
+
+def synth_sample(seed: int, k: int) -> int:
+    """Sample ``k`` of the deterministic test waveform for ``seed``:
+    ``((seed·(k+1) + 2654435761·k²) mod 65536) − 32768`` — a closed-form
+    (no recurrence) signed-16-bit integer sequence that an
+    engine-independent oracle can replay with plain integer arithmetic
+    over a ``k``-grid.  2654435761 is the Knuth multiplicative-hash
+    constant (⌊2³²/φ⌋); ``seed`` is expected in [0, 65536)."""
+    return (seed * (k + 1) + 2654435761 * k * k) % 65536 - 32768
+
+
+def synth_wav_pcm16(
+    seed: int, n_samples: int, sample_rate: int = 8000
+) -> bytes:
+    """Build a GENUINE RIFF/WAVE PCM16 mono payload (stdlib ``wave``)
+    whose frames are :func:`synth_sample` values — real 44-byte header,
+    real little-endian frame bytes.  This is the test-stand-in for
+    reading a binary audio column off object storage: everything
+    downstream of these bytes (Arrow transfer, header parse, frame
+    decode, DSP) is the real production path."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", synth_sample(seed, k))
+                for k in range(n_samples)
+            )
+        )
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """REAL WAV decoder — pure stdlib, raises nothing in this sandbox.
+
+    Parses the RIFF/WAVE header and PCM16 frame bytes with the ``wave``
+    module and returns ``(sample_rate, samples)`` as Python ints.
+    Raises ``wave.Error`` on malformed headers and ``ValueError`` on
+    unsupported shapes (only mono PCM16 here — the formats this engine
+    synthesizes; a stereo/24-bit branch is a decode-loop extension, not
+    a plan change).  This is the function the r6-adjudicated image/video
+    stubs were waiting on a library for: WAV needs none."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV shape: channels={w.getnchannels()} "
+                f"sampwidth={w.getsampwidth()} (mono PCM16 only)"
+            )
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    return rate, list(struct.unpack(f"<{n}h", raw))
+
+
+def make_wav_table(
+    documents: DataFrame, sample_rate: int = 8000, max_samples: int = 64
+) -> DataFrame:
+    """documents → a media table whose ``payload`` column holds REAL WAV
+    bytes (Arrow-batched synth stage).  Seed and length are derived from
+    ``doc_id`` by the portable keyed-md5 idiom, so an oracle knows the
+    exact waveform inside every payload without parsing RIFF:
+    ``seed = md5_64('wav-v1:' || doc_id) % 65536``,
+    ``n = 16 + doc_id % (max_samples - 15)``."""
+    mod = max_samples - 15
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synth_wav_pcm16(
+                            int(
+                                hashlib.md5(
+                                    f"wav-v1:{i}".encode()
+                                ).hexdigest()[17:32],
+                                16,
+                            )
+                            % 65536,
+                            16 + i % mod,
+                            sample_rate,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches, schema=WAV_MEDIA_SCHEMA
+    )
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + DSP behind the Arrow ``mapInPandas`` boundary:
+    for each binary payload, parse the WAV header, decode the PCM frames
+    (:func:`decode_wav`), and compute integer-exact signal statistics
+    from the DECODED samples — Σx² (for RMS), strict zero crossings
+    (x_k·x_{k+1} < 0), and peak |x|.  Float math (the final
+    sqrt-of-mean) stays JVM/engine-side so the oracle's expression tree
+    is identical.  A payload that fails to parse yields
+    ``decode_ok = false`` with zeroed stats instead of killing the
+    stage (quarantine discipline, reference DEVELOPER_GUIDE.md's
+    bad-record path)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, ns, ssqs, zcs, peaks, oks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    rate, xs = decode_wav(bytes(payload))
+                    rates.append(rate)
+                    ns.append(len(xs))
+                    ssqs.append(sum(x * x for x in xs))
+                    zcs.append(
+                        sum(
+                            1
+                            for a, b in zip(xs, xs[1:])
+                            if a * b < 0
+                        )
+                    )
+                    peaks.append(max((abs(x) for x in xs), default=0))
+                    oks.append(True)
+                except (wave.Error, ValueError, EOFError, struct.error):
+                    rates.append(0)
+                    ns.append(0)
+                    ssqs.append(0)
+                    zcs.append(0)
+                    peaks.append(0)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "sum_sq": ssqs,
+                    "zero_crossings": zcs,
+                    "peak": peaks,
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
 
 
 def make_audio_table(documents: DataFrame) -> DataFrame:

@@ -3746,6 +3746,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('wav-v1:' || CAST(doc_id AS VARCHAR)),
+                               18, 15))::BIGINT % 65536 AS s,
+               CAST(16 + doc_id % 49 AS BIGINT) AS n
+        FROM documents
+    ), grid AS (
+        SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS k
+    ), samp AS (
+        SELECT b.doc_id, b.n, g.k,
+               ((b.s * (g.k + 1) + 2654435761 * g.k * g.k) % 65536)
+                   - 32768 AS x
+        FROM base b JOIN grid g ON g.k < b.n
+    ), nxt AS (
+        SELECT doc_id, n, k, x,
+               LEAD(x) OVER (PARTITION BY doc_id ORDER BY k) AS x2
+        FROM samp
+    ), feat AS (
+        SELECT doc_id,
+               CAST(MAX(n) AS INT) AS n_samples,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN x * x2 < 0 THEN 1 ELSE 0 END) AS INT)
+                   AS zero_crossings,
+               CAST(MAX(abs(x)) AS INT) AS peak
+        FROM nxt GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+           n_samples, sum_sq, zero_crossings, peak, TRUE AS decode_ok,
+           round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms
+    FROM feat ORDER BY media_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end to end and value-checked: a synth stage
+    writes genuine RIFF/WAVE PCM16 payloads into a binary column
+    (``make_wav_table`` — real 44-byte headers, real little-endian
+    frames, waveform = a closed-form integer sequence keyed by doc_id),
+    then ``extract_wav_features`` DECODES those bytes with the stdlib
+    ``wave`` module behind the Arrow ``mapInPandas`` boundary and
+    computes Σx², strict zero crossings, and peak from the decoded
+    samples.  The oracle never sees a WAV byte — it replays the
+    waveform formula with plain integer arithmetic over a k-grid — so a
+    hash match proves the entire encode → Arrow transfer → header parse
+    → PCM decode → DSP path is exact, not stubbed (this retires the
+    'no real decoder' adjudication for the audio modality; image/video
+    stay documented stubs pending PIL/pyav).  Float math is one
+    engine-side sqrt-of-mean at the very end.  At 100 TB the synth
+    stage is replaced by reading the real binary column off object
+    storage; decode cost is Arrow-amortized per batch and the rollup
+    is one keyed pass."""
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        extract_wav_features,
+        make_wav_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = make_wav_table(d, sample_rate=8000, max_samples=64)
+    feats = extract_wav_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "zero_crossings",
+        "peak",
+        "decode_ok",
+        F.round(
+            F.sqrt(
+                F.col("sum_sq").cast("double") / F.col("n_samples")
+            ),
+            6,
+        ).alias("rms"),
+    ).orderBy("media_id")
+
+
+@query(
     "text_repetition_stats",
     oracle="""
     WITH words AS (
@@ -20963,7 +21041,171 @@ def events_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r9 rotation. Window composition (50):
+
+# ---------------------------------------------------------------------------
+# r10-new wave: paired/trend/extreme-value statistics, concentration and
+# inventory analytics, classifier KS — all rational-by-construction or
+# shared-literal (the post-survival-curve discipline: no raw libm output
+# ever crosses a row boundary).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_mcnemar_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pu
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(ck * pu) AS BIGINT) AS both_actions,
+               CAST(SUM(ck * (1 - pu)) AS BIGINT) AS click_only,
+               CAST(SUM((1 - ck) * pu) AS BIGINT) AS purchase_only,
+               CAST(SUM((1 - ck) * (1 - pu)) AS BIGINT) AS neither
+        FROM u
+    )
+    SELECT n_users, both_actions, click_only, purchase_only, neither,
+           CASE WHEN click_only + purchase_only = 0 THEN 0.0
+                ELSE round(CAST((click_only - purchase_only)
+                                * (click_only - purchase_only) AS DOUBLE)
+                           / (click_only + purchase_only), 6) END AS chi2,
+           CASE WHEN click_only + purchase_only = 0 THEN 0.0
+                ELSE round(CAST(GREATEST(ABS(click_only - purchase_only)
+                                         - 1, 0)
+                                * GREATEST(ABS(click_only - purchase_only)
+                                           - 1, 0) AS DOUBLE)
+                           / (click_only + purchase_only), 6) END AS chi2_cc
+    FROM cells
+    """,
+)
+def events_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired user behavior — did-click vs
+    did-purchase as two binary outcomes on the SAME units: the
+    discordant cells b (clicked, never purchased) and c (purchased,
+    never clicked) carry all the signal, chi2 = (b-c)^2/(b+c) with the
+    Edwards continuity-corrected twin.  The paired-proportions
+    primitive next to the independent-samples Welch/two-proportion
+    family.  Exact integers until two final divisions (guarded
+    identically on both engines when b+c = 0); one grouped pass per
+    user, one global rollup — trivially 100 TB-shaped."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("ck"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("pu"),
+    )
+    cells = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("ck") * F.col("pu")).cast("bigint").alias("both_actions"),
+        F.sum(F.col("ck") * (1 - F.col("pu")))
+        .cast("bigint")
+        .alias("click_only"),
+        F.sum((1 - F.col("ck")) * F.col("pu"))
+        .cast("bigint")
+        .alias("purchase_only"),
+        F.sum((1 - F.col("ck")) * (1 - F.col("pu")))
+        .cast("bigint")
+        .alias("neither"),
+    )
+    b, c = F.col("click_only"), F.col("purchase_only")
+    d = (b - c) * (b - c)
+    g = F.greatest(F.abs(b - c) - 1, F.lit(0))
+    return cells.select(
+        "n_users",
+        "both_actions",
+        "click_only",
+        "purchase_only",
+        "neither",
+        F.when((b + c) == 0, F.lit(0.0))
+        .otherwise(F.round(d.cast("double") / (b + c), 6))
+        .alias("chi2"),
+        F.when((b + c) == 0, F.lit(0.0))
+        .otherwise(F.round((g * g).cast("double") / (b + c), 6))
+        .alias("chi2_cc"),
+    )
+
+
+@query(
+    "orders_cochran_armitage",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r
+        FROM orders
+    ), dose AS (
+        SELECT s, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(r) AS HUGEINT) AS cases
+        FROM base GROUP BY s
+    ), m AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nt,
+               CAST(SUM(cases) AS HUGEINT) AS rt,
+               CAST(SUM(s * n) AS HUGEINT) AS sn,
+               CAST(SUM(s * cases) AS HUGEINT) AS sr,
+               CAST(SUM(s * s * n) AS HUGEINT) AS ssn
+        FROM dose
+    )
+    SELECT CAST(nt AS BIGINT) AS n, CAST(rt AS BIGINT) AS cases,
+           round(CAST(nt * sr - rt * sn AS DOUBLE)
+                 * sqrt(CAST(nt AS DOUBLE))
+                 / sqrt(CAST(rt * (nt - rt)
+                             * (nt * ssn - sn * sn) AS DOUBLE)), 6)
+               AS z_trend
+    FROM m
+    """,
+)
+def orders_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the completed-order ('F') rate
+    monotone in order priority (dose score = the priority's leading
+    digit 1..5)?  The ordered-categories significance primitive the
+    chi-square independence test throws away.  Z = (N*Ssr - R*Ssn) *
+    sqrt(N) / sqrt(R(N-R)(N*Sssn - Ssn^2)): every moment is an exact
+    HUGEINT/decimal(38,0) integer (the cross-products reach ~3e25 at
+    sf1 — past BIGINT, inside 38 digits), and the only float ops are
+    two correctly-rounded sqrts, one multiply, one divide, in an
+    identical tree on both engines.  One 5-row dose rollup at any
+    scale."""
+    dec = "decimal(38,0)"
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("r"),
+    )
+    dose = base.groupBy("s").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("r").cast(dec).alias("cases"),
+    )
+    m = dose.agg(
+        F.sum("n").cast(dec).alias("nt"),
+        F.sum("cases").cast(dec).alias("rt"),
+        F.sum(F.col("s") * F.col("n")).cast(dec).alias("sn"),
+        F.sum(F.col("s") * F.col("cases")).cast(dec).alias("sr"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast(dec).alias("ssn"),
+    )
+    nt, rt, sn, sr, ssn = (
+        F.col(c) for c in ("nt", "rt", "sn", "sr", "ssn")
+    )
+    return m.select(
+        nt.cast("bigint").alias("n"),
+        rt.cast("bigint").alias("cases"),
+        F.round(
+            (nt * sr - rt * sn).cast("double")
+            * F.sqrt(nt.cast("double"))
+            / F.sqrt(
+                (rt * (nt - rt) * (nt * ssn - sn * sn)).cast("double")
+            ),
+            6,
+        ).alias("z_trend"),
+    )
+
+
+# r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
+# below; kept because the transcendental audit lines remain the standing
+# per-query safety notes).  Window composition (50):
 #   1  customer_survival_curve — the ONE red r8 row (driver libm flipped a
 #      6-dp boundary in the cumulative KM ln-fold; now per-term 1e-12
 #      lattice-rounded before the sum on both engines) — re-verify green.
@@ -20993,113 +21235,100 @@ def events_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   embedding_silhouette     safe: sqrt of exact ints, then 1e-9 lattice
 #                            before the per-label mean
 #   events_ks_test           safe: integer cross-mult D; final sqrt
-#   classifier_woe_iv        safe: one ln per bin; IV terms 1e-9 lattice
-#                            before the cross-bin sum
+#   classifier_woe_iv        safe: one ln per bin; IV terms 1e-6 lattice
+#                            before the cross-bin sum (coarsened r10)
 #   lineitem_partial_correlation safe: integer moments; final sqrts
 #   part_price_index         safe: lattice unit prices, exact basket
 #                            sums; final sqrt (fisher)
-#   events_entropy_rate      safe: per-cell 1e-9 lattice pre-sum
-#   doc_lexical_diversity    safe: per-type 1e-9 lattice pre-sum
+#   events_entropy_rate      safe: per-cell 1e-6 lattice pre-sum (r10)
+#   doc_lexical_diversity    safe: per-type 1e-6 lattice pre-sum (r10)
 #   events_runs_test         safe: integer counts, closed forms; final
 #                            sqrt
 #   corpus_heaps_law         safe: micro-nat points, exact OLS moments
 HEADLINE: list[str] = [
-    # --- the r8 red row, fixed (lattice-rounded KM fold)
+    # r10 rotation. Window composition (50):
+    #   1  customer_survival_curve — red on the driver in r8 AND r9
+    #      (both ln-fold variants, raw then 1e-12-latticed, passed
+    #      locally and flipped on the driver libm).  Now rebuilt with
+    #      NO transcendental in the value path: the KM product folds
+    #      as the exact rational ordered product acc × (n−d)/n
+    #      (IEEE ÷/× are correctly rounded on every engine).
+    #   3  re-checks of once-green transcendental-bearing rows:
+    #      user_type_entropy (r9 green; 1e-9 n·ln n lattice),
+    #      source_lang_divergence (r8 green; latticed JS terms),
+    #      ann_ivf_kmeans_topk (r9 green; re-confirm after the r10
+    #      seed-contract assert in kmeans_centers_lattice).
+    #   46 the COMPLETE no-driver-row remainder (19 r9-new + the 27
+    #      r8-session-3 leftovers) — one clean sweep retires the
+    #      backlog; every registered query then has a driver row.
+    #      The four named by the r9 transcendental audit were
+    #      coarsened to the proven 1e-6 lattice before this window:
+    #      classifier_woe_iv, events_entropy_rate,
+    #      doc_lexical_diversity, events_hbos_outliers.  The two
+    #      degenerate-divisor guards (events_welch_ttest,
+    #      events_aqp_sample_estimate) landed identically on both
+    #      engines.
+    # --- re-checks
     "customer_survival_curve",
-    # --- legacy no_oracle retirement (new value oracles this round)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_kmeans_topk",
-    # --- backlog wave 1: the r8-tail queue documented last round
-    "customer_mutual_best_match",
-    "orders_benford_audit",
     "user_type_entropy",
-    "text_nb_confusion",
-    "events_autocorrelation",
-    "events_cusum_alarms",
-    "events_seasonal_backtest",
-    "graph_degree_assortativity",
-    "customer_match_k_core",
-    "doc_pmi_collocations",
-    "corpus_zipf_slope",
-    "doc_ngram_novelty",
-    "user_cohort_ltv",
-    "events_theilsen_trend",
-    "user_conversion_lag",
-    "source_quantile_calibration",
-    "brand_pareto_analysis",
-    "doc_rake_keywords",
-    "events_hourweek_profile",
-    "orders_reorder_intervals",
-    # --- backlog wave 2: the r8 session-2 extension wave
-    "events_max_drawdown",
-    "user_longest_streak",
-    "user_activity_bitmask",
-    "supplier_adamic_adar",
-    "classifier_pr_auc",
-    "classifier_class_report",
-    "classifier_kappa",
-    "events_incremental_rollup",
-    "events_compaction_plan",
-    "events_holt_forecast",
-    "ranker_rbo_eval",
-    "doc_readability",
-    "events_interval_overlap",
-    "embedding_pca_power",
-    "embedding_pca_scores",
-    "supplier_part_bfs_layers",
-    # --- backlog wave 3: first slice of the r8 session-3 wave
-    "lineitem_price_model",
-    "events_bootstrap_ci",
-    "user_sprt_monitor",
-    "supplier_part_sssp",
-    "user_seqpattern_support",
-    "orders_t_closeness",
-    "embedding_jl_distortion",
-    "embedding_kcenter_coreset",
-    "lineitem_zonemap_audit",
-    "dedup_prefix_filter_join",
-    # Rotated out for room — ALL 49 have green r8 rows and stay
-    # oracle-checked in the full-registry local gate.
-    #
-    # r10 rotation queue — the COMPLETE no-driver-row remainder,
-    # EXACTLY 46 names (so the r10 window is these 46 + 4 re-checks —
-    # one clean sweep retires the backlog).  Every one is locally
-    # hash-green and transcendental-audited above where applicable.
-    #
-    # The 19 r9-NEW queries (portability discipline noted per name):
-    #   corpus_semdedup (lattice-kmeans + within-cluster cosine prune),
-    #   corpus_dsir_weights (per-bucket ln 1e-6-lattice pre-sum),
-    #   dedup_token_savings (CC + token-count join),
-    #   lineitem_kendall_tau (grid-exact τ-b, integer pair masses),
-    #   events_welch_ttest (exact moments, IEEE-only float tail),
-    #   events_leadlag_xcorr (integer-day lag join, exact moments),
-    #   events_sax_motifs (integer z-compare vs ±0.6745·√M),
-    #   multimodal_frame_dedup (md5_64 fingerprints, integer gate),
-    #   doc_shingle_containment (rare-shingle cands + exact verify),
-    #   events_hour_circular (shared-literal trig lattice),
-    #   corpus_tokenizer_fertility (bigint totals, one divide),
-    #   corpus_kneser_ney_bigrams (d=3/4 → pure rational),
-    #   events_hbos_outliers (bin-level lattice −ln, integer order),
-    #   corpus_oov_rate (pure counts), purchase_shapley_attribution
-    #   (32-row shared-literal coalition table, per-term lattice),
-    #   customer_logrank_test (all-rational Mantel-Cox),
-    #   customer_cumulative_hazard (lattice d/n increments),
-    #   events_periodogram (104-row shared-literal trig lattice),
-    #   events_aqp_sample_estimate (PRF sample + tolerance binding).
-    # The r8 session-3 remainder:
-    #   events_changepoint, events_mann_kendall, user_path_trigrams,
-    #   events_ab_bootstrap_uplift, doc_textrank_keywords,
-    #   supplier_closeness_centrality, classifier_isotonic_calibration,
-    #   classifier_brier_decomposition, embedding_silhouette,
-    #   events_rolling_wau, events_ks_test, classifier_woe_iv,
-    #   classifier_cumulative_gains, lineitem_sortkey_recommendation,
-    #   events_holt_winters, lineitem_partial_correlation,
-    #   events_unpivot_metrics, text_ql_dirichlet_topk,
-    #   part_price_index, events_entropy_rate, user_absence_risk,
-    #   doc_lexical_diversity, orders_two_way_anova, events_runs_test,
-    #   corpus_heaps_law, events_peak_over_threshold,
-    #   events_simpson_audit.
+    "source_lang_divergence",
+    "ann_ivf_kmeans_topk",
+    # --- the 46-name backlog (exactly the set with no driver row
+    #     in CORRECTNESS_r01..r09; recounted against the registry)
+    "corpus_semdedup",
+    "corpus_dsir_weights",
+    "dedup_token_savings",
+    "events_changepoint",
+    "events_mann_kendall",
+    "user_path_trigrams",
+    "events_ab_bootstrap_uplift",
+    "doc_textrank_keywords",
+    "supplier_closeness_centrality",
+    "classifier_isotonic_calibration",
+    "classifier_brier_decomposition",
+    "embedding_silhouette",
+    "events_rolling_wau",
+    "events_ks_test",
+    "classifier_woe_iv",
+    "classifier_cumulative_gains",
+    "lineitem_sortkey_recommendation",
+    "events_holt_winters",
+    "lineitem_partial_correlation",
+    "events_unpivot_metrics",
+    "text_ql_dirichlet_topk",
+    "part_price_index",
+    "events_entropy_rate",
+    "user_absence_risk",
+    "doc_lexical_diversity",
+    "orders_two_way_anova",
+    "events_runs_test",
+    "corpus_heaps_law",
+    "events_peak_over_threshold",
+    "events_simpson_audit",
+    "lineitem_kendall_tau",
+    "events_welch_ttest",
+    "events_leadlag_xcorr",
+    "events_sax_motifs",
+    "multimodal_frame_dedup",
+    "doc_shingle_containment",
+    "events_hour_circular",
+    "corpus_tokenizer_fertility",
+    "corpus_kneser_ney_bigrams",
+    "events_hbos_outliers",
+    "corpus_oov_rate",
+    "purchase_shapley_attribution",
+    "customer_logrank_test",
+    "customer_cumulative_hazard",
+    "events_periodogram",
+    "events_aqp_sample_estimate",
+    # r11 queue: after this window, the only registered queries with
+    # no driver row are the ones ADDED in r10 (recount at rotation):
+    #   multimodal_wav_decode (real stdlib WAV decode, value oracle).
+    # Compose r11 from: those r10 additions, any r10 reds, and the
+    # oldest single-green transcendental-bearing rows (e.g.
+    # doc_bigram_perplexity, ann_recall_eval).  The only non-green
+    # latest-status row should remain bpe_vocab_merges (documented
+    # no_oracle exemption).
 ]
 
 

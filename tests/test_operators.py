@@ -378,6 +378,67 @@ def test_multimodal_plumbing(spark, docs):
         extract_features(media, fake=False)
 
 
+def test_wav_decoder_golden_bytes():
+    """The REAL stdlib WAV path, pinned byte-for-byte: synth_wav_pcm16
+    must emit exactly this 52-byte RIFF/WAVE payload (44-byte canonical
+    header + 4 PCM16 LE frames) for (seed=12345, n=4, 8000 Hz), and
+    decode_wav must recover the exact integer samples.  A drift in
+    either direction (header layout, endianness, sample formula) breaks
+    the hex, not just a statistic."""
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        synth_sample,
+        synth_wav_pcm16,
+    )
+
+    golden_hex = (
+        "524946462c00000057415645666d7420100000000100010040"
+        "1f0000803e000002001000646174610800000039b0235a6ff71d88"
+    )
+    payload = synth_wav_pcm16(12345, 4, 8000)
+    assert payload.hex() == golden_hex
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, samples = decode_wav(payload)
+    assert rate == 8000
+    assert samples == [-20423, 23075, -2193, -30691]
+    assert samples == [synth_sample(12345, k) for k in range(4)]
+    # encode→decode round-trip is lossless for other shapes too
+    for seed, n in [(0, 16), (65535, 64), (31337, 33)]:
+        r2, s2 = decode_wav(synth_wav_pcm16(seed, n, 16000))
+        assert r2 == 16000
+        assert s2 == [synth_sample(seed, k) for k in range(n)]
+
+
+def test_wav_extract_features_real_decode(spark):
+    """extract_wav_features drives the real decoder through the Arrow
+    boundary: stats must equal the pure-Python DSP on the formula
+    waveform, and a malformed payload lands as decode_ok=false with
+    zeroed stats (quarantine discipline) instead of killing the stage."""
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        extract_wav_features,
+        synth_sample,
+        synth_wav_pcm16,
+    )
+
+    good = synth_wav_pcm16(777, 20, 8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a wav at all"))],
+        "media_id BIGINT, payload BINARY",
+    )
+    rows = {r["media_id"]: r for r in extract_wav_features(media).collect()}
+    xs = [synth_sample(777, k) for k in range(20)]
+    assert rows[1]["decode_ok"]
+    assert rows[1]["sample_rate"] == 8000
+    assert rows[1]["n_samples"] == 20
+    assert rows[1]["sum_sq"] == sum(x * x for x in xs)
+    assert rows[1]["zero_crossings"] == sum(
+        1 for a, b in zip(xs, xs[1:]) if a * b < 0
+    )
+    assert rows[1]["peak"] == max(abs(x) for x in xs)
+    assert not rows[2]["decode_ok"]
+    assert rows[2]["n_samples"] == 0 and rows[2]["sum_sq"] == 0
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     import numpy as np
 
