@@ -21203,6 +21203,726 @@ def orders_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+import math as _math
+
+_GUMBEL_C = repr(_math.sqrt(6.0) / _math.pi)
+_GUMBEL_GAMMA = repr(0.5772156649015329)
+_GUMBEL_K30 = repr(-_math.log(-_math.log(29.0 / 30.0)))
+
+
+@query(
+    "events_gumbel_fit",
+    oracle=f"""
+    WITH blocks AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               MAX(CAST(round(value * 100, 0) AS BIGINT)) AS x
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM blocks GROUP BY event_type
+    ), fit AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n_blocks,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS mean_max,
+               sqrt(CAST(n * ss - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100
+                   AS std_max
+        FROM m WHERE n > 1
+    )
+    SELECT event_type, n_blocks,
+           round(mean_max, 6) AS mean_max,
+           round(std_max, 6) AS std_max,
+           round(std_max * {{c}}, 6) AS beta,
+           round(mean_max - {{g}} * (std_max * {{c}}), 6) AS mu,
+           round((mean_max - {{g}} * (std_max * {{c}}))
+                 + {{k30}} * (std_max * {{c}}), 6) AS return_level_30d
+    FROM fit ORDER BY event_type
+    """.format(c=_GUMBEL_C, g=_GUMBEL_GAMMA, k30=_GUMBEL_K30),
+)
+def events_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit over daily block maxima per event type —
+    the EVT block-maxima complement to the registry's peaks-over-
+    threshold query: method-of-moments location/scale (beta =
+    std*sqrt(6)/pi, mu = mean - gamma*beta) and the 30-day return level
+    mu + beta*(-ln(-ln(29/30))) — "the daily maximum you expect to
+    exceed once a month".  ALL transcendentals are Python-computed
+    SHARED LITERALS embedded identically in both engines (sqrt(6)/pi,
+    Euler-Mascheroni, the 30-day Gumbel quantile); the data path is
+    exact integer moments + one correctly-rounded sqrt.  One day-grain
+    rollup, one per-type rollup."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    blocks = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.max(F.round(F.col("value") * 100, 0).cast("bigint")).alias("x")
+    )
+    m = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("ss"),
+    )
+    n, sm, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = sm.cast("double") / n.cast("double") / 100
+    std = (
+        F.sqrt(
+            (n * ss - sm * sm).cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+        / 100
+    )
+    c = F.lit(float(_GUMBEL_C))
+    g = F.lit(float(_GUMBEL_GAMMA))
+    k30 = F.lit(float(_GUMBEL_K30))
+    beta = std * c
+    mu = mean - g * beta
+    return (
+        m.filter(n > 1)
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n_blocks"),
+            F.round(mean, 6).alias("mean_max"),
+            F.round(std, 6).alias("std_max"),
+            F.round(beta, 6).alias("beta"),
+            F.round(mu, 6).alias("mu"),
+            F.round(mu + k30 * beta, 6).alias("return_level_30d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "customer_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nation, o.o_custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(r) AS BIGINT) AS s,
+               CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS q,
+               CAST(MAX(r) AS BIGINT) AS top1
+        FROM rev GROUP BY nation
+    )
+    SELECT nation, n_customers, s AS total_rev_cents,
+           round(CAST(q AS DOUBLE)
+                 / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS hhi,
+           CASE WHEN n_customers = 1 THEN 1.0
+                ELSE round((CAST(n_customers AS DOUBLE) * CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              * (n_customers - 1)), 6) END
+               AS hhi_normalized,
+           round(CAST(top1 AS DOUBLE) / CAST(s AS DOUBLE), 6)
+               AS top1_share
+    FROM m ORDER BY nation
+    """,
+)
+def customer_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per nation — "is this
+    market a monopoly or a long tail": HHI = sum(share_i^2) computed as
+    Q/S^2 over exact integer cents (Q = sum r^2 rides HUGEINT/
+    decimal38 — a customer's squared cents exceeds BIGINT at scale),
+    plus the n-normalized HHI and the top-1 share.  The inputs to every
+    float op are exact integers, each CAST correctly rounded, each
+    divide/multiply IEEE — identical trees hash-match.  Two keyed
+    rollups; the nation frame is 25 rows at any corpus size."""
+    dec = "decimal(38,0)"
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation"), "o_custkey"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    m = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("r").cast("bigint").alias("s"),
+        F.sum(F.col("r").cast(dec) * F.col("r")).cast(dec).alias("q"),
+        F.max("r").cast("bigint").alias("top1"),
+    )
+    n, sm, q, top1 = (
+        F.col("n_customers"),
+        F.col("s"),
+        F.col("q"),
+        F.col("top1"),
+    )
+    sd = sm.cast("double")
+    return m.select(
+        "nation",
+        "n_customers",
+        sm.alias("total_rev_cents"),
+        F.round(q.cast("double") / (sd * sd), 6).alias("hhi"),
+        F.when(n == 1, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (n.cast("double") * q.cast("double") - sd * sd)
+                / (sd * sd * (n - 1)),
+                6,
+            )
+        )
+        .alias("hhi_normalized"),
+        F.round(top1.cast("double") / sd, 6).alias("top1_share"),
+    ).orderBy("nation")
+
+
+
+@query(
+    "part_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey AS part,
+               CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(r) AS HUGEINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS np
+        FROM rev
+    ), cum AS (
+        SELECT part, r,
+               CAST(SUM(r) OVER (ORDER BY r DESC, part
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS c
+        FROM rev
+    ), cls AS (
+        SELECT CASE WHEN c * 5 <= t.t * 4 THEN 'A'
+                    WHEN c * 20 <= t.t * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               r
+        FROM cum CROSS JOIN tot t
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS BIGINT) AS rev_cents,
+           round(CAST(SUM(CAST(r AS HUGEINT)) AS DOUBLE)
+                 / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS rev_share,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / CAST((SELECT np FROM tot) AS DOUBLE), 6) AS part_share
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def part_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by revenue: class
+    A = the head parts covering the first 80% of cumulative revenue,
+    B = the next 15%, C = the tail — the warehouse-planning rollup
+    behind "count the A items weekly, the C items yearly".  Class
+    boundaries are INTEGER CROSS-MULTIPLICATION on exact cumulative
+    cents (c*5 <= 4*total), so floats never decide membership; the
+    global running total rides ``ranking.global_cumsum`` (range-
+    partition + per-partition prefix + broadcast offsets) — no
+    single-task window over the |parts| frame at any scale."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    dec = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    cum, total = global_cumsum(
+        rev, [F.col("r").desc(), F.col("part").asc()], "r", cum_col="c"
+    )
+    tot = F.lit(str(total)).cast(dec)
+    npart = rev.count()
+    cls = cum.select(
+        F.when(F.col("c") * 5 <= tot * 4, F.lit("A"))
+        .when(F.col("c") * 20 <= tot * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "r",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("bigint").alias("rev_cents"),
+            F.round(
+                F.sum(F.col("r").cast(dec)).cast("double")
+                / F.lit(float(total)),
+                6,
+            ).alias("rev_share"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.lit(float(npart)),
+                6,
+            ).alias("part_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "classifier_ks_statistic",
+    oracle=f"""
+    WITH {{score_cte}}, mm AS (
+        SELECT MIN(sv) AS mn, MAX(sv) AS mx FROM s
+    ), b AS (
+        SELECT ((sv - mn) * 10) // (mx - mn + 1) AS bin,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS neg
+        FROM s CROSS JOIN mm GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS tp,
+               CAST(SUM(neg) AS BIGINT) AS tn
+        FROM b
+    ), c AS (
+        SELECT bin,
+               CAST(SUM(pos) OVER (ORDER BY bin ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_pos,
+               CAST(SUM(neg) OVER (ORDER BY bin ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_neg
+        FROM b
+    ), d AS (
+        SELECT c.bin, c.cum_pos, c.cum_neg,
+               ABS(CAST(c.cum_pos AS HUGEINT) * t.tn
+                   - CAST(c.cum_neg AS HUGEINT) * t.tp) AS dnum
+        FROM c CROSS JOIN tot t
+    ), best AS (
+        SELECT bin, cum_pos, cum_neg, dnum,
+               ROW_NUMBER() OVER (ORDER BY dnum DESC, bin) AS rn
+        FROM d
+    )
+    SELECT b.bin AS ks_bin, b.cum_pos, b.cum_neg,
+           t.tp, t.tn,
+           round(CAST(b.dnum AS DOUBLE)
+                 / (CAST(t.tp AS DOUBLE) * CAST(t.tn AS DOUBLE)), 6)
+               AS ks_stat
+    FROM best b CROSS JOIN tot t WHERE b.rn = 1
+    """.format(score_cte=_clf_score_cte()),
+)
+def classifier_ks_statistic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the hashed linear classifier:
+    the max gap between the cumulative positive and negative score
+    distributions — credit scoring's single-number discrimination
+    metric, completing the classifier-eval family (AUC, PR-AUC,
+    calibration, WOE/IV, gains, kappa).  The gap is decided on the
+    exact integer cross-product |cum_pos*TN - cum_neg*TP| (floats never
+    pick the argmax bin); the cumulation runs over the 10-row POST-
+    AGGREGATION bin frame (documented exception); one divide at the
+    end."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    wgt = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, wgt, n_features=4096).select(
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    scored = scored.localCheckpoint(eager=False)
+    mm = scored.agg(F.min("sv").alias("mn"), F.max("sv").alias("mx"))
+    b = (
+        scored.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr("((sv - mn) * 10) div (mx - mn + 1)").alias("bin")
+        )
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+        )
+    )
+    tot = b.agg(
+        F.sum("pos").cast("bigint").alias("tp"),
+        F.sum("neg").cast("bigint").alias("tn"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+    c = b.select(
+        "bin",
+        F.sum("pos").over(wcum).cast("bigint").alias("cum_pos"),
+        F.sum("neg").over(wcum).cast("bigint").alias("cum_neg"),
+    )
+    d2 = c.crossJoin(F.broadcast(tot)).withColumn(
+        "dnum",
+        F.abs(
+            F.col("cum_pos").cast(dec) * F.col("tn")
+            - F.col("cum_neg").cast(dec) * F.col("tp")
+        ),
+    )
+    wbest = Window.orderBy(F.desc("dnum"), F.asc("bin"))
+    return (
+        d2.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("bin").alias("ks_bin"),
+            "cum_pos",
+            "cum_neg",
+            "tp",
+            "tn",
+            F.round(
+                F.col("dnum").cast("double")
+                / (F.col("tp").cast("double") * F.col("tn").cast("double")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+
+@query(
+    "events_friedman_test",
+    oracle="""
+    WITH k AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS kk
+        FROM events
+    ), cell AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), complete AS (
+        SELECT day FROM cell GROUP BY day
+        HAVING COUNT(*) = (SELECT kk FROM k)
+    ), ranked AS (
+        SELECT c.day, c.event_type,
+               2 * RANK() OVER (PARTITION BY c.day ORDER BY c.cnt)
+                   + COUNT(*) OVER (PARTITION BY c.day, c.cnt) - 1
+                   AS r2
+        FROM cell c JOIN complete USING (day)
+    ), rsum AS (
+        SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY event_type
+    ), stat AS (
+        SELECT CAST(SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS HUGEINT)
+                   AS sr2,
+               CAST(MAX(n_blocks) AS HUGEINT) AS n,
+               (SELECT CAST(kk AS HUGEINT) FROM k) AS kk
+        FROM rsum
+    )
+    SELECT r.event_type, r.r2_sum, r.n_blocks,
+           round(CAST(3 * st.sr2
+                      - 3 * st.n * st.n * st.kk * (st.kk + 1)
+                            * (st.kk + 1) AS DOUBLE)
+                 / CAST(st.n * st.kk * (st.kk + 1) AS DOUBLE), 6)
+               AS friedman_chi2
+    FROM rsum r CROSS JOIN stat st ORDER BY r.event_type
+    """,
+)
+def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — do the event types keep the same daily-
+    volume ordering day after day, or does the ranking genuinely vary?
+    The non-parametric repeated-measures ANOVA: blocks = complete days
+    (all k types present), treatments = event types, ranks on daily
+    counts with the repo's INTEGER midrank encoding (r2 = 2*rank +
+    ties - 1, so tied midranks never touch floats), chi2_F =
+    (3*sum(R2_j^2) - 3*n^2*k*(k+1)^2) / (n*k*(k+1)) — exact integers
+    until ONE final division.  The day-partitioned rank window is
+    keyed (never single-task); the per-type frame is k rows."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    k = e.agg(
+        F.countDistinct("event_type").cast("bigint").alias("kk")
+    )
+    cell = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cell = cell.localCheckpoint(eager=False)
+    complete = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .join(F.broadcast(k), F.col("_nt") == F.col("kk"))
+        .select("day")
+    )
+    wrank = Window.partitionBy("day").orderBy("cnt")
+    wties = Window.partitionBy("day", "cnt")
+    ranked = cell.join(F.broadcast(complete), "day").select(
+        "event_type",
+        (
+            2 * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wties)
+            - 1
+        ).alias("r2"),
+    )
+    rsum = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    stat = rsum.crossJoin(F.broadcast(k)).agg(
+        F.sum(F.col("r2_sum").cast(dec) * F.col("r2_sum"))
+        .cast(dec)
+        .alias("sr2"),
+        F.max("n_blocks").cast(dec).alias("n"),
+        F.max("kk").cast(dec).alias("kk"),
+    )
+    nn, kk, sr2 = F.col("n"), F.col("kk"), F.col("sr2")
+    return (
+        rsum.crossJoin(F.broadcast(stat))
+        .select(
+            "event_type",
+            "r2_sum",
+            "n_blocks",
+            F.round(
+                (
+                    3 * sr2 - 3 * nn * nn * kk * (kk + 1) * (kk + 1)
+                ).cast("double")
+                / (nn * kk * (kk + 1)).cast("double"),
+                6,
+            ).alias("friedman_chi2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "user_rfm_migration",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    MIN(CAST(ts AS DATE))) AS BIGINT) AS d0,
+               CAST(date_diff('day', DATE '1970-01-01',
+                    MAX(CAST(ts AS DATE))) AS BIGINT) AS d1
+        FROM events
+    ), universe AS (
+        SELECT DISTINCT user_id FROM events
+    ), pc AS (
+        SELECT e.user_id,
+               CAST(SUM(CASE WHEN CAST(date_diff('day',
+                        DATE '1970-01-01', CAST(e.ts AS DATE))
+                        AS BIGINT) * 2 <= d.d0 + d.d1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS p_a,
+               CAST(SUM(CASE WHEN CAST(date_diff('day',
+                        DATE '1970-01-01', CAST(e.ts AS DATE))
+                        AS BIGINT) * 2 > d.d0 + d.d1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS p_b
+        FROM events e CROSS JOIN days d
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), seg AS (
+        SELECT u.user_id,
+               CASE WHEN COALESCE(p.p_a, 0) = 0 THEN 'none'
+                    WHEN p.p_a = 1 THEN 'one' ELSE 'multi' END AS seg_a,
+               CASE WHEN COALESCE(p.p_b, 0) = 0 THEN 'none'
+                    WHEN p.p_b = 1 THEN 'one' ELSE 'multi' END AS seg_b
+        FROM universe u LEFT JOIN pc p USING (user_id)
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM seg
+    )
+    SELECT seg_a, seg_b, CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / CAST((SELECT nu FROM tot) AS DOUBLE), 6) AS share
+    FROM seg GROUP BY seg_a, seg_b ORDER BY seg_a, seg_b
+    """,
+)
+def user_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-frequency segment migration between the first and
+    second half of the observation window — the cohort movement matrix
+    ("how many one-time buyers became repeat buyers?") that retention
+    teams read before any uplift model.  The half boundary is the
+    integer midpoint of the epoch-day range decided by CROSS-
+    MULTIPLICATION (day*2 <= d0+d1 — no integer-division parity trap);
+    segments are exact count buckets over the full user universe
+    (non-purchasers land in 'none', not dropped).  One purchase rollup
+    + one broadcast boundary; the matrix is at most 9 cells."""
+    e = _t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    days = e.agg(
+        F.min(day.cast("bigint")).alias("d0"),
+        F.max(day.cast("bigint")).alias("d1"),
+    )
+    universe = e.select("user_id").distinct()
+    pc = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(days))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    day.cast("bigint") * 2 <= F.col("d0") + F.col("d1"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("p_a"),
+            F.sum(
+                F.when(
+                    day.cast("bigint") * 2 > F.col("d0") + F.col("d1"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("p_b"),
+        )
+    )
+
+    def _seg(c: str) -> F.Column:
+        return (
+            F.when(F.coalesce(F.col(c), F.lit(0)) == 0, F.lit("none"))
+            .when(F.col(c) == 1, F.lit("one"))
+            .otherwise(F.lit("multi"))
+        )
+
+    seg = universe.join(pc, "user_id", "left").select(
+        _seg("p_a").alias("seg_a"), _seg("p_b").alias("seg_b")
+    )
+    tot = seg.count()
+    return (
+        seg.groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.lit(float(tot)), 6
+            ).alias("share"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+
+@query(
+    "multimodal_wav_silence",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('wav-v1:' || CAST(doc_id AS VARCHAR)),
+                               18, 15))::BIGINT % 65536 AS s,
+               CAST(16 + doc_id % 49 AS BIGINT) AS n
+        FROM documents
+    ), grid AS (
+        SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS k
+    ), samp AS (
+        SELECT b.doc_id, b.n, g.k,
+               CASE WHEN ABS(((b.s * (g.k + 1) + 2654435761 * g.k * g.k)
+                              % 65536) - 32768) < 8192
+                    THEN 1 ELSE 0 END AS silent
+        FROM base b JOIN grid g ON g.k < b.n
+    ), runs AS (
+        SELECT doc_id, k,
+               k - ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY k) AS grp
+        FROM samp WHERE silent = 1
+    ), rl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY doc_id, grp
+    ), agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_silent_runs,
+               CAST(MAX(run_len) AS BIGINT) AS longest_silent_run,
+               CAST(SUM(run_len) AS BIGINT) AS n_silent
+        FROM rl GROUP BY doc_id
+    )
+    SELECT b.doc_id AS media_id, CAST(b.n AS BIGINT) AS n_samples,
+           COALESCE(a.n_silent, 0) AS n_silent,
+           COALESCE(a.n_silent_runs, 0) AS n_silent_runs,
+           COALESCE(a.longest_silent_run, 0) AS longest_silent_run,
+           round(CAST(COALESCE(a.n_silent, 0) AS DOUBLE)
+                 / CAST(b.n AS DOUBLE), 6) AS silent_frac
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_wav_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation on REAL decoded audio — the splitter every
+    speech pipeline runs before transcription (cut on quiet runs, keep
+    utterances): payloads are genuine RIFF/WAVE PCM16 bytes, the stdlib
+    ``wave`` decoder recovers the samples behind the Arrow boundary,
+    and the run-length statistics (count / longest / total of maximal
+    |x| < 8192 runs) are computed from the DECODED waveform in the same
+    batch — pure integer DSP, so the oracle (which replays the waveform
+    formula and finds runs with the SQL gaps-and-islands idiom) must
+    agree exactly or the decode path is wrong.  Decode cost is
+    Arrow-amortized; the rollup is one keyed pass."""
+    import pandas as _pd
+
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        make_wav_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = make_wav_table(d, sample_rate=8000, max_samples=64)
+
+    def batches(it):
+        for pdf in it:
+            ids, ns, sil, nruns, longest = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, xs = decode_wav(bytes(payload))
+                flags = [1 if abs(x) < 8192 else 0 for x in xs]
+                total = sum(flags)
+                best = cur = runs = 0
+                for fl in flags:
+                    if fl:
+                        cur += 1
+                        if cur == 1:
+                            runs += 1
+                        best = max(best, cur)
+                    else:
+                        cur = 0
+                ids.append(int(mid))
+                ns.append(len(xs))
+                sil.append(total)
+                nruns.append(runs)
+                longest.append(best)
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": ns,
+                    "n_silent": sil,
+                    "n_silent_runs": nruns,
+                    "longest_silent_run": longest,
+                }
+            )
+
+    feats = media.mapInPandas(
+        batches,
+        schema=(
+            "media_id BIGINT, n_samples BIGINT, n_silent BIGINT, "
+            "n_silent_runs BIGINT, longest_silent_run BIGINT"
+        ),
+    )
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "n_silent",
+        "n_silent_runs",
+        "longest_silent_run",
+        F.round(
+            F.col("n_silent").cast("double")
+            / F.col("n_samples").cast("double"),
+            6,
+        ).alias("silent_frac"),
+    ).orderBy("media_id")
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
