@@ -21923,6 +21923,384 @@ def multimodal_wav_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle="""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+                   '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ), sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tok
+        FROM (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+             LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
+                      AS i)
+    ), freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY tok
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM sh GROUP BY doc_id
+    ), ordered AS (
+        SELECT s.doc_id, s.tok,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                   ORDER BY f.df, s.tok) AS pos
+        FROM sh s JOIN freq f ON f.tok = s.tok
+    ), pref AS (
+        SELECT o.doc_id, o.tok
+        FROM ordered o JOIN sz ON sz.doc_id = o.doc_id
+        WHERE o.pos <= sz.sz - (3 * sz.sz + 4) // 5 + 1
+    ), pcand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS i
+        FROM pcand c
+        JOIN sh wa ON wa.doc_id = c.da
+        JOIN sh wb ON wb.doc_id = c.db AND wb.tok = wa.tok
+        GROUP BY c.da, c.db
+    ), truth AS (
+        SELECT i.da AS id_a, i.db AS id_b
+        FROM inter i JOIN sz sa ON sa.doc_id = i.da
+        JOIN sz sb ON sb.doc_id = i.db
+        WHERE 5 * i.i >= 3 * (sa.sz + sb.sz - i.i)
+    ), mhp AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(s2), 18, 15))::BIGINT
+                for s2 in shingles] AS h1s,
+               [('0x' || substr(md5('kh2:' || s2), 18, 15))::BIGINT
+                    % 288230376151711744
+                for s2 in shingles] AS h2s
+        FROM (SELECT doc_id, list(tok) AS shingles
+              FROM sh GROUP BY doc_id)
+    ), msig AS (
+        SELECT doc_id,
+               [list_min(list_transform(range(len(h1s)),
+                                        j -> h1s[j + 1] + i * h2s[j + 1]))
+                for i in range(0, 16)] AS sig
+        FROM mhp
+    ), mbands AS (
+        SELECT doc_id, b,
+               md5(array_to_string(
+                   [CAST(x AS VARCHAR) for x in sig[b*4+1:b*4+4]],
+                   ',')) AS band_hash
+        FROM msig, (SELECT unnest(range(0, 4)) AS b)
+    ), mpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mbands a
+        JOIN mbands b ON a.b = b.b AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ), cand AS (
+        SELECT p.id_a, p.id_b
+        FROM mpairs p
+        JOIN msig sa ON sa.doc_id = p.id_a
+        JOIN msig sb ON sb.doc_id = p.id_b
+        WHERE len([i for i in range(1, 17) if sa.sig[i] = sb.sig[i]])
+              >= 4
+    ), m AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM truth t2 JOIN cand c2
+                  ON t2.id_a = c2.id_a AND t2.id_b = c2.id_b) AS n_hit
+    )
+    SELECT n_true AS n_true_pairs, n_cand AS n_candidates,
+           n_hit AS n_hits,
+           round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall_at_06,
+           round(CAST(n_hit AS DOUBLE) / n_cand, 6)
+               AS precision_at_06
+    FROM m
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the MinHash-LSH candidate generator
+    against EXACT ground truth — the eval that justifies running the
+    probabilistic dedup at 100 TB instead of the exact one: ground
+    truth = the prefix-filter AllPairs join (100% recall at Jaccard >=
+    0.6, integer cross-mult decisions), candidates = the production
+    16-lane/4-band portable-KM MinHash pairs at est_jaccard >= 0.25
+    (integer agreement count >= 4 of 16 — floats never gate), both over
+    the IDENTICAL normalized 3-gram shingle base, so the recall number
+    measures banding loss and nothing else.  Both halves reuse
+    already-driver-proven oracle replays (``dedup_prefix_filter_join``,
+    ``dedup_minhash_lsh``); the composition is three COUNTs over their
+    joined outputs.  This is ``ann_recall_eval``'s discipline applied
+    to the dedup family."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        norm_words,
+        prefix_filter_pairs,
+        word_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", norm_words(F.col("text")).alias("_w"))
+    sh = words.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("_w"), 3)).alias("tok"),
+    )
+    truth = prefix_filter_pairs(
+        sh, "doc_id", "tok", t_num=3, t_den=5
+    ).select("id_a", "id_b")
+    cand = minhash_near_duplicates(
+        d,
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.25,
+        portable=True,
+    ).select("id_a", "id_b")
+    truth = truth.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    n_hit = (
+        truth.join(cand, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.col("n_true").alias("n_true_pairs"),
+            F.col("n_cand").alias("n_candidates"),
+            F.col("n_hit").alias("n_hits"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true"), 6
+            ).alias("recall_at_06"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_cand"), 6
+            ).alias("precision_at_06"),
+        )
+    )
+
+
+
+def _hurst_literals() -> dict:
+    """Shared literals for the R/S log-log regression: ln(w) for the
+    three window sizes and the CLOSED-FORM OLS slope coefficients
+    c_i = (ln w_i − mean)/Σ(ln w_j − mean)² — so the Hurst slope is a
+    pure literal-weighted sum of the three per-size means, with no
+    cross-row float accumulation anywhere."""
+    import math
+
+    ws = [4, 8, 16]
+    lws = [math.log(float(w)) for w in ws]
+    mean = sum(lws) / len(lws)
+    den = sum((x - mean) ** 2 for x in lws)
+    return {
+        "ws": ws,
+        "lws": [repr(x) for x in lws],
+        "coefs": [repr((x - mean) / den) for x in lws],
+    }
+
+
+_HURST = _hurst_literals()
+
+
+@query(
+    "events_hurst_exponent",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(ts AS DATE)) AS BIGINT) AS di,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), dz AS (
+        SELECT MIN(di) AS dmin FROM daily
+    ), sz(w, cw) AS (
+        VALUES (CAST(4 AS BIGINT), CAST({_HURST["coefs"][0]} AS DOUBLE)),
+               (CAST(8 AS BIGINT), CAST({_HURST["coefs"][1]} AS DOUBLE)),
+               (CAST(16 AS BIGINT), CAST({_HURST["coefs"][2]} AS DOUBLE))
+    ), win AS (
+        SELECT s.w, (d.di - z.dmin) // s.w AS win, d.di, d.x
+        FROM daily d CROSS JOIN dz z CROSS JOIN sz s
+    ), comp AS (
+        SELECT w, win FROM win GROUP BY w, win HAVING COUNT(*) = w
+    ), ws AS (
+        SELECT v.w, v.win,
+               CAST(SUM(v.x) AS BIGINT) AS s1,
+               CAST(SUM(CAST(v.x AS HUGEINT) * v.x) AS BIGINT) AS sx2
+        FROM win v JOIN comp USING (w, win) GROUP BY v.w, v.win
+    ), cum AS (
+        SELECT v.w, v.win, v.di, v.x,
+               CAST(SUM(v.x) OVER (PARTITION BY v.w, v.win
+                   ORDER BY v.di ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS p,
+               CAST(ROW_NUMBER() OVER (PARTITION BY v.w, v.win
+                   ORDER BY v.di) AS BIGINT) AS k
+        FROM win v JOIN comp USING (w, win)
+    ), dev AS (
+        SELECT c.w, c.win,
+               MAX(c.w * c.p - c.k * t.s1)
+                   - MIN(c.w * c.p - c.k * t.s1) AS rsc,
+               MAX(t.w * t.sx2 - CAST(t.s1 AS HUGEINT) * t.s1) AS b
+        FROM cum c JOIN ws t ON t.w = c.w AND t.win = c.win
+        GROUP BY c.w, c.win
+    ), lnr AS (
+        SELECT w, win,
+               CAST(round(ln(CAST(rsc AS DOUBLE)
+                             / sqrt(CAST(b AS DOUBLE))) * 1e6, 0)
+                    AS BIGINT) AS lnrs6
+        FROM dev WHERE rsc > 0 AND b > 0
+    ), per AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(lnrs6) AS BIGINT) AS sy6
+        FROM lnr GROUP BY w
+    ), ys AS (
+        SELECT p.w, p.n_windows,
+               CAST(p.sy6 AS DOUBLE) / p.n_windows / 1e6 AS y
+        FROM per p
+    ), slope2 AS (
+        SELECT (SELECT y * (SELECT cw FROM sz WHERE w = 4)
+                FROM ys WHERE w = 4)
+             + (SELECT y * (SELECT cw FROM sz WHERE w = 8)
+                FROM ys WHERE w = 8)
+             + (SELECT y * (SELECT cw FROM sz WHERE w = 16)
+                FROM ys WHERE w = 16) AS h
+    )
+    SELECT y.w AS window_size, y.n_windows,
+           round(y.y, 6) AS mean_ln_rs,
+           round((SELECT h FROM slope2), 6) AS hurst
+    FROM ys y ORDER BY y.w
+    """,
+)
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-volume series by rescaled-
+    range (R/S) analysis — long-range dependence in one number (H>0.5
+    persistent/trending, H<0.5 mean-reverting, 0.5 a random walk), the
+    fractal-traffic diagnostic capacity planners fit before trusting
+    any Poisson assumption.  Non-overlapping windows of 4/8/16 days
+    (the synthetic corpus spans 30 days at every SF; real deployments
+    raise the grid):
+    within each, the range of cumulative deviations is computed EXACTLY
+    as integers by scaling through w (w·P_k − k·S1), the std via exact
+    moments + one sqrt, ONE ln per window is rounded to the 1e-6
+    lattice before the per-size mean, and the log-log slope is a
+    SHARED-LITERAL weighted sum (closed-form 3-point OLS coefficients
+    embedded in both engines) — the whole regression happens with zero
+    cross-row float accumulation.  Day-grain rollup, keyed per-window
+    cumsum; every frame after the first rollup is |days|-sized."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    dz = daily.agg(F.min("di").alias("dmin"))
+    rows = [
+        (w, float(c))
+        for w, c in zip(_HURST["ws"], [float(x) for x in _HURST["coefs"]])
+    ]
+    sz = spark.createDataFrame(rows, "w BIGINT, cw DOUBLE")
+    win = (
+        daily.crossJoin(F.broadcast(dz))
+        .crossJoin(F.broadcast(sz))
+        .select(
+            "w",
+            "cw",
+            F.expr("(di - dmin) div w").alias("win"),
+            "di",
+            "x",
+        )
+    )
+    win = win.localCheckpoint(eager=False)
+    comp = (
+        win.groupBy("w", "win")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == F.col("w"))
+        .select("w", "win")
+    )
+    wj = win.join(comp, ["w", "win"])
+    ws_stats = wj.groupBy("w", "win").agg(
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x").cast(dec) * F.col("x"))
+        .cast("bigint")
+        .alias("sx2"),
+    )
+    wcum = (
+        Window.partitionBy("w", "win")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy("w", "win").orderBy("di")
+    cum = wj.select(
+        "w",
+        "win",
+        F.sum("x").over(wcum).cast("bigint").alias("p"),
+        F.row_number().over(wrn).cast("bigint").alias("k"),
+    )
+    dev = (
+        cum.join(ws_stats, ["w", "win"])
+        .groupBy("w", "win")
+        .agg(
+            (
+                F.max(F.col("w") * F.col("p") - F.col("k") * F.col("s1"))
+                - F.min(
+                    F.col("w") * F.col("p") - F.col("k") * F.col("s1")
+                )
+            ).alias("rsc"),
+            F.max(
+                F.col("w") * F.col("sx2")
+                - F.col("s1").cast(dec) * F.col("s1")
+            ).alias("b"),
+        )
+    )
+    lnr = dev.filter((F.col("rsc") > 0) & (F.col("b") > 0)).select(
+        "w",
+        F.round(
+            F.log(
+                F.col("rsc").cast("double")
+                / F.sqrt(F.col("b").cast("double"))
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("lnrs6"),
+    )
+    per = lnr.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("lnrs6").cast("bigint").alias("sy6"),
+    )
+    ys = per.select(
+        "w",
+        "n_windows",
+        (
+            F.col("sy6").cast("double") / F.col("n_windows") / F.lit(1e6)
+        ).alias("y"),
+    )
+    ys = ys.localCheckpoint(eager=False)
+    piv = ys.agg(
+        *[
+            F.max(F.when(F.col("w") == w, F.col("y"))).alias(f"y{w}")
+            for w in _HURST["ws"]
+        ]
+    )
+    c4, c8, c16 = (F.lit(float(c)) for c in _HURST["coefs"])
+    hurst = piv.select(
+        (
+            F.col("y4") * c4 + F.col("y8") * c8 + F.col("y16") * c16
+        ).alias("h")
+    )
+    return (
+        ys.crossJoin(F.broadcast(hurst))
+        .select(
+            F.col("w").alias("window_size"),
+            "n_windows",
+            F.round(F.col("y"), 6).alias("mean_ln_rs"),
+            F.round(F.col("h"), 6).alias("hurst"),
+        )
+        .orderBy("window_size")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
