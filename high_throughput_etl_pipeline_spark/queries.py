@@ -22301,6 +22301,365 @@ def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "embedding_matryoshka_eval",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 8
+    ), dims(d) AS (
+        VALUES (CAST(8 AS INT)), (CAST(16 AS INT)), (CAST(64 AS INT))
+    ), ranked0 AS (
+        SELECT dm.d, q.query_id, v.vec_id,
+               row_number() OVER (
+                   PARTITION BY dm.d, q.query_id
+                   ORDER BY round(list_dot_product(v.ev[1:dm.d],
+                                                   q.qv[1:dm.d])
+                       / (sqrt(list_dot_product(v.ev[1:dm.d],
+                                                v.ev[1:dm.d]))
+                          * sqrt(list_dot_product(q.qv[1:dm.d],
+                                                  q.qv[1:dm.d]))), 6)
+                       DESC, v.vec_id
+               ) AS r0
+        FROM v CROSS JOIN q CROSS JOIN dims dm
+        QUALIFY r0 <= 11
+    ), topk AS (
+        SELECT d, query_id, vec_id,
+               row_number() OVER (PARTITION BY d, query_id
+                   ORDER BY r0) AS rnk
+        FROM ranked0 WHERE vec_id <> query_id
+        QUALIFY rnk <= 10
+    ), hits AS (
+        SELECT t.d, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM topk t
+        JOIN (SELECT query_id, vec_id FROM topk WHERE d = 64) gt
+          ON t.query_id = gt.query_id AND t.vec_id = gt.vec_id
+        GROUP BY t.d
+    ), nq AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q
+    )
+    SELECT h.d AS dim, n.n_queries, h.n_hits,
+           round(CAST(h.n_hits AS DOUBLE) / (n.n_queries * 10), 6)
+               AS recall_at_10
+    FROM hits h CROSS JOIN nq n ORDER BY dim
+    """,
+)
+def embedding_matryoshka_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-truncation retrieval eval — how much recall@10
+    survives serving only the first 8 or 16 of 64 embedding dimensions
+    (the MRL deployment question: shorter prefixes = cheaper ANN tiers,
+    this measures the quality bill).  Ground truth = the full-dim
+    cosine top-10 on a bounded 8-query eval slice (the registry's
+    fixed-slice discipline — eval cost never scales with the corpus);
+    prefix rankings use the identical round-to-6dp-then-rank ordering
+    with vec_id tie-breaks that made the ANN family driver-portable.
+    Dot products fold in array order on both engines; the d = 64 row
+    is the 1.0 sanity anchor."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    q = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    dims = spark.createDataFrame([(8,), (16,), (64,)], "d INT")
+
+    def _dotp(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    ea = F.slice(F.col("ev"), F.lit(1), F.col("d"))
+    qa = F.slice(F.col("qv"), F.lit(1), F.col("d"))
+    cos = F.round(
+        _dotp(ea, qa) / (F.sqrt(_dotp(ea, ea)) * F.sqrt(_dotp(qa, qa))),
+        6,
+    )
+    w0 = Window.partitionBy("d", "query_id").orderBy(
+        F.desc("_cos"), F.asc("vec_id")
+    )
+    ranked0 = (
+        v.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(dims))
+        .withColumn("_cos", cos)
+        .withColumn("r0", F.row_number().over(w0))
+        .filter(F.col("r0") <= 11)
+    )
+    wrnk = Window.partitionBy("d", "query_id").orderBy("r0")
+    topk = (
+        ranked0.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(wrnk))
+        .filter(F.col("rnk") <= 10)
+        .select("d", "query_id", "vec_id")
+    )
+    topk = topk.localCheckpoint(eager=False)
+    gt = topk.filter(F.col("d") == 64).select("query_id", "vec_id")
+    hits = (
+        topk.join(F.broadcast(gt), ["query_id", "vec_id"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    nq = q.count()
+    return hits.select(
+        F.col("d").alias("dim"),
+        F.lit(nq).cast("bigint").alias("n_queries"),
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.lit(float(nq * 10)), 6
+        ).alias("recall_at_10"),
+    ).orderBy("dim")
+
+
+# Published Shewhart control-chart constants for subgroup size n = 24
+# (Montgomery, "Introduction to Statistical Quality Control", App. VI):
+# A2 = 0.157, D3 = 0.451, D4 = 1.548.  Shared literals on both engines.
+_SPC_A2 = "0.157"
+_SPC_D3 = "0.451"
+_SPC_D4 = "1.548"
+
+
+@query(
+    "events_spc_xbar_r",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), sub AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(MAX(x) - MIN(x) AS BIGINT) AS r
+        FROM hourly GROUP BY day HAVING COUNT(*) = 24
+    ), lim AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(sx) AS BIGINT) AS tsx,
+               CAST(SUM(r) AS BIGINT) AS tr
+        FROM sub
+    ), cl AS (
+        SELECT n_days,
+               CAST(tsx AS DOUBLE) / (24 * n_days) AS center,
+               CAST(tr AS DOUBLE) / n_days AS rbar
+        FROM lim
+    )
+    SELECT s.day, s.n_obs,
+           round(CAST(s.sx AS DOUBLE) / 24, 6) AS xbar,
+           s.r,
+           round(c.center, 6) AS center,
+           round(c.center + {_SPC_A2} * c.rbar, 6) AS ucl_x,
+           round(c.center - {_SPC_A2} * c.rbar, 6) AS lcl_x,
+           round({_SPC_D4} * c.rbar, 6) AS ucl_r,
+           round({_SPC_D3} * c.rbar, 6) AS lcl_r,
+           CAST(CAST(s.sx AS DOUBLE) / 24
+                    > c.center + {_SPC_A2} * c.rbar
+                OR CAST(s.sx AS DOUBLE) / 24
+                    < c.center - {_SPC_A2} * c.rbar AS BOOLEAN)
+               AS x_out,
+           CAST(CAST(s.r AS DOUBLE) > {_SPC_D4} * c.rbar
+                OR CAST(s.r AS DOUBLE) < {_SPC_D3} * c.rbar AS BOOLEAN)
+               AS r_out
+    FROM sub s CROSS JOIN cl c ORDER BY s.day
+    """,
+)
+def events_spc_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar/R control chart over hourly event volumes —
+    manufacturing's operational-monitoring workhorse applied to traffic:
+    subgroup = one complete day of 24 hourly counts, center line and
+    control limits from the grand mean and mean range with the
+    PUBLISHED n=24 chart constants (A2/D3/D4 — shared literals on both
+    engines), and per-day out-of-control flags for both the mean and
+    the dispersion chart.  Everything is exact integers until the final
+    divides; the flags compare identical IEEE trees, so even the
+    booleans hash-match.  Two rollups, day-grain frames."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    sub = (
+        hourly.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("x").cast("bigint").alias("sx"),
+            (F.max("x") - F.min("x")).cast("bigint").alias("r"),
+        )
+        .filter(F.col("n_obs") == 24)
+    )
+    sub = sub.localCheckpoint(eager=False)
+    lim = sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("sx").cast("bigint").alias("tsx"),
+        F.sum("r").cast("bigint").alias("tr"),
+    )
+    a2 = F.lit(float(_SPC_A2))
+    d3 = F.lit(float(_SPC_D3))
+    d4 = F.lit(float(_SPC_D4))
+    cl = lim.select(
+        (F.col("tsx").cast("double") / (24 * F.col("n_days"))).alias(
+            "center"
+        ),
+        (F.col("tr").cast("double") / F.col("n_days")).alias("rbar"),
+    )
+    xbar = F.col("sx").cast("double") / 24
+    rr = F.col("r").cast("double")
+    return (
+        sub.crossJoin(F.broadcast(cl))
+        .select(
+            "day",
+            "n_obs",
+            F.round(xbar, 6).alias("xbar"),
+            "r",
+            F.round(F.col("center"), 6).alias("center"),
+            F.round(F.col("center") + a2 * F.col("rbar"), 6).alias(
+                "ucl_x"
+            ),
+            F.round(F.col("center") - a2 * F.col("rbar"), 6).alias(
+                "lcl_x"
+            ),
+            F.round(d4 * F.col("rbar"), 6).alias("ucl_r"),
+            F.round(d3 * F.col("rbar"), 6).alias("lcl_r"),
+            (
+                (xbar > F.col("center") + a2 * F.col("rbar"))
+                | (xbar < F.col("center") - a2 * F.col("rbar"))
+            ).alias("x_out"),
+            (
+                (rr > d4 * F.col("rbar")) | (rr < d3 * F.col("rbar"))
+            ).alias("r_out"),
+        )
+        .orderBy("day")
+    )
+
+
+
+@query(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(trim(text),
+                   '[ \\t\\n\\r\\f\\x0b]+'))) AS BIGINT) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+        GROUP BY source
+    ), wt AS (
+        SELECT source, n_tokens,
+               CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS sq6
+        FROM tok
+    ), tot AS (
+        SELECT CAST(SUM(sq6) AS HUGEINT) AS w,
+               CAST(COUNT(*) AS BIGINT) AS ns
+        FROM wt
+    ), quota AS (
+        SELECT s.source, s.n_tokens, s.sq6,
+               CAST(1000000 * CAST(s.sq6 AS HUGEINT) AS HUGEINT) AS qn,
+               CAST((1000000 * CAST(s.sq6 AS HUGEINT)) // t.w
+                    AS BIGINT) AS base,
+               CAST((1000000 * CAST(s.sq6 AS HUGEINT)) % t.w
+                    AS HUGEINT) AS rem
+        FROM wt s CROSS JOIN tot t
+    ), left0 AS (
+        SELECT CAST(1000000 - SUM(base) AS BIGINT) AS l FROM quota
+    ), ranked AS (
+        SELECT q.*, ROW_NUMBER() OVER (ORDER BY q.rem DESC, q.source)
+                   AS rr
+        FROM quota q
+    )
+    SELECT r.source, r.n_tokens,
+           round(CAST(r.sq6 AS DOUBLE)
+                 / CAST((SELECT w FROM tot) AS DOUBLE), 6)
+               AS mix_weight,
+           CAST(r.base + CASE WHEN r.rr <= (SELECT l FROM left0)
+                              THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_tokens,
+           round(CAST(r.base + CASE WHEN r.rr <= (SELECT l FROM left0)
+                                    THEN 1 ELSE 0 END AS DOUBLE)
+                 / CAST(r.n_tokens AS DOUBLE), 6) AS sampling_rate
+    FROM ranked r ORDER BY r.source
+    """,
+)
+def corpus_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled corpus mixture with an EXACT integer token
+    budget — the mT5/data-mixing recipe: source weights proportional to
+    (token count)^alpha with alpha = 0.5 (so sqrt — IEEE correctly
+    rounded, then latticed to 1e-6 integers, never a libm pow), and a
+    1M-token budget divided by HAMILTON (largest-remainder)
+    APPORTIONMENT: floor quotas from integer division, the leftover
+    seats assigned by exact remainder rank — the allocations sum to the
+    budget EXACTLY, no float drift, the property a downstream sampler
+    actually needs.  One token rollup to a |sources| frame; everything
+    after is 25-row arithmetic."""
+    dec = "decimal(38,0)"
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f\x0b]+"))
+        )
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    wt = tok.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1e6, 0)
+        .cast("bigint")
+        .alias("sq6"),
+    )
+    wt = wt.localCheckpoint(eager=False)
+    tot = wt.agg(F.sum(F.col("sq6").cast(dec)).cast(dec).alias("w"))
+    quota = wt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "sq6",
+        (F.lit(1000000).cast(dec) * F.col("sq6").cast(dec))
+        .cast(dec)
+        .alias("qn"),
+        F.expr(
+            "CAST((CAST(1000000 AS decimal(38,0)) "
+            "* CAST(sq6 AS decimal(38,0))) div w AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "(CAST(1000000 AS decimal(38,0)) "
+            "* CAST(sq6 AS decimal(38,0))) % w"
+        )
+        .cast(dec)
+        .alias("rem"),
+        F.col("w"),
+    )
+    quota = quota.localCheckpoint(eager=False)
+    left0 = quota.agg(
+        (F.lit(1000000) - F.sum("base")).cast("bigint").alias("l")
+    )
+    wrr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = quota.withColumn("rr", F.row_number().over(wrr))
+    alloc = F.col("base") + F.when(
+        F.col("rr") <= F.col("l"), 1
+    ).otherwise(0)
+    return (
+        ranked.crossJoin(F.broadcast(left0))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("sq6").cast("double") / F.col("w").cast("double"),
+                6,
+            ).alias("mix_weight"),
+            alloc.cast("bigint").alias("alloc_tokens"),
+            F.round(
+                alloc.cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("sampling_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
