@@ -22660,6 +22660,235 @@ def corpus_temperature_mixture(
     )
 
 
+
+@query(
+    "user_power_law_mle",
+    oracle="""
+    WITH act AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ), terms AS (
+        SELECT x,
+               CAST(round(ln(CAST(2 * x AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS l6
+        FROM act
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(l6) AS BIGINT) AS sl6,
+               CAST(MAX(x) AS BIGINT) AS x_max
+        FROM terms
+    )
+    SELECT n AS n_users, x_max,
+           round(1 + CAST(n AS DOUBLE)
+                     / (CAST(sl6 AS DOUBLE) / 1e6), 6) AS alpha_hat,
+           round((CAST(1 + CAST(n AS DOUBLE)
+                       / (CAST(sl6 AS DOUBLE) / 1e6) AS DOUBLE) - 1)
+                 / sqrt(CAST(n AS DOUBLE)), 6) AS alpha_se
+    FROM m
+    """,
+)
+def user_power_law_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent of the user-activity distribution by
+    the Clauset-Shalizi-Newman MLE — alpha = 1 + n / sum ln(x_i/(x_min
+    - 1/2)) with x_min = 1, so each term is ln(2x) — the maximum-
+    likelihood complement to the registry's OLS ``corpus_zipf_slope``
+    (MLE is what the power-law literature actually trusts; OLS on
+    log-log histograms is biased).  Each per-user ln lands on the 1e-6
+    integer lattice BEFORE the cross-user sum (fleet transcendental
+    rule); the standard error (alpha-1)/sqrt(n) is one literal tree.
+    One grouped pass to |users|, one rollup."""
+    e = _t(spark, sf_dir, "events")
+    act = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    terms = act.select(
+        "x",
+        F.round(F.log((2 * F.col("x")).cast("double")) * F.lit(1e6), 0)
+        .cast("bigint")
+        .alias("l6"),
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l6").cast("bigint").alias("sl6"),
+        F.max("x").cast("bigint").alias("x_max"),
+    )
+    alpha = 1 + F.col("n").cast("double") / (
+        F.col("sl6").cast("double") / F.lit(1e6)
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        "x_max",
+        F.round(alpha, 6).alias("alpha_hat"),
+        F.round(
+            (alpha - 1) / F.sqrt(F.col("n").cast("double")), 6
+        ).alias("alpha_se"),
+    )
+
+
+@query(
+    "text_burrows_delta",
+    oracle="""
+    WITH words AS (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)),
+                   '[ \\t\\n\\r\\f\\x0b]+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), wf AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words GROUP BY source, w
+    ), stot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM wf GROUP BY source
+    ), topw AS (
+        SELECT w FROM (
+            SELECT w, CAST(SUM(c) AS BIGINT) AS tc,
+                   ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, w) AS rnk
+            FROM wf GROUP BY w
+        ) WHERE rnk <= 50
+    ), ns AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k FROM stot
+    ), rel AS (
+        SELECT st.source, tw.w,
+               CAST(COALESCE(f.c, 0) AS DOUBLE) / st.t AS fr
+        FROM stot st CROSS JOIN topw tw
+        LEFT JOIN wf f ON f.source = st.source AND f.w = tw.w
+    ), mu AS (
+        SELECT r.w,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(round(r.fr * 1e9, 0) AS BIGINT)) AS sf9,
+               SUM(CAST(round(r.fr * 1e9, 0) AS HUGEINT)
+                   * CAST(round(r.fr * 1e9, 0) AS HUGEINT)) AS sff
+        FROM rel r GROUP BY r.w
+    ), z AS (
+        SELECT r.source, r.w,
+               (CAST(round(r.fr * 1e9, 0) AS DOUBLE) * m.k
+                - CAST(m.sf9 AS DOUBLE))
+               / sqrt(CAST(m.k AS DOUBLE) * CAST(m.sff AS DOUBLE)
+                      - CAST(m.sf9 AS DOUBLE)
+                        * CAST(m.sf9 AS DOUBLE)) AS zz
+        FROM rel r JOIN mu m ON m.w = r.w
+        WHERE m.k * m.sff > CAST(m.sf9 AS HUGEINT) * m.sf9
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(round(ABS(a.zz - b.zz) * 1e6, 0) AS BIGINT) AS d6
+        FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           round(CAST(SUM(d6) AS DOUBLE) / COUNT(*) / 1e6, 6)
+               AS burrows_delta
+    FROM pairs GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every pair of sources — computational
+    stylometry's standard authorship distance: z-score each of the top
+    50 corpus words' relative frequencies across sources, then Delta =
+    mean |z_a - z_b|.  Frequencies ride a 1e-9 integer lattice so the
+    cross-source mean/variance moments are EXACT integers (scaled
+    per-cell rounding); each z is one IEEE tree over those integers
+    (sqrt correctly rounded, k*sff > sf9^2 guard drops zero-variance
+    words identically); each |z_a - z_b| lands on the 1e-6 lattice
+    before the cross-word mean.  Word frame is 50 rows x |sources|;
+    the pair frame |sources|^2."""
+    e = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        _lower_words,
+    )
+
+    dec = "decimal(38,0)"
+    words = e.select(
+        "source", F.explode(_lower_words(F.col("text"))).alias("w")
+    )
+    wf = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wf = wf.localCheckpoint(eager=False)
+    stot = wf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    gw = wf.groupBy("w").agg(F.sum("c").cast("bigint").alias("tc"))
+    topw = take_top_k(
+        gw, [F.desc("tc"), F.asc("w")], 50, rank_col="rnk"
+    ).select("w")
+    rel = (
+        stot.crossJoin(F.broadcast(topw))
+        .join(wf, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("t")
+            ).alias("fr"),
+        )
+    )
+    f9 = F.round(F.col("fr") * F.lit(1e9), 0).cast("bigint")
+    rel = rel.select("source", "w", "fr", f9.alias("f9"))
+    rel = rel.localCheckpoint(eager=False)
+    mu = rel.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("f9").cast("bigint").alias("sf9"),
+        F.sum(F.col("f9").cast(dec) * F.col("f9")).cast(dec).alias("sff"),
+    )
+    z = (
+        rel.join(F.broadcast(mu), "w")
+        .filter(
+            F.col("k").cast(dec) * F.col("sff")
+            > F.col("sf9").cast(dec) * F.col("sf9")
+        )
+        .select(
+            "source",
+            "w",
+            (
+                (
+                    F.col("f9").cast("double") * F.col("k")
+                    - F.col("sf9").cast("double")
+                )
+                / F.sqrt(
+                    F.col("k").cast("double")
+                    * F.col("sff").cast("double")
+                    - F.col("sf9").cast("double")
+                      * F.col("sf9").cast("double")
+                )
+            ).alias("zz"),
+        )
+    )
+    za, zb = z.alias("a"), z.alias("b")
+    pairs = za.join(
+        zb,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.round(
+            F.abs(F.col("a.zz") - F.col("b.zz")) * F.lit(1e6), 0
+        )
+        .cast("bigint")
+        .alias("d6"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(
+                F.sum("d6").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6),
+                6,
+            ).alias("burrows_delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
