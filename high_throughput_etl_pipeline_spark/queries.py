@@ -22889,6 +22889,105 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "corpus_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_MINHASH_PAIRS_CTE},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM cc GROUP BY cluster_id
+    ),
+    hist AS (
+        SELECT sz AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY sz
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM cc)
+    ),
+    tot AS (
+        SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS nd
+        FROM hist
+    )
+    SELECT h.cluster_size, CAST(SUM(h.n_clusters) AS BIGINT) AS n_clusters,
+           CAST(SUM(h.cluster_size * h.n_clusters) AS BIGINT) AS n_docs,
+           round(CAST(SUM(h.cluster_size * h.n_clusters) AS DOUBLE)
+                 / CAST((SELECT nd FROM tot) AS DOUBLE), 6)
+               AS doc_share
+    FROM hist h GROUP BY h.cluster_size ORDER BY h.cluster_size
+    """,
+)
+def corpus_dedup_cluster_sizes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup cluster-size distribution — the power-law histogram a
+    data engineer reads before choosing a dedup keep-policy ("is the
+    mass in pairs or in one giant template cluster?"): MinHash-banded
+    Jaccard pairs → connected components → sizes → histogram, with
+    UNCLUSTERED docs folded in as size-1 clusters so doc_share sums to
+    exactly 1.  Reuses the driver-proven dedup_cc_clusters chain
+    (banded candidates, min-label CC, recursive-CTE oracle replay);
+    the histogram is |distinct sizes| rows."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_via_minhash(
+        d, num_hashes=8, bands=4, shingle_n=2, threshold=0.05
+    )
+    cc = dedup_clusters(pairs)
+    cc = cc.localCheckpoint(eager=False)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    n_docs_total = d.count()
+    n_clustered = cc.count()
+    singles = spark.createDataFrame(
+        [(1, n_docs_total - n_clustered)],
+        "cluster_size BIGINT, n_clusters BIGINT",
+    )
+    hist = hist.unionByName(singles)
+    tot = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("nd")
+    )
+    return (
+        hist.groupBy("cluster_size")
+        .agg(
+            F.sum("n_clusters").cast("bigint").alias("n_clusters"),
+            F.sum(F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("nd").cast("double"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -23008,10 +23107,29 @@ HEADLINE: list[str] = [
     "events_periodogram",
     "events_aqp_sample_estimate",
     # r11 queue: after this window, the only registered queries with
-    # no driver row are the ones ADDED in r10 (recount at rotation):
-    #   multimodal_wav_decode (real stdlib WAV decode, value oracle).
-    # Compose r11 from: those r10 additions, any r10 reds, and the
-    # oldest single-green transcendental-bearing rows (e.g.
+    # no driver row are the 17 ADDED in r10 (recount at rotation) —
+    # every one locally hash-green and transcendental-disciplined:
+    #   multimodal_wav_decode (REAL stdlib WAV decode, formula oracle),
+    #   multimodal_wav_silence (real decode + gaps-and-islands runs),
+    #   events_mcnemar_test (exact paired chi2),
+    #   orders_cochran_armitage (decimal38 trend moments, final sqrts),
+    #   events_gumbel_fit (shared-literal EVT constants),
+    #   events_friedman_test (integer midranks, one divide),
+    #   customer_concentration_hhi (HUGEINT squared cents),
+    #   part_abc_classification (integer cross-mult classes over
+    #     global_cumsum), classifier_ks_statistic (integer argmax),
+    #   user_rfm_migration (cross-multiplied epoch midpoint),
+    #   dedup_lsh_recall_eval (composed driver-proven replays),
+    #   events_hurst_exponent (integer R, 1e-6 ln lattice,
+    #     shared-literal 3-point OLS),
+    #   embedding_matryoshka_eval (round-6-then-rank, bounded slice),
+    #   events_spc_xbar_r (published n=24 constants as literals),
+    #   corpus_temperature_mixture (sqrt lattice + Hamilton
+    #     apportionment), user_power_law_mle (1e-6 ln lattice),
+    #   text_burrows_delta (1e-9 freq lattice, true-z IEEE tree,
+    #     1e-6 pair lattice).
+    # Compose r11 from: those 17, any r10 reds, and the oldest
+    # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green
     # latest-status row should remain bpe_vocab_merges (documented
     # no_oracle exemption).
