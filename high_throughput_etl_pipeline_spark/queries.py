@@ -22988,6 +22988,521 @@ def corpus_dedup_cluster_sizes(
     )
 
 
+
+@query(
+    "events_kruskal_wallis",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ), vals AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY v
+    ), cumv AS (
+        SELECT v, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cb
+        FROM vals
+    ), r2v AS (
+        SELECT v, cnt, 2 * cb + cnt + 1 AS r2
+        FROM cumv
+    ), per AS (
+        SELECT b.g, CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(r.r2) AS BIGINT) AS r2_j
+        FROM base b JOIN r2v r ON r.v = b.v
+        GROUP BY b.g
+    ), tot AS (
+        SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per
+    ), ties AS (
+        SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                    AS HUGEINT) AS t3
+        FROM vals
+    ), sfold AS (
+        SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(CAST(r2_j AS HUGEINT) * r2_j AS DOUBLE)
+                            / n_j ORDER BY g)),
+                   (acc, x) -> acc + x) AS s
+        FROM per
+    )
+    SELECT t.n, t.k,
+           round(3 * f.s / (CAST(t.n AS DOUBLE) * (t.n + 1))
+                 - 3 * (t.n + 1), 6) AS h_stat,
+           round(1 - CAST((SELECT t3 FROM ties) AS DOUBLE)
+                     / (CAST(t.n AS HUGEINT) * t.n * t.n - t.n), 6)
+               AS tie_correction,
+           round((3 * f.s / (CAST(t.n AS DOUBLE) * (t.n + 1))
+                  - 3 * (t.n + 1))
+                 / (1 - CAST((SELECT t3 FROM ties) AS DOUBLE)
+                        / (CAST(t.n AS HUGEINT) * t.n * t.n - t.n)), 6)
+               AS h_corrected
+    FROM tot t CROSS JOIN sfold f
+    """,
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test — do the event types draw `value` from
+    the same distribution?  The k-sample non-parametric ANOVA that
+    completes the registry's test family (Welch = parametric two-
+    sample, Friedman = blocked ranks, this = independent k-sample
+    ranks).  Midranks are EXACT INTEGERS computed on the distinct-VALUE
+    frame (2·cum_before + cnt + 1 — never a row-level rank over the raw
+    table: the rank frame is |distinct cents|, cumulated via
+    ``ranking.global_cumsum``), per-group rank sums are integer, the
+    5-element Σ R2²/n fold is ORDERED (sort_array/list_reduce — the
+    proven cross-engine float fold), and the tie correction
+    1 − Σ(t³−t)/(N³−N) is an exact rational."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    dec = "decimal(38,0)"
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    base = base.localCheckpoint(eager=False)
+    vals = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cumv, _tot = global_cumsum(
+        vals, [F.col("v").asc()], "cnt", cum_col="cum"
+    )
+    r2v = cumv.select(
+        "v",
+        "cnt",
+        (
+            2 * (F.col("cum").cast("bigint") - F.col("cnt"))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    per = (
+        base.join(r2v.select("v", "r2"), "v")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_j"),
+            F.sum("r2").cast("bigint").alias("r2_j"),
+        )
+    )
+    per = per.localCheckpoint(eager=False)
+    tot = per.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("cnt").cast(dec) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
+        .cast(dec)
+        .alias("t3")
+    )
+    sfold = per.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "g",
+                        (
+                            (
+                                F.col("r2_j").cast(dec) * F.col("r2_j")
+                            ).cast("double")
+                            / F.col("n_j")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["t"],
+        ).alias("s")
+    )
+    nn = F.col("n").cast("double")
+    h = 3 * F.col("s") / (nn * (F.col("n") + 1)) - 3 * (F.col("n") + 1)
+    tc = 1 - F.col("t3").cast("double") / (
+        F.col("n").cast(dec) * F.col("n") * F.col("n") - F.col("n")
+    ).cast("double")
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(sfold))
+        .select(
+            "n",
+            "k",
+            F.round(h, 6).alias("h_stat"),
+            F.round(tc, 6).alias("tie_correction"),
+            F.round(h / tc, 6).alias("h_corrected"),
+        )
+    )
+
+
+@query(
+    "events_negbin_fit",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM daily GROUP BY event_type
+    ), fit AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+               CAST(n * ss - s * s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                   AS var_c
+        FROM m WHERE n > 1
+    )
+    SELECT event_type, n_days,
+           round(mean_c, 6) AS mean_count,
+           round(var_c, 6) AS var_count,
+           round(var_c / mean_c, 6) AS dispersion_index,
+           CAST(var_c > mean_c AS BOOLEAN) AS overdispersed,
+           CASE WHEN var_c > mean_c
+                THEN round(mean_c * mean_c / (var_c - mean_c), 6)
+                ELSE 0.0 END AS nb_r,
+           CASE WHEN var_c > mean_c
+                THEN round(mean_c / var_c, 6) ELSE 0.0 END AS nb_p
+    FROM fit ORDER BY event_type
+    """,
+)
+def events_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of daily event counts by method of
+    moments — the overdispersion test every capacity model needs before
+    assuming Poisson (dispersion index var/mean > 1 means a Poisson
+    model underestimates tail traffic): r = m²/(v−m), p = m/v, with the
+    degenerate cases (underdispersed, single day) pinned to 0.0
+    identically on both engines.  Exact integer moments, IEEE-only
+    float tail, |types|-row output."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("ss"),
+    )
+    n, sm, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = sm.cast("double") / n.cast("double")
+    var = (n * ss - sm * sm).cast("double") / (
+        n.cast("double") * (n - 1).cast("double")
+    )
+    return (
+        m.filter(n > 1)
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n_days"),
+            F.round(mean, 6).alias("mean_count"),
+            F.round(var, 6).alias("var_count"),
+            F.round(var / mean, 6).alias("dispersion_index"),
+            (var > mean).alias("overdispersed"),
+            F.when(
+                var > mean, F.round(mean * mean / (var - mean), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nb_r"),
+            F.when(var > mean, F.round(mean / var, 6))
+            .otherwise(F.lit(0.0))
+            .alias("nb_p"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_hill_tail_index",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS v
+        FROM events WHERE value > 0
+    ), topk AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, event_id) AS rn
+        FROM base QUALIFY rn <= 101
+    ), ref AS (
+        SELECT v AS v_ref FROM topk WHERE rn = 101
+    ), terms AS (
+        SELECT CAST(round(ln(CAST(t.v AS DOUBLE) / r.v_ref) * 1e6, 0)
+                    AS BIGINT) AS l6
+        FROM topk t CROSS JOIN ref r WHERE t.rn <= 100
+    ), m AS (
+        SELECT CAST(SUM(l6) AS BIGINT) AS sl6,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM terms
+    )
+    SELECT m.k, r.v_ref,
+           round(CAST(m.sl6 AS DOUBLE) / m.k / 1e6, 6) AS hill_h,
+           round(CAST(m.k AS DOUBLE) * 1e6 / m.sl6, 6) AS tail_alpha
+    FROM m CROSS JOIN ref r
+    """,
+)
+def events_hill_tail_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hill estimator of the value distribution's tail index — the EVT
+    order-statistics companion to the registry's POT and Gumbel fits
+    (alpha ~ 1/H answers "how heavy is the tail" without choosing a
+    threshold): H = (1/k) Σ ln(x_(i)/x_(k+1)) over the top k = 100
+    order statistics.  The top-(k+1) selection rides
+    ``ranking.take_top_k`` (TakeOrdered — never a global sort) with an
+    event_id tie-break; tied boundary values make the selected VALUE
+    multiset unique even when row choice isn't; each of the 100 ln
+    terms lands on the 1e-6 lattice before the sum."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    base = e.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    topk = take_top_k(
+        base, [F.desc("v"), F.asc("event_id")], 101, rank_col="rn"
+    )
+    topk = topk.localCheckpoint(eager=False)
+    ref = topk.filter(F.col("rn") == 101).select(
+        F.col("v").alias("v_ref")
+    )
+    terms = (
+        topk.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.round(
+                F.log(F.col("v").cast("double") / F.col("v_ref"))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("bigint")
+            .alias("l6")
+        )
+    )
+    m = terms.agg(
+        F.sum("l6").cast("bigint").alias("sl6"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return m.crossJoin(F.broadcast(ref)).select(
+        "k",
+        "v_ref",
+        F.round(
+            F.col("sl6").cast("double") / F.col("k") / F.lit(1e6), 6
+        ).alias("hill_h"),
+        F.round(
+            F.col("k").cast("double") * F.lit(1e6) / F.col("sl6"), 6
+        ).alias("tail_alpha"),
+    )
+
+
+
+@query(
+    "events_odds_ratio",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 AND conv = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN variant = 0 AND conv = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN variant = 1 AND conv = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN variant = 1 AND conv = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM u
+    ), calc AS (
+        SELECT a, b, c, d,
+               CAST((2 * a + 1) * CAST(2 * d + 1 AS HUGEINT) AS DOUBLE)
+                   / CAST((2 * b + 1) * CAST(2 * c + 1 AS HUGEINT)
+                          AS DOUBLE) AS odds,
+               CAST(round(ln(
+                   CAST((2 * a + 1) * CAST(2 * d + 1 AS HUGEINT)
+                        AS DOUBLE)
+                   / CAST((2 * b + 1) * CAST(2 * c + 1 AS HUGEINT)
+                          AS DOUBLE)) * 1e6, 0) AS BIGINT) AS l6,
+               sqrt(2.0 / (2 * a + 1) + 2.0 / (2 * b + 1)
+                    + 2.0 / (2 * c + 1) + 2.0 / (2 * d + 1)) AS se
+        FROM cells
+    )
+    SELECT a AS conv_a, b AS nonconv_a, c AS conv_b, d AS nonconv_b,
+           round(odds, 6) AS odds_ratio,
+           round(CAST(l6 AS DOUBLE) / 1e6, 6) AS ln_or,
+           round(se, 6) AS se_ln_or,
+           round(CAST(l6 AS DOUBLE) / 1e6 - 1.959964 * se, 6)
+               AS ci95_lo_ln,
+           round(CAST(l6 AS DOUBLE) / 1e6 + 1.959964 * se, 6)
+               AS ci95_hi_ln
+    FROM calc
+    """,
+)
+def events_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of purchase conversion between the two user-parity
+    variants with the Woolf logit 95% interval — epidemiology's 2×2
+    primitive next to the Wilson-interval A/B readout: Haldane +1/2
+    smoothing kept integral by doubling ((2a+1)(2d+1)/(2b+1)(2c+1) is
+    an exact rational), the single ln latticed at 1e-6 BEFORE any
+    reuse, the standard error an exact-rational sum under one sqrt,
+    and the interval reported in LOG space (no exp chain — the repo's
+    transcendental discipline).  z = 1.959964 is a shared literal.
+    One per-user rollup, a 4-cell frame after."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    cells = u.agg(
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("conv") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("a"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("conv") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("b"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("conv") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("c"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("conv") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("d"),
+    )
+    num = ((2 * F.col("a") + 1).cast(dec) * (2 * F.col("d") + 1)).cast(
+        "double"
+    )
+    den = ((2 * F.col("b") + 1).cast(dec) * (2 * F.col("c") + 1)).cast(
+        "double"
+    )
+    odds = num / den
+    l6 = F.round(F.log(odds) * F.lit(1e6), 0).cast("bigint")
+    se = F.sqrt(
+        2.0 / (2 * F.col("a") + 1)
+        + 2.0 / (2 * F.col("b") + 1)
+        + 2.0 / (2 * F.col("c") + 1)
+        + 2.0 / (2 * F.col("d") + 1)
+    )
+    z = F.lit(1.959964)
+    lor = l6.cast("double") / F.lit(1e6)
+    return cells.select(
+        F.col("a").alias("conv_a"),
+        F.col("b").alias("nonconv_a"),
+        F.col("c").alias("conv_b"),
+        F.col("d").alias("nonconv_b"),
+        F.round(odds, 6).alias("odds_ratio"),
+        F.round(lor, 6).alias("ln_or"),
+        F.round(se, 6).alias("se_ln_or"),
+        F.round(lor - z * se, 6).alias("ci95_lo_ln"),
+        F.round(lor + z * se, 6).alias("ci95_hi_ln"),
+    )
+
+
+@query(
+    "classifier_mcc",
+    oracle=f"""
+    WITH {{score_cte}}, mm AS (
+        SELECT MIN(sv) AS mn, MAX(sv) AS mx FROM s
+    ), pred AS (
+        SELECT CASE WHEN ((sv - mn) * 10) // (mx - mn + 1) >= 5
+                    THEN 1 ELSE 0 END AS yhat,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM s CROSS JOIN mm
+    ), cm AS (
+        SELECT CAST(SUM(yhat * y) AS BIGINT) AS tp,
+               CAST(SUM(yhat * (1 - y)) AS BIGINT) AS fp,
+               CAST(SUM((1 - yhat) * y) AS BIGINT) AS fn,
+               CAST(SUM((1 - yhat) * (1 - y)) AS BIGINT) AS tn
+        FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(CAST(tp AS HUGEINT) * tn
+                      - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                 / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                             * (tn + fp) * (tn + fn) AS DOUBLE)), 6)
+               AS mcc,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+               AS accuracy
+    FROM cm
+    """.format(score_cte=_clf_score_cte()),
+)
+def classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the hashed linear classifier
+    thresholded at the top half of its score range (bin >= 5 of 10 —
+    the same deterministic binning the WOE/KS/gains family uses) —
+    the single-number confusion summary that stays honest under class
+    imbalance where accuracy lies.  Exact integer confusion cells, the
+    numerator and the four marginal products in HUGEINT/decimal38
+    (they pass 2^63 at scale), one sqrt, one divide."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        hashed_feature_weights,
+        linear_quality_score,
+    )
+
+    dec = "decimal(38,0)"
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    wgt = hashed_feature_weights(spark, n_features=4096, salt="w")
+    scored = linear_quality_score(d, wgt, n_features=4096).select(
+        F.round(F.col("score") * 1e6, 0).cast("bigint").alias("sv"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    mm = scored.agg(F.min("sv").alias("mn"), F.max("sv").alias("mx"))
+    pred = scored.crossJoin(F.broadcast(mm)).select(
+        F.when(
+            F.expr("((sv - mn) * 10) div (mx - mn + 1)") >= 5, 1
+        )
+        .otherwise(0)
+        .alias("yhat"),
+        "y",
+    )
+    cm = pred.agg(
+        F.sum(F.col("yhat") * F.col("y")).cast("bigint").alias("tp"),
+        F.sum(F.col("yhat") * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("yhat")) * F.col("y"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("yhat")) * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (tp.cast(dec) * tn - fp.cast(dec) * fn).cast("double")
+            / F.sqrt(
+                (
+                    (tp + fp).cast(dec)
+                    * (tp + fn)
+                    * (tn + fp)
+                    * (tn + fn)
+                ).cast("double")
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(
+            (tp + tn).cast("double") / (tp + fp + fn + tn), 6
+        ).alias("accuracy"),
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -23127,8 +23642,15 @@ HEADLINE: list[str] = [
     #   corpus_temperature_mixture (sqrt lattice + Hamilton
     #     apportionment), user_power_law_mle (1e-6 ln lattice),
     #   text_burrows_delta (1e-9 freq lattice, true-z IEEE tree,
-    #     1e-6 pair lattice).
-    # Compose r11 from: those 17, any r10 reds, and the oldest
+    #     1e-6 pair lattice), corpus_dedup_cluster_sizes (CC histogram),
+    #   events_kruskal_wallis (distinct-value integer midranks, ordered
+    #     5-element fold, rational tie correction),
+    #   events_negbin_fit (exact moments, guarded degenerate cases),
+    #   events_hill_tail_index (top-101 TakeOrdered, 1e-6 ln lattice),
+    #   events_odds_ratio (doubled-Haldane rational, log-space CI,
+    #     shared-literal z), classifier_mcc (HUGEINT marginal products).
+    # That is 23 r10 additions total.
+    # Compose r11 from: those 23, any r10 reds, and the oldest
     # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green
     # latest-status row should remain bpe_vocab_merges (documented
