@@ -334,6 +334,170 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
 
 
+PPM_MEDIA_SCHEMA = "media_id BIGINT, payload BINARY"
+
+PPM_FEATURE_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
+    "edge_energy BIGINT, decode_ok BOOLEAN"
+)
+
+
+def synth_pixel(seed: int, x: int, y: int, c: int) -> int:
+    """Channel ``c`` of pixel (x, y) for ``seed``: ``(seed·(3xy + x +
+    2y + c + 7) + 2654435761·(x + 17y + 31c)) mod 256`` — closed-form
+    integer, oracle-replayable over an (x, y, c) grid."""
+    return (
+        seed * (3 * x * y + x + 2 * y + c + 7)
+        + 2654435761 * (x + 17 * y + 31 * c)
+    ) % 256
+
+
+def synth_ppm(seed: int, width: int, height: int) -> bytes:
+    """Build a GENUINE binary PPM (P6) image: real "P6\\n<w> <h>\\n255\\n"
+    header, real RGB24 raster in row-major order, pixels from
+    :func:`synth_pixel`.  The image twin of :func:`synth_wav_pcm16` —
+    the stand-in for reading an image column off object storage, with
+    everything downstream of the bytes being the real path."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    raster = bytes(
+        synth_pixel(seed, x, y, c)
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+    return header + raster
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL PPM (P6) decoder — pure stdlib, raises nothing in this
+    sandbox: parses the magic, whitespace/comment-tolerant header
+    tokens (width, height, maxval), then the binary RGB24 raster.
+    Returns ``(width, height, flat_rgb)`` with ``len(flat_rgb) ==
+    3·w·h``.  Raises ``ValueError`` on a wrong magic, maxval != 255, or
+    a short raster.  This retires the image-decode stub the same way
+    ``decode_wav`` retired the audio one; only compressed formats
+    (JPEG/PNG) still wait on a library."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic + 3 ASCII tokens, '#' comments legal between them
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    need = 3 * width * height
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"short PPM raster: {len(raster)} of {need} bytes"
+        )
+    return width, height, list(raster)
+
+
+def make_ppm_table(
+    documents: DataFrame, width: int = 8, height: int = 6
+) -> DataFrame:
+    """documents → a media table whose ``payload`` holds REAL P6 PPM
+    bytes (Arrow-batched synth stage); ``seed = md5_64('ppm-v1:' ||
+    doc_id) % 256`` so an oracle knows every pixel without parsing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synth_ppm(
+                            int(
+                                hashlib.md5(
+                                    f"ppm-v1:{i}".encode()
+                                ).hexdigest()[17:32],
+                                16,
+                            )
+                            % 256,
+                            width,
+                            height,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches, schema=PPM_MEDIA_SCHEMA
+    )
+
+
+def extract_ppm_features(media: DataFrame) -> DataFrame:
+    """REAL image decode + pixel statistics behind the Arrow boundary:
+    parse the PPM header and raster (:func:`decode_ppm`), then compute
+    per-channel brightness sums and a horizontal-gradient edge energy
+    Σ|R(x+1,y) − R(x,y)| from the DECODED pixels — integer DSP, so an
+    engine-independent oracle that replays the pixel formula must agree
+    exactly.  Malformed payloads land as ``decode_ok = false`` with
+    zeroed stats (quarantine discipline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, srs, sgs, sbs, edges, oks = (
+                [], [], [], [], [], [], [],
+            )
+            for payload in pdf["payload"]:
+                try:
+                    w, h, px = decode_ppm(bytes(payload))
+                    ws.append(w)
+                    hs.append(h)
+                    srs.append(sum(px[0::3]))
+                    sgs.append(sum(px[1::3]))
+                    sbs.append(sum(px[2::3]))
+                    edge = 0
+                    for y in range(h):
+                        row = y * w * 3
+                        for x in range(w - 1):
+                            edge += abs(
+                                px[row + 3 * (x + 1)] - px[row + 3 * x]
+                            )
+                    edges.append(edge)
+                    oks.append(True)
+                except (ValueError, IndexError):
+                    ws.append(0)
+                    hs.append(0)
+                    srs.append(0)
+                    sgs.append(0)
+                    sbs.append(0)
+                    edges.append(0)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "sum_r": srs,
+                    "sum_g": sgs,
+                    "sum_b": sbs,
+                    "edge_energy": edges,
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PPM_FEATURE_SCHEMA)
+
+
 def make_audio_table(documents: DataFrame) -> DataFrame:
     """Derive a synthetic AUDIO table from `documents` (payload = utf-8
     text bytes; duration = n_chars ms, 16 kHz) — the test stand-in for a

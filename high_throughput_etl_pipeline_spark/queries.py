@@ -23503,6 +23503,92 @@ def classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "multimodal_ppm_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('ppm-v1:' || CAST(doc_id AS VARCHAR)),
+                               18, 15))::BIGINT % 256 AS s
+        FROM documents
+    ), gx AS (
+        SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS x
+    ), gy AS (
+        SELECT CAST(unnest(range(0, 6)) AS BIGINT) AS y
+    ), px AS (
+        SELECT b.doc_id, gx.x, gy.y,
+               (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 7)
+                + 2654435761 * (gx.x + 17 * gy.y)) % 256 AS r,
+               (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 8)
+                + 2654435761 * (gx.x + 17 * gy.y + 31)) % 256 AS g,
+               (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 9)
+                + 2654435761 * (gx.x + 17 * gy.y + 62)) % 256 AS bl
+        FROM base b CROSS JOIN gx CROSS JOIN gy
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(bl) AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id
+    ), edge AS (
+        SELECT p.doc_id,
+               CAST(SUM(ABS(n.r - p.r)) AS BIGINT) AS edge_energy
+        FROM px p JOIN px n
+          ON n.doc_id = p.doc_id AND n.y = p.y AND n.x = p.x + 1
+        GROUP BY p.doc_id
+    )
+    SELECT a.doc_id AS media_id, CAST(8 AS INT) AS width,
+           CAST(6 AS INT) AS height,
+           a.sum_r, a.sum_g, a.sum_b, e.edge_energy,
+           TRUE AS decode_ok,
+           round(CAST(a.sum_r + a.sum_g + a.sum_b AS DOUBLE)
+                 / (3 * 48 * 255), 6) AS brightness
+    FROM agg a JOIN edge e USING (doc_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end and value-checked — the image twin
+    of ``multimodal_wav_decode``: a synth stage writes genuine binary
+    PPM (P6) payloads into a binary column (real header, real RGB24
+    raster, pixels from a closed-form integer formula keyed by doc_id),
+    then ``extract_ppm_features`` PARSES those bytes with a pure-stdlib
+    decoder behind the Arrow ``mapInPandas`` boundary and computes
+    per-channel brightness sums and horizontal-gradient edge energy
+    from the DECODED pixels.  The oracle never sees a PPM byte — it
+    replays the pixel formula over an (x, y) grid — so a hash match
+    proves header parse + raster decode + pixel DSP are exact.  This
+    retires the image-decode stub for uncompressed formats; JPEG/PNG
+    remain documented library-blocked stubs.  Decode cost is
+    Arrow-amortized; the rollup is one keyed pass."""
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        extract_ppm_features,
+        make_ppm_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = make_ppm_table(d, width=8, height=6)
+    feats = extract_ppm_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "edge_energy",
+        "decode_ok",
+        F.round(
+            (
+                F.col("sum_r") + F.col("sum_g") + F.col("sum_b")
+            ).cast("double")
+            / F.lit(3 * 48 * 255),
+            6,
+        ).alias("brightness"),
+    ).orderBy("media_id")
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -23648,8 +23734,11 @@ HEADLINE: list[str] = [
     #   events_negbin_fit (exact moments, guarded degenerate cases),
     #   events_hill_tail_index (top-101 TakeOrdered, 1e-6 ln lattice),
     #   events_odds_ratio (doubled-Haldane rational, log-space CI,
-    #     shared-literal z), classifier_mcc (HUGEINT marginal products).
-    # That is 23 r10 additions total.
+    #     shared-literal z), classifier_mcc (HUGEINT marginal products),
+    #   multimodal_ppm_decode (REAL stdlib P6 image decode — header +
+    #     raster parse + pixel DSP value-checked by a formula-replaying
+    #     oracle; the image twin of the WAV path).
+    # That is 24 r10 additions total.
     # Compose r11 from: those 23, any r10 reds, and the oldest
     # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green

@@ -409,6 +409,53 @@ def test_wav_decoder_golden_bytes():
         assert s2 == [synth_sample(seed, k) for k in range(n)]
 
 
+def test_ppm_decoder_golden_bytes():
+    """The REAL stdlib PPM path, pinned byte-for-byte: synth_ppm must
+    emit exactly this 23-byte P6 payload (11-byte header + 12 RGB
+    bytes) for (seed=123, 2x2), decode_ppm must recover the exact
+    pixels, comments in the header must be tolerated, and malformed
+    payloads must raise."""
+    import pytest as _pytest
+
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        synth_pixel,
+        synth_ppm,
+    )
+
+    golden_hex = "50360a3220320a3235350a5d473189735d14fee8b19b85"
+    payload = synth_ppm(123, 2, 2)
+    assert payload.hex() == golden_hex
+    assert payload.startswith(b"P6\n2 2\n255\n")
+    w, h, px = decode_ppm(payload)
+    assert (w, h) == (2, 2)
+    assert px == [
+        synth_pixel(123, x, y, c)
+        for y in range(2)
+        for x in range(2)
+        for c in range(3)
+    ]
+    # header comments are legal PPM — decoder must skip them
+    commented = b"P6\n# synthetic\n2 2\n# maxval next\n255\n" + payload[11:]
+    assert decode_ppm(commented) == (2, 2, px)
+    # round-trip for other shapes
+    for seed, ww, hh in [(0, 1, 1), (255, 8, 6), (42, 5, 3)]:
+        w2, h2, px2 = decode_ppm(synth_ppm(seed, ww, hh))
+        assert (w2, h2) == (ww, hh)
+        assert px2 == [
+            synth_pixel(seed, x, y, c)
+            for y in range(hh)
+            for x in range(ww)
+            for c in range(3)
+        ]
+    with _pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P3\n2 2\n255\n...")
+    with _pytest.raises(ValueError, match="short PPM raster"):
+        decode_ppm(payload[:-3])
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00")
+
+
 def test_wav_extract_features_real_decode(spark):
     """extract_wav_features drives the real decoder through the Arrow
     boundary: stats must equal the pure-Python DSP on the formula
