@@ -23589,6 +23589,714 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# ---------------------------------------------------------------------------
+# round-10 session-2 additions: labeled-retrieval MAP eval, IPF mixture
+# raking, feature-hashing vectorizer audit, Page–Hinkley drift detection,
+# Markov stationary distribution.
+# ---------------------------------------------------------------------------
+
+# Truncated average precision on the LCM(1..10)=2520 lattice: P@k·2520 =
+# hits@k·(2520/k) is an exact integer for every k ≤ 10, so AP@10 is ONE
+# exact-integer sum followed by one IEEE division — no float accumulation
+# order to disagree on.  Shared verbatim with the oracle.
+_AP_LCM = 2520
+
+
+def _map_eval_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                              e -> CAST(round(e * 1000) AS BIGINT)) AS vi
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id, label, vi,
+               list_sum(list_transform(vi, x -> x * x)) AS ssq
+        FROM v
+    ), q AS (
+        SELECT vec_id AS query_id, label AS qlabel, vi AS qvi
+        FROM v WHERE vec_id < 20
+    ), rel_tot AS (
+        SELECT q.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN c ON c.label = q.qlabel AND c.vec_id <> q.query_id
+        GROUP BY q.query_id
+    ), ranked AS (
+        SELECT q.query_id, q.qlabel, c.vec_id,
+               CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY CAST(list_sum(list_transform(
+                                generate_series(1, len(c.vi)),
+                                i -> c.vi[i] * q.qvi[i])) AS DOUBLE)
+                            / sqrt(CAST(c.ssq AS DOUBLE)) DESC,
+                            c.vec_id
+               ) AS r
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ), hits AS (
+        SELECT query_id, qlabel, r, rel,
+               SUM(rel) OVER (
+                   PARTITION BY query_id ORDER BY r
+                   ROWS UNBOUNDED PRECEDING
+               ) AS hits_k
+        FROM ranked WHERE r <= 10
+    ), ap AS (
+        SELECT query_id, qlabel,
+               CAST(SUM(CASE WHEN rel = 1
+                             THEN hits_k * ({_AP_LCM} / r)
+                             ELSE 0 END) AS BIGINT) AS ap_scaled,
+               CAST(SUM(rel) AS BIGINT) AS rel_at_10
+        FROM hits GROUP BY query_id, qlabel
+    ), rprec AS (
+        SELECT rk.query_id,
+               CAST(SUM(rk.rel) AS BIGINT) AS rel_at_r
+        FROM ranked rk
+        JOIN rel_tot rt ON rk.query_id = rt.query_id
+        WHERE rk.r <= rt.n_rel
+        GROUP BY rk.query_id
+    )
+    SELECT a.query_id, a.qlabel AS label, rt.n_rel, a.rel_at_10,
+           round(a.rel_at_10 / 10.0, 6) AS p_at_10,
+           round(CAST(a.ap_scaled AS DOUBLE)
+                 / CAST({_AP_LCM} * LEAST(rt.n_rel, 10) AS DOUBLE), 6)
+               AS ap_at_10,
+           round(CAST(rp.rel_at_r AS DOUBLE)
+                 / CAST(rt.n_rel AS DOUBLE), 6) AS r_precision
+    FROM ap a
+    JOIN rel_tot rt ON a.query_id = rt.query_id
+    JOIN rprec rp ON a.query_id = rp.query_id
+    ORDER BY a.query_id
+    """
+
+
+@query("ranker_map_eval", oracle=_map_eval_oracle())
+def ranker_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled retrieval evaluation — truncated MAP (AP@10),
+    precision@10, and R-precision per query, with relevance = "shares
+    the query's class label" (the standard eval when a corpus carries
+    labels rather than graded judgments; complements ann_recall_eval,
+    whose ground truth is the exact retrieval itself).  The ranking is
+    brute-force cosine on the 1e3 integer-embedding lattice: the dot
+    product is an exact BIGINT, the candidate norm is one IEEE sqrt of
+    an exact integer, and the per-query order is therefore bit-identical
+    on both engines (ties broken by vec_id).  AP@10 avoids float
+    accumulation order entirely: P@k·2520 is an exact integer for every
+    k ≤ 10 (2520 = lcm 1..10), so the AP numerator is an integer sum
+    and the metric is one final division.  Cost: |Q| = 20 bounded
+    queries × N candidates — the documented brute-force eval slice (the
+    serving path is the IVF family); the window partitions by query."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x * 1000).cast("bigint"),
+        ).alias("vi"),
+    )
+    c = v.select(
+        "vec_id",
+        "label",
+        "vi",
+        F.aggregate(
+            F.transform(F.col("vi"), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("ssq"),
+    )
+    q = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vi").alias("qvi"),
+    )
+    pairs = c.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("vi", "qvi", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias(
+            "rel"
+        ),
+        (dot.cast("double") / F.sqrt(F.col("ssq").cast("double"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("r", F.row_number().over(w)).select(
+        "query_id", "qlabel", "vec_id", "rel", "r"
+    )
+    rel_tot = (
+        scored.filter(F.col("rel") == 1)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    wr = (
+        Window.partitionBy("query_id")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = ranked.filter(F.col("r") <= 10).withColumn(
+        "hits_k", F.sum("rel").over(wr)
+    )
+    ap = hits.groupBy("query_id", "qlabel").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.col("hits_k") * (_AP_LCM / F.col("r")).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ap_scaled"),
+        F.sum("rel").cast("bigint").alias("rel_at_10"),
+    )
+    rprec = (
+        ranked.join(F.broadcast(rel_tot), "query_id")
+        .filter(F.col("r") <= F.col("n_rel"))
+        .groupBy("query_id")
+        .agg(F.sum("rel").cast("bigint").alias("rel_at_r"))
+    )
+    return (
+        ap.join(F.broadcast(rel_tot), "query_id")
+        .join(F.broadcast(rprec), "query_id")
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "n_rel",
+            "rel_at_10",
+            F.round(F.col("rel_at_10") / 10.0, 6).alias("p_at_10"),
+            F.round(
+                F.col("ap_scaled").cast("double")
+                / (F.lit(_AP_LCM) * F.least(F.col("n_rel"), F.lit(10)))
+                .cast("double"),
+                6,
+            ).alias("ap_at_10"),
+            F.round(
+                F.col("rel_at_r").cast("double")
+                / F.col("n_rel").cast("double"),
+                6,
+            ).alias("r_precision"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ipf_oracle() -> str:
+    # three row+column raking iterations, unrolled; weights live on the
+    # 1e6 integer-micros lattice between steps so every cross-cell sum
+    # is exact and the one ×/÷ chain per step is IEEE-identical
+    steps = []
+    prev = "w0"
+    for it in range(3):
+        rs, cs = f"r{it}", f"c{it}"
+        nxt_r, nxt_c = f"wr{it}", f"w{it + 1}"
+        steps.append(f"""
+    {rs} AS (
+        SELECT lang, SUM(w) AS rs FROM {prev} GROUP BY lang
+    ), {nxt_r} AS (
+        SELECT p.lang, p.source, p.n,
+               CAST(round(CAST(p.w AS DOUBLE) * t.row_target
+                          / CAST(r.rs AS DOUBLE) * 1e6, 0) AS BIGINT) AS w
+        FROM {prev} p JOIN {rs} r ON p.lang = r.lang CROSS JOIN tgt t
+    ), {cs} AS (
+        SELECT source, SUM(w) AS cs FROM {nxt_r} GROUP BY source
+    ), {nxt_c} AS (
+        SELECT p.lang, p.source, p.n,
+               CAST(round(CAST(p.w AS DOUBLE) * t.col_target
+                          / CAST(c.cs AS DOUBLE) * 1e6, 0) AS BIGINT) AS w
+        FROM {nxt_r} p JOIN {cs} c ON p.source = c.source CROSS JOIN tgt t
+    )""")
+        prev = f"w{it + 1}"
+    chain = ",".join(steps)
+    return f"""
+    WITH cell AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), tgt AS (
+        SELECT CAST(SUM(n) AS DOUBLE) / COUNT(DISTINCT lang) AS row_target,
+               CAST(SUM(n) AS DOUBLE) / COUNT(DISTINCT source) AS col_target
+        FROM cell
+    ), w0 AS (
+        SELECT lang, source, n, n * 1000000 AS w FROM cell
+    ),{chain}
+    SELECT lang, source, n AS n_docs,
+           round(CAST(w AS DOUBLE) / 1e6, 4) AS ipf_weight,
+           round(CAST(w AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+               AS resample_ratio
+    FROM {prev} ORDER BY lang, source
+    """
+
+
+@query("corpus_ipf_mixture", oracle=_ipf_oracle())
+def corpus_ipf_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the corpus mixture —
+    rebalance the (lang × source) contingency table to uniform language
+    AND source margins simultaneously, the standard survey-statistics
+    answer to "what per-cell resampling ratios hit both target mixes at
+    once" (temperature sampling — corpus_temperature_mixture — balances
+    one margin; IPF balances two).  Three row+column Sinkhorn iterations
+    over the post-agg cell frame; between steps every weight is rounded
+    to the 1e6 integer-micros lattice, so margin sums are EXACT integer
+    aggregations (no float accumulation order anywhere) and each scale
+    step is one ×, one ÷, one ×1e6 round — IEEE-identical on both
+    engines.  The cell frame is |langs|·|sources| rows regardless of
+    corpus size; margins are broadcast back, so at 100 TB the cost is
+    one grouped count of the documents table."""
+    cell = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tgt = cell.agg(
+        (
+            F.sum("n").cast("double") / F.countDistinct("lang")
+        ).alias("row_target"),
+        (
+            F.sum("n").cast("double") / F.countDistinct("source")
+        ).alias("col_target"),
+    )
+    w = cell.select(
+        "lang", "source", "n", (F.col("n") * 1000000).alias("w")
+    ).join(F.broadcast(tgt))
+    for _ in range(3):
+        rs = w.groupBy("lang").agg(F.sum("w").alias("rs"))
+        w = (
+            w.join(F.broadcast(rs), "lang")
+            .withColumn(
+                "w",
+                F.round(
+                    F.col("w").cast("double")
+                    * F.col("row_target")
+                    / F.col("rs").cast("double")
+                    * 1e6,
+                    0,
+                ).cast("bigint"),
+            )
+            .drop("rs")
+        )
+        cs = w.groupBy("source").agg(F.sum("w").alias("cs"))
+        w = (
+            w.join(F.broadcast(cs), "source")
+            .withColumn(
+                "w",
+                F.round(
+                    F.col("w").cast("double")
+                    * F.col("col_target")
+                    / F.col("cs").cast("double")
+                    * 1e6,
+                    0,
+                ).cast("bigint"),
+            )
+            .drop("cs")
+        )
+    return w.select(
+        "lang",
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("w").cast("double") / 1e6, 4).alias("ipf_weight"),
+        F.round(
+            F.col("w").cast("double") / 1e6 / F.col("n").cast("double"), 6
+        ).alias("resample_ratio"),
+    ).orderBy("lang", "source")
+
+
+@query(
+    "text_feature_hashing",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ')) AS token
+        FROM documents WHERE trim(text) <> ''
+    ), tc AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE token <> '' GROUP BY token
+    ), hashed AS (
+        SELECT token, cnt,
+               ('0x' || substr(md5('fh-v1:' || token), 18, 15))::BIGINT
+                   % 64 AS bucket,
+               CASE WHEN ('0x' || substr(md5('fhs-v1:' || token), 18, 15))
+                             ::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM tc
+    ), top AS (
+        SELECT bucket, token AS top_token, cnt AS top_cnt
+        FROM (
+            SELECT bucket, token, cnt,
+                   row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY cnt DESC, token
+                   ) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    )
+    SELECT h.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(h.cnt) AS BIGINT) AS total_cnt,
+           CAST(SUM(h.sign * h.cnt) AS BIGINT) AS signed_sum,
+           MAX(t.top_token) AS top_token,
+           MAX(t.top_cnt) AS top_cnt
+    FROM hashed h JOIN top t ON h.bucket = t.bucket
+    GROUP BY h.bucket ORDER BY h.bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer audit — the 64-bucket signed feature
+    hash (Weinberger et al.'s unbiased variant: a second hash supplies
+    the ±1 sign, so collisions cancel in expectation) plus the collision
+    report a pipeline checks before committing to a hash width: distinct
+    tokens per bucket, total mass, the signed feature value, and the
+    dominant token each bucket's value actually represents.  Both hash
+    lanes are the repo's portable md5-low-60-bit integer (engine-
+    independent by construction); everything downstream is exact-integer
+    grouped aggregation.  The token-count frame is vocabulary-sized, so
+    at 100 TB the only corpus-scale stage is the one explode + grouped
+    count every text query already pays; the bucket report is 64 rows."""
+    from high_throughput_etl_pipeline_spark.operators.dedup import (
+        md5_64,
+        norm_words,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tc = (
+        d.select(F.explode(norm_words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    hashed = tc.select(
+        "token",
+        "cnt",
+        F.pmod(
+            md5_64(F.concat(F.lit("fh-v1:"), F.col("token"))), F.lit(64)
+        ).alias("bucket"),
+        F.when(
+            F.pmod(
+                md5_64(F.concat(F.lit("fhs-v1:"), F.col("token"))),
+                F.lit(2),
+            )
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    wtop = Window.partitionBy("bucket").orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    top = (
+        hashed.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            F.col("token").alias("top_token"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("total_cnt"),
+            F.sum(F.col("sign") * F.col("cnt"))
+            .cast("bigint")
+            .alias("signed_sum"),
+        )
+        .join(F.broadcast(top), "bucket")
+        .select(
+            "bucket",
+            "n_tokens",
+            "total_cnt",
+            "signed_sum",
+            "top_token",
+            "top_cnt",
+        )
+        .orderBy("bucket")
+    )
+
+
+# Page–Hinkley shared expression: m' given acc=[sx,t,m,minm,alarms,first]
+# and the incoming observation x — repeated VERBATIM wherever the step
+# needs it (no lets in SQL lambdas), so both engines compute the same
+# IEEE chain.  delta=0.5 drift allowance, lambda=10.0 alarm threshold.
+_PH_DELTA = "0.5"
+_PH_LAMBDA = "10.0"
+
+
+def _ph_oracle() -> str:
+    m = f"(acc[3] + (x[1] - (acc[1] + x[1]) / (acc[2] + 1.0) - {_PH_DELTA}))"
+    return f"""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) * 100 AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type, list(x ORDER BY day) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d GROUP BY event_type
+    ), fold AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_prepend(
+                       CAST([0, 0, 0, 0, 0, 0] AS DOUBLE[]),
+                       list_transform(xs,
+                           v -> [v, CAST(0.0 AS DOUBLE),
+                                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+                   (acc, x) -> [
+                       acc[1] + x[1],
+                       acc[2] + 1.0,
+                       {m},
+                       LEAST(acc[4], {m}),
+                       acc[5] + CASE WHEN {m} - LEAST(acc[4], {m})
+                                          > {_PH_LAMBDA}
+                                     THEN 1.0 ELSE 0.0 END,
+                       CASE WHEN {m} - LEAST(acc[4], {m}) > {_PH_LAMBDA}
+                                 AND acc[6] = 0.0
+                            THEN acc[2] + 1.0 ELSE acc[6] END
+                   ]
+               ) AS st
+        FROM s
+    )
+    SELECT event_type, n_days,
+           CAST(st[5] AS BIGINT) AS n_alarms,
+           CAST(st[6] AS BIGINT) AS first_alarm_day,
+           round(st[3], 6) AS m_final,
+           round(st[4], 6) AS min_m,
+           round(st[3] - st[4], 6) AS ph_final
+    FROM fold ORDER BY event_type
+    """
+
+
+@query("events_page_hinkley", oracle=_ph_oracle())
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detector over each event type's daily-mean
+    value series — the sequential change-of-mean test a training-data
+    pipeline runs on incoming feature distributions (complements
+    events_changepoint's retrospective split and events_cusum_alarms'
+    known-target CUSUM: PH needs NO reference mean — it tracks the
+    running mean itself).  m_t accumulates (x_t − x̄_t − δ); an alarm
+    fires when m_t rises more than λ above its running minimum.  The
+    recurrence is inherently ordered, so it rides the ordered-fold
+    discipline: one grouped agg to the |types × days| frame, then ONE
+    F.aggregate over the sorted series with a DOUBLE[6] accumulator
+    [Σx, t, m, min_m, alarms, first_alarm] — the m' expression is
+    repeated verbatim in every slot on both engines (IEEE +−×÷ and
+    LEAST only), so the fold is bit-identical.  The fold touches
+    |days| values per type: trivial at any event volume."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * 100).cast("double")
+        ).alias("x")
+    )
+    s = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            lambda r: r["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    delta = float(_PH_DELTA)
+    lam = float(_PH_LAMBDA)
+
+    def step(acc, x):
+        def at(i):
+            return F.element_at(acc, i)
+
+        m = at(3) + (x - (at(1) + x) / (at(2) + 1.0) - delta)
+        minm = F.least(at(4), m)
+        alarm = (m - minm) > lam
+        return F.array(
+            at(1) + x,
+            at(2) + 1.0,
+            m,
+            minm,
+            at(5) + F.when(alarm, 1.0).otherwise(0.0),
+            F.when(alarm & (at(6) == 0.0), at(2) + 1.0).otherwise(at(6)),
+        )
+
+    init = F.array(*[F.lit(0.0) for _ in range(6)])
+    fold = s.select(
+        "event_type",
+        "n_days",
+        F.aggregate(F.col("xs"), init, step).alias("st"),
+    )
+
+    def st(i):
+        return F.element_at(F.col("st"), i)
+
+    return fold.select(
+        "event_type",
+        "n_days",
+        st(5).cast("bigint").alias("n_alarms"),
+        st(6).cast("bigint").alias("first_alarm_day"),
+        F.round(st(3), 6).alias("m_final"),
+        F.round(st(4), 6).alias("min_m"),
+        F.round(st(3) - st(4), 6).alias("ph_final"),
+    ).orderBy("event_type")
+
+
+def _markov_stationary_oracle() -> str:
+    # eight power iterations, unrolled; per-edge terms are rounded to the
+    # 1e15 integer lattice BEFORE the cross-row sum (the repo's standing
+    # lattice-before-sum idiom), so each iteration's mass vector is exact
+    steps = []
+    prev = "it0"
+    # AS MATERIALIZED: each step references its predecessor twice —
+    # default CTE inlining would re-expand the whole chain per
+    # reference (2^iterations blowup measured as a >300 s bind)
+    for k in range(1, 9):
+        steps.append(f"""
+    s{k} AS MATERIALIZED (
+        SELECT p.dst AS t,
+               SUM(CAST(round(pv.pi * p.pij * 1e15, 0) AS BIGINT)) AS s
+        FROM p JOIN {prev} pv ON p.src = pv.t GROUP BY p.dst
+    ), it{k} AS MATERIALIZED (
+        SELECT t, CAST(s AS DOUBLE)
+                  / CAST((SELECT SUM(s) FROM s{k}) AS DOUBLE) AS pi
+        FROM s{k}
+    )""")
+        prev = f"it{k}"
+    chain = ",".join(steps)
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type AS src, event_type AS dst,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), r AS (
+        SELECT src, SUM(n) AS rn FROM c GROUP BY src
+    ), p AS (
+        SELECT c.src, c.dst,
+               CAST(c.n AS DOUBLE) / CAST(r.rn AS DOUBLE) AS pij
+        FROM c JOIN r ON c.src = r.src
+    ), types AS (
+        SELECT DISTINCT event_type AS t FROM events
+    ), it0 AS (
+        SELECT t, 1.0 / CAST((SELECT COUNT(*) FROM types) AS DOUBLE) AS pi
+        FROM types
+    ),{chain},
+    emp AS (
+        SELECT dst AS t, SUM(n) AS inc FROM c GROUP BY dst
+    )
+    SELECT f.t AS event_type,
+           round(f.pi, 8) AS stationary_pi,
+           round(CAST(e.inc AS DOUBLE)
+                 / CAST((SELECT SUM(inc) FROM emp) AS DOUBLE), 8)
+               AS empirical_share,
+           CAST(e.inc AS BIGINT) AS n_incoming
+    FROM {prev} f JOIN emp e ON f.t = e.t
+    ORDER BY event_type
+    """
+
+
+@query("user_markov_stationary", oracle=_markov_stationary_oracle())
+def user_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    by power iteration — "where does a user's session settle long-run",
+    the steady-state complement to events_markov_transitions' one-step
+    matrix.  The transition matrix is |types|² rows (post-agg tiny at
+    any corpus size); eight power iterations run as broadcast joins over
+    it, and every iteration rounds each π_i·P_ij term to the 1e15
+    integer lattice BEFORE the cross-row sum (the repo's standing
+    lattice-before-sum idiom — grouped float sums have no deterministic
+    order, integer sums are exact), then renormalizes by the exact
+    integer total.  The only corpus-scale work is the lag window
+    partitioned by user and one grouped count."""
+    e = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    )
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    r = c.groupBy("src").agg(F.sum("n").alias("rn"))
+    p = c.join(F.broadcast(r), "src").select(
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.col("rn").cast("double")).alias(
+            "pij"
+        ),
+    )
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    k = types.agg(F.count(F.lit(1)).alias("k"))
+    pi = types.join(F.broadcast(k)).select(
+        "t", (F.lit(1.0) / F.col("k").cast("double")).alias("pi")
+    )
+    # the |types|-row state vector is re-broadcast each round; the
+    # localCheckpoint (the graph family's standing idiom) truncates the
+    # otherwise exponentially re-analyzed lineage
+    for _ in range(8):
+        s = (
+            p.join(F.broadcast(pi), p["src"] == pi["t"])
+            .select(
+                F.col("dst").alias("t"),
+                F.round(F.col("pi") * F.col("pij") * 1e15, 0)
+                .cast("bigint")
+                .alias("term"),
+            )
+            .groupBy("t")
+            .agg(F.sum("term").alias("s"))
+        )
+        tot = s.agg(F.sum("s").alias("tot"))
+        pi = (
+            s.join(F.broadcast(tot))
+            .select(
+                "t",
+                (
+                    F.col("s").cast("double") / F.col("tot").cast("double")
+                ).alias("pi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    emp = c.groupBy(F.col("dst").alias("t")).agg(
+        F.sum("n").alias("inc")
+    )
+    emp_tot = emp.agg(F.sum("inc").alias("etot"))
+    return (
+        pi.join(emp, "t")
+        .join(F.broadcast(emp_tot))
+        .select(
+            F.col("t").alias("event_type"),
+            F.round(F.col("pi"), 8).alias("stationary_pi"),
+            F.round(
+                F.col("inc").cast("double") / F.col("etot").cast("double"),
+                8,
+            ).alias("empirical_share"),
+            F.col("inc").cast("bigint").alias("n_incoming"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -23738,7 +24446,15 @@ HEADLINE: list[str] = [
     #   multimodal_ppm_decode (REAL stdlib P6 image decode — header +
     #     raster parse + pixel DSP value-checked by a formula-replaying
     #     oracle; the image twin of the WAV path).
-    # That is 24 r10 additions total.
+    # That is 24 r10 additions total, plus the 5 session-2 additions
+    # (all locally hash-green, transcendental-free by construction):
+    #   ranker_map_eval (AP@10 on the lcm-2520 integer lattice),
+    #   corpus_ipf_mixture (integer-micros Sinkhorn raking),
+    #   text_feature_hashing (portable md5 signed hashing trick),
+    #   events_page_hinkley (DOUBLE[6] ordered fold, IEEE-only),
+    #   user_markov_stationary (1e15-lattice power iteration,
+    #     MATERIALIZED oracle CTEs, localCheckpoint lineage cuts)
+    # — 29 r10 additions in all.
     # Compose r11 from: those 23, any r10 reds, and the oldest
     # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green
