@@ -24297,6 +24297,517 @@ def user_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_recs_hitrate",
+    oracle="""
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS cust, o.o_orderkey AS ok,
+               o.o_orderdate AS od, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), lastord AS MATERIALIZED (
+        SELECT cust, ok FROM (
+            SELECT cust, ok,
+                   row_number() OVER (
+                       PARTITION BY cust ORDER BY od DESC, ok DESC
+                   ) AS rn
+            FROM (SELECT DISTINCT cust, ok, od FROM b)
+        ) WHERE rn = 1
+    ), holdout AS MATERIALIZED (
+        SELECT b.cust, b.part FROM b JOIN lastord lo
+          ON b.cust = lo.cust AND b.ok = lo.ok
+    ), train AS MATERIALIZED (
+        SELECT DISTINCT b.cust, b.part FROM b JOIN lastord lo
+          ON b.cust = lo.cust AND b.ok <> lo.ok
+    ), cooc AS MATERIALIZED (
+        SELECT a.part AS pa, c.part AS pb,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM b a JOIN b c ON a.ok = c.ok AND a.part <> c.part
+        JOIN lastord lo ON a.cust = lo.cust AND a.ok <> lo.ok
+        GROUP BY 1, 2
+    ), scored AS MATERIALIZED (
+        SELECT t.cust, co.pb AS part, SUM(co.w) AS score
+        FROM train t JOIN cooc co ON t.part = co.pa
+        LEFT JOIN train own
+          ON own.cust = t.cust AND own.part = co.pb
+        WHERE own.part IS NULL
+        GROUP BY t.cust, co.pb
+    ), topk AS MATERIALIZED (
+        SELECT cust, part, rk FROM (
+            SELECT cust, part,
+                   row_number() OVER (
+                       PARTITION BY cust ORDER BY score DESC, part
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= 10
+    ), firsthit AS MATERIALIZED (
+        SELECT tk.cust, MIN(tk.rk) AS r1
+        FROM topk tk JOIN holdout h
+          ON tk.cust = h.cust AND tk.part = h.part
+        GROUP BY tk.cust
+    ), evaluser AS MATERIALIZED (
+        SELECT DISTINCT cust FROM train
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN fh.r1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit10,
+           round(SUM(CASE WHEN fh.r1 IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate,
+           round(CAST(SUM(CASE WHEN fh.r1 IS NOT NULL
+                          THEN 2520 / fh.r1 ELSE 0 END) AS DOUBLE)
+                 / (2520.0 * COUNT(*)), 6) AS mrr_at_10
+    FROM evaluser eu
+    JOIN customer c ON c.c_custkey = eu.cust
+    LEFT JOIN firsthit fh ON fh.cust = eu.cust
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def user_recs_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence recommender with leave-last-order-out evaluation —
+    hit-rate@10 and MRR@10 per market segment, the offline eval loop a
+    recommendation pipeline runs before shipping a covisitation model.
+    Each customer's LAST order (by date, orderkey tiebreak) is held
+    out; the item-item signal is same-order co-purchase counts over
+    TRAINING orders only (no test leakage — the co-occurrence join
+    itself excludes held-out orders); candidates a user already bought
+    are anti-joined away; top-10 by (score, partkey).  All scores are
+    exact integers, and MRR rides the lcm-2520 lattice (2520/rank is an
+    exact integer for rank ≤ 10), so the one division per segment is
+    the only float op.  Scale shape: co-occurrence is bounded by
+    order-size² per order (TPC-H ~7 lines), scoring is a keyed join on
+    part, and the per-user top-k window partitions by customer — no
+    all-pairs stage anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    b = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("od"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    wlast = Window.partitionBy("cust").orderBy(
+        F.desc("od"), F.desc("ok")
+    )
+    lastord = (
+        b.select("cust", "ok", "od")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cust").alias("lcust"), F.col("ok").alias("last_ok")
+        )
+    )
+    holdout = b.join(
+        lastord,
+        (b["cust"] == F.col("lcust")) & (b["ok"] == F.col("last_ok")),
+    ).select(F.col("lcust").alias("cust"), "part")
+    train = (
+        b.join(lastord, b["cust"] == F.col("lcust"))
+        .filter(F.col("ok") != F.col("last_ok"))
+        .select(F.col("lcust").alias("cust"), "part")
+        .distinct()
+    )
+    tb = (
+        b.join(lastord, b["cust"] == F.col("lcust"))
+        .filter(F.col("ok") != F.col("last_ok"))
+        .select("ok", "part")
+    )
+    a2, c2 = tb.alias("a"), tb.alias("c")
+    cooc = (
+        a2.join(
+            c2,
+            (F.col("a.ok") == F.col("c.ok"))
+            & (F.col("a.part") != F.col("c.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("pa"), F.col("c.part").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    scored = (
+        train.alias("t")
+        .join(cooc, F.col("t.part") == F.col("pa"))
+        .join(
+            train.alias("own"),
+            (F.col("own.cust") == F.col("t.cust"))
+            & (F.col("own.part") == F.col("pb")),
+            "left_anti",
+        )
+        .groupBy(F.col("t.cust").alias("cust"), F.col("pb").alias("part"))
+        .agg(F.sum("w").alias("score"))
+    )
+    wtop = Window.partitionBy("cust").orderBy(
+        F.desc("score"), F.asc("part")
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 10)
+        .select("cust", "part", "rk")
+    )
+    firsthit = topk.join(holdout, ["cust", "part"]).groupBy("cust").agg(
+        F.min("rk").alias("r1")
+    )
+    evaluser = train.select("cust").distinct()
+    hit = F.col("r1").isNotNull()
+    return (
+        evaluser.join(
+            cust, cust["c_custkey"] == evaluser["cust"]
+        )
+        .join(F.broadcast(firsthit), "cust", "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit10"),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("hit_rate"),
+            F.round(
+                F.sum(
+                    F.when(hit, (2520 / F.col("r1")).cast("bigint"))
+                    .otherwise(0)
+                ).cast("double")
+                / (F.lit(2520.0) * F.count(F.lit(1))),
+                6,
+            ).alias("mrr_at_10"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "corpus_neyman_allocation",
+    oracle="""
+    WITH m AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(n_chars) AS HUGEINT) AS s,
+               CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                   AS ss
+        FROM documents GROUP BY source
+    ), sd AS (
+        SELECT source, nh,
+               CASE WHEN nh > 1 THEN
+                   CAST(round(sqrt(CAST(nh * ss - s * s AS DOUBLE)
+                                   / CAST(nh AS DOUBLE)
+                                   / CAST(nh - 1 AS DOUBLE)) * 1e6, 0)
+                        AS BIGINT)
+               ELSE 0 END AS sd6
+        FROM m
+    ), wt AS (
+        SELECT source, nh, sd6,
+               CAST(nh AS HUGEINT) * sd6 AS w
+        FROM sd
+    ), tot AS (
+        SELECT CAST(SUM(w) AS HUGEINT) AS tw,
+               CAST(SUM(nh) AS BIGINT) AS tn
+        FROM wt
+    ), quota AS (
+        SELECT s.source, s.nh, s.sd6, s.w,
+               CAST((10000 * s.w) // t.tw AS BIGINT) AS base,
+               CAST((10000 * s.w) % t.tw AS HUGEINT) AS rem,
+               t.tn
+        FROM wt s CROSS JOIN tot t
+    ), left0 AS (
+        SELECT CAST(10000 - SUM(base) AS BIGINT) AS l FROM quota
+    ), ranked AS (
+        SELECT q.*, ROW_NUMBER() OVER (ORDER BY q.rem DESC, q.source)
+                   AS rr
+        FROM quota q
+    )
+    SELECT r.source, r.nh AS n_docs,
+           round(CAST(r.sd6 AS DOUBLE) / 1e6, 4) AS stddev_chars,
+           CAST(r.base + CASE WHEN r.rr <= (SELECT l FROM left0)
+                              THEN 1 ELSE 0 END AS BIGINT)
+               AS neyman_alloc,
+           CAST((10000 * CAST(r.nh AS HUGEINT)) // r.tn AS BIGINT)
+               AS proportional_alloc
+    FROM ranked r ORDER BY r.source
+    """,
+)
+def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — divide a 10,000-doc
+    budget across sources with n_h ∝ N_h·S_h (stratum size × stratum
+    std-dev of doc length), the design that minimizes the estimator
+    variance for a fixed budget; the floor-quota proportional allocation
+    is reported alongside so the variance-driven shift is visible.  The
+    per-stratum std-dev comes from exact HUGEINT moments (one IEEE sqrt,
+    then the 1e-6 lattice — the temperature-mixture discipline), the
+    Neyman weight N_h·S_h is an exact integer product, and the budget is
+    apportioned by Hamilton largest remainder, so allocations sum to
+    exactly 10,000.  One grouped moment pass at any corpus size; the
+    apportionment is a |sources|-row frame."""
+    dec = "decimal(38,0)"
+    d = _t(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum(F.col("n_chars").cast(dec)).alias("s"),
+        F.sum((F.col("n_chars").cast(dec) * F.col("n_chars")).cast(dec))
+        .alias("ss"),
+    )
+    sd = m.select(
+        "source",
+        "nh",
+        F.when(
+            F.col("nh") > 1,
+            F.round(
+                F.sqrt(
+                    (F.col("nh") * F.col("ss") - F.col("s") * F.col("s"))
+                    .cast("double")
+                    / F.col("nh").cast("double")
+                    / (F.col("nh") - 1).cast("double")
+                )
+                * 1e6,
+                0,
+            ).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("sd6"),
+    )
+    wt = sd.select(
+        "source",
+        "nh",
+        "sd6",
+        (F.col("nh").cast(dec) * F.col("sd6")).cast(dec).alias("w"),
+    ).localCheckpoint(eager=False)
+    tot = wt.agg(
+        F.sum("w").cast(dec).alias("tw"),
+        F.sum("nh").cast("bigint").alias("tn"),
+    )
+    quota = wt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        "sd6",
+        F.expr(
+            "CAST((CAST(10000 AS decimal(38,0)) * w) div tw AS BIGINT)"
+        ).alias("base"),
+        F.expr("(CAST(10000 AS decimal(38,0)) * w) % tw")
+        .cast(dec)
+        .alias("rem"),
+        "tn",
+    ).localCheckpoint(eager=False)
+    left0 = quota.agg(
+        (F.lit(10000) - F.sum("base")).cast("bigint").alias("l")
+    )
+    wrr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = quota.withColumn("rr", F.row_number().over(wrr))
+    alloc = F.col("base") + F.when(
+        F.col("rr") <= F.col("l"), 1
+    ).otherwise(0)
+    return (
+        ranked.crossJoin(F.broadcast(left0))
+        .select(
+            "source",
+            F.col("nh").alias("n_docs"),
+            F.round(F.col("sd6").cast("double") / 1e6, 4).alias(
+                "stddev_chars"
+            ),
+            alloc.cast("bigint").alias("neyman_alloc"),
+            F.expr(
+                "CAST((CAST(10000 AS decimal(38,0)) "
+                "* CAST(nh AS decimal(38,0))) div tn AS BIGINT)"
+            ).alias("proportional_alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "orders_promo_lift_did",
+    oracle="""
+    WITH cells AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS treated,
+               CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1
+                    ELSE 0 END AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                    AS HUGEINT) AS s,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+                        * CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                    AS HUGEINT) AS ss
+        FROM orders GROUP BY 1, 2
+    ), mm AS (
+        SELECT treated, post, n,
+               CAST(s AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean_price,
+               CASE WHEN n > 1 THEN
+                   CAST(n * ss - s * s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                      * CAST(n AS DOUBLE)) / 1e4
+               ELSE 0 END AS var_mean
+        FROM cells
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_price END)
+                AS t_post,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_price END)
+                AS t_pre,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_price END)
+                AS c_post,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_price END)
+                AS c_pre,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN var_mean END)
+              + MAX(CASE WHEN treated = 1 AND post = 0 THEN var_mean END)
+              + MAX(CASE WHEN treated = 0 AND post = 1 THEN var_mean END)
+              + MAX(CASE WHEN treated = 0 AND post = 0 THEN var_mean END)
+                AS var_did,
+            CAST(SUM(n) AS BIGINT) AS n_orders
+        FROM mm
+    )
+    SELECT n_orders,
+           round(t_pre, 4) AS treated_pre,
+           round(t_post, 4) AS treated_post,
+           round(c_pre, 4) AS control_pre,
+           round(c_post, 4) AS control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate,
+           round(((t_post - t_pre) - (c_post - c_pre))
+                 / sqrt(var_did), 6) AS did_z
+    FROM wide WHERE var_did > 0
+    """,
+)
+def orders_promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences lift estimate — treated = URGENT
+    orders, pre/post = the 1998-01-01 cutover (mid-range of the synthetic 1995-2001 order dates), outcome = mean order
+    value: DiD = (T_post − T_pre) − (C_post − C_pre), the standard
+    causal estimator when treatment assignment isn't randomized
+    (complements events_cuped_adjusted's variance reduction and
+    events_ab_conversion's randomized test).  The four cell means and
+    their variances come from ONE grouped pass of exact HUGEINT cents
+    moments; the z-score divides by the sqrt of the summed
+    variance-of-means (Welch style, n>1 and positive-variance guarded
+    identically on both engines).  A 2×2 frame regardless of scale."""
+    o = _t(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast(dec)
+    cells = o.groupBy(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum((cents * cents).cast(dec)).alias("ss"),
+    )
+    mm = cells.select(
+        "treated",
+        "post",
+        "n",
+        (
+            F.col("s").cast("double") / (F.col("n") * 100).cast("double")
+        ).alias("mean_price"),
+        F.when(
+            F.col("n") > 1,
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") - 1).cast("double")
+                * F.col("n").cast("double")
+            )
+            / 1e4,
+        )
+        .otherwise(0.0)
+        .alias("var_mean"),
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = mm.agg(
+        cell(1, 1, "mean_price").alias("t_post"),
+        cell(1, 0, "mean_price").alias("t_pre"),
+        cell(0, 1, "mean_price").alias("c_post"),
+        cell(0, 0, "mean_price").alias("c_pre"),
+        (
+            cell(1, 1, "var_mean")
+            + cell(1, 0, "var_mean")
+            + cell(0, 1, "var_mean")
+            + cell(0, 0, "var_mean")
+        ).alias("var_did"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (
+        F.col("c_post") - F.col("c_pre")
+    )
+    return wide.filter(F.col("var_did") > 0).select(
+        "n_orders",
+        F.round(F.col("t_pre"), 4).alias("treated_pre"),
+        F.round(F.col("t_post"), 4).alias("treated_post"),
+        F.round(F.col("c_pre"), 4).alias("control_pre"),
+        F.round(F.col("c_post"), 4).alias("control_post"),
+        F.round(did, 4).alias("did_estimate"),
+        F.round(did / F.sqrt(F.col("var_did")), 6).alias("did_z"),
+    )
+
+
+@query(
+    "events_srm_check",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n0, n1,
+           round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE), 6) AS chi2,
+           CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+               / CAST(n0 + n1 AS DOUBLE) > 3.841458820694124 AS srm_flag
+    FROM g WHERE n0 + n1 > 0 ORDER BY event_type
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch health check for the user_id-parity A/B
+    assignment — the guardrail every experimentation pipeline runs
+    before trusting a test: under a 50/50 split the goodness-of-fit
+    chi-square collapses to (n0−n1)²/n, an exact-integer numerator over
+    one division, flagged against the 95% one-df critical value (a
+    shared literal).  Unlike events_chisq_independence (type × hour
+    association), this is the GOF form against a DESIGNED ratio.  One
+    grouped pass; |types| rows out at any event volume."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    diff = F.col("n0") - F.col("n1")
+    chi = (diff * diff).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    return (
+        g.filter((F.col("n0") + F.col("n1")) > 0)
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            F.round(chi, 6).alias("chi2"),
+            (chi > 3.841458820694124).alias("srm_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -24454,7 +24965,11 @@ HEADLINE: list[str] = [
     #   events_page_hinkley (DOUBLE[6] ordered fold, IEEE-only),
     #   user_markov_stationary (1e15-lattice power iteration,
     #     MATERIALIZED oracle CTEs, localCheckpoint lineage cuts)
-    # — 29 r10 additions in all.
+    #   plus user_recs_hitrate (leave-last-out covisitation eval),
+    #   corpus_neyman_allocation (moment-exact Hamilton apportionment),
+    #   orders_promo_lift_did (2x2 exact-moment DiD),
+    #   events_srm_check (rational GOF chi-square)
+    # — 33 r10 additions in all.
     # Compose r11 from: those 23, any r10 reds, and the oldest
     # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green
