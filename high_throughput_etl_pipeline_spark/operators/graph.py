@@ -881,3 +881,123 @@ def sssp_bounded(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def betweenness_bounded(
+    edges: DataFrame, sources: DataFrame, rounds: int = 6
+) -> DataFrame:
+    """Bounded-horizon Brandes betweenness from a small source set —
+    the sampled/bounded approximation every large-graph system ships
+    (exact Brandes is one BFS per node; at 100 TB you bound BOTH the
+    source sample and the horizon).  Contributions are EXACT for every
+    shortest path of length ≤ ``rounds`` starting at a source.
+
+    ``edges`` is an undirected (u, v) pair list over STRING node ids
+    (callers namespace bipartite sides, e.g. ``'s:'||suppkey``);
+    ``sources`` is a one-column (src) frame, typically a handful of
+    rows.
+
+    Forward pass: strict level-synchronous BFS carrying the source
+    column — layer k+1 = neighbors of layer k not yet visited, with
+    path counts σ summed per (src, node); σ stays on the exact integer
+    lattice, so both engines agree bit-for-bit.  Backward pass
+    (Brandes' dependency accumulation δ(v) = Σ_w σv/σw · (1 + δw)):
+    each per-successor term is rounded to the 1e9 integer lattice
+    BEFORE the cross-row sum (grouped float sums have no deterministic
+    order; integer sums are exact), so δ — and the final betweenness —
+    is hash-checkable against an unrolled SQL replay.
+
+    Every round is one keyed equi-join + one grouped sum (frontiers
+    key on (src, node), never all-pairs); ``localCheckpoint`` cuts
+    lineage per round; the edge list carries the same SHUFFLE_HASH
+    hint as :func:`sssp_bounded` (repeated AQE broadcasts of the edge
+    side accumulate driver memory faster than GC reclaims it).
+
+    Returns (node, bc_int): the 1e9-lattice betweenness sum over all
+    sources, source nodes excluded (layer-0 δ is the classic
+    "dependency of s on itself" and is not betweenness mass).
+    """
+    ed = (
+        edges.select(F.col("u"), F.col("v"))
+        .unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .localCheckpoint(eager=False)
+        .hint("shuffle_hash")
+    )
+    layer = sources.select(
+        F.col("src"),
+        F.col("src").alias("node"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=False)
+    visited = layer.select("src", "node")
+    layers = [layer]
+    for _ in range(rounds):
+        cand = (
+            layer.join(ed, layer["node"] == ed["u"])
+            .groupBy("src", F.col("v").alias("node2"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("node2", "node")
+        )
+        layer = cand.join(
+            visited, ["src", "node"], "left_anti"
+        ).localCheckpoint(eager=False)
+        visited = visited.unionByName(
+            layer.select("src", "node")
+        ).localCheckpoint(eager=False)
+        layers.append(layer)
+    # delta carries (src, node, sigma, delta_int): while computing layer
+    # k it holds layer k+1's state, so the successor lookup is ONE join
+    delta = layers[rounds].select(
+        "src", "node", "sigma", F.lit(0).cast("bigint").alias("delta_int")
+    )
+    acc = []
+    for k in range(rounds - 1, -1, -1):
+        lk = layers[k].alias("lv")
+        succ = (
+            lk.join(ed.alias("e"), F.col("lv.node") == F.col("e.u"))
+            .join(
+                delta.alias("dw"),
+                (F.col("dw.src") == F.col("lv.src"))
+                & (F.col("dw.node") == F.col("e.v")),
+            )
+            .select(
+                F.col("lv.src").alias("src"),
+                F.col("lv.node").alias("node"),
+                F.round(
+                    F.col("lv.sigma").cast("double")
+                    / F.col("dw.sigma").cast("double")
+                    * (
+                        F.lit(1.0)
+                        + F.col("dw.delta_int").cast("double") / 1e9
+                    )
+                    * 1e9,
+                    0,
+                )
+                .cast("bigint")
+                .alias("term"),
+            )
+            .groupBy("src", "node")
+            .agg(F.sum("term").alias("dsum"))
+        )
+        delta = (
+            layers[k]
+            .join(succ, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                "sigma",
+                F.coalesce(F.col("dsum"), F.lit(0))
+                .cast("bigint")
+                .alias("delta_int"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if k >= 1:
+            acc.append(delta)
+    out = acc[0].select("src", "node", "delta_int")
+    for d in acc[1:]:
+        out = out.unionByName(d.select("src", "node", "delta_int"))
+    return out.groupBy("node").agg(
+        F.sum("delta_int").cast("bigint").alias("bc_int")
+    )

@@ -24808,6 +24808,128 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _betweenness_oracle(rounds: int = 6) -> str:
+    term = (
+        "CAST(round(CAST(lv.sigma AS DOUBLE) / CAST(dw.sigma AS DOUBLE)"
+        " * (1.0 + CAST(dw.delta_int AS DOUBLE) / 1e9) * 1e9, 0)"
+        " AS BIGINT)"
+    )
+    parts = ["""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS u,
+                        'p:' || CAST(l_partkey AS VARCHAR) AS v
+        FROM lineitem
+    ), ed AS MATERIALIZED (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), srcs AS MATERIALIZED (
+        SELECT 's:' || CAST(src AS VARCHAR) AS src FROM (
+            SELECT DISTINCT l_suppkey AS src FROM lineitem
+            ORDER BY src LIMIT 4)
+    ), f0 AS MATERIALIZED (
+        SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM srcs
+    ), v0 AS MATERIALIZED (
+        SELECT src, node FROM f0
+    )"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""", f{k} AS MATERIALIZED (
+        SELECT c.src, c.node, c.sigma FROM (
+            SELECT f.src, ed.v AS node,
+                   CAST(SUM(f.sigma) AS BIGINT) AS sigma
+            FROM f{k - 1} f JOIN ed ON f.node = ed.u
+            GROUP BY f.src, ed.v
+        ) c LEFT JOIN v{k - 1} vis
+          ON c.src = vis.src AND c.node = vis.node
+        WHERE vis.node IS NULL
+    ), v{k} AS MATERIALIZED (
+        SELECT src, node FROM v{k - 1}
+        UNION ALL SELECT src, node FROM f{k}
+    )""")
+    parts.append(f""", d{rounds} AS MATERIALIZED (
+        SELECT src, node, sigma, CAST(0 AS BIGINT) AS delta_int
+        FROM f{rounds}
+    )""")
+    for k in range(rounds - 1, 0, -1):
+        parts.append(f""", d{k} AS MATERIALIZED (
+        SELECT f.src, f.node, f.sigma,
+               CAST(COALESCE(s.dsum, 0) AS BIGINT) AS delta_int
+        FROM f{k} f LEFT JOIN (
+            SELECT lv.src, lv.node, SUM({term}) AS dsum
+            FROM f{k} lv JOIN ed ON lv.node = ed.u
+            JOIN d{k + 1} dw ON dw.src = lv.src AND dw.node = ed.v
+            GROUP BY lv.src, lv.node
+        ) s ON f.src = s.src AND f.node = s.node
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT src, node, delta_int FROM d{k}"
+        for k in range(1, rounds)
+    )
+    parts.append(f""", bc AS (
+        SELECT node, CAST(SUM(delta_int) AS BIGINT) AS bc_int
+        FROM ({unions}) GROUP BY node
+    )
+    SELECT CAST(row_number() OVER (ORDER BY bc_int DESC, node) AS INT)
+               AS pos,
+           node,
+           round(CAST(bc_int AS DOUBLE) / 1e9, 4) AS betweenness
+    FROM bc QUALIFY pos <= 20 ORDER BY pos
+    """)
+    return "".join(parts)
+
+
+@query("supplier_betweenness", oracle=_betweenness_oracle(6))
+def supplier_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon Brandes betweenness centrality over the
+    supplier–part bipartite graph — "which nodes do shortest paths
+    route through", the brokerage measure that completes the
+    centrality family next to PageRank, HITS, closeness, and k-core.
+    Sources are the same four lowest-keyed suppliers as
+    supplier_closeness_centrality; horizon 6 hops (the bounded-BFS
+    precedent — exact for every shortest path of length ≤ 6 from a
+    source).  Forward pass: level-synchronous BFS with exact-integer
+    path counts σ carried per (source, node).  Backward pass: Brandes'
+    dependency accumulation with every σv/σw·(1+δw) term rounded to
+    the 1e9 lattice BEFORE the grouped sum (``graph.betweenness_
+    bounded``), so the iterative float recurrence is hash-checkable
+    against the fully unrolled SQL replay.  Each round is one keyed
+    join + one grouped sum; the leaderboard rides TakeOrdered."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        betweenness_bounded,
+    )
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+            "u"
+        ),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "v"
+        ),
+    ).distinct()
+    srcs = (
+        li.select(F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .orderBy("sk")
+        .limit(4)
+        .select(
+            F.concat(F.lit("s:"), F.col("sk").cast("string")).alias("src")
+        )
+    )
+    bc = betweenness_bounded(edges, srcs, rounds=6)
+    top = take_top_k(
+        bc, [F.desc("bc_int"), F.asc("node")], 20, rank_col="pos"
+    )
+    return top.select(
+        F.col("pos").cast("int").alias("pos"),
+        "node",
+        F.round(F.col("bc_int").cast("double") / 1e9, 4).alias(
+            "betweenness"
+        ),
+    ).orderBy("pos")
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -24968,8 +25090,9 @@ HEADLINE: list[str] = [
     #   plus user_recs_hitrate (leave-last-out covisitation eval),
     #   corpus_neyman_allocation (moment-exact Hamilton apportionment),
     #   orders_promo_lift_did (2x2 exact-moment DiD),
-    #   events_srm_check (rational GOF chi-square)
-    # — 33 r10 additions in all.
+    #   events_srm_check (rational GOF chi-square),
+    #   supplier_betweenness (bounded Brandes, 1e9-lattice dependencies)
+    # — 34 r10 additions in all.
     # Compose r11 from: those 23, any r10 reds, and the oldest
     # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green
