@@ -3528,3 +3528,50 @@ def test_prefix_filter_pairs_equals_bruteforce(spark):
             want[(a, b)] = inter
     assert got == want
     assert (1, 2) in got and (1, 3) in got and (4, 5) not in got
+
+
+def test_betweenness_bounded_diamond_graph(spark):
+    """Diamond a-{b,c}-d: two shortest a→d paths, so Brandes gives the
+    middle nodes δ = (1/2)(1+0) = 0.5 each and the sink 0 — exact
+    expected lattice values, single source."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        betweenness_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "u STRING, v STRING",
+    )
+    srcs = spark.createDataFrame([("a",)], "src STRING")
+    got = {
+        r["node"]: r["bc_int"]
+        for r in betweenness_bounded(edges, srcs, rounds=4).collect()
+    }
+    assert got == {"b": 500000000, "c": 500000000, "d": 0}
+
+
+def test_betweenness_bounded_path_graph_two_sources(spark):
+    """Path a-b-c-d from both ends: from a, δ(b)=2 (b sits on a→c and
+    a→d), δ(c)=1; from d symmetric — so b and c each accumulate 3.0;
+    endpoints collect only what the OTHER source routes through them
+    (sources themselves are excluded from output)."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        betweenness_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "u STRING, v STRING"
+    )
+    srcs = spark.createDataFrame([("a",), ("d",)], "src STRING")
+    got = {
+        r["node"]: r["bc_int"]
+        for r in betweenness_bounded(edges, srcs, rounds=4).collect()
+    }
+    # from a: delta(b) = (1/1)(1+delta(c)) = 2, delta(c) = 1, delta(d)=0
+    # from d: delta(c) = 2, delta(b) = 1, delta(a) = 0
+    assert got == {
+        "b": 3000000000,
+        "c": 3000000000,
+        "a": 0,
+        "d": 0,
+    }
