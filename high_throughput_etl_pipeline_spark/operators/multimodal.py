@@ -562,3 +562,52 @@ def audio_windows(
         (end * F.col("_rate") / 1000).cast("bigint").alias("end_sample"),
         "n_windows",
     )
+
+
+PPM_AHASH_SCHEMA = "media_id BIGINT, ahash BIGINT, decode_ok BOOLEAN"
+
+
+def extract_ppm_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint from REAL PPM decode:
+    parse header + raster (:func:`decode_ppm`), gray = r+g+b per pixel,
+    bit(x, y) = 1 iff (w·h)·gray > Σgray (cross-multiplied — the mean
+    threshold with NO division), packed raster-order into one BIGINT
+    (bit index y·w + x).  The canonical cheap image-dedup key: identical
+    frames collide exactly; near-identical frames land within a few
+    Hamming bits.  Integer-only from decoded bytes, so a formula-
+    replaying oracle agrees bit-for-bit.  Requires w·h ≤ 63 (one
+    BIGINT); the synthetic 8×6 grid uses 48 bits.  Malformed payloads
+    land as ``decode_ok = false`` with hash 0 (quarantine discipline).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, oks = [], []
+            for payload in pdf["payload"]:
+                try:
+                    w, h, px = decode_ppm(bytes(payload))
+                    if w * h > 63:
+                        raise ValueError("aHash grid exceeds 63 bits")
+                    grays = [
+                        px[3 * i] + px[3 * i + 1] + px[3 * i + 2]
+                        for i in range(w * h)
+                    ]
+                    tot = sum(grays)
+                    hv = 0
+                    for i, g in enumerate(grays):
+                        if w * h * g > tot:
+                            hv |= 1 << i
+                    hashes.append(hv)
+                    oks.append(True)
+                except (ValueError, IndexError):
+                    hashes.append(0)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": hashes,
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PPM_AHASH_SCHEMA)

@@ -24930,6 +24930,289 @@ def supplier_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pos")
 
 
+@query(
+    "embedding_triplet_mining",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                              e -> CAST(round(e * 1000) AS BIGINT)) AS vi
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id, label, vi,
+               sqrt(CAST(list_sum(list_transform(vi, x -> x * x))
+                         AS DOUBLE)) AS nrm
+        FROM v
+    ), a AS (
+        SELECT vec_id AS anchor_id, label AS albl, vi AS avi, nrm AS anrm
+        FROM c WHERE vec_id < 10
+    ), pairs AS (
+        SELECT a.anchor_id, a.albl, c.vec_id, c.label,
+               CAST(list_sum(list_transform(
+                        generate_series(1, len(c.vi)),
+                        i -> c.vi[i] * a.avi[i])) AS DOUBLE)
+                   / (c.nrm * a.anrm) AS sim
+        FROM c CROSS JOIN a
+        WHERE c.vec_id <> a.anchor_id
+    ), pos AS (
+        SELECT anchor_id, vec_id AS pos_id, sim AS pos_sim FROM (
+            SELECT anchor_id, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY sim DESC, vec_id
+                   ) AS rn
+            FROM pairs WHERE label = albl
+        ) WHERE rn = 1
+    ), neg AS (
+        SELECT p.anchor_id,
+               CAST(SUM(CASE WHEN p.sim > ps.pos_sim
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hard,
+               CAST(SUM(CASE WHEN p.sim <= ps.pos_sim
+                              AND p.sim > ps.pos_sim - 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_semihard,
+               CAST(SUM(CASE WHEN p.sim <= ps.pos_sim - 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_easy
+        FROM pairs p JOIN pos ps ON p.anchor_id = ps.anchor_id
+        WHERE p.label <> p.albl
+        GROUP BY p.anchor_id
+    )
+    SELECT a.anchor_id, a.albl AS label, ps.pos_id,
+           round(ps.pos_sim, 6) AS pos_sim,
+           n.n_hard, n.n_semihard, n.n_easy
+    FROM a JOIN pos ps ON a.anchor_id = ps.anchor_id
+    JOIN neg n ON a.anchor_id = n.anchor_id
+    ORDER BY a.anchor_id
+    """,
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-mining difficulty profile for contrastive training —
+    per anchor: the hardest positive (nearest same-label neighbor) and
+    the negative pool split into hard (closer than the positive),
+    semi-hard (within the 0.05 cosine margin below it — the FaceNet
+    band that actually trains), and easy.  This is the mining report a
+    pipeline checks before picking a margin.  Cosines ride the 1e3
+    integer-embedding lattice (exact BIGINT dots, one sqrt per norm,
+    one divide), so similarity comparisons — including the margin
+    boundary — are bit-identical on both engines.  Anchors are a
+    bounded 10-row slice; the pair frame is |anchors|×N with grouped
+    counts, the brute-force eval path (serving rides the IVF family)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x * 1000).cast("bigint")
+        ).alias("vi"),
+    )
+    c = v.select(
+        "vec_id",
+        "label",
+        "vi",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vi"), lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        ).alias("nrm"),
+    )
+    a = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("albl"),
+        F.col("vi").alias("avi"),
+        F.col("nrm").alias("anrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vi", "avi", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        c.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "albl",
+            "vec_id",
+            "label",
+            (dot.cast("double") / (F.col("nrm") * F.col("anrm"))).alias(
+                "sim"
+            ),
+        )
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    pos = (
+        pairs.filter(F.col("label") == F.col("albl"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("label") != F.col("albl"))
+        .join(F.broadcast(pos), "anchor_id")
+        .groupBy("anchor_id")
+        .agg(
+            F.sum(F.when(F.col("sim") > F.col("pos_sim"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hard"),
+            F.sum(
+                F.when(
+                    (F.col("sim") <= F.col("pos_sim"))
+                    & (F.col("sim") > F.col("pos_sim") - 0.05),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_semihard"),
+            F.sum(
+                F.when(F.col("sim") <= F.col("pos_sim") - 0.05, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_easy"),
+        )
+    )
+    return (
+        a.select("anchor_id", F.col("albl").alias("label"))
+        .join(F.broadcast(pos), "anchor_id")
+        .join(F.broadcast(neg), "anchor_id")
+        .select(
+            "anchor_id",
+            "label",
+            "pos_id",
+            F.round(F.col("pos_sim"), 6).alias("pos_sim"),
+            "n_hard",
+            "n_semihard",
+            "n_easy",
+        )
+        .orderBy("anchor_id")
+    )
+
+
+@query(
+    "multimodal_ahash_dedup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('ppm-v1:' || CAST(doc_id AS VARCHAR)),
+                               18, 15))::BIGINT % 256 AS s
+        FROM documents
+    ), gx AS (
+        SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS x
+    ), gy AS (
+        SELECT CAST(unnest(range(0, 6)) AS BIGINT) AS y
+    ), px AS (
+        SELECT b.doc_id, gx.x, gy.y,
+               (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 7)
+                + 2654435761 * (gx.x + 17 * gy.y)) % 256
+               + (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 8)
+                  + 2654435761 * (gx.x + 17 * gy.y + 31)) % 256
+               + (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 9)
+                  + 2654435761 * (gx.x + 17 * gy.y + 62)) % 256 AS gray
+        FROM base b CROSS JOIN gx CROSS JOIN gy
+    ), tot AS (
+        SELECT doc_id, SUM(gray) AS tg FROM px GROUP BY doc_id
+    ), hb AS MATERIALIZED (
+        SELECT px.doc_id,
+               CAST(SUM(CASE WHEN 48 * px.gray > t.tg
+                             THEN (1::BIGINT << CAST(px.y * 8 + px.x
+                                                     AS INT))
+                             ELSE 0 END) AS BIGINT) AS ahash
+        FROM px JOIN tot t ON px.doc_id = t.doc_id
+        GROUP BY px.doc_id
+    ), grp AS MATERIALIZED (
+        SELECT ahash, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hb GROUP BY ahash
+    ), hist AS (
+        SELECT cnt AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM grp GROUP BY cnt
+    ), top10 AS MATERIALIZED (
+        SELECT ahash FROM grp ORDER BY cnt DESC, ahash LIMIT 10
+    ), mh AS (
+        SELECT CAST(MIN(bit_count(xor(a.ahash, b.ahash))) AS BIGINT)
+                   AS min_cross_hamming
+        FROM top10 a JOIN top10 b ON a.ahash < b.ahash
+    ), summary AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(COUNT(DISTINCT ahash) AS BIGINT) AS n_distinct
+        FROM hb
+    )
+    SELECT h.group_size, h.n_groups, s.n_images, s.n_distinct,
+           m.min_cross_hamming
+    FROM hist h CROSS JOIN summary s CROSS JOIN mh m
+    ORDER BY h.group_size
+    """,
+)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image dedup over the REAL PPM decode
+    path — decode every image (header + raster parse, ``operators/
+    multimodal.py:extract_ppm_ahash``), threshold each pixel's gray
+    level against the image mean (cross-multiplied, no division), pack
+    the 48 bits into one BIGINT fingerprint, and report the duplicate-
+    group size histogram plus the minimum Hamming separation among the
+    ten most frequent fingerprints (bit_count over xor — the
+    near-dup distance the banding path would block on).  The synthetic
+    corpus drives 500 images through 256 seeds, so exact collisions
+    are guaranteed and the histogram is value-bearing.  Scale shape:
+    hashing is one Arrow-batched decode pass; everything after
+    operates on DISTINCT fingerprints (≤ 2^48, in practice the seed
+    space), never on image pairs."""
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        extract_ppm_ahash,
+        make_ppm_table,
+    )
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        take_top_k,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = make_ppm_table(d, width=8, height=6)
+    h = extract_ppm_ahash(media).filter(F.col("decode_ok"))
+    grp = h.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    hist = grp.groupBy(F.col("cnt").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups")
+    )
+    top10 = take_top_k(
+        grp, [F.desc("cnt"), F.asc("ahash")], 10, rank_col="rk"
+    ).select("ahash")
+    a2, b2 = top10.alias("a"), top10.alias("b")
+    mh = (
+        a2.join(F.broadcast(b2), F.col("a.ahash") < F.col("b.ahash"))
+        .agg(
+            F.min(
+                F.bit_count(
+                    F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+                )
+            )
+            .cast("bigint")
+            .alias("min_cross_hamming")
+        )
+    )
+    summary = h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.countDistinct("ahash").cast("bigint").alias("n_distinct"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(mh))
+        .select(
+            "group_size",
+            "n_groups",
+            "n_images",
+            "n_distinct",
+            "min_cross_hamming",
+        )
+        .orderBy("group_size")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -25091,8 +25374,10 @@ HEADLINE: list[str] = [
     #   corpus_neyman_allocation (moment-exact Hamilton apportionment),
     #   orders_promo_lift_did (2x2 exact-moment DiD),
     #   events_srm_check (rational GOF chi-square),
-    #   supplier_betweenness (bounded Brandes, 1e9-lattice dependencies)
-    # — 34 r10 additions in all.
+    #   supplier_betweenness (bounded Brandes, 1e9-lattice dependencies),
+    #   embedding_triplet_mining (lattice-exact FaceNet margin bands),
+    #   multimodal_ahash_dedup (real-decode aHash groups + Hamming)
+    # — 36 r10 additions in all.
     # Compose r11 from: those 23, any r10 reds, and the oldest
     # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green
