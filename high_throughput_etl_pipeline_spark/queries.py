@@ -25213,6 +25213,282 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_cramer_von_mises",
+    oracle="""
+    WITH vc AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM vc GROUP BY 1
+    ), pr AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               a.n AS n_a, b.n AS n_b
+        FROM tot a JOIN tot b ON a.event_type < b.event_type
+    ), u AS (
+        SELECT DISTINCT p.ta, p.tb, p.n_a, p.n_b, vc.v
+        FROM pr p JOIN vc ON vc.event_type IN (p.ta, p.tb)
+    ), pv AS (
+        SELECT u.ta, u.tb, u.n_a, u.n_b, u.v,
+               COALESCE(va.cnt, 0) AS ca, COALESCE(vb.cnt, 0) AS cb
+        FROM u
+        LEFT JOIN vc va ON va.event_type = u.ta AND va.v = u.v
+        LEFT JOIN vc vb ON vb.event_type = u.tb AND vb.v = u.v
+    ), cum AS (
+        SELECT ta, tb, n_a, n_b, v, ca + cb AS w,
+               SUM(ca) OVER (PARTITION BY ta, tb ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cfa,
+               SUM(cb) OVER (PARTITION BY ta, tb ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cfb
+        FROM pv
+    ), st AS (
+        SELECT ta, tb, n_a, n_b,
+               CAST(SUM(CAST(w AS HUGEINT)
+                        * (cfa * n_b - cfb * n_a)
+                        * (cfa * n_b - cfb * n_a)) AS HUGEINT) AS num
+        FROM cum GROUP BY ta, tb, n_a, n_b
+    )
+    SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * CAST(n_a + n_b AS DOUBLE)
+                    * CAST(n_a + n_b AS DOUBLE)), 6) AS cvm_t
+    FROM st ORDER BY type_a, type_b
+    """,
+)
+def events_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between every pair of
+    event types' value distributions — the whole-distribution
+    complement to events_ks_test's max-gap (CvM integrates the SQUARED
+    ECDF gap over the combined sample, so it sees spread-out
+    differences KS misses).  Tie-safe ECDF form on the cents lattice:
+    per distinct value the gap F−G cross-multiplies to the exact
+    integer (cfa·n_b − cfb·n_a), the weighted square-sum stays
+    HUGEINT, and T = Σw·gap²/(n_a·n_b·N²) is ONE final division —
+    fully rational, no lattice tuning anywhere.  One grouped count per
+    type, cumulative sums over the post-agg distinct-value frame
+    (windows partition by pair), |types|² output rows at any volume."""
+    e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    vc = e.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = vc.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    a2, b2 = tot.alias("a"), tot.alias("b")
+    pr = a2.join(
+        F.broadcast(b2), F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    # per-pair distinct-value axis: each pair pulls the values observed
+    # in EITHER of its two types
+    u = (
+        F.broadcast(pr)
+        .join(
+            vc.select(F.col("event_type").alias("vt"), "v"),
+            (F.col("vt") == F.col("ta")) | (F.col("vt") == F.col("tb")),
+        )
+        .select("ta", "tb", "n_a", "n_b", "v")
+        .distinct()
+    )
+    va = vc.select(
+        F.col("event_type").alias("ta"),
+        F.col("v").alias("v"),
+        F.col("cnt").alias("ca"),
+    )
+    vb = vc.select(
+        F.col("event_type").alias("tb"),
+        F.col("v").alias("v"),
+        F.col("cnt").alias("cb"),
+    )
+    pv = (
+        u.join(va, ["ta", "v"], "left")
+        .join(vb, ["tb", "v"], "left")
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    wc = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.select(
+        "ta",
+        "tb",
+        "n_a",
+        "n_b",
+        (F.col("ca") + F.col("cb")).alias("w"),
+        F.sum("ca").over(wc).alias("cfa"),
+        F.sum("cb").over(wc).alias("cfb"),
+    )
+    gap = F.col("cfa") * F.col("n_b") - F.col("cfb") * F.col("n_a")
+    st = cum.groupBy("ta", "tb", "n_a", "n_b").agg(
+        F.sum((F.col("w").cast(dec) * gap * gap).cast(dec)).alias("num")
+    )
+    return st.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("num").cast("double")
+            / (
+                F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+                * (F.col("n_a") + F.col("n_b")).cast("double")
+                * (F.col("n_a") + F.col("n_b")).cast("double")
+            ),
+            6,
+        ).alias("cvm_t"),
+    ).orderBy("type_a", "type_b")
+
+
+@query(
+    "user_uplift_qini",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS treated,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ), r AS (
+        SELECT u.*, row_number() OVER (
+                   ORDER BY score DESC, user_id) AS rk,
+               (SELECT COUNT(*) FROM u) AS n
+        FROM u
+    ), d AS (
+        SELECT ((rk - 1) * 10) // n AS decile,
+               CAST(SUM(treated) AS BIGINT) AS n_t,
+               CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+               CAST(SUM(treated * converted) AS BIGINT) AS y_t,
+               CAST(SUM((1 - treated) * converted) AS BIGINT) AS y_c
+        FROM r GROUP BY 1
+    ), c AS (
+        SELECT decile,
+               SUM(n_t) OVER w AS n_t_cum,
+               SUM(n_c) OVER w AS n_c_cum,
+               SUM(y_t) OVER w AS y_t_cum,
+               SUM(y_c) OVER w AS y_c_cum
+        FROM d
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_t_cum AS BIGINT) AS n_t_cum,
+           CAST(n_c_cum AS BIGINT) AS n_c_cum,
+           CAST(y_t_cum AS BIGINT) AS y_t_cum,
+           CAST(y_c_cum AS BIGINT) AS y_c_cum,
+           round(CAST(y_t_cum AS DOUBLE)
+                 - CAST(y_c_cum AS DOUBLE) * CAST(n_t_cum AS DOUBLE)
+                   / CAST(n_c_cum AS DOUBLE), 6) AS qini,
+           round(CAST(y_t_cum AS DOUBLE) / CAST(n_t_cum AS DOUBLE)
+                 - CAST(y_c_cum AS DOUBLE) / CAST(n_c_cum AS DOUBLE), 6)
+               AS uplift_rate
+    FROM c WHERE n_c_cum > 0 AND n_t_cum > 0
+    ORDER BY decile
+    """,
+)
+def user_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift-model evaluation — rank users by a
+    deterministic targeting score (view count), walk down the ranking
+    in deciles, and at each cut report the incremental conversions
+    qini(k) = Y_t(k) − Y_c(k)·N_t(k)/N_c(k) against the user-parity
+    treatment split (the standard offline eval for "whom should the
+    campaign target"; complements events_ab_conversion's single-split
+    test and classifier_cumulative_gains' response-only curve).  The
+    global decile cut rides ``ranking.global_rank`` (range-partitioned
+    two-pass — no single-task window); every cumulative count is an
+    exact integer; qini and uplift are IEEE chains over exact inputs.
+    One grouped pass over events, a 10-row curve out at any volume."""
+    from high_throughput_etl_pipeline_spark.operators.ranking import (
+        global_rank,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted"),
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("bigint").alias("treated"),
+        "score",
+        "converted",
+    )
+    ranked, n = global_rank(
+        u, [F.desc("score"), F.asc("user_id")], rank_col="rk"
+    )
+    d = ranked.groupBy(
+        F.expr(f"((rk - 1) * 10) div {n}").alias("decile")
+    ).agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.col("treated") * F.col("converted"))
+        .cast("bigint")
+        .alias("y_t"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("bigint")
+        .alias("y_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.select(
+        "decile",
+        F.sum("n_t").over(wc).alias("n_t_cum"),
+        F.sum("n_c").over(wc).alias("n_c_cum"),
+        F.sum("y_t").over(wc).alias("y_t_cum"),
+        F.sum("y_c").over(wc).alias("y_c_cum"),
+    )
+    return (
+        c.filter((F.col("n_c_cum") > 0) & (F.col("n_t_cum") > 0))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_t_cum").cast("bigint").alias("n_t_cum"),
+            F.col("n_c_cum").cast("bigint").alias("n_c_cum"),
+            F.col("y_t_cum").cast("bigint").alias("y_t_cum"),
+            F.col("y_c_cum").cast("bigint").alias("y_c_cum"),
+            F.round(
+                F.col("y_t_cum").cast("double")
+                - F.col("y_c_cum").cast("double")
+                * F.col("n_t_cum").cast("double")
+                / F.col("n_c_cum").cast("double"),
+                6,
+            ).alias("qini"),
+            F.round(
+                F.col("y_t_cum").cast("double")
+                / F.col("n_t_cum").cast("double")
+                - F.col("y_c_cum").cast("double")
+                / F.col("n_c_cum").cast("double"),
+                6,
+            ).alias("uplift_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -25376,8 +25652,10 @@ HEADLINE: list[str] = [
     #   events_srm_check (rational GOF chi-square),
     #   supplier_betweenness (bounded Brandes, 1e9-lattice dependencies),
     #   embedding_triplet_mining (lattice-exact FaceNet margin bands),
-    #   multimodal_ahash_dedup (real-decode aHash groups + Hamming)
-    # — 36 r10 additions in all.
+    #   multimodal_ahash_dedup (real-decode aHash groups + Hamming),
+    #   events_cramer_von_mises (fully rational two-sample ECDF test),
+    #   user_uplift_qini (global-rank decile Qini curve)
+    # — 38 r10 additions in all.
     # Compose r11 from: those 23, any r10 reds, and the oldest
     # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green
