@@ -25489,6 +25489,140 @@ def user_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_theil_decomposition",
+    oracle="""
+    WITH x AS (
+        SELECT n.n_name AS nation,
+               CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS xi
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ), g AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(xi) AS HUGEINT) AS sg
+        FROM x GROUP BY nation
+    ), tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS HUGEINT) AS s
+        FROM g
+    ), terms AS (
+        SELECT x.nation,
+               CAST(x.xi AS HUGEINT)
+               * CAST(round(ln(CAST(x.xi AS DOUBLE) * CAST(g.ng AS DOUBLE)
+                               / CAST(g.sg AS DOUBLE)) * 1e6, 0)
+                      AS HUGEINT) AS t6
+        FROM x JOIN g ON x.nation = g.nation
+    ), w AS (
+        SELECT nation, CAST(SUM(t6) AS HUGEINT) AS wsum
+        FROM terms GROUP BY nation
+    )
+    SELECT g.nation, g.ng AS n_items,
+           round(CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE), 6)
+               AS revenue_share,
+           round(CAST(w.wsum AS DOUBLE)
+                 / (CAST(g.sg AS DOUBLE) * 1e6), 6) AS theil_within,
+           round(CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE)
+                 * (CAST(round(ln(CAST(g.sg AS DOUBLE)
+                                  * CAST(t.n AS DOUBLE)
+                                  / (CAST(t.s AS DOUBLE)
+                                     * CAST(g.ng AS DOUBLE))) * 1e6, 0)
+                         AS DOUBLE) / 1e6), 6) AS between_term
+    FROM g JOIN w ON g.nation = w.nation CROSS JOIN tot t
+    ORDER BY g.nation
+    """,
+)
+def lineitem_theil_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-T inequality index of line-item revenue, DECOMPOSED by
+    supplier nation into within-nation inequality and each nation's
+    between-group term — the additive decomposition property that makes
+    Theil (unlike events_value_gini's Gini) the index used to attribute
+    inequality to grouping structure: T = Σ_g share_g·T_g + Σ_g
+    share_g·ln(share_g·N/N_g).  Per-row terms x_i·ln(x_i·N_g/S_g) round
+    the ln to the PROVEN 1e-6 lattice before the cross-row HUGEINT sum
+    (the repo's libm-portability margin; the ×x_i product and both sums
+    stay exact integers), and the 25 group-level between-lns ride the
+    same lattice.  One fact-to-dim broadcast join chain, two grouped
+    passes; |nations| rows out at any volume.  At ~1e12 rows per group
+    the x·N_g double product approaches 2^53 — switch xi to a coarser
+    cents lattice there (docstring contract, same as the chi-square
+    family)."""
+    dec = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    x = (
+        li.join(
+            F.broadcast(su), li["l_suppkey"] == su["s_suppkey"]
+        )
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("xi"),
+        )
+    )
+    g = x.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("xi").cast(dec)).alias("sg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast(dec).alias("s"),
+    )
+    terms = x.join(F.broadcast(g), "nation").select(
+        "nation",
+        (
+            F.col("xi").cast(dec)
+            * F.round(
+                F.ln(
+                    F.col("xi").cast("double")
+                    * F.col("ng").cast("double")
+                    / F.col("sg").cast("double")
+                )
+                * 1e6,
+                0,
+            ).cast(dec)
+        ).cast(dec).alias("t6"),
+    )
+    w = terms.groupBy("nation").agg(F.sum("t6").cast(dec).alias("wsum"))
+    between_ln = F.round(
+        F.ln(
+            F.col("sg").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("s").cast("double") * F.col("ng").cast("double"))
+        )
+        * 1e6,
+        0,
+    )
+    return (
+        g.join(F.broadcast(w), "nation")
+        .join(F.broadcast(tot))
+        .select(
+            "nation",
+            F.col("ng").alias("n_items"),
+            F.round(
+                F.col("sg").cast("double") / F.col("s").cast("double"), 6
+            ).alias("revenue_share"),
+            F.round(
+                F.col("wsum").cast("double")
+                / (F.col("sg").cast("double") * 1e6),
+                6,
+            ).alias("theil_within"),
+            F.round(
+                F.col("sg").cast("double")
+                / F.col("s").cast("double")
+                * (between_ln.cast("double") / 1e6),
+                6,
+            ).alias("between_term"),
+        )
+        .orderBy("nation")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -25654,8 +25788,9 @@ HEADLINE: list[str] = [
     #   embedding_triplet_mining (lattice-exact FaceNet margin bands),
     #   multimodal_ahash_dedup (real-decode aHash groups + Hamming),
     #   events_cramer_von_mises (fully rational two-sample ECDF test),
-    #   user_uplift_qini (global-rank decile Qini curve)
-    # — 38 r10 additions in all.
+    #   user_uplift_qini (global-rank decile Qini curve),
+    #   lineitem_theil_decomposition (1e-6 ln lattice, additive split)
+    # — 39 r10 additions in all.
     # Compose r11 from: those 23, any r10 reds, and the oldest
     # single-green transcendental-bearing rows (e.g.
     # doc_bigram_perplexity, ann_recall_eval).  The only non-green
