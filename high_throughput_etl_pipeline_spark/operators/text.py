@@ -303,14 +303,18 @@ def bigram_lm_scores(
     mass for unseen words).  Unseen bigrams/contexts coalesce to count
     0, so every held-out token gets finite smoothed mass.
 
-    Output: (id, n_tokens, avg_logprob, perplexity).  Each per-token
+    Output: (id, n_tokens, avg_lp_nanos, perplexity).  Each per-token
     log-prob rounds to the 1e-9 integer lattice BEFORE the per-doc
     average (libm ln is build-dependent; summing raw ln outputs across
     rows is the class that flipped customer_survival_curve on the r8
-    driver — integer sums cannot drift), and ``perplexity`` is
-    exp(-avg_logprob) computed from the 6-dp-rounded average — rounding
-    before the exp keeps the value engine-portable (exp amplifies
-    last-bit float divergence past any fixed rounding otherwise).
+    driver — integer sums cannot drift).  The average itself is an
+    INTEGER — half-away-from-zero nanos via |sum| and integer division
+    (round(sum/1e9/n, 6) was a mean-of-lattice decimal-tie surface,
+    the r10 hazard defect class; Spark's ``div`` truncates while
+    DuckDB's ``//`` floors, so the signed mean routes through ABS) —
+    and ``perplexity`` is exp(-avg_lp_nanos/1e9): both engines feed
+    the IDENTICAL double into exp, so only a 4-dp tie adjacent to a
+    1-ulp exp difference could flip it.
 
     Scale shape: the model IS two DataFrames (bigram counts, context
     counts) — never collected; scoring joins are keyed on the bigram /
@@ -345,21 +349,26 @@ def bigram_lm_scores(
             .alias("_lp9"),
         )
     )
-    avg = F.round(
-        F.sum("_lp9").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+    avg_nanos = F.expr(
+        "CAST(CASE WHEN SUM(_lp9) >= 0"
+        " THEN (2 * SUM(_lp9) + COUNT(*)) div (2 * COUNT(*))"
+        " ELSE -((2 * -SUM(_lp9) + COUNT(*)) div (2 * COUNT(*)))"
+        " END AS BIGINT)"
     )
     return (
         scored.groupBy("_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            avg.alias("avg_logprob"),
-            F.round(F.exp(-avg), 4).alias("perplexity"),
+            avg_nanos.alias("avg_lp_nanos"),
         )
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",
-            "avg_logprob",
-            "perplexity",
+            "avg_lp_nanos",
+            F.round(
+                F.exp(-F.col("avg_lp_nanos").cast("double") / F.lit(1e9)),
+                4,
+            ).alias("perplexity"),
         )
     )
 

@@ -4038,7 +4038,15 @@ def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(ln(v.c / total.n)), 6) AS avg_logprob
+           CAST(CASE WHEN SUM(CAST(round(ln(v.c / total.n) * 1e9, 0)
+                                   AS BIGINT)) >= 0
+                     THEN (2 * SUM(CAST(round(ln(v.c / total.n) * 1e9, 0)
+                                        AS BIGINT)) + count(*))
+                          // (2 * count(*))
+                     ELSE -((2 * -SUM(CAST(round(ln(v.c / total.n) * 1e9,
+                                                 0) AS BIGINT))
+                             + count(*)) // (2 * count(*)))
+                END AS BIGINT) AS avg_lp_nanos
     FROM toks t JOIN vocab v USING (w) CROSS JOIN total
     GROUP BY t.doc_id
     ORDER BY t.doc_id
@@ -4048,7 +4056,12 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM score per document (avg ln p(w)) — the
     cheap perplexity-style quality signal.  Fully distributed: vocabulary
     and corpus total stay DataFrames (tiny total broadcasts via cross
-    join); token→vocab is a keyed shuffle join, linear in token count."""
+    join); token→vocab is a keyed shuffle join, linear in token count.
+    Hardened r11: each per-token ln rounds to the 1e-9 integer lattice
+    BEFORE the per-doc mean (the r5 form averaged RAW ln outputs —
+    exactly the libm-summation class that flipped the KM fold on the
+    r8 driver), and the mean itself is half-away-from-zero integer
+    nanos (no decimal-tie surface)."""
     from high_throughput_etl_pipeline_spark.operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -4060,12 +4073,21 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.join(vocab, on="w")
         .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c") / F.col("n")) * F.lit(1e9), 0)
+            .cast("bigint")
+            .alias("_lp9"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias(
-                "avg_logprob"
-            ),
+            F.expr(
+                "CAST(CASE WHEN SUM(_lp9) >= 0"
+                " THEN (2 * SUM(_lp9) + COUNT(*)) div (2 * COUNT(*))"
+                " ELSE -((2 * -SUM(_lp9) + COUNT(*)) div (2 * COUNT(*)))"
+                " END AS BIGINT)"
+            ).alias("avg_lp_nanos"),
         )
         .orderBy("doc_id")
     )
@@ -4108,13 +4130,20 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN cc c ON s.prev = c.prev
         CROSS JOIN v
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           round(CAST(SUM(lp9) AS DOUBLE) / 1e9 / count(*), 6)
-               AS avg_logprob,
-           round(exp(-round(CAST(SUM(lp9) AS DOUBLE) / 1e9 / count(*),
-                            6)), 4) AS perplexity
-    FROM lp GROUP BY doc_id ORDER BY doc_id
+    SELECT doc_id, n_tokens, avg_lp_nanos,
+           round(exp(-CAST(avg_lp_nanos AS DOUBLE) / 1e9), 4)
+               AS perplexity
+    FROM (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN SUM(lp9) >= 0
+                         THEN (2 * SUM(lp9) + count(*))
+                              // (2 * count(*))
+                         ELSE -((2 * -SUM(lp9) + count(*))
+                                // (2 * count(*)))
+                    END AS BIGINT) AS avg_lp_nanos
+        FROM lp GROUP BY doc_id
+    ) ORDER BY doc_id
     """,
 )
 def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11576,7 +11605,7 @@ def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(tot.n AS BIGINT) AS n,
            CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS dof,
-           round(CAST(SUM(c.chi_scaled) AS DOUBLE) / 1e6, 4) AS chi2,
+           CAST(SUM(c.chi_scaled) AS BIGINT) AS chi2_micros,
            round(sqrt(CAST(SUM(c.chi_scaled) AS DOUBLE) / 1e6
                       / CAST(tot.n AS DOUBLE)
                       / CAST(LEAST(tot.nr, tot.nc) - 1 AS DOUBLE)), 6)
@@ -11634,7 +11663,9 @@ def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").cast("bigint").alias("n"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
-        F.round(F.col("_cs").cast("double") / 1e6, 4).alias("chi2"),
+        # the statistic already lives on the integer micros lattice —
+        # hash it directly; round(_cs/1e6, 4) was a decimal-tie surface
+        F.col("_cs").cast("bigint").alias("chi2_micros"),
         F.round(
             F.sqrt(
                 F.col("_cs").cast("double")
@@ -11766,12 +11797,12 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN cnt cb ON cb.source = p.source_b AND cb.lang = l.lang
     )
     SELECT source_a, source_b, n_a, n_b,
-           round(CAST(SUM(CAST(round((
+           CAST(SUM(CAST(round((
                CASE WHEN pa > 0
                     THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END
                + CASE WHEN pb > 0
                       THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END
-           ) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS js_divergence
+           ) * 1e9, 0) AS BIGINT)) AS BIGINT) AS js_nanos
     FROM grid
     GROUP BY source_a, source_b, n_a, n_b
     ORDER BY source_a, source_b
@@ -11858,9 +11889,10 @@ def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.groupBy("source_a", "source_b", "n_a", "n_b")
         .agg(
-            F.round(
-                F.sum(term9).cast("double") / F.lit(1e9), 6
-            ).alias("js_divergence")
+            # hash the lattice sum directly — round(sum/1e9, 6) was a
+            # decimal-tie surface (exact tie at sum % 1000 == 500, the
+            # hazard defect class)
+            F.sum(term9).cast("bigint").alias("js_nanos")
         )
         .orderBy("source_a", "source_b")
     )
@@ -12080,7 +12112,7 @@ def part_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.dur, r.d, r.c, r.n_risk
     )
     SELECT dur AS duration_days, n_risk, d AS d_events, c AS c_censored,
-           round(surv_raw, 6) AS survival
+           CAST(floor(surv_raw * 1e6 + 0.5) AS BIGINT) AS survival_micros
     FROM curve ORDER BY dur
     """,
 )
@@ -12100,7 +12132,15 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1k at any corpus size — so the triangular self-join feeding each
     row's fold is a few hundred thousand pairs, post-aggregation.  A
     risk set hitting zero gives a factor of exactly 0.0, which the
-    product propagates exactly — no special case needed."""
+    product propagates exactly — no special case needed.  The HASHED
+    output is integer-only (r11): ``survival_micros =
+    floor(surv_raw * 1e6 + 0.5)`` — floor is exact and ×/+ are
+    correctly-rounded IEEE, so even a driver-side DuckDB whose
+    ``round()`` tie-breaks differently from ours hashes identically;
+    the r8-r10 driver reds all sat in the round()/repr surface that
+    this removes.  The four ``customer_survival_debug_*`` stage
+    queries decompose this pipeline into integer-only checkpoints so
+    one driver run localizes any remaining divergence."""
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("d")
     )
@@ -12164,7 +12204,9 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         F.col("d").alias("d_events"),
         F.col("c").alias("c_censored"),
-        F.round(F.col("surv_raw"), 6).alias("survival"),
+        F.floor(F.col("surv_raw") * F.lit(1e6) + F.lit(0.5)).alias(
+            "survival_micros"
+        ),
     ).orderBy("duration_days")
 
 
@@ -13157,7 +13199,10 @@ def embedding_community_modularity(
     )
     SELECT CAST((rk - 1) * 10 // n AS INT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           round(SUM(sv) / COUNT(*) / 1e6, 6) AS mean_score,
+           CAST(CASE WHEN SUM(sv) >= 0
+                     THEN (2 * SUM(sv) + COUNT(*)) // (2 * COUNT(*))
+                     ELSE -((2 * -SUM(sv) + COUNT(*)) // (2 * COUNT(*)))
+                END AS BIGINT) AS mean_score_micros,
            round(SUM(pos) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
     FROM r GROUP BY bucket ORDER BY bucket
     """,
@@ -13197,9 +13242,16 @@ def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(F.sum("sv") / F.count(F.lit(1)) / 1e6, 6).alias(
-                "mean_score"
-            ),
+            # integer half-away-from-zero mean in micros — the prior
+            # round(sum/n/1e6, 6) is a mean-of-lattice decimal-tie
+            # surface; sv is signed, and Spark's `div` truncates while
+            # DuckDB's `//` floors, so route through ABS on both sides
+            F.expr(
+                "CAST(CASE WHEN SUM(sv) >= 0"
+                " THEN (2 * SUM(sv) + COUNT(*)) div (2 * COUNT(*))"
+                " ELSE -((2 * -SUM(sv) + COUNT(*)) div (2 * COUNT(*)))"
+                " END AS BIGINT)"
+            ).alias("mean_score_micros"),
             F.round(
                 F.sum("pos") / F.count(F.lit(1)).cast("double"), 6
             ).alias("pos_rate"),
@@ -13242,12 +13294,14 @@ def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ct CROSS JOIN tot
     )
     SELECT CAST(tot.n AS BIGINT) AS n,
-           round(CAST(mi.s AS DOUBLE) / 1e6 / CAST(tot.n AS DOUBLE), 6)
-               AS mutual_information,
-           round(CAST(hx.s AS DOUBLE) / 1e6 / CAST(tot.n AS DOUBLE), 6)
-               AS h_type,
-           round(CAST(hy.s AS DOUBLE) / 1e6 / CAST(tot.n AS DOUBLE), 6)
-               AS h_hour,
+           CAST(CASE WHEN mi.s >= 0
+                     THEN (2 * mi.s + tot.n) // (2 * tot.n)
+                     ELSE -((2 * -mi.s + tot.n) // (2 * tot.n))
+                END AS BIGINT) AS mi_micros,
+           CAST((2 * hx.s + tot.n) // (2 * tot.n) AS BIGINT)
+               AS h_type_micros,
+           CAST((2 * hy.s + tot.n) // (2 * tot.n) AS BIGINT)
+               AS h_hour_micros,
            round(CAST(mi.s AS DOUBLE)
                  / sqrt(CAST(hx.s AS DOUBLE) * CAST(hy.s AS DOUBLE)), 6)
                AS nmi
@@ -13319,18 +13373,22 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select(
             F.col("n").cast("bigint").alias("n"),
-            F.round(
-                F.col("mi_s").cast("double") / 1e6 / F.col("n").cast("double"),
-                6,
-            ).alias("mutual_information"),
-            F.round(
-                F.col("hx_s").cast("double") / 1e6 / F.col("n").cast("double"),
-                6,
-            ).alias("h_type"),
-            F.round(
-                F.col("hy_s").cast("double") / 1e6 / F.col("n").cast("double"),
-                6,
-            ).alias("h_hour"),
+            # integer half-away-from-zero micros-per-event — the prior
+            # round(s/1e6/n, 6) forms are mean-of-lattice decimal-tie
+            # surfaces (hazard defect class); MI terms are signed, the
+            # entropies nonnegative
+            F.expr(
+                "CAST(CASE WHEN mi_s >= 0"
+                " THEN (2 * mi_s + n) div (2 * n)"
+                " ELSE -((2 * -mi_s + n) div (2 * n))"
+                " END AS BIGINT)"
+            ).alias("mi_micros"),
+            F.expr(
+                "CAST((2 * hx_s + n) div (2 * n) AS BIGINT)"
+            ).alias("h_type_micros"),
+            F.expr(
+                "CAST((2 * hy_s + n) div (2 * n) AS BIGINT)"
+            ).alias("h_hour_micros"),
             F.round(
                 F.col("mi_s").cast("double")
                 / F.sqrt(
@@ -15851,10 +15909,10 @@ def orders_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(FLOOR(CAST(d9 AS DOUBLE) / 1e8) AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           round(CAST(SUM(d9) AS DOUBLE) / COUNT(*) / 1e9, 6)
-               AS avg_distortion,
-           round(CAST(MIN(d9) AS DOUBLE) / 1e9, 6) AS min_distortion,
-           round(CAST(MAX(d9) AS DOUBLE) / 1e9, 6) AS max_distortion
+           CAST((2 * SUM(d9) + 1000 * COUNT(*)) // (2000 * COUNT(*))
+                AS BIGINT) AS avg_micros,
+           (MIN(d9) + 500) // 1000 AS min_micros,
+           (MAX(d9) + 500) // 1000 AS max_micros
     FROM ratio GROUP BY 1 ORDER BY 1
     """,
 )
@@ -15938,16 +15996,15 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(
-                F.sum("d9").cast("double") / F.count(F.lit(1)) / 1e9,
-                6,
-            ).alias("avg_distortion"),
-            F.round(F.min("d9").cast("double") / 1e9, 6).alias(
-                "min_distortion"
-            ),
-            F.round(F.max("d9").cast("double") / 1e9, 6).alias(
-                "max_distortion"
-            ),
+            # integer half-up micros — the prior round(·/1e9, 6) forms
+            # are decimal-tie surfaces (exact tie at d9 % 1000 == 500,
+            # the hazard defect class); d9 >= 0 so div == floor-div
+            F.expr(
+                "CAST((2 * SUM(d9) + 1000 * COUNT(*))"
+                " div (2000 * COUNT(*)) AS BIGINT)"
+            ).alias("avg_micros"),
+            F.expr("(MIN(d9) + 500) div 1000").alias("min_micros"),
+            F.expr("(MAX(d9) + 500) div 1000").alias("max_micros"),
         )
         .orderBy("bucket")
     )
@@ -16849,11 +16906,13 @@ def classifier_isotonic_calibration(
         FROM cells
     )
     SELECT t.n, t.ysum AS n_pos,
-           round(CAST(t.sqsum AS DOUBLE) / t.n / 1e18, 6) AS brier,
-           round(CAST(tm.relc AS DOUBLE) / 1e6 / t.n, 6)
-               AS reliability,
-           round(CAST(tm.resc AS DOUBLE) / 1e6 / t.n, 6)
-               AS resolution,
+           CAST((2 * t.sqsum + CAST(t.n AS HUGEINT) * 1000000000000)
+                // (2 * CAST(t.n AS HUGEINT) * 1000000000000)
+                AS BIGINT) AS brier_micros,
+           CAST((2 * tm.relc + t.n) // (2 * t.n) AS BIGINT)
+               AS reliability_micros,
+           CAST((2 * tm.resc + t.n) // (2 * t.n) AS BIGINT)
+               AS resolution_micros,
            round((CAST(t.ysum AS DOUBLE) / t.n)
                  * (1.0 - CAST(t.ysum AS DOUBLE) / t.n), 6)
                AS uncertainty
@@ -16940,20 +16999,21 @@ def classifier_brier_decomposition(
         .select(
             "n",
             F.col("ysum").alias("n_pos"),
-            F.round(
-                F.col("sqsum").cast("double")
-                / F.col("n")
-                / F.lit(1e18),
-                6,
-            ).alias("brier"),
-            F.round(
-                F.col("relc").cast("double") / F.lit(1e6) / F.col("n"),
-                6,
-            ).alias("reliability"),
-            F.round(
-                F.col("resc").cast("double") / F.lit(1e6) / F.col("n"),
-                6,
-            ).alias("resolution"),
+            # integer half-up micros — the prior round(·/n/1e18, 6) /
+            # round(·/1e6/n, 6) forms are mean-of-lattice decimal-tie
+            # surfaces; all numerators >= 0 so div == floor-div
+            F.expr(
+                "CAST((2 * sqsum"
+                " + CAST(n AS decimal(38,0)) * 1000000000000)"
+                " div (2 * CAST(n AS decimal(38,0)) * 1000000000000)"
+                " AS BIGINT)"
+            ).alias("brier_micros"),
+            F.expr("(2 * relc + n) div (2 * n)").alias(
+                "reliability_micros"
+            ),
+            F.expr("(2 * resc + n) div (2 * n)").alias(
+                "resolution_micros"
+            ),
             F.round(obar * (F.lit(1.0) - obar), 6).alias(
                 "uncertainty"
             ),
@@ -16997,8 +17057,12 @@ def classifier_brier_decomposition(
         FROM per
     )
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           round(CAST(SUM(s9) AS DOUBLE) / COUNT(*) / 1e9, 6)
-               AS mean_silhouette
+           CAST(CASE WHEN SUM(s9) >= 0
+                     THEN (2 * SUM(s9) + 1000 * COUNT(*))
+                          // (2000 * COUNT(*))
+                     ELSE -((2 * -SUM(s9) + 1000 * COUNT(*))
+                            // (2000 * COUNT(*)))
+                END AS BIGINT) AS mean_sil_micros
     FROM sil GROUP BY label ORDER BY label
     """,
 )
@@ -17056,12 +17120,18 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         sil.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(
-                F.sum("s9").cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1e9),
-                6,
-            ).alias("mean_silhouette"),
+            # integer half-away-from-zero mean in micros — the prior
+            # round(sum/n/1e9, 6) is a mean-of-lattice decimal-tie
+            # surface; s9 is signed and Spark `div` truncates while
+            # DuckDB `//` floors, so route through ABS on both sides
+            F.expr(
+                "CAST(CASE WHEN SUM(s9) >= 0"
+                " THEN (2 * SUM(s9) + 1000 * COUNT(*))"
+                " div (2000 * COUNT(*))"
+                " ELSE -((2 * -SUM(s9) + 1000 * COUNT(*))"
+                " div (2000 * COUNT(*)))"
+                " END AS BIGINT)"
+            ).alias("mean_sil_micros"),
         )
         .orderBy("label")
     )
@@ -20322,8 +20392,10 @@ def _shapley_oracle() -> str:
         FROM chbit cb CROSS JOIN m GROUP BY cb.channel
     )
     SELECT t.channel, c.n_users, c.n_conv,
-           round(CAST(SUM(t.t9) AS DOUBLE) / 1e9 / 24, 6)
-               AS shapley_credit
+           CAST(CASE WHEN SUM(t.t9) >= 0
+                     THEN (2 * SUM(t.t9) + 24000) // 48000
+                     ELSE -((2 * -SUM(t.t9) + 24000) // 48000)
+                END AS BIGINT) AS credit_micros
     FROM terms t JOIN chstat c ON c.channel = t.channel
     GROUP BY t.channel, c.n_users, c.n_conv
     ORDER BY t.channel
@@ -20437,9 +20509,15 @@ def purchase_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel",
             "n_users",
             "n_conv",
-            F.round(
-                F.col("s9").cast("double") / F.lit(1e9) / F.lit(24), 6
-            ).alias("shapley_credit"),
+            # integer half-away-from-zero micros — round(s9/1e9/24, 6)
+            # was a decimal-tie surface (exact tie at s9 % 24000 ==
+            # 12000); marginals can be negative, so route through ABS
+            F.expr(
+                "CAST(CASE WHEN s9 >= 0"
+                " THEN (2 * s9 + 24000) div 48000"
+                " ELSE -((2 * -s9 + 24000) div 48000)"
+                " END AS BIGINT)"
+            ).alias("credit_micros"),
         )
         .orderBy("channel")
     )
@@ -20516,14 +20594,16 @@ def purchase_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tot.na AS n_building, tot.nb AS n_other,
            CAST(SUM(t.d1) AS BIGINT) AS observed_events,
-           round(CAST(SUM(t.e9) AS DOUBLE) / 1e9, 6) AS expected_events,
-           round((CAST(SUM(t.d1) AS DOUBLE)
-                  - CAST(SUM(t.e9) AS DOUBLE) / 1e9)
-                 * (CAST(SUM(t.d1) AS DOUBLE)
-                    - CAST(SUM(t.e9) AS DOUBLE) / 1e9)
-                 / (CAST(SUM(t.v9) AS DOUBLE) / 1e9), 4) AS chi2
+           CAST((SUM(t.e9) + 500) // 1000 AS BIGINT) AS expected_micros,
+           CAST((2 * (CAST(SUM(t.d1) AS HUGEINT) * 1000000000
+                      - SUM(t.e9))
+                   * (CAST(SUM(t.d1) AS HUGEINT) * 1000000000
+                      - SUM(t.e9))
+                 + SUM(t.v9) * 1000)
+                // (2 * SUM(t.v9) * 1000) AS BIGINT) AS chi2_micros
     FROM terms t CROSS JOIN tot
     GROUP BY tot.na, tot.nb
+    HAVING SUM(t.v9) > 0
     """,
 )
 def customer_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -20635,19 +20715,27 @@ def customer_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e9").alias("se9"),
         F.sum("v9").alias("sv9"),
     ).join(F.broadcast(tot))
-    diff = F.col("o1").cast("double") - F.col("se9").cast("double") / F.lit(
-        1e9
-    )
-    return s.select(
+    # integer half-up micros — the prior round(se9/1e9, 6) form is a
+    # decimal-tie surface (exact tie at se9 % 1000 == 500, the hazard
+    # defect class); chi2 = (O·1e9 − E9)²/(V9·1e9) stays an exact
+    # rational of the lattice sums, half-up in micros via decimal38
+    # (diff² reaches ~1e30 at sf1 — int64 would wrap); sv9 > 0 guard
+    # excludes the degenerate zero-variance case identically on both
+    # engines (r9 degenerate-divisor discipline)
+    return s.filter(F.col("sv9") > 0).select(
         F.col("na").alias("n_building"),
         F.col("nb").alias("n_other"),
         F.col("o1").alias("observed_events"),
-        F.round(F.col("se9").cast("double") / F.lit(1e9), 6).alias(
-            "expected_events"
-        ),
-        F.round(
-            diff * diff / (F.col("sv9").cast("double") / F.lit(1e9)), 4
-        ).alias("chi2"),
+        F.expr("(se9 + 500) div 1000").alias("expected_micros"),
+        F.expr(
+            "CAST((2 * (CAST(o1 AS decimal(38,0)) * 1000000000"
+            " - CAST(se9 AS decimal(38,0)))"
+            " * (CAST(o1 AS decimal(38,0)) * 1000000000"
+            " - CAST(se9 AS decimal(38,0)))"
+            " + CAST(sv9 AS decimal(38,0)) * 1000)"
+            " div (2 * CAST(sv9 AS decimal(38,0)) * 1000)"
+            " AS BIGINT)"
+        ).alias("chi2_micros"),
     )
 
 
@@ -20696,7 +20784,7 @@ def customer_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM risk
     )
     SELECT dur AS duration_days, n_risk, d AS d_events,
-           round(CAST(h9 AS DOUBLE) / 1e9, 6) AS cumulative_hazard
+           (h9 + 500) // 1000 AS hazard_micros
     FROM curve WHERE d > 0 ORDER BY dur
     """,
 )
@@ -20707,9 +20795,16 @@ def customer_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs no ln/exp at all).  Each dᵢ/nᵢ increment is an IEEE-exact
     divide of exact integers, rounded to the 1e-9 lattice per duration
     before the cumulative window sum — the sum is integer, portable by
-    construction.  Same |distinct gaps|-row life table as
-    customer_survival_curve; event-free durations are censor-only rows
-    and drop from the output (they leave H unchanged)."""
+    construction.  The HASHED output is integer-only: the r10 form
+    ``round(h9/1e9, 6)`` landed on exact decimal ties wherever
+    ``h9 % 1000 == 500`` (the true value is X.xxxxxx5 but the DOUBLE
+    ``h9/1e9`` only approximates it, so tie resolution was
+    engine/version-dependent — the identified r10 driver red).  Now
+    ``hazard_micros = (h9 + 500) div 1000`` — integer half-up, exact on
+    every engine, no doubles anywhere in the hashed value.  Same
+    |distinct gaps|-row life table as customer_survival_curve;
+    event-free durations are censor-only rows and drop from the output
+    (they leave H unchanged)."""
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("d")
     )
@@ -20766,10 +20861,238 @@ def customer_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dur").alias("duration_days"),
             "n_risk",
             F.col("d").alias("d_events"),
-            F.round(F.col("h9").cast("double") / F.lit(1e9), 6).alias(
-                "cumulative_hazard"
+            F.expr("(h9 + CAST(500 AS BIGINT)) div CAST(1000 AS BIGINT)")
+            .alias("hazard_micros"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+_SURVIVAL_DEBUG_CTE = """
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ), hz AS (
+        SELECT MAX(d) AS h FROM o
+    ), gaps AS (
+        SELECT CAST(date_diff('day', lag(d) OVER w, d) AS BIGINT) AS dur,
+               1 AS ev
+        FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d)
+    ), cens AS (
+        SELECT CAST(date_diff('day', MAX(d), (SELECT h FROM hz))
+                    AS BIGINT) AS dur,
+               0 AS ev
+        FROM o GROUP BY o_custkey
+    ), durs AS (
+        SELECT dur, ev FROM gaps WHERE dur IS NOT NULL
+        UNION ALL SELECT dur, ev FROM cens
+    ), tbl AS (
+        SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM durs GROUP BY dur
+    ), tot AS (
+        SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM tbl
+    ), risk AS (
+        SELECT dur, d, c,
+               (SELECT n FROM tot)
+                   - COALESCE(SUM(d + c) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+        FROM tbl
+    ), factors AS (
+        SELECT dur, d, c, n_risk,
+               ((n_risk - d) * 2000000000 + n_risk) // (2 * n_risk)
+                   AS factor_nano
+        FROM risk
+    )
+"""
+
+
+def _survival_debug_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared life-table frame (dur, d, c, n_risk, factor_nano) for the
+    customer_survival_debug_* bisect family — identical construction to
+    customer_survival_curve up through the risk set, then the KM factor
+    (n−d)/n half-up-rounded to the 1e-9 lattice in PURE INTEGER
+    arithmetic: ((n−d)·2e9 + n) div (2n).  No doubles anywhere."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    hz = o.agg(F.max("d").alias("_h"))
+    wcust = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = (
+        o.withColumn(
+            "dur", F.datediff("d", F.lag("d").over(wcust)).cast("bigint")
+        )
+        .filter(F.col("dur").isNotNull())
+        .select("dur", F.lit(1).alias("ev"))
+    )
+    cens = (
+        o.groupBy("o_custkey")
+        .agg(F.max("d").alias("_last"))
+        .join(F.broadcast(hz))
+        .select(
+            F.datediff("_h", "_last").cast("bigint").alias("dur"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    tbl = (
+        gaps.unionByName(cens)
+        .groupBy("dur")
+        .agg(
+            F.sum("ev").cast("bigint").alias("d"),
+            F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+        )
+    )
+    tot = tbl.agg(F.sum(F.col("d") + F.col("c")).cast("bigint").alias("_n"))
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        tbl.join(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
             ),
         )
+        .withColumn(
+            "factor_nano",
+            F.expr(
+                "((n_risk - d) * 2000000000 + n_risk) div (2 * n_risk)"
+            ),
+        )
+    )
+
+
+@query(
+    "customer_survival_debug_gaps",
+    oracle=_SURVIVAL_DEBUG_CTE
+    + """
+    SELECT dur AS duration_days, d AS n_event, c AS n_censor
+    FROM tbl ORDER BY dur
+    """,
+)
+def customer_survival_debug_gaps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survival-family bisect stage 1/4: the duration histogram straight
+    off the orders table — per-customer reorder gaps (events) and
+    horizon censoring, grouped by duration.  Every value is an exact
+    integer produced by date subtraction and COUNT/SUM; no float exists
+    anywhere in the plan.  If THIS stage diverges on the driver, the
+    driver's testdata (or its date arithmetic) differs from local and no
+    arithmetic fix downstream can help; if it is green, the divergence
+    enters later.  Companion to customer_survival_curve (r8-r10 driver
+    reds that were bit-identical to DuckDB locally)."""
+    return (
+        _survival_debug_risk(spark, sf_dir)
+        .select(
+            F.col("dur").alias("duration_days"),
+            F.col("d").alias("n_event"),
+            F.col("c").alias("n_censor"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+@query(
+    "customer_survival_debug_lifetable",
+    oracle=_SURVIVAL_DEBUG_CTE
+    + """
+    SELECT dur AS duration_days, d AS d_events, c AS c_censored, n_risk
+    FROM risk ORDER BY dur
+    """,
+)
+def customer_survival_debug_lifetable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survival-family bisect stage 2/4: the full life table — events,
+    censors, and the at-risk count n_risk = N − Σ_{t<dur}(d+c) from the
+    cumulative window.  Still pure integers.  Green stage 1 + red stage
+    2 would localize the divergence to window-frame semantics (all but
+    impossible); green here moves the bisect to the factor lattice."""
+    return (
+        _survival_debug_risk(spark, sf_dir)
+        .select(
+            F.col("dur").alias("duration_days"),
+            F.col("d").alias("d_events"),
+            F.col("c").alias("c_censored"),
+            "n_risk",
+        )
+        .orderBy("duration_days")
+    )
+
+
+@query(
+    "customer_survival_debug_factors",
+    oracle=_SURVIVAL_DEBUG_CTE
+    + """
+    SELECT dur AS duration_days, n_risk, factor_nano
+    FROM factors ORDER BY dur
+    """,
+)
+def customer_survival_debug_factors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survival-family bisect stage 3/4: the per-duration KM factor
+    (n−d)/n half-up-rounded to the 1e-9 lattice in PURE INTEGER
+    arithmetic — ((n−d)·2e9 + n) div (2n) — so not even an IEEE divide
+    exists.  Red here with green stage 2 would mean integer division
+    itself differs between engines (it cannot); green moves the bisect
+    to the fold."""
+    return (
+        _survival_debug_risk(spark, sf_dir)
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            "factor_nano",
+        )
+        .orderBy("duration_days")
+    )
+
+
+@query(
+    "customer_survival_debug_fold",
+    oracle=_SURVIVAL_DEBUG_CTE
+    + """
+    SELECT r.dur AS duration_days,
+           list_reduce(
+               list_prepend(CAST(1000000000 AS BIGINT),
+                   list(f.factor_nano ORDER BY f.dur)),
+               (acc, x) -> (acc * x + 500000000) // 1000000000)
+               AS surv_nano
+    FROM factors r JOIN factors f ON f.dur <= r.dur
+    GROUP BY r.dur ORDER BY r.dur
+    """,
+)
+def customer_survival_debug_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survival-family bisect stage 4/4: the KM product itself, folded
+    ENTIRELY on the 1e-9 integer lattice — acc' = (acc·f + 5e8) div 1e9
+    starting from acc = 1e9, over factors in duration order (max
+    intermediate 1e18 < 2^63; the lattice product is a deterministic
+    integer recurrence with zero float ops).  This is the same ordered
+    triangular fold as customer_survival_curve minus every IEEE
+    operation: green here + red main query isolates the divergence to
+    the driver engines' float ×/÷ (which would falsify the
+    correctly-rounded-IEEE assumption); red here + green stage 3
+    isolates it to higher-order-function fold semantics."""
+    risk = _survival_debug_risk(spark, sf_dir)
+    factors = risk.select(
+        F.col("dur").alias("fdur"), F.col("factor_nano").alias("fnano")
+    )
+    return (
+        risk.join(F.broadcast(factors), F.col("fdur") <= F.col("dur"))
+        .groupBy("dur")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(fdur, fnano))),"
+                " CAST(1000000000 AS BIGINT),"
+                " (acc, x) -> (acc * x.fnano + CAST(500000000 AS BIGINT))"
+                " div CAST(1000000000 AS BIGINT))"
+            ).alias("surv_nano")
+        )
+        .select(F.col("dur").alias("duration_days"), "surv_nano")
         .orderBy("duration_days")
     )
 
@@ -22774,8 +23097,8 @@ def user_power_law_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source_a, source_b,
            CAST(COUNT(*) AS BIGINT) AS n_words,
-           round(CAST(SUM(d6) AS DOUBLE) / COUNT(*) / 1e6, 6)
-               AS burrows_delta
+           CAST((2 * SUM(d6) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS delta_micros
     FROM pairs GROUP BY source_a, source_b
     ORDER BY source_a, source_b
     """,
@@ -22878,12 +23201,19 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.round(
-                F.sum("d6").cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1e6),
-                6,
-            ).alias("burrows_delta"),
+            F.sum("d6").cast("bigint").alias("_sd6"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_words",
+            # integer half-up mean in micros — the r10 form
+            # round(sum/n/1e6, 6) is a mean-of-lattice decimal-tie
+            # surface (exact tie whenever n is even and sum/(n/2) is
+            # odd); pure integer division cannot diverge
+            F.expr("(2 * _sd6 + n_words) div (2 * n_words)").alias(
+                "delta_micros"
+            ),
         )
         .orderBy("source_a", "source_b")
     )
@@ -23238,9 +23568,10 @@ def events_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM terms
     )
     SELECT m.k, r.v_ref,
-           round(CAST(m.sl6 AS DOUBLE) / m.k / 1e6, 6) AS hill_h,
-           round(CAST(m.k AS DOUBLE) * 1e6 / m.sl6, 6) AS tail_alpha
-    FROM m CROSS JOIN ref r
+           (2 * m.sl6 + m.k) // (2 * m.k) AS hill_micros,
+           (2 * m.k * 1000000000000 + m.sl6) // (2 * m.sl6)
+               AS alpha_micros
+    FROM m CROSS JOIN ref r WHERE m.k > 0 AND m.sl6 > 0
     """,
 )
 def events_hill_tail_index(
@@ -23288,15 +23619,21 @@ def events_hill_tail_index(
         F.sum("l6").cast("bigint").alias("sl6"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
-    return m.crossJoin(F.broadcast(ref)).select(
-        "k",
-        "v_ref",
-        F.round(
-            F.col("sl6").cast("double") / F.col("k") / F.lit(1e6), 6
-        ).alias("hill_h"),
-        F.round(
-            F.col("k").cast("double") * F.lit(1e6) / F.col("sl6"), 6
-        ).alias("tail_alpha"),
+    return (
+        m.crossJoin(F.broadcast(ref))
+        .filter((F.col("k") > 0) & (F.col("sl6") > 0))
+        .select(
+            "k",
+            "v_ref",
+            # integer half-up means/ratios in micros — the prior
+            # round(sum/k/1e6, 6) / round(k*1e6/sl6, 6) forms are
+            # mean-of-lattice decimal-tie surfaces (hazard defect
+            # class); integer division cannot diverge across engines
+            F.expr("(2 * sl6 + k) div (2 * k)").alias("hill_micros"),
+            F.expr(
+                "(2 * k * 1000000000000 + sl6) div (2 * sl6)"
+            ).alias("alpha_micros"),
+        )
     )
 
 
@@ -23589,6 +23926,90 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('bmp-v1:' || CAST(doc_id AS VARCHAR)),
+                               18, 15))::BIGINT % 256 AS s
+        FROM documents
+    ), gx AS (
+        SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS x
+    ), gy AS (
+        SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS y
+    ), px AS (
+        SELECT b.doc_id, gx.x, gy.y,
+               (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 7)
+                + 2654435761 * (gx.x + 17 * gy.y)) % 256 AS r,
+               (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 8)
+                + 2654435761 * (gx.x + 17 * gy.y + 31)) % 256 AS g,
+               (b.s * (3 * gx.x * gy.y + gx.x + 2 * gy.y + 9)
+                + 2654435761 * (gx.x + 17 * gy.y + 62)) % 256 AS bl
+        FROM base b CROSS JOIN gx CROSS JOIN gy
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(bl) AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id
+    ), edge AS (
+        SELECT p.doc_id,
+               CAST(SUM(ABS(n.r - p.r)) AS BIGINT) AS vedge_energy
+        FROM px p JOIN px n
+          ON n.doc_id = p.doc_id AND n.x = p.x AND n.y = p.y + 1
+        GROUP BY p.doc_id
+    )
+    SELECT a.doc_id AS media_id, CAST(10 AS INT) AS width,
+           CAST(7 AS INT) AS height,
+           a.sum_r, a.sum_g, a.sum_b, e.vedge_energy,
+           TRUE AS decode_ok,
+           (2000000 * (a.sum_r + a.sum_g + a.sum_b) + 53550) // 107100
+               AS brightness_ppm
+    FROM agg a JOIN edge e USING (doc_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Windows-BMP decode, end to end and value-checked — the
+    third stdlib decoder after WAV (RIFF/PCM16) and PPM (P6): a synth
+    stage writes genuine 24-bit BI_RGB BMP payloads into a binary
+    column (real little-endian file + BITMAPINFOHEADER via ``struct``,
+    BGR raster stored bottom-up with 4-byte row padding — the 10×7
+    grid pads every 30-byte row to 32), then ``extract_bmp_features``
+    PARSES those bytes behind the Arrow ``mapInPandas`` boundary and
+    computes per-channel sums plus VERTICAL-gradient edge energy from
+    the decoded top-down RGB pixels.  The oracle never sees a BMP byte
+    — it replays the pixel formula over the (x, y) grid — so a hash
+    match proves header parse + row flip + BGR swap + padding walk are
+    exact.  The vertical gradient is orthogonal to the PPM query's
+    horizontal one, so the value surface is this decoder's own.
+    brightness_ppm is integer half-up parts-per-million (decimal-tie
+    discipline).  Decode cost is Arrow-amortized; the rollup is one
+    keyed pass."""
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        extract_bmp_features,
+        make_bmp_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = make_bmp_table(d, width=10, height=7)
+    feats = extract_bmp_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "vedge_energy",
+        "decode_ok",
+        F.expr(
+            "(2000000 * (sum_r + sum_g + sum_b) + 53550) div 107100"
+        ).alias("brightness_ppm"),
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # round-10 session-2 additions: labeled-retrieval MAP eval, IPF mixture
 # raking, feature-hashing vectorizer audit, Page–Hinkley drift detection,
@@ -23829,9 +24250,8 @@ def _ipf_oracle() -> str:
         SELECT lang, source, n, n * 1000000 AS w FROM cell
     ),{chain}
     SELECT lang, source, n AS n_docs,
-           round(CAST(w AS DOUBLE) / 1e6, 4) AS ipf_weight,
-           round(CAST(w AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
-               AS resample_ratio
+           w AS weight_micros,
+           (2 * w + n) // (2 * n) AS ratio_micros
     FROM {prev} ORDER BY lang, source
     """
 
@@ -23902,10 +24322,11 @@ def corpus_ipf_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.col("n").alias("n_docs"),
-        F.round(F.col("w").cast("double") / 1e6, 4).alias("ipf_weight"),
-        F.round(
-            F.col("w").cast("double") / 1e6 / F.col("n").cast("double"), 6
-        ).alias("resample_ratio"),
+        # the weight already lives on the integer micros lattice —
+        # hash it directly; round(w/1e6, 4) was a decimal-tie surface
+        # (exact tie whenever w % 100 == 50, the hazard defect class)
+        F.col("w").alias("weight_micros"),
+        F.expr("(2 * w + n) div (2 * n)").alias("ratio_micros"),
     ).orderBy("lang", "source")
 
 
@@ -24458,7 +24879,10 @@ def user_recs_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         evaluser.join(
             cust, cust["c_custkey"] == evaluser["cust"]
         )
-        .join(F.broadcast(firsthit), "cust", "left")
+        # no broadcast hint: firsthit is customer-cardinality (one row
+        # per training customer with a top-10 hit) — unbounded in the
+        # scale dimension, so let AQE pick the join strategy
+        .join(firsthit, "cust", "left")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -24515,7 +24939,7 @@ def user_recs_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((10000 * s.w) // t.tw AS BIGINT) AS base,
                CAST((10000 * s.w) % t.tw AS HUGEINT) AS rem,
                t.tn
-        FROM wt s CROSS JOIN tot t
+        FROM wt s CROSS JOIN tot t WHERE t.tw > 0
     ), left0 AS (
         SELECT CAST(10000 - SUM(base) AS BIGINT) AS l FROM quota
     ), ranked AS (
@@ -24524,7 +24948,7 @@ def user_recs_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM quota q
     )
     SELECT r.source, r.nh AS n_docs,
-           round(CAST(r.sd6 AS DOUBLE) / 1e6, 4) AS stddev_chars,
+           r.sd6 AS stddev_micros,
            CAST(r.base + CASE WHEN r.rr <= (SELECT l FROM left0)
                               THEN 1 ELSE 0 END AS BIGINT)
                AS neyman_alloc,
@@ -24582,7 +25006,10 @@ def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast(dec).alias("tw"),
         F.sum("nh").cast("bigint").alias("tn"),
     )
-    quota = wt.crossJoin(F.broadcast(tot)).select(
+    # degenerate-divisor guard (r9 discipline): if every stratum is
+    # single-doc, tw = 0 and the quota division diverges between
+    # engines (NULL on Spark, error on DuckDB) — exclude identically
+    quota = wt.crossJoin(F.broadcast(tot)).filter(F.col("tw") > 0).select(
         "source",
         "nh",
         "sd6",
@@ -24607,9 +25034,9 @@ def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("nh").alias("n_docs"),
-            F.round(F.col("sd6").cast("double") / 1e6, 4).alias(
-                "stddev_chars"
-            ),
+            # sd6 already lives on the integer micros lattice — hash
+            # it directly; round(sd6/1e6, 4) was a decimal-tie surface
+            F.col("sd6").alias("stddev_micros"),
             alloc.cast("bigint").alias("neyman_alloc"),
             F.expr(
                 "CAST((CAST(10000 AS decimal(38,0)) "
@@ -24869,8 +25296,7 @@ def _betweenness_oracle(rounds: int = 6) -> str:
     )
     SELECT CAST(row_number() OVER (ORDER BY bc_int DESC, node) AS INT)
                AS pos,
-           node,
-           round(CAST(bc_int AS DOUBLE) / 1e9, 4) AS betweenness
+           node, bc_int
     FROM bc QUALIFY pos <= 20 ORDER BY pos
     """)
     return "".join(parts)
@@ -24924,9 +25350,10 @@ def supplier_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.col("pos").cast("int").alias("pos"),
         "node",
-        F.round(F.col("bc_int").cast("double") / 1e9, 4).alias(
-            "betweenness"
-        ),
+        # bc_int already lives on the 1e9 integer lattice — hash it
+        # directly; round(bc_int/1e9, 4) was a decimal-tie surface
+        # (exact tie whenever bc_int % 100000 == 50000)
+        "bc_int",
     ).orderBy("pos")
 
 
@@ -25666,137 +26093,116 @@ def lineitem_theil_decomposition(
 #                            sqrt
 #   corpus_heaps_law         safe: micro-nat points, exact OLS moments
 HEADLINE: list[str] = [
-    # r10 rotation. Window composition (50):
-    #   1  customer_survival_curve — red on the driver in r8 AND r9
-    #      (both ln-fold variants, raw then 1e-12-latticed, passed
-    #      locally and flipped on the driver libm).  Now rebuilt with
-    #      NO transcendental in the value path: the KM product folds
-    #      as the exact rational ordered product acc × (n−d)/n
-    #      (IEEE ÷/× are correctly rounded on every engine).
-    #   3  re-checks of once-green transcendental-bearing rows:
-    #      user_type_entropy (r9 green; 1e-9 n·ln n lattice),
-    #      source_lang_divergence (r8 green; latticed JS terms),
-    #      ann_ivf_kmeans_topk (r9 green; re-confirm after the r10
-    #      seed-contract assert in kmeans_centers_lattice).
-    #   46 the COMPLETE no-driver-row remainder (19 r9-new + the 27
-    #      r8-session-3 leftovers) — one clean sweep retires the
-    #      backlog; every registered query then has a driver row.
-    #      The four named by the r9 transcendental audit were
-    #      coarsened to the proven 1e-6 lattice before this window:
-    #      classifier_woe_iv, events_entropy_rate,
-    #      doc_lexical_diversity, events_hbos_outliers.  The two
-    #      degenerate-divisor guards (events_welch_ttest,
-    #      events_aqp_sample_estimate) landed identically on both
-    #      engines.
-    # --- re-checks
+    # r11 rotation. Window composition (50):
+    #   2  the survival pair, both now hashing INTEGER-ONLY outputs
+    #      (the r10 asks, executed): customer_cumulative_hazard emits
+    #      hazard_micros = (h9+500) div 1000 (the r10 red was an exact
+    #      decimal tie at h9 % 1000 == 500 — engine-dependent round()
+    #      tie-breaking); customer_survival_curve emits
+    #      survival_micros = floor(surv_raw*1e6 + 0.5) (floor exact,
+    #      x/+ correctly-rounded IEEE — immune to round()/repr
+    #      differences in the driver's DuckDB build).
+    #   4  customer_survival_debug_{gaps,lifetable,factors,fold} — the
+    #      asked-for bisect family: four integer-only stage queries
+    #      (duration histogram -> life table -> 1e-9 factor lattice ->
+    #      integer-lattice KM fold) so ONE driver run localizes where
+    #      any remaining survival divergence enters (data vs window vs
+    #      division vs fold vs IEEE float ops).
+    #   39 the COMPLETE r10 backlog (recounted against
+    #      CORRECTNESS_r01..r10 this session: exactly 39 registered
+    #      queries have no driver row; all 39 local-sweep green).
+    #      Five of them were converted to integer hashed outputs
+    #      BEFORE this first driver row by the r10 tie-class sweep:
+    #      text_burrows_delta (delta_micros), events_hill_tail_index
+    #      (hill/alpha_micros + divisor guards), corpus_ipf_mixture
+    #      (weight/ratio_micros), corpus_neyman_allocation
+    #      (stddev_micros + the ADVICE tw>0 guard),
+    #      supplier_betweenness (raw bc_int).
+    #   5  re-checks, prioritized by tie-class conversion (their old
+    #      green rows predate the integer-output forms):
+    #      source_lang_divergence (js_nanos — pure lattice sum,
+    #      was round(sum/1e9, 6), tie at sum % 1000 == 500),
+    #      customer_logrank_test (expected/chi2_micros — hazard class),
+    #      doc_unigram_logprob (RAW ln-average hardened to 1e-9
+    #      lattice + integer nanos mean — the exact libm-sum class
+    #      that flipped the KM fold on the r8 driver),
+    #      doc_bigram_perplexity (avg_lp_nanos integer mean),
+    #      events_chisq_independence (chi2_micros — was
+    #      round(sum/1e6, 4), tie at sum % 100 == 50).
+    # r12 queue (compose next window from these, in order):
+    #   1. the remaining six tie-class conversions, local-green but
+    #      with pre-conversion driver rows: classifier_calibration_curve
+    #      (mean_score_micros), embedding_jl_distortion
+    #      (avg/min/max_micros), classifier_brier_decomposition
+    #      (brier/reliability/resolution_micros), embedding_silhouette
+    #      (mean_sil_micros), events_mutual_information
+    #      (mi/h_type/h_hour_micros), purchase_shapley_attribution
+    #      (credit_micros).
+    #   2. multimodal_bmp_decode (NEW r11: third REAL stdlib decoder —
+    #      24-bit BI_RGB Windows BMP with row flip/BGR/padding, golden
+    #      -bytes pytest + formula-replaying oracle, local hash-green).
+    #   3. any r11 reds.
+    #   4. oldest remaining single-green transcendental-bearing rows:
+    #      tfidf_top_terms (r5), events_dp_release (r7),
+    #      orders_cdc_apply (r7), maxsim_multivector_topk (r7),
+    #      ann_recall_eval (r8), events_ab_conversion (r8).
+    #   The only non-green latest-status row should remain
+    #   bpe_vocab_merges (documented no_oracle exemption).
+    # --- survival pair (integer-only hashed outputs)
     "customer_survival_curve",
-    "user_type_entropy",
-    "source_lang_divergence",
-    "ann_ivf_kmeans_topk",
-    # --- the 46-name backlog (exactly the set with no driver row
-    #     in CORRECTNESS_r01..r09; recounted against the registry)
-    "corpus_semdedup",
-    "corpus_dsir_weights",
-    "dedup_token_savings",
-    "events_changepoint",
-    "events_mann_kendall",
-    "user_path_trigrams",
-    "events_ab_bootstrap_uplift",
-    "doc_textrank_keywords",
-    "supplier_closeness_centrality",
-    "classifier_isotonic_calibration",
-    "classifier_brier_decomposition",
-    "embedding_silhouette",
-    "events_rolling_wau",
-    "events_ks_test",
-    "classifier_woe_iv",
-    "classifier_cumulative_gains",
-    "lineitem_sortkey_recommendation",
-    "events_holt_winters",
-    "lineitem_partial_correlation",
-    "events_unpivot_metrics",
-    "text_ql_dirichlet_topk",
-    "part_price_index",
-    "events_entropy_rate",
-    "user_absence_risk",
-    "doc_lexical_diversity",
-    "orders_two_way_anova",
-    "events_runs_test",
-    "corpus_heaps_law",
-    "events_peak_over_threshold",
-    "events_simpson_audit",
-    "lineitem_kendall_tau",
-    "events_welch_ttest",
-    "events_leadlag_xcorr",
-    "events_sax_motifs",
-    "multimodal_frame_dedup",
-    "doc_shingle_containment",
-    "events_hour_circular",
-    "corpus_tokenizer_fertility",
-    "corpus_kneser_ney_bigrams",
-    "events_hbos_outliers",
-    "corpus_oov_rate",
-    "purchase_shapley_attribution",
-    "customer_logrank_test",
     "customer_cumulative_hazard",
-    "events_periodogram",
-    "events_aqp_sample_estimate",
-    # r11 queue: after this window, the only registered queries with
-    # no driver row are the 17 ADDED in r10 (recount at rotation) —
-    # every one locally hash-green and transcendental-disciplined:
-    #   multimodal_wav_decode (REAL stdlib WAV decode, formula oracle),
-    #   multimodal_wav_silence (real decode + gaps-and-islands runs),
-    #   events_mcnemar_test (exact paired chi2),
-    #   orders_cochran_armitage (decimal38 trend moments, final sqrts),
-    #   events_gumbel_fit (shared-literal EVT constants),
-    #   events_friedman_test (integer midranks, one divide),
-    #   customer_concentration_hhi (HUGEINT squared cents),
-    #   part_abc_classification (integer cross-mult classes over
-    #     global_cumsum), classifier_ks_statistic (integer argmax),
-    #   user_rfm_migration (cross-multiplied epoch midpoint),
-    #   dedup_lsh_recall_eval (composed driver-proven replays),
-    #   events_hurst_exponent (integer R, 1e-6 ln lattice,
-    #     shared-literal 3-point OLS),
-    #   embedding_matryoshka_eval (round-6-then-rank, bounded slice),
-    #   events_spc_xbar_r (published n=24 constants as literals),
-    #   corpus_temperature_mixture (sqrt lattice + Hamilton
-    #     apportionment), user_power_law_mle (1e-6 ln lattice),
-    #   text_burrows_delta (1e-9 freq lattice, true-z IEEE tree,
-    #     1e-6 pair lattice), corpus_dedup_cluster_sizes (CC histogram),
-    #   events_kruskal_wallis (distinct-value integer midranks, ordered
-    #     5-element fold, rational tie correction),
-    #   events_negbin_fit (exact moments, guarded degenerate cases),
-    #   events_hill_tail_index (top-101 TakeOrdered, 1e-6 ln lattice),
-    #   events_odds_ratio (doubled-Haldane rational, log-space CI,
-    #     shared-literal z), classifier_mcc (HUGEINT marginal products),
-    #   multimodal_ppm_decode (REAL stdlib P6 image decode — header +
-    #     raster parse + pixel DSP value-checked by a formula-replaying
-    #     oracle; the image twin of the WAV path).
-    # That is 24 r10 additions total, plus the 5 session-2 additions
-    # (all locally hash-green, transcendental-free by construction):
-    #   ranker_map_eval (AP@10 on the lcm-2520 integer lattice),
-    #   corpus_ipf_mixture (integer-micros Sinkhorn raking),
-    #   text_feature_hashing (portable md5 signed hashing trick),
-    #   events_page_hinkley (DOUBLE[6] ordered fold, IEEE-only),
-    #   user_markov_stationary (1e15-lattice power iteration,
-    #     MATERIALIZED oracle CTEs, localCheckpoint lineage cuts)
-    #   plus user_recs_hitrate (leave-last-out covisitation eval),
-    #   corpus_neyman_allocation (moment-exact Hamilton apportionment),
-    #   orders_promo_lift_did (2x2 exact-moment DiD),
-    #   events_srm_check (rational GOF chi-square),
-    #   supplier_betweenness (bounded Brandes, 1e9-lattice dependencies),
-    #   embedding_triplet_mining (lattice-exact FaceNet margin bands),
-    #   multimodal_ahash_dedup (real-decode aHash groups + Hamming),
-    #   events_cramer_von_mises (fully rational two-sample ECDF test),
-    #   user_uplift_qini (global-rank decile Qini curve),
-    #   lineitem_theil_decomposition (1e-6 ln lattice, additive split)
-    # — 39 r10 additions in all.
-    # Compose r11 from: those 23, any r10 reds, and the oldest
-    # single-green transcendental-bearing rows (e.g.
-    # doc_bigram_perplexity, ann_recall_eval).  The only non-green
-    # latest-status row should remain bpe_vocab_merges (documented
-    # no_oracle exemption).
+    "customer_survival_debug_gaps",
+    "customer_survival_debug_lifetable",
+    "customer_survival_debug_factors",
+    "customer_survival_debug_fold",
+    # --- the 39-name r10 backlog (exactly the no-driver-row set)
+    "multimodal_wav_decode",
+    "events_mcnemar_test",
+    "orders_cochran_armitage",
+    "events_gumbel_fit",
+    "customer_concentration_hhi",
+    "part_abc_classification",
+    "classifier_ks_statistic",
+    "events_friedman_test",
+    "user_rfm_migration",
+    "multimodal_wav_silence",
+    "dedup_lsh_recall_eval",
+    "events_hurst_exponent",
+    "embedding_matryoshka_eval",
+    "events_spc_xbar_r",
+    "corpus_temperature_mixture",
+    "user_power_law_mle",
+    "text_burrows_delta",
+    "corpus_dedup_cluster_sizes",
+    "events_kruskal_wallis",
+    "events_negbin_fit",
+    "events_hill_tail_index",
+    "events_odds_ratio",
+    "classifier_mcc",
+    "multimodal_ppm_decode",
+    "ranker_map_eval",
+    "corpus_ipf_mixture",
+    "text_feature_hashing",
+    "events_page_hinkley",
+    "user_markov_stationary",
+    "user_recs_hitrate",
+    "corpus_neyman_allocation",
+    "orders_promo_lift_did",
+    "events_srm_check",
+    "supplier_betweenness",
+    "embedding_triplet_mining",
+    "multimodal_ahash_dedup",
+    "events_cramer_von_mises",
+    "user_uplift_qini",
+    "lineitem_theil_decomposition",
+    # --- tie-class conversion re-checks
+    "source_lang_divergence",
+    "customer_logrank_test",
+    "doc_unigram_logprob",
+    "doc_bigram_perplexity",
+    "events_chisq_independence",
 ]
+
 
 
 def _apply_headline_order() -> None:

@@ -138,19 +138,25 @@ def test_bigram_lm_scores_hand_computed(spark):
     }
     # train bigrams: (<s>,a)x3, (a,b)x2, (a,c)x1; V = |{a,b,c}| = 3
     # doc 10: p(a|<s>) = 3.5/(3+0.5*4) = 0.7, p(b|a) = 2.5/(3+2) = 0.5
-    # per-token log-probs land on the 1e-9 lattice BEFORE the average
-    # (libm-portability discipline — mirror it here)
+    # per-token log-probs land on the 1e-9 lattice BEFORE the average,
+    # and the average itself is half-away-from-zero integer nanos
+    # (libm-portability + decimal-tie discipline — mirror it here)
     def lat(p):
         return round(math.log(p) * 1e9)
 
-    exp_avg = round((lat(0.7) + lat(0.5)) / 1e9 / 2, 6)
+    def avg_nanos(*lats):
+        s, n = sum(lats), len(lats)
+        m = (2 * abs(s) + n) // (2 * n)
+        return m if s >= 0 else -m
+
+    exp_avg = avg_nanos(lat(0.7), lat(0.5))
     assert out[10]["n_tokens"] == 2
-    assert out[10]["avg_logprob"] == exp_avg
-    assert out[10]["perplexity"] == round(math.exp(-exp_avg), 4)
+    assert out[10]["avg_lp_nanos"] == exp_avg
+    assert out[10]["perplexity"] == round(math.exp(-exp_avg / 1e9), 4)
     # doc 11 is fully unseen: p(z|<s>) = 0.5/(3+2) = 0.1 (seen context),
     # p(q|z) = 0.5/(0+2) = 0.25 (unseen context) — finite either way
-    exp_avg11 = round((lat(0.1) + lat(0.25)) / 1e9 / 2, 6)
-    assert out[11]["avg_logprob"] == exp_avg11
+    exp_avg11 = avg_nanos(lat(0.1), lat(0.25))
+    assert out[11]["avg_lp_nanos"] == exp_avg11
     # unseen text scores strictly worse than in-distribution text
     assert out[11]["perplexity"] > out[10]["perplexity"]
 
@@ -454,6 +460,66 @@ def test_ppm_decoder_golden_bytes():
         decode_ppm(payload[:-3])
     with _pytest.raises(ValueError, match="maxval"):
         decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00")
+
+
+def test_bmp_decoder_golden_bytes():
+    """The REAL stdlib BMP path, pinned byte-for-byte: synth_bmp must
+    emit exactly this 70-byte payload (14-byte file header + 40-byte
+    BITMAPINFOHEADER + two 8-byte padded bottom-up BGR rows) for
+    (seed=123, 2x2); decode_bmp must undo the row flip, the BGR order,
+    and the padding; a top-down (negative biHeight) payload decodes to
+    the same pixels; malformed payloads must raise."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from high_throughput_etl_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        synth_bmp,
+        synth_pixel,
+    )
+
+    golden_hex = (
+        "424d460000000000000036000000280000000200000002000000010018000000"
+        "000010000000130b0000130b00000000000000000000e8fe14859bb100003147"
+        "5d5d73890000"
+    )
+    payload = synth_bmp(123, 2, 2)
+    assert payload.hex() == golden_hex
+    expected = [
+        synth_pixel(123, x, y, c)
+        for y in range(2)
+        for x in range(2)
+        for c in range(3)
+    ]
+    assert decode_bmp(payload) == (2, 2, expected)
+    # top-down storage (biHeight < 0): same pixels, rows pre-flipped
+    raster = payload[54:]
+    flipped = raster[8:16] + raster[0:8]
+    top_down = (
+        payload[:14]
+        + _struct.pack("<Iii", 40, 2, -2)
+        + payload[26:54]
+        + flipped
+    )
+    assert decode_bmp(top_down) == (2, 2, expected)
+    # padding is per-row: odd widths pad 3·w up to the 4-byte stride
+    for seed, ww, hh in [(0, 1, 1), (255, 10, 7), (42, 5, 3)]:
+        w2, h2, px2 = decode_bmp(synth_bmp(seed, ww, hh))
+        assert (w2, h2) == (ww, hh)
+        assert px2 == [
+            synth_pixel(seed, x, y, c)
+            for y in range(hh)
+            for x in range(ww)
+            for c in range(3)
+        ]
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + payload[2:])
+    with _pytest.raises(ValueError, match="short BMP raster"):
+        decode_bmp(payload[:-3])
+    bad_depth = payload[:28] + _struct.pack("<H", 8) + payload[30:]
+    with _pytest.raises(ValueError, match="unsupported BMP variant"):
+        decode_bmp(bad_depth)
 
 
 def test_wav_extract_features_real_decode(spark):
@@ -3548,6 +3614,22 @@ def test_betweenness_bounded_diamond_graph(spark):
         for r in betweenness_bounded(edges, srcs, rounds=4).collect()
     }
     assert got == {"b": 500000000, "c": 500000000, "d": 0}
+
+
+def test_betweenness_rounds_guard(spark):
+    """rounds < 2 leaves the backward pass nothing to accumulate — the
+    operator must fail loudly (ValueError), not crash with IndexError
+    or return a frame with different semantics."""
+    import pytest
+
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        betweenness_bounded,
+    )
+
+    edges = spark.createDataFrame([("a", "b")], "u STRING, v STRING")
+    srcs = spark.createDataFrame([("a",)], "src STRING")
+    with pytest.raises(ValueError, match="rounds >= 2"):
+        betweenness_bounded(edges, srcs, rounds=1)
 
 
 def test_betweenness_bounded_path_graph_two_sources(spark):
