@@ -26050,6 +26050,387 @@ def lineitem_theil_decomposition(
     )
 
 
+@query(
+    "events_mann_whitney",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS g,
+           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ca,
+           CAST(round(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ), vals AS (
+        SELECT g, v,
+               CAST(SUM(ca) AS BIGINT) AS c_a,
+               CAST(SUM(1 - ca) AS BIGINT) AS c_b
+        FROM base GROUP BY g, v
+    ), cum AS (
+        SELECT g, v, c_a, c_b,
+               CAST(COALESCE(SUM(c_b) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb_b
+        FROM vals
+    ), agg AS (
+        SELECT g,
+               CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b,
+               CAST(SUM(2 * c_a * cb_b + c_a * c_b) AS BIGINT) AS u2_a,
+               CAST(SUM(CAST(c_a + c_b AS HUGEINT) * (c_a + c_b)
+                        * (c_a + c_b) - (c_a + c_b)) AS HUGEINT) AS t3
+        FROM cum GROUP BY g
+    ), st AS (
+        SELECT g, n_a, n_b, u2_a,
+               CAST(n_a + n_b AS HUGEINT) AS n,
+               CAST(u2_a AS HUGEINT)
+                   - CAST(n_a AS HUGEINT) * n_b AS d,
+               CAST(n_a AS HUGEINT) * n_b
+                   * ((CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
+                       * (n_a + n_b) - (n_a + n_b)) - t3) AS den
+        FROM agg
+    )
+    SELECT g AS event_type, n_a, n_b, u2_a,
+           CAST((2000000 * (3 * n * (n - 1) * d * d) + den)
+                // (2 * den) AS BIGINT) AS z2_micros
+    FROM st
+    WHERE n_a > 0 AND n_b > 0 AND den > 0
+    ORDER BY event_type
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per event type — do the
+    two user-parity cohorts (the registry's standing A/B split, cf.
+    events_odds_ratio / events_srm_check) draw `value` from the same
+    distribution?  The two-sample member of the rank-test family
+    (Kruskal-Wallis = k-sample, Friedman = blocked, Cramér-von Mises =
+    whole-ECDF).  Entirely integer: U rides the distinct-VALUE frame
+    (u2 = 2U_A = Σ_v 2·c_A·cumB_below + c_A·c_B — the doubled-rank
+    idiom, never a row-level rank), the tie cube Σ(t³−t) is HUGEINT,
+    and the normal-approximation statistic is emitted as z² — the
+    exact rational 3n(n−1)(2U−n_An_B)² / (n_An_B[(n³−n)−Σ(t³−t)]) —
+    half-up in micros (decimal-tie discipline; no sqrt anywhere).
+    Degenerate all-tied / one-cohort types are excluded identically on
+    both engines (den > 0).  HUGEINT/decimal38 headroom: 2e6·num
+    reaches ~1e27 at sf1, overflow-safe to ~1e6 rows per type; beyond
+    that switch z² to doubles.  One grouped pass + a keyed per-type
+    window on the distinct-value frame: trivial at any event volume."""
+    dec = "decimal(38,0)"
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("g"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("ca"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    vals = base.groupBy("g", "v").agg(
+        F.sum("ca").cast("bigint").alias("c_a"),
+        F.sum(1 - F.col("ca")).cast("bigint").alias("c_b"),
+    )
+    wprev = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.withColumn(
+        "cb_b",
+        F.coalesce(F.sum("c_b").over(wprev), F.lit(0)).cast("bigint"),
+    )
+    agg = cum.groupBy("g").agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+        F.sum(
+            2 * F.col("c_a") * F.col("cb_b") + F.col("c_a") * F.col("c_b")
+        )
+        .cast("bigint")
+        .alias("u2_a"),
+        F.sum(
+            (F.col("c_a") + F.col("c_b")).cast(dec)
+            * (F.col("c_a") + F.col("c_b"))
+            * (F.col("c_a") + F.col("c_b"))
+            - (F.col("c_a") + F.col("c_b"))
+        )
+        .cast(dec)
+        .alias("t3"),
+    )
+    st = agg.select(
+        "g",
+        "n_a",
+        "n_b",
+        "u2_a",
+        (F.col("n_a") + F.col("n_b")).cast(dec).alias("n"),
+        (
+            F.col("u2_a").cast(dec) - F.col("n_a").cast(dec) * F.col("n_b")
+        ).alias("d"),
+        (
+            F.col("n_a").cast(dec)
+            * F.col("n_b")
+            * (
+                (
+                    (F.col("n_a") + F.col("n_b")).cast(dec)
+                    * (F.col("n_a") + F.col("n_b"))
+                    * (F.col("n_a") + F.col("n_b"))
+                    - (F.col("n_a") + F.col("n_b"))
+                )
+                - F.col("t3")
+            )
+        ).alias("den"),
+    )
+    return (
+        st.filter(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("den") > 0)
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "n_a",
+            "n_b",
+            "u2_a",
+            F.expr(
+                "CAST((2000000 * (3 * n * (n - 1) * d * d) + den)"
+                " div (2 * den) AS BIGINT)"
+            ).alias("z2_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "corpus_good_turing",
+    oracle="""
+    WITH t AS (
+        SELECT string_split_regex(trim(lower(text)),
+                                  '[ \\t\\n\\r\\f\\x0b]+') AS ws
+        FROM documents WHERE trim(text) <> ''
+    ), tg AS (
+        SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS w
+        FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+    ), wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tg GROUP BY w
+    ), cc AS (
+        SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM wc GROUP BY c
+    ), tot AS (
+        SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM cc
+    )
+    SELECT a.r, a.n_r,
+           COALESCE(b.n_r, 0) AS n_next,
+           (2000000 * (a.r + 1) * COALESCE(b.n_r, 0) + a.n_r)
+               // (2 * a.n_r) AS rstar_micros,
+           (2000000 * a.r * a.n_r + t.n_tokens) // (2 * t.n_tokens)
+               AS mass_ppm
+    FROM cc a LEFT JOIN cc b ON b.r = a.r + 1
+    CROSS JOIN tot t
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+)
+def corpus_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus's word TRIGRAMS
+    — the counts-of-counts view (N_r = how many trigram types occur
+    exactly r times) and the smoothed count r* = (r+1)·N_{r+1}/N_r for
+    the head r ≤ 10, plus each frequency class's share of total
+    trigram mass.  The classic unseen-mass estimator (the r=1 row IS
+    the Good-Turing estimate of unseen-event probability via N_1/N)
+    that LM builders read before choosing a smoothing scheme — and a
+    corpus-health readout: a heavy N_1 tail means OCR noise /
+    boilerplate IDs.  Trigrams, not unigrams, because the synthetic
+    corpus has only ~31 distinct words all with counts in the hundreds
+    (an empty r ≤ 10 head), while its ~16k trigram types populate
+    every N_1..N_8 class — the spectrum the estimator exists for.
+    Entirely integer by construction: counts-of-counts are exact, r*
+    and mass are emitted as half-up integer micros/ppm (decimal-tie
+    discipline).  One explode + two rollups; the counts-of-counts
+    frame is a few dozen rows at any corpus size."""
+    from high_throughput_etl_pipeline_spark.operators.text import (
+        _lower_words,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    ws = d.select(_lower_words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    toks = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
+            )
+        ).alias("w")
+    )
+    wc = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cc = wc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    cc = cc.localCheckpoint(eager=False)
+    tot = cc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens")
+    )
+    nxt = cc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    return (
+        cc.filter(F.col("r") <= 10)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("n_next"), F.lit(0))
+            .cast("bigint")
+            .alias("n_next"),
+            F.expr(
+                "(2000000 * (r + 1) * COALESCE(n_next, 0) + n_r)"
+                " div (2 * n_r)"
+            ).alias("rstar_micros"),
+            F.expr(
+                "(2000000 * r * n_r + n_tokens) div (2 * n_tokens)"
+            ).alias("mass_ppm"),
+        )
+        .orderBy("r")
+    )
+
+
+@query(
+    "events_jarque_bera",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100, 0) AS HUGEINT) AS v
+        FROM events
+    ), m AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(v) AS s1, SUM(v * v) AS s2,
+               SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+        FROM base GROUP BY g
+    ), cm AS (
+        -- central moments scaled by n^k (exact integers):
+        -- M2 = n*s2 - s1^2                        (= n^2 * m2)
+        -- M3 = n^2*s3 - 3n*s1*s2 + 2*s1^3         (= n^3 * m3)
+        -- M4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4  (= n^4 * m4)
+        SELECT g, n,
+               n * s2 - s1 * s1 AS bm2,
+               n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS bm3,
+               n * n * n * s4 - 4 * n * n * s1 * s3
+                   + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS bm4
+        FROM m
+    ), r AS (
+        -- skewness^2 = m3^2/m2^3 = bm3^2 / bm2^3 (the n powers cancel:
+        -- (n^3 m3)^2 / (n^2 m2)^3 = m3^2/m2^3); kurtosis = m4/m2^2 =
+        -- n * bm4 / bm2^2.  Both pure rationals of the exact integer
+        -- moments; floats enter only here, as two IEEE divides.
+        SELECT g, CAST(n AS BIGINT) AS n,
+               CAST(bm3 AS DOUBLE) * CAST(bm3 AS DOUBLE)
+                   / (CAST(bm2 AS DOUBLE) * CAST(bm2 AS DOUBLE)
+                      * CAST(bm2 AS DOUBLE)) AS skew2,
+               CAST(n AS DOUBLE) * CAST(bm4 AS DOUBLE)
+                   / (CAST(bm2 AS DOUBLE) * CAST(bm2 AS DOUBLE)) AS kurt
+        FROM cm WHERE bm2 > 0
+    )
+    SELECT g AS event_type, n,
+           CAST(round(skew2 * 1e6, 0) AS BIGINT) AS skew2_micros,
+           CAST(round(kurt * 1e6, 0) AS BIGINT) AS kurt_micros,
+           CAST(round(CAST(n AS DOUBLE) * (skew2 / 6.0
+                      + (kurt - 3.0) * (kurt - 3.0) / 24.0) * 1e6, 0)
+                AS BIGINT) AS jb_micros
+    FROM r ORDER BY event_type
+    """,
+)
+def events_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of `value` per event type — the
+    moment-based omnibus check (JB = n·[S²/6 + (K−3)²/24]) that a
+    monitoring pipeline runs before trusting any gaussian assumption
+    (control limits, z-scores, Welch intervals all assume it).  S² and
+    K are PURE RATIONALS of exact HUGEINT/decimal38 raw moments on the
+    cents lattice — skew² = M3²/M2³ and kurt = n·M4/M2² where M_k are
+    the n^k-scaled central moments (the n powers cancel exactly, see
+    the oracle comment) — so the only float work is two IEEE divides
+    per type and the final ×1e6 roundings; no sqrt, no fractional
+    power (skewness is emitted SQUARED precisely to avoid the odd
+    root).  Zero-variance types are excluded identically on both
+    engines (M2 > 0).  decimal38 headroom: s1⁴ ≤ (n·v)⁴ needs n·v ≲
+    3e9 — at cents v ≈ 1e5 that is ~30k rows/type per shard of 1e38,
+    and the sf1 moments stay ≤ ~1e33; beyond that, shift the lattice
+    to decicents.  One grouped pass; the moment frame is |types|
+    rows."""
+    dec = "decimal(38,0)"
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast(dec).alias("v"),
+    )
+    v = F.col("v")
+    m = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(v).cast(dec).alias("s1"),
+        F.sum((v * v).cast(dec)).cast(dec).alias("s2"),
+        F.sum((v * v * v).cast(dec)).cast(dec).alias("s3"),
+        F.sum((v * v * v * v).cast(dec)).cast(dec).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (
+        F.col("n"),
+        F.col("s1"),
+        F.col("s2"),
+        F.col("s3"),
+        F.col("s4"),
+    )
+    cm = m.select(
+        "g",
+        "n",
+        (n * s2 - s1 * s1).cast(dec).alias("bm2"),
+        (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+        .cast(dec)
+        .alias("bm3"),
+        (
+            n * n * n * s4
+            - 4 * n * n * s1 * s3
+            + 6 * n * s1 * s1 * s2
+            - 3 * s1 * s1 * s1 * s1
+        )
+        .cast(dec)
+        .alias("bm4"),
+    )
+    skew2 = (
+        F.col("bm3").cast("double")
+        * F.col("bm3").cast("double")
+        / (
+            F.col("bm2").cast("double")
+            * F.col("bm2").cast("double")
+            * F.col("bm2").cast("double")
+        )
+    )
+    kurt = (
+        F.col("n").cast("double")
+        * F.col("bm4").cast("double")
+        / (F.col("bm2").cast("double") * F.col("bm2").cast("double"))
+    )
+    return (
+        cm.filter(F.col("bm2") > 0)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(skew2 * F.lit(1e6), 0).cast("bigint").alias(
+                "skew2_micros"
+            ),
+            F.round(kurt * F.lit(1e6), 0).cast("bigint").alias(
+                "kurt_micros"
+            ),
+            F.round(
+                F.col("n").cast("double")
+                * (
+                    skew2 / F.lit(6.0)
+                    + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(24.0)
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("bigint")
+            .alias("jb_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # r9 rotation (HISTORICAL — superseded by the r10 window in HEADLINE
 # below; kept because the transcendental audit lines remain the standing
 # per-query safety notes).  Window composition (50):
@@ -26138,9 +26519,14 @@ HEADLINE: list[str] = [
     #      (mean_sil_micros), events_mutual_information
     #      (mi/h_type/h_hour_micros), purchase_shapley_attribution
     #      (credit_micros).
-    #   2. multimodal_bmp_decode (NEW r11: third REAL stdlib decoder —
-    #      24-bit BI_RGB Windows BMP with row flip/BGR/padding, golden
-    #      -bytes pytest + formula-replaying oracle, local hash-green).
+    #   2. the four r11-new queries (all local hash-green, integer
+    #      outputs from birth): multimodal_bmp_decode (third REAL
+    #      stdlib decoder — 24-bit BI_RGB Windows BMP with row
+    #      flip/BGR/padding, golden-bytes pytest + formula-replaying
+    #      oracle), events_mann_whitney (doubled-midrank U + rational
+    #      z² in micros), corpus_good_turing (trigram counts-of-counts
+    #      smoothing), events_jarque_bera (rational-moment normality
+    #      omnibus, skewness emitted squared — no odd root).
     #   3. any r11 reds.
     #   4. oldest remaining single-green transcendental-bearing rows:
     #      tfidf_top_terms (r5), events_dp_release (r7),
