@@ -27,19 +27,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every hash-checkable query; the few
-    without an entry (xxhash64 fast paths, k-means-trained ANN, the
-    iterative BPE trainer) are non-SQL-expressible or engine-specific
-    and take the rows-only check — each has a value-checked portable
-    twin, a recall gate, or an exactness gate in pytest
-    (dedup_minhash_md5/dedup_simhash_md5 pin the LSH algebra;
-    ann_ivf_topk/ann_pq_topk/ann_ivfpq_topk pin IVF pruning AND the
-    PQ encode→ADC→rank pipeline with fixed data-derived quantizers;
-    BPE training has a reference-parity pytest, and the ENCODER is
-    hash-checked as of r8 via a frozen merge list + recursive-CTE
-    oracle — bpe_vocab_merges is the one remaining honest exemption).  The HLL/KLL/theta sketch
-    queries are hash-checked as of r7 via tolerance binding: the output
-    carries engine-portable exact values plus booleans asserting the
-    estimate sits within its error contract, so the oracle computes the
-    exact side and a drifting estimate flips the hash."""
+    """DuckDB-equivalent SQL for EVERY registered query — zero
+    exemptions as of r11.  The historically hard cases and how each
+    earned its oracle: xxhash64 fast paths have value-checked md5
+    portable twins (dedup_minhash_md5/dedup_simhash_md5 pin the LSH
+    algebra); ann_ivf_topk/ann_pq_topk/ann_ivfpq_topk pin IVF pruning
+    AND the PQ encode→ADC→rank pipeline with fixed data-derived
+    quantizers; the BPE ENCODER is hash-checked via a frozen merge
+    list + recursive-CTE replay (r8), and the BPE TRAINER — the last
+    rows-only row — is hash-checked as of r11 via the fully unrolled
+    12-round pair-count→argmax→greedy-merge SQL replay
+    (queries._bpe_train_oracle).  The HLL/KLL/theta sketch queries are
+    hash-checked via tolerance binding (r7): the output carries
+    engine-portable exact values plus booleans asserting the estimate
+    sits within its error contract, so the oracle computes the exact
+    side and a drifting estimate flips the hash."""
     return dict(ORACLES)
