@@ -17,10 +17,6 @@ type fails here immediately instead of four rounds later on the driver.
 
 from __future__ import annotations
 
-import sys
-
-sys.path.insert(0, "/root/repo")
-
 ALLOWED = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
            "VARCHAR", "DATE", "BOOLEAN"}
 
