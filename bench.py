@@ -44,13 +44,14 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_ingest(spark, work: str) -> tuple[float, int, int]:
+def bench_ingest(spark, work: str) -> tuple[float, int, int, list[str]]:
     """NDJSON→all-string-Parquet wall clock (the reference's core job).
 
     Exports events to NDJSON once (not timed), then times
     read.json → metadata cols → cast-all-string → parquet write.
-    Returns (seconds, rows, input_bytes) — bytes measured, not estimated,
-    so the GB-rate comparison against BASELINE.md is exact.
+    Returns (seconds, rows, input_bytes, ndjson_paths) — bytes measured,
+    not estimated, so the GB-rate comparison against BASELINE.md is
+    exact; the paths are reused by the streaming twin below.
     """
     from pyspark.sql import functions as F
 
@@ -91,7 +92,51 @@ def bench_ingest(spark, work: str) -> tuple[float, int, int]:
         n = process_manifest(spark, paths, out, date_prefix="2024-01-01")
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    return best, n, nbytes
+    return best, n, nbytes, paths
+
+
+def bench_ingest_stream(spark, work: str, nd_dir: str) -> float:
+    """Streaming twin of bench_ingest (VERDICT r12 ask #5): the same
+    NDJSON corpus drained through the file-source Structured Streaming
+    pipeline (``start_ingest_stream``, ``Trigger.AvailableNow`` — the
+    exact shape the ST1-ST8 tests exercise, minus the state tracker so
+    the figure isolates stream ingest, not state-table upserts).
+
+    Best-of-2 with a FRESH checkpoint + output dir per run — a reused
+    checkpoint would no-op the drain (exactly-once doing its job) and
+    time nothing.  The batch run above has already warmed the JSON
+    parse / cast / parquet-write codegen, so both runs are steady-state.
+    Returns wall seconds for the full drain."""
+    from high_throughput_etl_pipeline_spark.streaming.ingest_stream import (
+        start_ingest_stream,
+    )
+
+    # Schema from a 1-file sample (untimed setup — streaming sources
+    # cannot infer, and at 100 TB the schema comes from the catalog).
+    sample = sorted(
+        os.path.join(nd_dir, f)
+        for f in os.listdir(nd_dir)
+        if f.endswith(".json")
+    )[:1]
+    schema = spark.read.json(sample).schema
+    best = None
+    for i in range(2):
+        out = os.path.join(work, f"stream_out{i}")
+        ckpt = os.path.join(work, f"stream_ckpt{i}")
+        t0 = time.time()
+        q = start_ingest_stream(
+            spark,
+            nd_dir,
+            out,
+            ckpt,
+            schema,
+            max_files_per_trigger=4,
+            available_now=True,
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 
@@ -179,10 +224,12 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         release_checkpoints(spark)
 
-    ingest_sec = ingest_bytes = gb = None
+    ingest_sec = ingest_bytes = gb = stream_sec = None
     work = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
-        ingest_sec, ingest_rows, ingest_bytes = bench_ingest(spark, work)
+        ingest_sec, ingest_rows, ingest_bytes, nd_paths = bench_ingest(
+            spark, work
+        )
         timings["ingest_ndjson_to_parquet"] = round(ingest_sec, 3)
         gb = ingest_bytes / 1e9
         print(
@@ -195,6 +242,25 @@ def main() -> None:
         timings["ingest_ndjson_to_parquet"] = None
         failures["ingest_ndjson_to_parquet"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# ingest FAILED {failures['ingest_ndjson_to_parquet']}", file=sys.stderr)
+    try:
+        if ingest_sec is not None:
+            stream_sec = bench_ingest_stream(
+                spark, work, os.path.dirname(nd_paths[0])
+            )
+            timings["ingest_stream_to_parquet"] = round(stream_sec, 3)
+            print(
+                f"# ingest_stream_to_parquet: {stream_sec:.3f}s "
+                f"({stream_sec / gb:.1f} s/GB streaming vs "
+                f"{ingest_sec / gb:.1f} s/GB batch)",
+                file=sys.stderr,
+            )
+    except Exception as exc:
+        timings["ingest_stream_to_parquet"] = None
+        failures["ingest_stream_to_parquet"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"# ingest stream FAILED {failures['ingest_stream_to_parquet']}",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -207,6 +273,9 @@ def main() -> None:
         "sf": _sf_label(SF_DIR),
         "ingest_input_bytes": ingest_bytes,
         "ingest_sec_per_gb": round(ingest_sec / gb, 2) if ingest_sec else None,
+        "ingest_stream_sec_per_gb": (
+            round(stream_sec / gb, 2) if stream_sec else None
+        ),
     }
     if failures:
         result["failures"] = failures
@@ -236,6 +305,7 @@ def main() -> None:
                 "unit": result["unit"],
                 "sf": result["sf"],
                 "ingest_sec_per_gb": result["ingest_sec_per_gb"],
+                "ingest_stream_sec_per_gb": result["ingest_stream_sec_per_gb"],
                 "n_queries": len(timings),
                 "n_failures": len(failures),
                 "queries_file": os.path.basename(out_file),
