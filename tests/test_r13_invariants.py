@@ -140,3 +140,281 @@ def test_changepoint_split_is_interior_and_gain_is_a_ratio(spark):
         # explained-variance fraction is a probability (ppm)
         assert 0 <= r["gain_ratio_ppm"] <= 1_000_000
         assert r["mean_left_micros"] > 0 and r["mean_right_micros"] > 0
+
+
+def test_triangle_clustering_matches_bruteforce_python(spark):
+    out = rows(spark, "supplier_triangle_clustering")
+    assert 0 < len(out) <= 25
+    # brute-force replay: same capped co-supply graph, same w>=2
+    # sparsifier, triangles counted per node over Python sets
+    ps = (
+        _t(spark, SF_CORRECT, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    by_part = {}
+    for r in ps:
+        by_part.setdefault(r["l_partkey"], []).append(r["l_suppkey"])
+    from collections import Counter
+
+    wcount = Counter()
+    for supps in by_part.values():
+        supps = sorted(supps)[:8]
+        for i in range(len(supps)):
+            for j in range(i + 1, len(supps)):
+                wcount[(supps[i], supps[j])] += 1
+    adj = {}
+    for (u, v), w in wcount.items():
+        if w >= 2:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    tri = Counter()
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for node in (u, v, w):
+                        tri[node] += 1
+    scored = sorted(
+        (
+            (-tri[s], s, len(nbrs), tri[s])
+            for s, nbrs in adj.items()
+            if len(nbrs) >= 2
+        ),
+    )[:25]
+    assert len(out) == len(scored)
+    for row, (_, supp, d, t) in zip(out, scored):
+        assert row["suppkey"] == supp
+        assert row["degree"] == d
+        assert row["n_triangles"] == t
+        den = d * (d - 1)
+        assert row["local_cc_ppm"] == (2_000_000 * 2 * t + den) // (2 * den)
+
+
+def test_durbin_watson_matches_float_replay(spark):
+    out = {r["event_type"]: r for r in rows(spark, "events_durbin_watson")}
+    assert out
+    ev = (
+        _t(spark, SF_CORRECT, "events")
+        .groupBy(F.col("event_type"), F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+    for typ, r in out.items():
+        pts = sorted(series[typ])
+        d0 = pts[0][0]
+        t = [(d - d0).days for d, _ in pts]
+        y = [float(x) for _, x in pts]
+        n = len(t)
+        assert r["n_days"] == n
+        st1, st2 = sum(t), sum(ti * ti for ti in t)
+        sy, sty = sum(y), sum(ti * yi for ti, yi in zip(t, y))
+        det = n * st2 - st1 * st1
+        b = (n * sty - st1 * sy) / det
+        a = (sy * st2 - st1 * sty) / det
+        e = [yi - a - b * ti for ti, yi in zip(t, y)]
+        num = sum(
+            (e[i] - e[i - 1]) ** 2
+            for i in range(1, n)
+            if t[i] == t[i - 1] + 1
+        )
+        den = sum(ei * ei for ei in e)
+        assert den > 0
+        dw = num / den
+        assert 0.0 <= dw <= 4.0
+        assert abs(dw - r["dw_micros"] / 1e6) < 1e-5
+        assert abs(b - r["slope_nano"] / 1e9) < 1e-4
+
+
+def test_wilcoxon_matches_bruteforce_python(spark):
+    out = {
+        r["event_type"]: r
+        for r in rows(spark, "events_wilcoxon_signed_rank")
+    }
+    assert out
+    ev = _t(spark, SF_CORRECT, "events").select(
+        "event_type",
+        (F.weekday(F.col("ts").cast("date")) * 24 + F.hour("ts")).alias(
+            "how"
+        ),
+        F.datediff(
+            F.col("ts").cast("date"),
+            F.lit(
+                _t(spark, SF_CORRECT, "events")
+                .agg(F.min(F.col("ts").cast("date")))
+                .collect()[0][0]
+            ),
+        ).alias("k"),
+    ).collect()
+    from collections import Counter
+
+    a_cnt, b_cnt = Counter(), Counter()
+    for r in ev:
+        if 0 <= r["k"] <= 13:
+            a_cnt[(r["event_type"], r["how"])] += 1
+        elif 14 <= r["k"] <= 27:
+            b_cnt[(r["event_type"], r["how"])] += 1
+    for typ, r in out.items():
+        keys = {k for t, k in a_cnt if t == typ} | {
+            k for t, k in b_cnt if t == typ
+        }
+        diffs = [
+            a_cnt[(typ, k)] - b_cnt[(typ, k)]
+            for k in keys
+            if a_cnt[(typ, k)] != b_cnt[(typ, k)]
+        ]
+        n = len(diffs)
+        assert r["n_pairs"] == n
+        # doubled midranks over |d|
+        srt = sorted(abs(d) for d in diffs)
+        rank2 = {}
+        i = 0
+        while i < len(srt):
+            j = i
+            while j < len(srt) and srt[j] == srt[i]:
+                j += 1
+            rank2[srt[i]] = (i + 1) + j  # 2 * midrank = (i+1) + j
+            i = j
+        w2 = sum(rank2[abs(d)] for d in diffs if d > 0)
+        assert r["w_doubled"] == w2
+        t3 = 0
+        for v in set(srt):
+            c = srt.count(v)
+            t3 += c * c * c - c
+        den = 2 * n * (n + 1) * (2 * n + 1) - t3
+        num = 2 * w2 - n * (n + 1)
+        assert r["shift_sign"] == (1 if num > 0 else -1 if num < 0 else 0)
+        assert r["z2_micros"] == (2_000_000 * 3 * num * num + den) // (
+            2 * den
+        )
+
+
+def test_gamma_matches_bruteforce_python(spark):
+    out = rows(spark, "lineitem_gamma_ordinal")
+    assert len(out) == 1
+    r = out[0]
+    cells = (
+        _t(spark, SF_CORRECT, "lineitem")
+        .groupBy(
+            F.round("l_quantity", 0).cast("bigint").alias("x"),
+            F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
+        )
+        .count()
+        .collect()
+    )
+    cs = [(c["x"], c["y"], c["count"]) for c in cells]
+    C = D = 0
+    for x1, y1, n1 in cs:
+        for x2, y2, n2 in cs:
+            if x2 > x1:
+                if y2 > y1:
+                    C += n1 * n2
+                elif y2 < y1:
+                    D += n1 * n2
+    from collections import Counter
+
+    mx, my = Counter(), Counter()
+    for x, y, n in cs:
+        mx[x] += n
+        my[y] += n
+    t_x = (sum(v * v for v in mx.values()) - sum(
+        n * n for _, _, n in cs
+    )) // 2
+    t_y = (sum(v * v for v in my.values()) - sum(
+        n * n for _, _, n in cs
+    )) // 2
+    assert (r["c_pairs"], r["d_pairs"]) == (C, D)
+    assert (r["t_x"], r["t_y"]) == (t_x, t_y)
+    num, den = C - D, C + D
+    sgn = 1 if num >= 0 else -1
+    assert r["gamma_ppm"] == sgn * (
+        (2_000_000 * abs(num) + den) // (2 * den)
+    )
+    den2 = C + D + t_y
+    assert r["somers_dyx_ppm"] == sgn * (
+        (2_000_000 * abs(num) + den2) // (2 * den2)
+    )
+    assert abs(r["gamma_ppm"]) <= 1_000_000
+
+
+def test_stump_split_boundaries_are_complete_and_concave(spark):
+    out = rows(spark, "lineitem_stump_split")
+    assert len(out) == 63  # every interior boundary of the 64 buckets
+    n_total = _t(spark, SF_CORRECT, "lineitem").count()
+    prev_nl = 0
+    for r in out:
+        assert 0 < r["n_left"] < n_total
+        assert r["n_left"] >= prev_nl  # prefix sums are monotonic
+        prev_nl = r["n_left"]
+        assert 0 <= r["pos_left"] <= r["n_left"]
+        assert 0 <= r["impurity_ppm"] <= 500_000  # Gini of a binary <= 1/2
+        # Gini concavity: a split never increases impurity (the shared
+        # ppm lattice can round the difference to -1 at most)
+        assert r["gain_ppm"] >= -1
+
+
+def test_rca_matches_bruteforce_python(spark):
+    out = rows(spark, "nation_rca_index")
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in _t(spark, SF_CORRECT, "supplier").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _t(spark, SF_CORRECT, "nation").collect()
+    }
+    pt = {
+        r["p_partkey"]: r["p_type"]
+        for r in _t(spark, SF_CORRECT, "part").collect()
+    }
+    li = (
+        _t(spark, SF_CORRECT, "lineitem")
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("cents").alias("cents"))
+        .collect()
+    )
+    from collections import Counter
+
+    x = Counter()
+    for r in li:
+        x[(nat[sup[r["l_suppkey"]]], pt[r["l_partkey"]])] += r["cents"]
+    xn, xt, xa = Counter(), Counter(), 0
+    for (n, t), v in x.items():
+        xn[n] += v
+        xt[t] += v
+        xa += v
+    expect = []
+    for n in sorted(xn):
+        scored = sorted(
+            (
+                -(
+                    (2_000_000 * x[(n, t)] * xa + xn[n] * xt[t])
+                    // (2 * xn[n] * xt[t])
+                ),
+                t,
+            )
+            for t in {t for (nn, t) in x if nn == n}
+        )[:3]
+        for rank, (neg_rca, t) in enumerate(scored, start=1):
+            expect.append((n, rank, t, x[(n, t)], -neg_rca))
+    got = [
+        (r["nation"], r["rank"], r["ptype"], r["rev_cents"], r["rca_ppm"])
+        for r in out
+    ]
+    assert got == expect
