@@ -418,3 +418,219 @@ def test_rca_matches_bruteforce_python(spark):
         for r in out
     ]
     assert got == expect
+
+
+def _daily_counts(spark, typ=None):
+    ev = (
+        _t(spark, SF_CORRECT, "events")
+        .groupBy(F.col("event_type"), F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+    return {t: sorted(v) for t, v in series.items()}
+
+
+def test_brown_forsythe_matches_bruteforce_python(spark):
+    out = rows(spark, "orders_brown_forsythe")
+    assert len(out) == 1
+    r = out[0]
+    vals = (
+        _t(spark, SF_CORRECT, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .collect()
+    )
+    groups = {}
+    for v in vals:
+        groups.setdefault(v["o_orderpriority"], []).append(v["x"])
+    sqm = st = qt = nn = 0
+    k = len(groups)
+    for xs in groups.values():
+        xs.sort()
+        n = len(xs)
+        med2 = (
+            2 * xs[n // 2]
+            if n % 2
+            else xs[n // 2 - 1] + xs[n // 2]
+        )
+        z2 = [abs(2 * x - med2) for x in xs]
+        s, q = sum(z2), sum(z * z for z in z2)
+        sqm += (1000 * s * s) // n
+        st += s
+        qt += q
+        nn += n
+    ssb = sqm - (1000 * st * st) // nn
+    ssw = 1000 * qt - sqm
+    assert r["n_orders"] == nn and r["k_groups"] == k
+    assert r["ssb_share_ppm"] == (2_000_000 * ssb + (ssb + ssw)) // (
+        2 * (ssb + ssw)
+    )
+    assert r["w_micros"] == (
+        2_000_000 * (nn - k) * ssb + (k - 1) * ssw
+    ) // (2 * (k - 1) * ssw)
+
+
+def test_ljung_box_matches_bruteforce_python(spark):
+    out = {r["event_type"]: r for r in rows(spark, "events_ljung_box")}
+    series = _daily_counts(spark)
+    for typ, r in out.items():
+        pts = series[typ]
+        d0 = pts[0][0]
+        by_t = {(d - d0).days: x for d, x in pts}
+        n, s = len(by_t), sum(by_t.values())
+        c = {t: n * x - s for t, x in by_t.items()}
+        den = sum(v * v for v in c.values())
+        tsum = n_lags = 0
+        for lag in range(1, 8):
+            num = sum(
+                c[t] * c[t + lag] for t in c if t + lag in c
+            )
+            pairs = [t for t in c if t + lag in c]
+            if not pairs or n - lag <= 0:
+                continue
+            n_lags += 1
+            sgn = 1 if num >= 0 else -1
+            r_nano = sgn * (
+                (2_000_000_000 * abs(num) + den) // (2 * den)
+            )
+            tsum += (2 * r_nano * r_nano + (n - lag) * 1_000_000) // (
+                2 * (n - lag) * 1_000_000
+            )
+        assert r["n_days"] == n
+        assert r["n_lags"] == n_lags
+        assert r["q_micros"] == n * (n + 2) * tsum
+
+
+def test_moran_i_matches_bruteforce_python(spark):
+    out = rows(spark, "nation_moran_i")
+    assert len(out) == 1
+    r = out[0]
+    sup = {
+        s["s_suppkey"]: s["s_nationkey"]
+        for s in _t(spark, SF_CORRECT, "supplier").collect()
+    }
+    nreg = {
+        n["n_nationkey"]: n["n_regionkey"]
+        for n in _t(spark, SF_CORRECT, "nation").collect()
+    }
+    li = (
+        _t(spark, SF_CORRECT, "lineitem")
+        .select(
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+        .collect()
+    )
+    from collections import Counter
+
+    tot = Counter()
+    for row in li:
+        tot[sup[row["l_suppkey"]]] += row["cents"]
+    t = {nk: v // 1000 for nk, v in tot.items()}
+    N, T = len(t), sum(t.values())
+    z = {nk: N * v - T for nk, v in t.items()}
+    den = sum(v * v for v in z.values())
+    num = w = 0
+    for i in z:
+        for j in z:
+            if i != j and nreg[i] == nreg[j]:
+                w += 1
+                num += z[i] * z[j]
+    assert (r["n_nations"], r["w_pairs"]) == (N, w)
+    sgn = 1 if num >= 0 else -1
+    assert r["i_micros"] == sgn * (
+        (2_000_000 * N * abs(num) + w * den) // (2 * w * den)
+    )
+    assert r["expected_i_micros"] == -(
+        (2_000_000 + (N - 1)) // (2 * (N - 1))
+    )
+
+
+def test_haar_energy_matches_bruteforce_python(spark):
+    out = rows(spark, "events_haar_energy")
+    series = _daily_counts(spark)
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for typ, rws in by_type.items():
+        assert [r["scale_days"] for r in rws] == [1, 2, 4, 8]
+        assert [r["n_coeffs"] for r in rws] == [8, 4, 2, 1]
+        # shares are a partition of unity on the ppm lattice
+        assert abs(sum(r["share_ppm"] for r in rws) - 1_000_000) <= 2
+        pts = series[typ]
+        d0 = pts[0][0]
+        y = [0] * 16
+        for d, x in pts:
+            tt = (d - d0).days
+            if tt < 16:
+                y[tt] = x
+        for r in rws:
+            h = r["scale_days"]
+            energy = 0
+            for cidx in range(16 // (2 * h)):
+                base = cidx * 2 * h
+                cv = sum(y[base : base + h]) - sum(
+                    y[base + h : base + 2 * h]
+                )
+                energy += cv * cv
+            assert r["energy"] == energy
+
+
+def test_turning_points_matches_bruteforce_python(spark):
+    out = {r["event_type"]: r for r in rows(spark, "events_turning_points")}
+    series = _daily_counts(spark)
+    for typ, r in out.items():
+        pts = series[typ]
+        d0 = pts[0][0]
+        by_t = {(d - d0).days: x for d, x in pts}
+        n = len(by_t)
+        tcount = sum(
+            1
+            for t in by_t
+            if t - 1 in by_t
+            and t + 1 in by_t
+            and (
+                (by_t[t] > by_t[t - 1] and by_t[t] > by_t[t + 1])
+                or (by_t[t] < by_t[t - 1] and by_t[t] < by_t[t + 1])
+            )
+        )
+        num = 3 * tcount - 2 * (n - 2)
+        den = 16 * n - 29
+        assert r["n_days"] == n
+        assert r["n_turning"] == tcount
+        assert r["excess_x3"] == num
+        assert r["z2_micros"] == (2_000_000 * 10 * num * num + den) // (
+            2 * den
+        )
+
+
+def test_record_highs_matches_bruteforce_python(spark):
+    out = {r["event_type"]: r for r in rows(spark, "events_record_highs")}
+    series = _daily_counts(spark)
+    for typ, r in out.items():
+        ys = [x for _, x in series[typ]]
+        n = len(ys)
+        highs = lows = 0
+        for i, v in enumerate(ys):
+            if i == 0 or v > max(ys[:i]):
+                highs += 1
+            if i == 0 or v < min(ys[:i]):
+                lows += 1
+        assert (r["n_days"], r["n_highs"], r["n_lows"]) == (n, highs, lows)
+        assert r["harmonic_micro"] == sum(
+            (2_000_000 + k) // (2 * k) for k in range(1, n + 1)
+        )
