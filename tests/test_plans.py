@@ -1006,3 +1006,74 @@ def test_ql_dirichlet_takeordered_one_stats_broadcast(spark):
     plan = _plan(spark, "text_ql_dirichlet_topk")
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+
+
+def test_triangle_keyed_wedges_takeordered(spark):
+    # wedge generation and closure are keyed equi-joins off the
+    # checkpointed edge frame (never cartesian / corpus nested-loop);
+    # the leaderboard is a distributed top-k
+    plan = _plan(spark, "supplier_triangle_clustering")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan  # edges localCheckpointed
+
+
+def test_durbin_watson_pruned_scan_keyed_joins(spark):
+    # only (ts, event_type) leave the parquet reader; every join is
+    # keyed by the type column or a broadcast of the 5-row stats frame
+    plan = _plan(spark, "events_durbin_watson")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan):
+        cols = {c.split("#")[0] for c in m.group(1).split(",")}
+        assert cols <= {"ts", "event_type"}, cols
+
+
+def test_gamma_runs_on_checkpointed_cells_only(spark):
+    # concordance is counted on the <=550-cell contingency checkpoint;
+    # the fact table is scanned exactly once (at checkpoint build), so
+    # the executed plan touches no parquet at all
+    plan = _plan(spark, "lineitem_gamma_ordinal")
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan, plan
+
+
+def test_stump_pruned_scans(spark):
+    # every lineitem scan (stats pass, histogram pass, and the
+    # re-executed broadcast stats leg) reads only the price + flag
+    # columns; candidates ride a 64-row post-aggregation window (the
+    # documented exception)
+    plan = _plan(spark, "lineitem_stump_split")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, plan
+    for s in scans:
+        cols = {c.split("#")[0] for c in s.split(",")}
+        assert cols <= {"l_extendedprice", "l_returnflag"}, cols
+    assert "CartesianProduct" not in plan
+
+
+def test_rca_margins_off_checkpoint_dims_broadcast(spark):
+    # the (nation, ptype) aggregate is checkpointed once; all three
+    # margin legs and the rank window run on that 3750-row frame
+    plan = _plan(spark, "nation_rca_index")
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ljung_box_keyed_lag_join(spark):
+    # the lag cross-products come from a self-join keyed by event_type
+    # (the <=7-offset conjunct rides on the keyed join) — no cartesian,
+    # no nested loop over the day frame
+    plan = _plan(spark, "events_ljung_box")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan):
+        cols = {c.split("#")[0] for c in m.group(1).split(",")}
+        assert cols <= {"ts", "event_type"}, cols
+
+
+def test_brown_forsythe_median_broadcast_no_global_window(spark):
+    # group medians come from an exact percentile aggregate and join
+    # back as a broadcast; no empty-partition-spec window anywhere
+    plan = _plan(spark, "orders_brown_forsythe")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
