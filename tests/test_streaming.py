@@ -1470,3 +1470,103 @@ def test_cusum_stream_matches_batch_fold(spark, tmp_path):
     assert merge_batch(dummy, 0, table) is False
     again = stored_cusum(spark, table, target=100, allowance=5).collect()
     assert [r.asDict() for r in again] == [r.asDict() for r in exp]
+
+
+def test_quantile_stream_incremental_histogram(spark, tmp_path):
+    """Stored quantile-sketch maintenance over a stream: (a) the
+    stream-built per-day log-histogram equals the batch-built one
+    bit-for-bit, (b) restart on the same checkpoint changes nothing
+    (count sums are NOT replay-idempotent, so this leg is load-bearing
+    here), (c) new data merges in without rescanning history, and
+    (d) stored quantile estimates land within one bucket's relative
+    width of the exact order statistic."""
+    import json as _json
+    import math
+
+    from pyspark.sql import functions as F
+
+    from high_throughput_etl_pipeline_spark.streaming.quantile_stream import (
+        QSK_SUBBUCKETS,
+        histogram_of,
+        start_quantile_stream,
+        stored_quantile_estimates,
+    )
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+
+    def write_file(name, day, values):
+        with open(ind / name, "w") as f:
+            for i, v in enumerate(values):
+                f.write(
+                    _json.dumps(
+                        {
+                            "ts": f"2026-08-{day:02d}T0{i % 10}:00:00",
+                            "value": v,
+                        }
+                    )
+                    + "\n"
+                )
+
+    write_file("a.ndjson", 11, [1.0, 2.5, 7.0, 7.0, 40.0, 0.0])
+    write_file("b.ndjson", 12, [0.5, 3.0, 9.0, 100.0, 1000.0])
+    table = str(tmp_path / "qsketch")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts TIMESTAMP, value DOUBLE"
+
+    def drain():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(ind))
+        )
+        q = start_quantile_stream(src, table, ckpt, available_now=True)
+        q.awaitTermination()
+
+    drain()
+
+    def stored_rows():
+        from high_throughput_etl_pipeline_spark.streaming.quantile_stream import (
+            QSK_SCHEMA,
+        )
+        from high_throughput_etl_pipeline_spark.streaming.sketch_stream import (
+            _current_snapshot,
+        )
+
+        cur = _current_snapshot(table)
+        return sorted(
+            tuple(r)
+            for r in spark.read.schema(QSK_SCHEMA).parquet(cur).collect()
+        )
+
+    batch_df = spark.read.schema(schema).json(str(ind))
+    expect = sorted(tuple(r) for r in histogram_of(batch_df).collect())
+    assert stored_rows() == expect  # stream ≡ batch, exactly
+
+    drain()  # restart, same checkpoint: replay guard must no-op
+    assert stored_rows() == expect
+
+    write_file("c.ndjson", 12, [9.0, 9.0, 0.25])
+    drain()  # only the new file merges
+    batch_df = spark.read.schema(schema).json(str(ind))
+    expect = sorted(tuple(r) for r in histogram_of(batch_df).collect())
+    assert stored_rows() == expect
+
+    # quantile estimates: within one log-bucket of the exact quantile
+    est = {
+        (r["date"], r["q"]): r["est"]
+        for r in stored_quantile_estimates(
+            spark, table, qs=(0.5, 0.95)
+        ).collect()
+    }
+    raw = {}
+    for r in batch_df.collect():
+        raw.setdefault(str(r["ts"].date()), []).append(r["value"])
+    rel = 2 ** (1.0 / QSK_SUBBUCKETS)
+    for (day, q), e in est.items():
+        xs = sorted(raw[day])
+        exact = xs[math.ceil(q * len(xs)) - 1]  # type-1 lower quantile
+        if exact <= 0:
+            assert e == 0.0
+        else:
+            assert exact / rel <= e <= exact * rel, (day, q, e, exact)
