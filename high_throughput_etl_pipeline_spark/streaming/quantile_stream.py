@@ -164,6 +164,13 @@ def stored_quantile_estimates(
             [], "date STRING, q DOUBLE, est DOUBLE, n_rows BIGINT"
         )
     t = spark.read.schema(QSK_SCHEMA).parquet(cur)
+    # date-range answers are the same walk over summed buckets — the
+    # ALL row mirrors stored_distinct_estimates' union row
+    t = t.unionByName(
+        t.groupBy(F.lit("ALL").alias("date"), "bucket").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+    )
     wcum = (
         Window.partitionBy("date")
         .orderBy("bucket")

@@ -1562,6 +1562,7 @@ def test_quantile_stream_incremental_histogram(spark, tmp_path):
     raw = {}
     for r in batch_df.collect():
         raw.setdefault(str(r["ts"].date()), []).append(r["value"])
+        raw.setdefault("ALL", []).append(r["value"])
     rel = 2 ** (1.0 / QSK_SUBBUCKETS)
     for (day, q), e in est.items():
         xs = sorted(raw[day])
