@@ -853,11 +853,27 @@ def _md5_sig_bands(
     oracle's `len(words) >= n`)."""
     assert num_hashes % 2 == 0, "num_hashes must be even (2 lanes/digest)"
     rows_per_band = num_hashes // bands
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # The shingle + md5-lane build is the CPU-heavy stage; a small-file
+    # scan must not serialize it onto one task (the guarded-repartition
+    # idiom from similarity.embedding_near_duplicates — profiled r13 at
+    # sf0.1: the banded signature build ran 1.3 s on ONE task because
+    # documents.parquet is a single scan split).  At 100 TB the scan has
+    # thousands of splits and the guard never fires, so no extra
+    # exchange is paid where parallelism is already healthy.
+    # Hash-repartition on the id, NOT round-robin repartition(n):
+    # keyless repartition local-sorts its full input rows first
+    # (sortBeforeRepartition, SPARK-23207), and on rows carrying the
+    # text payload that sort costs more than the parallelism buys back
+    # (interleaved A/B r13: round-robin regressed the est-jaccard
+    # family ~5x; hash-on-id won on all three jaccard_pairs_via_minhash
+    # consumers).
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, F.col("_id"))
     sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            norm_words(F.col(text_col)).alias("_words"),
-        )
+        base.select("_id", norm_words(F.col("_t")).alias("_words"))
         .filter(F.size("_words") >= shingle_n)
         .select(
             "_id", word_shingles(F.col("_words"), shingle_n).alias("_shingles")
@@ -904,6 +920,14 @@ def _md5_sig_bands(
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_hash")
+    # Both sides of a caller's band self-join read `banded` under
+    # different aliases, and Catalyst does not reuse the exchange across
+    # the two branches (the similarity.embedding_near_duplicates
+    # finding) — without a cut the md5-lane signature build runs once
+    # PER SIDE (profiled r13 at sf0.1: 2 × 1.3 s of dedup_cc_clusters'
+    # 7.7 s).  localCheckpoint, not persist, for the reasons documented
+    # at that site; band rows are 3 narrow columns per (doc, band).
+    banded = banded.localCheckpoint(eager=False)
     return sh, banded
 
 

@@ -293,6 +293,13 @@ def pagerank_int(
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     )
+    # pin the edge list once: it feeds nodes (twice via the union), deg,
+    # the sink check, and the adjacency build — without a cut the
+    # caller's edge derivation (typically distinct over a fact table,
+    # possibly itself a union of two branches) recomputes in every one
+    # of those subtrees (profiled r13: supplier_part_pagerank re-ran the
+    # lineitem distinct ~8x)
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_s").alias("id"))
         .union(e.select(F.col("_d").alias("id")))

@@ -62,6 +62,15 @@ def scatter_cells(
         lambda x: F.round(x.cast("double") * scale, 0).cast("bigint"),
     )
     t = df.select(xs.alias("_xs"))
+    # guarded hash-repartition (the dedup._md5_sig_bands idiom): the
+    # d(d+1)/2-products-per-row pass below must not serialize onto the
+    # single scan split a small parquet file produces; hash on the
+    # quantized array (deterministic), never round-robin (its
+    # sort-before-repartition costs more than it buys — r13 A/B).
+    # No-op at healthy parallelism (the 100 TB case).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if t.rdd.getNumPartitions() < target:
+        t = t.repartition(target, F.col("_xs"))
     ex = t.select(F.posexplode("_xs").alias("i", "x"))
     sums = (
         ex.groupBy("i")
