@@ -123,21 +123,34 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    wa = toks.select(
-        F.col("_id").alias("_da"), F.col("_tok").alias("_ta")
-    )
-    wb = toks.select(
-        F.col("_id").alias("_db"), F.col("_tok").alias("_tb")
-    ).alias("wb")
-    ca = cand.join(wa, "_da").alias("ca")
+    # exact verify via ONE array_intersect row per candidate pair
+    # instead of exploding |cand| × |tokens(a)| rows through a shuffle
+    # (the doc_shingle_containment idiom — its explode form measured
+    # 210 s at sf1; r13 A/B here: dedup_lsh_recall_eval 8.3 → 6.1 s,
+    # dedup_prefix_filter_join 4.1 → 3.7 s at sf0.1, value-equal).
+    # collect_list order is nondeterministic but array_intersect is
+    # set-semantics over the already-distinct token lists.
+    sets = toks.groupBy("_id").agg(F.collect_list("_tok").alias("_set"))
     inter = (
-        ca.join(
-            wb,
-            (F.col("ca._db") == F.col("wb._db"))
-            & (F.col("ca._ta") == F.col("wb._tb")),
+        cand.join(
+            sets.select(
+                F.col("_id").alias("_da"), F.col("_set").alias("_sa")
+            ),
+            "_da",
         )
-        .groupBy(F.col("ca._da").alias("_da"), F.col("ca._db").alias("_db"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_i"))
+        .join(
+            sets.select(
+                F.col("_id").alias("_db"), F.col("_set").alias("_sb")
+            ),
+            "_db",
+        )
+        .select(
+            "_da",
+            "_db",
+            F.size(F.array_intersect("_sa", "_sb"))
+            .cast("bigint")
+            .alias("_i"),
+        )
     )
     sa = sz.select(F.col("_id").alias("_da"), F.col("_sz").alias("size_a"))
     sb = sz.select(F.col("_id").alias("_db"), F.col("_sz").alias("size_b"))
