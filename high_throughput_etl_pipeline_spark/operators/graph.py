@@ -37,6 +37,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pin_partitioned(df: DataFrame, *cols: str) -> DataFrame:
+    """Pre-shuffle a STATIC relation once by the key its per-round
+    join/groupBy uses, and ``persist`` the result.
+
+    Why persist and not the repo's usual ``localCheckpoint``: each
+    round of an iterative operator cuts lineage with a checkpoint, so
+    when the consumer's action finally runs, every round materializes
+    as its OWN QueryExecution — AQE's exchange/stage reuse never sees
+    two rounds at once, and the static edge relation re-shuffles every
+    round (profiled r13: ``supplier_part_sssp`` shuffled its 7.8 MB
+    edge list 12× in one run).  A checkpointed frame cannot fix this:
+    its ``Scan ExistingRDD`` reports ``UnknownPartitioning`` under
+    AQE, so the next round plans a fresh Exchange anyway.  An
+    ``InMemoryRelation`` DOES expose the cached plan's
+    ``hashpartitioning``, so every later QueryExecution plans the join
+    with NO Exchange on this side — the in-session analog of a
+    bucketed table (guide §2.4), which is exactly what a persistent
+    deployment of these operators would use on disk.
+
+    The partition count is SIZE-DERIVED (guide §2: make partitioning
+    scale-adaptive, never a constant tuned for one regime): Catalyst's
+    optimized-plan size estimate over a ~64 MB advisory target, capped
+    at ``spark.sql.shuffle.partitions``.  A cached plan's partitioning
+    is exempt from AQE coalescing, so pinning the full shuffle count
+    onto a small relation would force every later round to run
+    shuffle-partition-count near-empty tasks (measured: the 6-round
+    SSSP's per-round jobs went 13 → 65 tasks); at warehouse scale the
+    estimate saturates the cap and the pin IS the shuffle width.  The
+    other (per-round, dynamic) side's ENSURE_REQUIREMENTS exchange
+    aligns to the cached count.  Default storage level
+    (MEMORY_AND_DISK) spills cleanly when the edge list outgrows
+    executor storage.  Callers whose loop runs driver-side actions
+    unpersist after the loop; lazy operators leave the blocks to the
+    session's cache release (the bench clears caches between queries).
+    """
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # 1 MB advisory at the SMALL end only: the pinned relation's
+        # per-round consumers are CPU-bound join+agg stages, and a 64 MB
+        # advisory collapsed a 5.7 MB edge cache to ONE partition,
+        # serializing every hits_int half-step (measured).  Anything
+        # non-tiny saturates the cap, so the advisory never shapes the
+        # at-scale width — the (production-configured) shuffle partition
+        # count does.
+        n = max(1, min(cap, (est + (1 << 20) - 1) >> 20))
+    except Exception:  # stats unavailable (e.g. plan shapes w/o estimates)
+        n = cap
+    return df.repartition(n, *cols).persist()
+
+
 def _star_components(
     adj: DataFrame, max_iter: int = 64, nodes: DataFrame | None = None
 ) -> DataFrame:
@@ -180,11 +233,16 @@ def connected_components(
     )
     if algorithm == "star":
         return _star_components(canon, nodes=all_nodes)
-    # undirected: propagate both ways; distinct keeps the adjacency minimal
+    # undirected: propagate both ways; distinct keeps the adjacency minimal.
+    # The distinct leaves the frame hashpartitioned on (src, dst), which
+    # does NOT serve the per-round join on src — re-key the persisted
+    # copy by src so every propagation round (each its own
+    # QueryExecution after the lineage cut) plans no adjacency exchange
+    # (see _pin_partitioned)
     adj = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    adj = adj.persist()
+    adj = _pin_partitioned(adj, "src")
 
     labels = (
         adj.select(F.col("src").alias("node"))
@@ -293,18 +351,25 @@ def pagerank_int(
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     )
-    # pin the edge list once: it feeds nodes (twice via the union), deg,
-    # the sink check, and the adjacency build — without a cut the
-    # caller's edge derivation (typically distinct over a fact table,
-    # possibly itself a union of two branches) recomputes in every one
-    # of those subtrees (profiled r13: supplier_part_pagerank re-ran the
-    # lineitem distinct ~8x)
-    e = e.localCheckpoint(eager=False)
+    # pin the edge list once — it feeds nodes (twice via the union),
+    # deg, the sink check, and the adjacency build; without a cut the
+    # caller's edge derivation (typically distinct over a fact table)
+    # recomputes in every one of those subtrees (profiled r13:
+    # supplier_part_pagerank re-ran the lineitem distinct ~8x).  The
+    # pin is now a _s-partitioned persist, not a checkpoint: each
+    # round's lineage cut makes the rounds separate QueryExecutions,
+    # so only a cached hashpartitioning lets them skip the adjacency
+    # exchange (see _pin_partitioned); deg (grouped on _s) and the adj
+    # build (join on _s) become exchange-free for the same reason.
+    e = _pin_partitioned(e, "_s")
+    # nodes/adj keep their derived hashpartitioning only if THEY are
+    # cached too — a checkpoint here would erase it to
+    # UnknownPartitioning and put the per-round exchanges back
     nodes = (
         e.select(F.col("_s").alias("id"))
         .union(e.select(F.col("_d").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     deg = e.groupBy(F.col("_s").alias("id")).agg(
         F.count(F.lit(1)).alias("_outdeg")
@@ -321,7 +386,7 @@ def pagerank_int(
     base = ((100 - damping_pct) * r_init) // 100
     adj = e.join(deg, on=F.col("_s") == F.col("id")).select(
         F.col("_s"), F.col("_d"), F.col("_outdeg")
-    ).localCheckpoint(eager=False)
+    ).persist()
     state = nodes.select("id", F.lit(r_init).cast("bigint").alias("rank"))
     for _ in range(iterations):
         # NOTE: unlike hits_int, state here is NOT broadcast — these
@@ -390,10 +455,13 @@ def label_propagation(
         F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
     ).localCheckpoint(eager=False)
     # the edge list joins into EVERY round — pin it once (it may be an
-    # expensive derivation, e.g. an LSH candidate pipeline)
-    e = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).localCheckpoint(eager=False)
+    # expensive derivation, e.g. an LSH candidate pipeline), pre-shuffled
+    # by the per-round join key so the rounds' separate QueryExecutions
+    # plan no edge exchange (see _pin_partitioned)
+    e = _pin_partitioned(
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")),
+        "_s",
+    )
     k = max_label + 1
     for _ in range(rounds):
         votes = (
@@ -659,10 +727,21 @@ def hits_int(
 
     def _st(df):
         return F.broadcast(df) if broadcast_state else df
-    e = edges.select(
+    ee = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).localCheckpoint(eager=False)
-    hubs = e.select(F.col("_s").alias("id")).distinct()
+    )
+    # With the state broadcast, the only per-half-step shuffle left is
+    # the grouped sum over the edge-scale join output.  A broadcast
+    # join PRESERVES the streamed side's partitioning, so pre-shuffling
+    # the static edge list by each half-step's GROUP key (authority
+    # step groups by _d, hub step by _s — guide §2.4) makes every
+    # grouped sum exchange-free: 2×iterations edge-scale shuffles → 2
+    # one-time ones.  persist, not localCheckpoint: a checkpointed scan
+    # reports UnknownPartitioning (see _pin_partitioned).
+    e_by_d = _pin_partitioned(ee, "_d")
+    e_by_s = _pin_partitioned(ee, "_s")
+    # distinct over _s on the _s-partitioned copy is exchange-free too
+    hubs = e_by_s.select(F.col("_s").alias("id")).distinct()
     h = hubs.select(
         "id", F.lit(scale).cast("bigint").alias("_h")
     ).localCheckpoint(eager=False)
@@ -672,7 +751,7 @@ def hits_int(
         # materializes the checkpoint, so the rescale projection reads
         # the same blocks instead of recomputing the join+agg
         a_raw = (
-            e.join(_st(h), on=F.col("_s") == F.col("id"))
+            e_by_d.join(_st(h), on=F.col("_s") == F.col("id"))
             .groupBy(F.col("_d").alias("id"))
             .agg(F.sum(F.col("_h").cast(dec)).alias("_raw"))
             .localCheckpoint(eager=False)
@@ -684,7 +763,7 @@ def hits_int(
                    "AS BIGINT)").alias("_a"),
         )
         h_raw = (
-            e.join(_st(a), on=F.col("_d") == F.col("id"))
+            e_by_s.join(_st(a), on=F.col("_d") == F.col("id"))
             .groupBy(F.col("_s").alias("id"))
             .agg(F.sum(F.col("_a").cast(dec)).alias("_raw"))
             .localCheckpoint(eager=False)
@@ -695,6 +774,11 @@ def hits_int(
             F.expr(f"CAST(_raw * {scale} div CAST('{hm}' AS {dec}) "
                    "AS BIGINT)").alias("_h"),
         )
+    # the loop's collects materialized every checkpoint, so the
+    # returned frame reads only checkpoint blocks — the edge caches
+    # can go now instead of waiting for the session-level cache sweep
+    e_by_d.unpersist(False)
+    e_by_s.unpersist(False)
     return h.select(
         "id", F.lit("hub").alias("kind"), F.col("_h").alias("score")
     ).unionAll(
@@ -862,19 +946,27 @@ def sssp_bounded(
 
     Output: (kind, id, dist) — the tentative-final distance table.
     """
-    e = edges.localCheckpoint(eager=False).hint("shuffle_hash")
+    # the edge list is STATIC across rounds but each round's lineage
+    # cut makes the rounds separate QueryExecutions, so a plain
+    # checkpoint re-shuffles it twice per round (profiled: 12 × 7.8 MB
+    # edge exchanges in the 6-round supplier query).  Pre-shuffle it
+    # once per join side instead (guide §2.4 — the bucketed-join
+    # shape); the per-round exchanges that remain carry only the
+    # frontier.
+    es = _pin_partitioned(edges, "s").hint("shuffle_hash")
+    ep = _pin_partitioned(edges, "p").hint("shuffle_hash")
     carry = [F.col(f"d.{c}").alias(c) for c in carry_cols]
     dist = source
     for _ in range(rounds):
         ds = dist.filter(F.col("kind") == "s").alias("d")
         dp = dist.filter(F.col("kind") == "p").alias("d")
-        nxt_p = ds.join(e.alias("e"), F.col("d.id") == F.col("e.s")).select(
+        nxt_p = ds.join(es.alias("e"), F.col("d.id") == F.col("e.s")).select(
             *carry,
             F.lit("p").alias("kind"),
             F.col("e.p").alias("id"),
             (F.col("d.dist") + F.col("e.w")).alias("dist"),
         )
-        nxt_s = dp.join(e.alias("e"), F.col("d.id") == F.col("e.p")).select(
+        nxt_s = dp.join(ep.alias("e"), F.col("d.id") == F.col("e.p")).select(
             *carry,
             F.lit("s").alias("kind"),
             F.col("e.s").alias("id"),
@@ -933,14 +1025,16 @@ def betweenness_bounded(
         raise ValueError(
             f"betweenness_bounded needs rounds >= 2, got {rounds}"
         )
-    ed = (
-        edges.select(F.col("u"), F.col("v"))
-        .unionByName(
+    # every forward round AND every backward round joins the
+    # symmetrized edge list on u; pre-shuffle it once by u (persist,
+    # not checkpoint — see _pin_partitioned) so the 2×rounds per-round
+    # QueryExecutions plan no edge exchange
+    ed = _pin_partitioned(
+        edges.select(F.col("u"), F.col("v")).unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .localCheckpoint(eager=False)
-        .hint("shuffle_hash")
-    )
+        ),
+        "u",
+    ).hint("shuffle_hash")
     layer = sources.select(
         F.col("src"),
         F.col("src").alias("node"),

@@ -1607,15 +1607,21 @@ def kcenter_greedy(
     ).localCheckpoint(eager=False)
     cid = int(seed["_id"])
     for rank in range(1, k + 1):
-        radius = cur.agg(F.max("_min_d")).collect()[0][0]
-        centers.append((rank, cid, int(radius)))
-        if rank == k:
-            break
+        # ONE TakeOrdered(1) per round: its top row IS the argmax, and
+        # that row's _min_d IS max(_min_d) — the coverage radius² — so
+        # the previous separate max() collect was a second driver
+        # round-trip (plan build + job) for a value the argmax row
+        # already carries.  Profiled r13: this query's wall was ~half
+        # DRIVER gap across 27 tiny jobs; folding halves the per-round
+        # actions at any scale (guide §1.2 step 1 / §5 driver).
         nxt = (
             cur.orderBy(F.desc("_min_d"), F.asc("_id"))
             .limit(1)
             .collect()[0]
         )
+        centers.append((rank, cid, int(nxt["_min_d"])))
+        if rank == k:
+            break
         cid = int(nxt["_id"])
         cur = cur.select(
             "_id",

@@ -672,11 +672,21 @@ def poisson_bootstrap_ci(
         ).alias("point_mean"),
     )
     th = F.array(*[F.lit(t) for t in POISSON1_CDF_1E9])
-    rep = df.select(
+    base = df.select(
         *group_cols,
         F.col(y_col).alias("_y"),
         F.col(id_col).cast("string").alias("_id"),
-    ).select(
+    )
+    # the n_boot× explode + per-replicate md5 PRF is the CPU-heavy map
+    # stage; a small-file scan (one split) must not serialize it —
+    # guarded hash-on-id repartition, the standing r13 idiom (guide
+    # §2.5): never fires at warehouse scale where the scan already has
+    # thousands of splits, never round-robin (sortBeforeRepartition)
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, F.col("_id"))
+    rep = base.select(
         *group_cols,
         "_y",
         "_id",

@@ -75,6 +75,96 @@ def test_minhash_band_pipeline_is_partition_invariant(spark):
     assert got_one  # near-dup triples exist by construction
 
 
+def test_pinned_iterative_operators_are_partition_invariant(spark):
+    """The wave-3 static-relation pins (_pin_partitioned: pre-shuffled
+    persisted edge copies replacing per-round checkpoints) re-key the
+    edge list by the round join key; results must be identical for any
+    input layout, and identical to a direct hand replay."""
+    from high_throughput_etl_pipeline_spark.operators.graph import (
+        hits_int,
+        pagerank_int,
+        sssp_bounded,
+    )
+
+    edges = [(i % 7 + 1, (i * 3) % 11 + 100) for i in range(40)]
+
+    def runs(make):
+        one = spark.createDataFrame(
+            edges, "src bigint, dst bigint"
+        ).coalesce(1)
+        many = spark.createDataFrame(
+            list(reversed(edges)), "src bigint, dst bigint"
+        ).repartition(9)
+        return make(one), make(many)
+
+    # hits: (id, kind, score) rows equal across layouts
+    h1, h2 = runs(
+        lambda e: sorted(map(tuple, hits_int(e, iterations=3).collect()))
+    )
+    assert h1 == h2 and h1
+
+    # pagerank over the symmetrized list (no sinks)
+    def pr(e):
+        und = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return sorted(map(tuple, pagerank_int(und, iterations=3).collect()))
+
+    p1, p2 = runs(pr)
+    assert p1 == p2 and p1
+
+    # sssp: seed at supplier 1, unit weights, 3 rounds
+    def sp(e):
+        w = e.select(
+            F.col("src").alias("s"),
+            F.col("dst").alias("p"),
+            F.lit(1).cast("bigint").alias("w"),
+        )
+        src = spark.createDataFrame(
+            [("s", 1, 0)], "kind string, id bigint, dist bigint"
+        )
+        return sorted(map(tuple, sssp_bounded(w, src, rounds=3).collect()))
+
+    s1, s2 = runs(sp)
+    assert s1 == s2 and s1
+
+
+def test_kcenter_single_collect_matches_direct_replay(spark):
+    """kcenter_greedy now reads the coverage radius² off the SAME
+    TakeOrdered(1) row that picks the next center; the radius must
+    still equal the true max of the running min-distance column."""
+    from high_throughput_etl_pipeline_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    pts = [(i, [float(i % 4), float((i * i) % 5)]) for i in range(12)]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<double>")
+    centers = kcenter_greedy(df, "vec_id", "embedding", k=3, scale=10)
+
+    # direct NumPy-free replay of Gonzalez on the same integer lattice
+    q = {i: (round(v[0] * 10), round(v[1] * 10)) for i, v in pts}
+    cid = min(q)
+    mind = {
+        i: (q[i][0] - q[cid][0]) ** 2 + (q[i][1] - q[cid][1]) ** 2
+        for i in q
+    }
+    expect = []
+    for rank in range(1, 4):
+        radius = max(mind.values())
+        expect.append((rank, cid, radius))
+        if rank == 3:
+            break
+        cid = min(i for i in q if mind[i] == radius)
+        mind = {
+            i: min(
+                mind[i],
+                (q[i][0] - q[cid][0]) ** 2 + (q[i][1] - q[cid][1]) ** 2,
+            )
+            for i in q
+        }
+    assert centers == expect
+
+
 def test_scatter_cells_is_partition_invariant(spark):
     """scatter_cells (guarded hash-repartition before the products
     pass) must return identical cells/means for any input layout."""
