@@ -294,9 +294,37 @@ def main() -> None:
             f.write(full_line + "\n")
     except OSError as exc:
         print(f"# could not write {out_file}: {exc}", file=sys.stderr)
-    print(full_line)
-    # ...and a SHORT summary line prints last, so whatever the capture
-    # keeps of the stream tail always parses as valid JSON.
+    # The full 376-entry record is ~11 KB on one line; the round
+    # driver's finite tail capture truncated it mid-stream (PERF_r13:
+    # per_query={}, n_common=0 — VERDICT r13 #4), so stdout now carries
+    # the per-query map as CHUNKED JSON lines ≤1800 chars each (same
+    # timings, same keys, split alphabetically) instead of one giant
+    # line.  Every chunk is independently parseable and repeats the
+    # metric/total/sf context; the union of the chunks' "queries" IS
+    # the full record (also in queries_file verbatim).
+    chunk_budget = 1800
+    wrapper = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "chunk": 0,
+        "n_chunks": 0,
+        "queries": {},
+    }
+    overhead = len(json.dumps(wrapper)) + 8  # room for 3-digit indices
+    chunks: list[dict] = [{}]
+    for k in sorted(timings):
+        entry_len = len(json.dumps({k: timings[k]})) + 2
+        cur_len = len(json.dumps(chunks[-1]))
+        if chunks[-1] and overhead + cur_len + entry_len > chunk_budget:
+            chunks.append({})
+        chunks[-1][k] = timings[k]
+    for i, ch in enumerate(chunks):
+        wrapper.update(chunk=i + 1, n_chunks=len(chunks), queries=ch)
+        print(json.dumps(wrapper))
+    # ...and the SHORT summary line still prints last, so whatever the
+    # capture keeps of the stream tail always parses as valid JSON.
     print(
         json.dumps(
             {

@@ -72,7 +72,13 @@ def _pin_partitioned(df: DataFrame, *cols: str) -> DataFrame:
     unpersist after the loop; lazy operators leave the blocks to the
     session's cache release (the bench clears caches between queries).
     """
-    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # non-numeric conf (e.g. "auto" on some AQE platforms) — fall
+        # back to cluster parallelism rather than raising in every
+        # pinned operator (r13 ADVICE)
+        cap = df.sparkSession.sparkContext.defaultParallelism
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -737,7 +743,10 @@ def hits_int(
     # step groups by _d, hub step by _s — guide §2.4) makes every
     # grouped sum exchange-free: 2×iterations edge-scale shuffles → 2
     # one-time ones.  persist, not localCheckpoint: a checkpointed scan
-    # reports UnknownPartitioning (see _pin_partitioned).
+    # reports UnknownPartitioning (see _pin_partitioned).  Cut lineage
+    # ONCE before the two pins so an expensive caller edge derivation
+    # computes once, not once per pinned copy (r13 ADVICE).
+    ee = ee.localCheckpoint(eager=False)
     e_by_d = _pin_partitioned(ee, "_d")
     e_by_s = _pin_partitioned(ee, "_s")
     # distinct over _s on the _s-partitioned copy is exchange-free too
@@ -952,7 +961,11 @@ def sssp_bounded(
     # edge exchanges in the 6-round supplier query).  Pre-shuffle it
     # once per join side instead (guide §2.4 — the bucketed-join
     # shape); the per-round exchanges that remain carry only the
-    # frontier.
+    # frontier.  Cut lineage ONCE before the two pins: each pin is its
+    # own persist, and without the shared cut an expensive caller edge
+    # derivation (e.g. a distinct over a fact table) would compute
+    # twice, once per pinned copy (r13 ADVICE).
+    edges = edges.localCheckpoint(eager=False)
     es = _pin_partitioned(edges, "s").hint("shuffle_hash")
     ep = _pin_partitioned(edges, "p").hint("shuffle_hash")
     carry = [F.col(f"d.{c}").alias(c) for c in carry_cols]

@@ -199,17 +199,13 @@ def normal_equation_fit(
     x1 = F.col(x1_col).cast(dec)
     x2 = F.col(x2_col).cast(dec)
     y = F.col(y_col).cast(dec)
-    # the six per-row decimal(38,0) products run in the scan stage's
-    # partial aggregation; a small-file scan (one split) serializes
-    # them — guarded hash repartition on the VALUE columns (guide §2.5:
-    # deterministic key, high cardinality; group cols alone could be a
-    # handful of years).  Never fires at warehouse scale.
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(
-            target, F.col(x1_col), F.col(x2_col), F.col(y_col)
-        )
+    # NO pre-aggregation repartition here (r14 revert of an r13 change):
+    # the ten decimal(38,0) partial aggregates run map-side in the scan
+    # stage, so a guarded repartition inserts a FULL-INPUT exchange below
+    # the partial HashAggregate — measured 0.48 s → 1.12 s (2.3×) on
+    # lineitem_price_model in the r13 driver run, and the shuffle only
+    # carries |groups| rows without it.  The §2.5 single-task-map idiom
+    # applies to explode/CPU-heavy map stages, not to map-side rollups.
     g = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast(dec).alias("_n"),
         F.sum(x1).alias("_s1"),

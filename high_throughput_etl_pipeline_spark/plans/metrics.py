@@ -677,15 +677,12 @@ def poisson_bootstrap_ci(
         F.col(y_col).alias("_y"),
         F.col(id_col).cast("string").alias("_id"),
     )
-    # the n_boot× explode + per-replicate md5 PRF is the CPU-heavy map
-    # stage; a small-file scan (one split) must not serialize it —
-    # guarded hash-on-id repartition, the standing r13 idiom (guide
-    # §2.5): never fires at warehouse scale where the scan already has
-    # thousands of splits, never round-robin (sortBeforeRepartition)
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target, F.col("_id"))
+    # NO guarded repartition here (r14 revert of an r13 change): the
+    # n_boot=40 explode + md5 PRF is light enough that the extra
+    # exchange costs more than the parallelism buys — interleaved A/B
+    # at sf0.1 measured repartition {1.35, 1.37, 0.98} vs none
+    # {1.15, 0.78, 1.11} best-of-2 seconds; at warehouse scale the
+    # scan already has thousands of splits and the question is moot.
     rep = base.select(
         *group_cols,
         "_y",
