@@ -191,6 +191,13 @@ def fuzzy_matches_neighborhood(
         "_id",
         F.explode(deletion_variants(F.col("_name"))).alias("_var"),
     ).select(*block_cols, "_id", F.xxhash64("_var").alias("_vh"))
+    # materialize the (block, id, variant-hash) index ONCE: both sides
+    # of the self-join below read it under different aliases, so
+    # Catalyst cannot reuse the exchange and the len+1-way explode +
+    # hash build would run twice (the embedding_near_duplicates /
+    # _md5_sig_bands idiom — guide §2.4 duplicated subtrees).  Narrow
+    # rows: block key + two longs per variant.
+    variants = variants.localCheckpoint(eager=False)
     a = variants.select(
         *block_cols, "_vh", F.col("_id").alias("id_a")
     )

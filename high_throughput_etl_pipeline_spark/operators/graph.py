@@ -120,7 +120,17 @@ def _star_components(
     edge list had self-loop-only nodes pass it so those nodes still get
     labeled (as their own singleton component).
     """
-    e = adj.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the loop (r14, the bfs_layers fold):
+    # each full large+small round ends in the signature collect below,
+    # and that one action materializes every pending checkpoint block
+    # in ONE job — the previous eager cuts ran one materialization job
+    # per half-round plus the collect (3 driver round-trips per round;
+    # profiled r14: customer_golden_record spent 8.2 s of its 15.2 s
+    # wall in driver gaps across 86 tiny jobs, guide §5 driver).
+    # Shared references inside one round (both union branches of the
+    # large-star, m's two consumers in the small-star) point at the
+    # same RDD, so nothing computes twice.
+    e = adj.localCheckpoint(eager=False)
     # fixpoint detector: (count, hash-sum) of the canonical edge set.
     # decimal(38,0) so a billions-of-edges sum cannot wrap into a
     # false fixpoint.
@@ -159,9 +169,10 @@ def _star_components(
         e = (
             e.filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if i % 2 == 1:  # compare after each full large+small pair
+            # this collect materializes both half-rounds' checkpoints
             sig = tuple(e.agg(*sig_cols).collect()[0])
             if sig == prev_sig:
                 break
@@ -255,7 +266,10 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    labels = labels.localCheckpoint(eager=True)
+    # LAZY checkpoint + the agg collect below materializes the same
+    # blocks in one job instead of two (r14, the bfs_layers fold —
+    # guide §5 driver: one action per round, not two)
+    labels = labels.localCheckpoint(eager=False)
     # labels only ever decrease, so the labeling changed iff the total
     # dropped — convergence is one cheap agg on the checkpointed result,
     # not a join against the previous round.  Sum in DECIMAL(38,0): a
@@ -276,7 +290,7 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
             )
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.localCheckpoint(eager=False)
             new_sum = new_labels.agg(label_total).collect()[0][0]
             labels = new_labels
             if new_sum == prev_sum:

@@ -893,8 +893,10 @@ def embedding_near_duplicates(
     ``bits_per_table`` so per-bucket candidate sets stay bounded, and
     persist/bucket the (table, bucket, id) index by its join key.
     """
+    n_vec = None
     if bits_per_table is None:
-        bits_per_table = auto_lsh_bits(vectors.count())
+        n_vec = vectors.count()
+        bits_per_table = auto_lsh_bits(n_vec)
     planes = hyperplanes(dim, n_tables * bits_per_table, seed)
     ids = vectors.select(F.col(id_col), F.col(vec_col))
     # The bucket build is the CPU-heavy stage (n_tables × bits × dim
@@ -960,6 +962,24 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Scale-guarded verify parallelism (guide §2.5): on a SMALL corpus
+    # AQE's byte-based coalescing collapses the pair list to 1-2
+    # partitions (profiled r14: the cosine-verify stage of
+    # embedding_dedup_clusters ran 1.66 s on 2 tasks of local[32] —
+    # ~3 MB of shuffle bytes but 64 interpreted HOF terms per pair),
+    # and the vector re-attach joins broadcast, so the verify inherits
+    # that serial layout.  Hash-repartition the narrow (id_a, id_b)
+    # pairs to cluster parallelism — explicit repartitions are exempt
+    # from AQE coalescing.  Guarded on the corpus size the auto-bits
+    # count already paid for: never fires at warehouse scale (the pair
+    # list is then far above AQE's min partition size and parallelism
+    # is already healthy), so no extra exchange is added there.
+    if n_vec is not None and n_vec <= 1_000_000:
+        pairs = pairs.repartition(
+            vectors.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
+        )
     u = vectors.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
